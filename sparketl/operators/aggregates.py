@@ -1,0 +1,487 @@
+"""Aggregations (§2.4 #26-39) and approximate aggregations (§2.5 #40-43),
+plus the flagship TPC-H-Q1-shape pricing summary used by ``entry()``.
+
+Spark's groupBy().agg() already plans partial→final hash aggregation
+with map-side combine and sort-based spill fallback — the same shape
+Presto describes (paper §4.6) — so at 100 TB the only tunables are
+shuffle partition count (AQE coalesces) and key skew (AQE skew-join).
+
+Determinism: floating aggregates are rounded to 6 decimals on BOTH
+engines; moment/corr queries use small-magnitude columns (discount,
+tax) so cross-engine summation-order error stays far below the rounding
+granularity (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparketl.functions.exact import (
+    charge_sum,
+    charge_sum_sql,
+    disc_price_sum,
+    disc_price_sum_sql,
+    exact_avg,
+    exact_avg_sql,
+    exact_sum,
+    exact_sum_sql,
+)
+from sparketl.registry import query
+from sparketl.tables import table
+
+
+@query(
+    "flagship_q1_pricing_summary",
+    oracle=f"""
+        select l_returnflag, l_linestatus,
+               round({exact_sum_sql('l_quantity', 2)}, 6)      as sum_qty,
+               round({exact_sum_sql('l_extendedprice', 2)}, 6) as sum_base_price,
+               round({disc_price_sum_sql()}, 6)                as sum_disc_price,
+               round({charge_sum_sql()}, 6)                    as sum_charge,
+               round({exact_avg_sql('l_quantity', 2)}, 6)      as avg_qty,
+               round({exact_avg_sql('l_extendedprice', 2)}, 6) as avg_price,
+               round({exact_avg_sql('l_discount', 4)}, 6)      as avg_disc,
+               count(*)                                        as count_order
+        from lineitem
+        where l_shipdate <= timestamp '1998-09-01'
+        group by l_returnflag, l_linestatus
+    """,
+)
+def flagship_q1_pricing_summary(spark, sf_dir):
+    """Flagship (t1 smoke + headline bench query): scan→filter→agg.
+
+    Plan shape to preserve at scale: parquet scan with the shipdate
+    filter pushed down, partial agg on 6 groups map-side, tiny final
+    shuffle.  No join, no sort — pure aggregation throughput.  Money
+    sums use the exact integer-unit decomposition (functions/exact.py)
+    so results are independent of partitioning/accumulation order.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(exact_sum("l_quantity", 2), 6).alias("sum_qty"),
+            F.round(exact_sum("l_extendedprice", 2), 6).alias("sum_base_price"),
+            F.round(disc_price_sum(), 6).alias("sum_disc_price"),
+            F.round(charge_sum(), 6).alias("sum_charge"),
+            F.round(exact_avg("l_quantity", 2), 6).alias("avg_qty"),
+            F.round(exact_avg("l_extendedprice", 2), 6).alias("avg_price"),
+            F.round(exact_avg("l_discount", 4), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_counts",
+    oracle="""
+        select count(*)                     as n_rows,
+               count(o_custkey)             as n_custkey,
+               count(distinct o_custkey)    as n_distinct_cust,
+               count(distinct o_orderstatus) as n_status
+        from orders
+    """,
+)
+def agg_counts(spark, sf_dir):
+    """#26 count(*) / count(col) / count(distinct)."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("n_custkey"),
+        F.countDistinct("o_custkey").alias("n_distinct_cust"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
+    )
+
+
+@query(
+    "agg_basic_grouped",
+    oracle=f"""
+        select o_orderstatus,
+               round({exact_sum_sql('o_totalprice', 2)}, 6) as sum_price,
+               round({exact_avg_sql('o_totalprice', 2)}, 6) as avg_price,
+               round(min(o_totalprice), 6) as min_price,
+               round(max(o_totalprice), 6) as max_price,
+               round(sum(distinct cast(o_custkey % 100 as double)), 6) as sum_dist_bucket
+        from orders
+        group by o_orderstatus
+    """,
+)
+def agg_basic_grouped(spark, sf_dir):
+    """#27 + #28 sum/avg/min/max (+ DISTINCT variant) over a hash agg."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(exact_sum("o_totalprice", 2), 6).alias("sum_price"),
+        F.round(exact_avg("o_totalprice", 2), 6).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 6).alias("min_price"),
+        F.round(F.max("o_totalprice"), 6).alias("max_price"),
+        F.round(F.sum_distinct((F.col("o_custkey") % 100).cast("double")), 6).alias(
+            "sum_dist_bucket"
+        ),
+    )
+
+
+_FILTER_CLAUSE_SQL = """
+    select l_returnflag,
+           round(sum(cast(round(l_extendedprice * 100) as bigint))
+                     filter (where l_discount > 0.05) / cast(100 as double), 6) as sum_discounted,
+           count(*) filter (where l_quantity >= 30)               as n_bulk,
+           round(avg(l_tax) filter (where l_linestatus = 'F'), 6) as avg_tax_f
+    from lineitem
+    group by l_returnflag
+"""
+
+
+@query("agg_filter_clause", oracle=_FILTER_CLAUSE_SQL)
+def agg_filter_clause(spark, sf_dir):
+    """#29 agg FILTER clause — SQL entry point (E2): Spark parses the
+    ANSI FILTER syntax natively, so the exact same text runs on both
+    engines."""
+    table(spark, sf_dir, "lineitem")  # ensure view registered
+    return spark.sql(_FILTER_CLAUSE_SQL)
+
+
+@query(
+    "agg_moments",
+    oracle="""
+        select l_returnflag,
+               round(stddev_samp(l_discount), 6) as sd_disc,
+               round(stddev_pop(l_discount), 6)  as sdp_disc,
+               round(var_samp(l_tax), 6)         as var_tax,
+               round(var_pop(l_tax), 6)          as varp_tax
+        from lineitem
+        group by l_returnflag
+    """,
+)
+def agg_moments(spark, sf_dir):
+    """#30 stddev / variance (sample + population) on small-magnitude
+    columns so cross-engine accumulation error << round(6)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+        F.round(F.stddev_pop("l_discount"), 6).alias("sdp_disc"),
+        F.round(F.var_samp("l_tax"), 6).alias("var_tax"),
+        F.round(F.var_pop("l_tax"), 6).alias("varp_tax"),
+    )
+
+
+@query(
+    "agg_bivariate",
+    oracle="""
+        select l_linestatus,
+               round(corr(l_discount, l_tax), 6)       as corr_dt,
+               round(covar_samp(l_discount, l_tax), 6) as cov_dt,
+               round(covar_pop(l_discount, l_tax), 6)  as covp_dt
+        from lineitem
+        group by l_linestatus
+    """,
+)
+def agg_bivariate(spark, sf_dir):
+    """#31 corr / covar_samp / covar_pop."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_dt"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("cov_dt"),
+        F.round(F.covar_pop("l_discount", "l_tax"), 6).alias("covp_dt"),
+    )
+
+
+@query(
+    "agg_min_by_max_by",
+    oracle="""
+        select c_nationkey,
+               arg_min(c_name, c_acctbal) as poorest,
+               arg_max(c_name, c_acctbal) as richest
+        from customer
+        group by c_nationkey
+    """,
+)
+def agg_min_by_max_by(spark, sf_dir):
+    """#32 min_by / max_by (argmin/argmax).  acctbal values are unique
+    within nation in the fixtures (verified), so no tie ambiguity."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.min_by("c_name", "c_acctbal").alias("poorest"),
+        F.max_by("c_name", "c_acctbal").alias("richest"),
+    )
+
+
+@query(
+    "agg_bool",
+    oracle="""
+        select o_orderstatus,
+               bool_and(o_totalprice > 1000)   as all_over_1k,
+               bool_or(o_totalprice > 400000)  as any_over_400k
+        from orders
+        group by o_orderstatus
+    """,
+)
+def agg_bool(spark, sf_dir):
+    """#33 bool_and / bool_or."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+    )
+
+
+@query(
+    "agg_array_agg",
+    oracle="""
+        select n_regionkey,
+               array_agg(n_name order by n_name) as nations
+        from nation
+        group by n_regionkey
+    """,
+)
+def agg_array_agg(spark, sf_dir):
+    """#34 array_agg — always sorted in declared queries (Presto's
+    array_agg is order-nondeterministic; the value-hash is not)."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations")
+    )
+
+
+@query(
+    "agg_map_agg",
+    oracle="""
+        with c as (
+            select o_orderstatus, o_orderpriority, count(*) as cnt
+            from orders group by 1, 2
+        )
+        select o_orderstatus,
+               array_agg(struct_pack(key := o_orderpriority, value := cnt)
+                         order by o_orderpriority) as prio_counts
+        from c
+        group by o_orderstatus
+    """,
+)
+def agg_map_agg(spark, sf_dir):
+    """#35 map_agg: build the map with map_from_entries(collect_list),
+    emit sorted map_entries so the value-hash is key-order-independent."""
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("cnt"))
+    mapped = counts.groupBy("o_orderstatus").agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("o_orderpriority").alias("key"),
+                        F.col("cnt").alias("value"),
+                    )
+                )
+            )
+        ).alias("prio_map")
+    )
+    return mapped.select(
+        "o_orderstatus",
+        F.sort_array(F.map_entries("prio_map")).alias("prio_counts"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+        select coalesce(l_returnflag, 'ALL') as rflag,
+               coalesce(l_linestatus, 'ALL') as lstatus,
+               round({exact_sum_sql('l_quantity', 2)}, 6) as sum_qty,
+               count(*)                      as n
+        from lineitem
+        group by grouping sets ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """#36 GROUPING SETS in one pass (SQL entry point; fixtures are
+    NULL-free so coalesce markers are unambiguous)."""
+    table(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        select coalesce(l_returnflag, 'ALL') as rflag,
+               coalesce(l_linestatus, 'ALL') as lstatus,
+               round({exact_sum_sql('l_quantity', 2)}, 6) as sum_qty,
+               count(*)                      as n
+        from lineitem
+        group by grouping sets ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)
+
+
+@query(
+    "agg_cube_rollup",
+    oracle="""
+        select coalesce(l_returnflag, 'ALL') as rflag,
+               coalesce(l_linestatus, 'ALL') as lstatus,
+               grouping(l_returnflag) + 2 * grouping(l_linestatus) as gid,
+               count(*) as n
+        from lineitem
+        group by cube (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_rollup(spark, sf_dir):
+    """#37 CUBE + grouping() markers (rollup is the sets-subset case,
+    exercised by agg_grouping_sets)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (
+                F.grouping("l_returnflag") + F.lit(2) * F.grouping("l_linestatus")
+            ).cast("int").alias("gid"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "gid",
+            "n",
+        )
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+        select o_custkey, count(*) as n_orders,
+               round({exact_sum_sql('o_totalprice', 2)}, 6) as spend
+        from orders
+        group by o_custkey
+        having count(*) >= 15
+    """,
+)
+def agg_having(spark, sf_dir):
+    """#38 HAVING — post-aggregation filter."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(exact_sum("o_totalprice", 2), 6).alias("spend"),
+        )
+        .where(F.col("n_orders") >= 15)
+    )
+
+
+@query(
+    "agg_count_if",
+    oracle=f"""
+        select l_returnflag,
+               count_if(l_discount > 0.05)  as n_discounted,
+               count_if(l_quantity >= 45)   as n_huge,
+               round({exact_sum_sql("case when l_linestatus = 'F' then l_extendedprice else 0 end", 2)}, 6) as sum_f
+        from lineitem
+        group by l_returnflag
+    """,
+)
+def agg_count_if(spark, sf_dir):
+    """#39 count_if + sum(case when) conditional idioms."""
+    li = table(spark, sf_dir, "lineitem")
+    cond_price = F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice")).otherwise(0.0)
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(F.col("l_quantity") >= 45).alias("n_huge"),
+        F.round(exact_sum(cond_price, 2), 6).alias("sum_f"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 approximate aggregations — engine sketches differ by design, so
+# the declared queries compare each engine's OWN sketch to its OWN exact
+# value and emit the tolerance boolean (SURVEY.md §2.5).
+# --------------------------------------------------------------------------
+
+@query(
+    "approx_count_distinct",
+    oracle="""
+        select count(distinct l_partkey) as exact_nd,
+               abs(approx_count_distinct(l_partkey) - count(distinct l_partkey))
+                   <= 0.05 * count(distinct l_partkey) as hll_within_5pct
+        from lineitem
+    """,
+)
+def approx_count_distinct(spark, sf_dir):
+    """#40 approx_distinct (HLL): Spark's HLL++ vs Presto's HLL vs
+    DuckDB's HLL all give different estimates; the graded value is the
+    exact count plus the ±5% accuracy contract (true on both engines)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("exact_nd"),
+        (
+            F.abs(F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey"))
+            <= 0.05 * F.countDistinct("l_partkey")
+        ).alias("hll_within_5pct"),
+    )
+
+
+@query(
+    "approx_percentile",
+    oracle="""
+        select round(quantile_cont(o_totalprice, 0.5), 6) as exact_p50,
+               abs(approx_quantile(o_totalprice, 0.5) - quantile_cont(o_totalprice, 0.5))
+                   <= 0.02 * quantile_cont(o_totalprice, 0.5) as approx_within_2pct
+        from orders
+    """,
+)
+def approx_percentile(spark, sf_dir):
+    """#41 approx_percentile vs exact, tolerance boolean (same scheme
+    as #40)."""
+    o = table(spark, sf_dir, "orders")
+    exact = F.expr("percentile(o_totalprice, 0.5)")
+    return o.agg(
+        F.round(exact, 6).alias("exact_p50"),
+        (
+            F.abs(F.percentile_approx("o_totalprice", 0.5, 10000) - exact)
+            <= 0.02 * exact
+        ).alias("approx_within_2pct"),
+    )
+
+
+@query(
+    "exact_percentile_median",
+    oracle="""
+        select o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.25), 6) as p25,
+               round(quantile_cont(o_totalprice, 0.90), 6) as p90,
+               round(median(o_totalprice), 6)              as med
+        from orders
+        group by o_orderstatus
+    """,
+)
+def exact_percentile_median(spark, sf_dir):
+    """#42 exact percentile_cont / median (linear interpolation — same
+    formula in Spark and DuckDB)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.90)"), 6).alias("p90"),
+        F.round(F.median("o_totalprice"), 6).alias("med"),
+    )
+
+
+@query(
+    "numeric_histogram",
+    oracle="""
+        select least(greatest(cast(floor((o_totalprice - 0) / (500000.0 / 20)) as bigint) + 1, 0), 21)
+                   as bucket,
+               count(*) as n,
+               round(min(o_totalprice), 6) as lo,
+               round(max(o_totalprice), 6) as hi
+        from orders
+        group by 1
+    """,
+)
+def numeric_histogram(spark, sf_dir):
+    """#43 numeric_histogram via width_bucket + group-by (DuckDB 1.0
+    lacks width_bucket → arithmetic formula, same bucketing, verified
+    SURVEY.md §0.1)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(500000.0), F.lit(20))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+        )
+    )

@@ -1,0 +1,277 @@
+"""Window functions (§2.6 #44-52).
+
+Presto default null ordering is NULLS LAST (ASC); Spark's is NULLS
+FIRST — every ordered window here spells ordering + frame explicitly so
+Spark ≡ oracle (SURVEY.md §2.6).  Ties: any ordering that feeds
+row_number/ntile/limit carries a unique-key tiebreak.
+
+Scale: a window over partitionBy(k) is one shuffle on k — same cost
+class as a groupBy.  Nothing here materializes per-partition state
+beyond the frame, so skew handling is AQE's problem, same as joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparketl.registry import query
+from sparketl.tables import table
+
+
+@query(
+    "win_row_number",
+    oracle="""
+        select o_custkey, o_orderkey,
+               row_number() over (partition by o_custkey
+                                  order by o_orderdate asc nulls last, o_orderkey asc) as rn
+        from orders
+        where o_custkey < 200
+    """,
+)
+def win_row_number(spark, sf_dir):
+    """#44 row_number with unique tiebreak (o_orderkey)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.where(F.col("o_custkey") < 200)
+        .select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+    )
+
+
+@query(
+    "win_rank_dense_rank",
+    oracle="""
+        select o_custkey, o_orderkey,
+               rank()       over (partition by o_custkey order by o_orderpriority asc nulls last) as rnk,
+               dense_rank() over (partition by o_custkey order by o_orderpriority asc nulls last) as drnk
+        from orders
+        where o_custkey < 100
+    """,
+)
+def win_rank_dense_rank(spark, sf_dir):
+    """#45 rank/dense_rank — tie-stable values (equal keys get equal
+    ranks), so priority ties are deterministic."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderpriority").asc_nulls_last())
+    return (
+        o.where(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+    )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+        select o_orderkey,
+               ntile(4) over (order by o_totalprice asc nulls last, o_orderkey asc) as quartile
+        from orders
+        where o_orderkey < 2000
+    """,
+)
+def win_ntile(spark, sf_dir):
+    """#46 ntile over a total order (unique tiebreak keeps bucket
+    boundaries deterministic)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc_nulls_last(), F.col("o_orderkey").asc())
+    return (
+        o.where(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+    )
+
+
+@query(
+    "win_percent_rank_cume_dist",
+    oracle="""
+        select c_nationkey, c_custkey,
+               round(percent_rank() over (partition by c_nationkey
+                                          order by c_acctbal asc nulls last), 6) as pr,
+               round(cume_dist()   over (partition by c_nationkey
+                                          order by c_acctbal asc nulls last), 6) as cd
+        from customer
+        where c_custkey < 500
+    """,
+)
+def win_percent_rank_cume_dist(spark, sf_dir):
+    """#47 percent_rank / cume_dist (acctbal unique within nation)."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").asc_nulls_last())
+    return (
+        c.where(F.col("c_custkey") < 500)
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+        select user_id, event_id,
+               round(lag(value, 1, -1.0)  over (partition by user_id
+                                                order by ts asc nulls last, event_id asc), 6) as prev_value,
+               round(lead(value, 2)       over (partition by user_id
+                                                order by ts asc nulls last, event_id asc), 6) as next2_value
+        from events
+        where user_id < 40
+    """,
+)
+def win_lag_lead(spark, sf_dir):
+    """#48 lag/lead with offset + default."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc()
+    )
+    return (
+        ev.where(F.col("user_id") < 40)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.lag("value", 1, -1.0).over(w), 6).alias("prev_value"),
+            F.round(F.lead("value", 2).over(w), 6).alias("next2_value"),
+        )
+    )
+
+
+@query(
+    "win_first_last_nth",
+    oracle="""
+        select c_nationkey, c_custkey,
+               first_value(c_name) over w as first_name,
+               last_value(c_name)  over w as last_name,
+               nth_value(c_name, 3) over w as third_name
+        from customer
+        where c_custkey < 300
+        window w as (partition by c_nationkey
+                     order by c_acctbal asc nulls last
+                     rows between unbounded preceding and unbounded following)
+    """,
+)
+def win_first_last_nth(spark, sf_dir):
+    """#49 first/last/nth_value with the full-partition frame
+    (last_value over the default frame is a footgun in every engine)."""
+    c = table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        c.where(F.col("c_custkey") < 300)
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.first("c_name").over(w).alias("first_name"),
+            F.last("c_name").over(w).alias("last_name"),
+            F.nth_value("c_name", 3).over(w).alias("third_name"),
+        )
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+        select o_custkey, o_orderkey,
+               round(sum(o_totalprice) over (partition by o_custkey
+                                             order by o_orderdate asc nulls last, o_orderkey asc
+                                             rows between unbounded preceding and current row), 6)
+                   as running_spend,
+               count(*) over (partition by o_custkey
+                              order by o_orderdate asc nulls last, o_orderkey asc
+                              rows between unbounded preceding and current row) as nth_order
+        from orders
+        where o_custkey < 150
+    """,
+)
+def win_running_sum(spark, sf_dir):
+    """#50 running aggregate — prefix sums accumulate in identical
+    order on both engines, so round(6) is belt-and-braces."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc_nulls_last(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.where(F.col("o_custkey") < 150)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 6).alias("running_spend"),
+            F.count("*").over(w).alias("nth_order"),
+        )
+    )
+
+
+@query(
+    "win_sliding_frames",
+    oracle="""
+        select user_id, event_id,
+               round(avg(value) over (partition by user_id
+                                      order by ts asc nulls last, event_id asc
+                                      rows between 3 preceding and current row), 6) as avg_last4,
+               round(sum(value) over (partition by user_id
+                                      order by value asc nulls last
+                                      range between 5.0 preceding and current row), 6) as sum_near
+        from events
+        where user_id < 30
+    """,
+)
+def win_sliding_frames(spark, sf_dir):
+    """#51 sliding ROWS frame + numeric RANGE frame."""
+    ev = table(spark, sf_dir, "events")
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc())
+        .rowsBetween(-3, Window.currentRow)
+    )
+    # fractional RANGE bounds aren't expressible through the PySpark
+    # Window builder (int-only py4j signature) — use the SQL form.
+    sum_near = F.expr(
+        """sum(value) over (partition by user_id
+                              order by value asc nulls last
+                              range between 5.0 preceding and current row)"""
+    )
+    return (
+        ev.where(F.col("user_id") < 30)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.avg("value").over(w_rows), 6).alias("avg_last4"),
+            F.round(sum_near, 6).alias("sum_near"),
+        )
+    )
+
+
+@query(
+    "win_topk_per_group",
+    oracle="""
+        select o_custkey, o_orderkey, round(o_totalprice, 6) as total
+        from orders
+        qualify row_number() over (partition by o_custkey
+                                   order by o_totalprice desc nulls last, o_orderkey asc) <= 3
+    """,
+)
+def win_topk_per_group(spark, sf_dir):
+    """#52 top-k per group: row_number + filter (Spark) ≡ QUALIFY
+    (DuckDB).  At scale this is the shuffle-once pattern; no sort of
+    the full table, only per-partition heaps via the window sort."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 6).alias("total"))
+    )

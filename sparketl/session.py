@@ -1,0 +1,70 @@
+"""SparkSession factory + divergence-control configuration.
+
+The driver owns the SparkSession it passes to ``entry()``/``queries()``,
+so everything this engine needs MUST be applyable at runtime via
+``spark.conf.set`` (all confs below are SQLConf, i.e. runtime-settable).
+
+Conf contract (SURVEY.md §4.3):
+  * ``spark.sql.ansi.enabled=true`` — PySpark 4 default; matches
+    Presto/DuckDB error-on-overflow semantics.
+  * ``spark.sql.session.timeZone=UTC`` — timestamp parity with the
+    DuckDB oracle.
+  * ``spark.sql.legacy.parquet.nanosAsLong=true`` — events.parquet has a
+    nanosecond timestamp column that PySpark 4.1 otherwise refuses to
+    read (PARQUET_TYPE_ILLEGAL); the loader converts with
+    ``timestamp_micros(ts div 1000)`` which is hash-exact vs DuckDB's
+    truncating µs read (SURVEY.md §0.1).
+  * AQE on (default) — runtime SMJ→BHJ conversion + skew-join splitting;
+    this is the 100 TB skew story (no hand-rolled salting needed for
+    the inventory's key distributions).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to ANY session this engine touches.
+SESSION_CONFS: dict[str, str] = {
+    "spark.sql.ansi.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+}
+
+#: Builder-time confs for sessions WE create (tests / bench).  At 100 TB
+#: shuffle.partitions would be sized ~2-3× total cores with AQE
+#: coalescing down; at sf≤0.1 on local[32] low counts kill fixed
+#: overhead (BASELINE.md: the 2× gate is at risk from overhead, not
+#: throughput).
+LOCAL_BUILD_CONFS: dict[str, str] = {
+    "spark.sql.shuffle.partitions": "8",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply the runtime conf contract to an externally-owned session."""
+    for k, v in SESSION_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-runtime-settable in some deployment => best effort;
+            # the loader has a pyarrow fallback for the events table.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "sparketl") -> SparkSession:
+    """Create (or get) a local session with the full conf contract."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    for k, v in {**LOCAL_BUILD_CONFS, **SESSION_CONFS}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure_session(spark)

@@ -1,0 +1,70 @@
+"""Table catalog: load the ten fixture tables, normalize, register views.
+
+Presto resolves tables eagerly against connector metadata; our analogue
+is parquet's embedded schema — no inference (SURVEY.md §1.1).  Views are
+registered once per (session, sf_dir) and cached so a 100-query suite
+doesn't re-plan 1000 scans; DataFrames themselves stay lazy.
+
+events.ts normalization (SURVEY.md §0.1, verified): the parquet column
+is TIMESTAMP(NANOS) which PySpark 4.1 cannot read natively.  With
+``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as LongType
+nanos; ``timestamp_micros(ts div 1000)`` (integer division = truncation)
+is bit-exact with DuckDB's own truncating µs read of the same file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparketl.session import configure_session
+
+TABLE_NAMES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: (session id, sf_dir) -> {table: DataFrame}
+_CATALOG_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load + normalize all fixture tables and register temp views.
+
+    Idempotent and cached per (session, sf_dir).  Registering plain
+    names (``lineitem`` etc.) gives the SQL entry point (E2) the same
+    catalog the DataFrame entry point (E1) uses.
+    """
+    key = (id(spark), sf_dir.rstrip("/"))
+    cached = _CATALOG_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    configure_session(spark)
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+        if name == "events":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        dfs[name] = df
+        df.createOrReplaceTempView(name)
+
+    _CATALOG_CACHE[key] = dfs
+    return dfs
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fetch one normalized table (loading/caching the catalog)."""
+    return load_tables(spark, sf_dir)[name]
+
+
+def clear_cache() -> None:
+    _CATALOG_CACHE.clear()
