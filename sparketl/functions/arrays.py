@@ -1,1 +1,216 @@
-"""Placeholder — populated in this round."""
+"""Array functions + higher-order lambdas (§2.9 #99-116).
+
+Order-sensitivity policy: Spark's array_distinct / array_intersect /
+array_union keep first-occurrence order while DuckDB's list_* variants
+don't guarantee one — every set-ish result is wrapped in array_sort on
+BOTH sides before it reaches the value-hash (SURVEY.md §5).
+
+DuckDB divergences pinned: list_position returns NULL (not 0) for
+absent elements → coalesce; list_slice takes a STOP index, not a
+length (#108); list_aggregate('sum') on ints returns hugeint → cast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparketl.registry import query
+from sparketl.tables import table
+
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+
+_TOK = "string_split(text, ' ')"
+
+
+@query(
+    "arr_basics",
+    oracle=f"""
+        select doc_id,
+               cast(len({_TOK}) as bigint)                     as n_tokens,
+               ({_TOK})[3]                                     as third_token,
+               ({_TOK})[999]                                   as oob_token,
+               cast(coalesce(list_position({_TOK}, 'value'), 0) as bigint) as value_pos,
+               list_contains({_TOK}, 'data')                   as has_data
+        from documents
+        where doc_id < 200
+    """,
+)
+def arr_basics(spark, sf_dir):
+    """#99-102: cardinality, element_at (1-based, NULL out-of-bounds —
+    ANSI mode needs try_element_at), array_position (0 when absent, ≡
+    Presto; DuckDB NULL → coalesce), contains."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return d.where(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.try_element_at(toks, F.lit(3)).alias("third_token"),
+        F.try_element_at(toks, F.lit(999)).alias("oob_token"),
+        F.array_position(toks, "value").cast("bigint").alias("value_pos"),
+        F.array_contains(toks, "data").alias("has_data"),
+    )
+
+
+@query(
+    "arr_sort_dedup",
+    oracle=f"""
+        select doc_id,
+               list_sort(list_distinct({_TOK}))                as vocab,
+               cast(len(list_distinct({_TOK})) as bigint)      as n_distinct,
+               list_sort({_TOK})[1]                            as min_token
+        from documents
+        where doc_id < 150
+    """,
+)
+def arr_sort_dedup(spark, sf_dir):
+    """#103, #105, #106: array_distinct + array_sort (sorted on both
+    sides — Spark preserves first-occurrence order, DuckDB doesn't);
+    array_min via sorted head."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return d.where(F.col("doc_id") < 150).select(
+        "doc_id",
+        F.array_sort(F.array_distinct(toks)).alias("vocab"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.array_min(toks).alias("min_token"),
+    )
+
+
+@query(
+    "arr_set_ops",
+    oracle="""
+        select doc_id,
+               list_sort(list_intersect(generate_series(1, 1 + doc_id % 5),
+                                        generate_series(2, 6)))            as inter,
+               list_sort(list_distinct(generate_series(1, 1 + doc_id % 5)
+                                       || generate_series(2, 6)))          as uni,
+               list_sort(list_filter(generate_series(1, 1 + doc_id % 5),
+                                     x -> not list_contains(generate_series(2, 6), x))) as minus,
+               list_has_any(generate_series(1, 1 + doc_id % 5),
+                            generate_series(4, 6))                          as overlaps
+        from documents
+        where doc_id < 120
+    """,
+)
+def arr_set_ops(spark, sf_dir):
+    """#104, #109, #115: array_intersect/union/except + arrays_overlap
+    + sequence.  DuckDB lacks list_except → expressed as filter(not
+    contains), which is the identical multiset-distinct semantics
+    here; everything sorted before hashing."""
+    d = table(spark, sf_dir, "documents")
+    a = F.sequence(F.lit(1), (F.col("doc_id") % 5 + 1).cast("int"))
+    b = F.sequence(F.lit(2), F.lit(6))
+    return d.where(F.col("doc_id") < 120).select(
+        "doc_id",
+        F.array_sort(F.array_intersect(a, b)).alias("inter"),
+        F.array_sort(F.array_union(a, b)).alias("uni"),
+        F.array_sort(F.array_except(a, b)).alias("minus"),
+        F.arrays_overlap(a, F.sequence(F.lit(4), F.lit(6))).alias("overlaps"),
+    )
+
+
+@query(
+    "arr_slice_join_zip",
+    oracle=f"""
+        select doc_id,
+               list_slice({_TOK}, 2, 4)                        as middle,
+               array_to_string(list_slice({_TOK}, 1, 5), '-')  as head_joined,
+               flatten([list_slice({_TOK}, 1, 2), list_slice({_TOK}, 3, 4)]) as refl,
+               list_transform(list_zip(generate_series(1, 3), generate_series(4, 6)),
+                              s -> s[1] * 10 + s[2])           as zipped
+        from documents
+        where doc_id < 100
+    """,
+)
+def arr_slice_join_zip(spark, sf_dir):
+    """#107, #108, #110, #111: slice (Spark start+LENGTH vs DuckDB
+    start+STOP — the flagged #108 trap), array_join, flatten, zip
+    (via zip_with ≡ list_zip+transform so struct field naming never
+    reaches the hash)."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return d.where(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.slice(toks, 2, 3).alias("middle"),
+        F.array_join(F.slice(toks, 1, 5), "-").alias("head_joined"),
+        F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 3, 2))).alias("refl"),
+        F.zip_with(
+            F.sequence(F.lit(1), F.lit(3)),
+            F.sequence(F.lit(4), F.lit(6)),
+            lambda x, y: x * 10 + y,
+        ).alias("zipped"),
+    )
+
+
+@query(
+    "arr_lambda",
+    oracle="""
+        select p_partkey,
+               list_transform(generate_series(1, p_size % 6 + 2), x -> x * x) as squares,
+               list_filter(generate_series(1, p_size % 6 + 2), x -> x % 2 = 0) as evens,
+               cast(list_aggregate(generate_series(1, p_size % 6 + 2), 'sum') as bigint) as total
+        from part
+        where p_partkey < 300
+    """,
+)
+def arr_lambda(spark, sf_dir):
+    """#112-114: transform / filter / reduce(aggregate) — same lambda
+    SQL in Spark; DuckDB reduce-with-init is list_aggregate."""
+    p = table(spark, sf_dir, "part")
+    seq = F.sequence(F.lit(1), (F.col("p_size") % 6 + 2).cast("int"))
+    return p.where(F.col("p_partkey") < 300).select(
+        "p_partkey",
+        F.transform(seq, lambda x: x * x).alias("squares"),
+        F.filter(seq, lambda x: x % 2 == 0).alias("evens"),
+        F.aggregate(
+            seq, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("total"),
+    )
+
+
+@query(
+    "arr_unnest",
+    oracle=f"""
+        select doc_id, unnest({_TOK}) as token
+        from documents
+        where doc_id < 60
+    """,
+)
+def arr_unnest(spark, sf_dir):
+    """#116 UNNEST ≡ explode (lateral) — the row-generating path every
+    token-level operator (tf-idf, dedup shingles) builds on."""
+    d = table(spark, sf_dir, "documents")
+    return d.where(F.col("doc_id") < 60).select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    )
+
+
+@query(
+    "arr_embedding_norm",
+    oracle="""
+        select vec_id,
+               cast(len(embedding) as bigint) as dim,
+               round(sqrt(list_aggregate(
+                   list_transform(embedding, x -> cast(x as double) * cast(x as double)),
+                   'sum')), 6) as l2_norm
+        from embeddings
+        where vec_id < 100
+    """,
+)
+def arr_embedding_norm(spark, sf_dir):
+    """#99 + #112/#114 on the real vector column: L2 norm via
+    transform+aggregate — the building block for #137 cosine top-k.
+    float→double per element BEFORE multiplying, mirrored in the
+    oracle, keeps the fold bit-exact."""
+    e = table(spark, sf_dir, "embeddings")
+    sq = F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double"))
+    return e.where(F.col("vec_id") < 100).select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(
+            F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)), 6
+        ).alias("l2_norm"),
+    )

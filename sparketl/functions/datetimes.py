@@ -1,1 +1,160 @@
-"""Placeholder — populated in this round."""
+"""Date/time scalar functions (§2.9 #78-88) — the highest-risk family
+for silent divergence (SURVEY.md §2.9): Presto's unit-string-first
+``date_add/date_diff`` map to Spark ``timestampadd/timestampdiff``;
+``day_of_week`` conventions differ (Spark ``dayofweek`` is 1=Sunday —
+we use ``weekday()+1`` ≡ ISO ≡ DuckDB ``isodow``, verified §0.1).
+
+Timestamp outputs are emitted as DATE or formatted strings — never raw
+TIMESTAMP — to sidestep tz-aware/naive representation mismatches
+between engines (SURVEY.md §5 determinism rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparketl.registry import query
+from sparketl.tables import table
+
+
+@query(
+    "dt_trunc_extract",
+    oracle="""
+        select o_orderkey,
+               cast(date_trunc('month', o_orderdate) as date) as order_month,
+               cast(date_trunc('week',  o_orderdate) as date) as order_week,
+               year(o_orderdate)    as y,
+               month(o_orderdate)   as m,
+               day(o_orderdate)     as d,
+               quarter(o_orderdate) as q,
+               hour(o_orderdate)    as h
+        from orders
+        where o_orderkey < 1500
+    """,
+)
+def dt_trunc_extract(spark, sf_dir):
+    """#78, #81: date_trunc (same unit-first shape in all three
+    engines) + extract family."""
+    o = table(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderkey") < 1500).select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.date_trunc("week", "o_orderdate").cast("date").alias("order_week"),
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
+        F.quarter("o_orderdate").cast("bigint").alias("q"),
+        F.hour("o_orderdate").cast("bigint").alias("h"),
+    )
+
+
+@query(
+    "dt_add_diff",
+    oracle="""
+        select o_orderkey,
+               cast(o_orderdate + interval 30 day as date)    as due_date,
+               cast(o_orderdate - interval 2 month as date)   as lookback,
+               date_diff('day', timestamp '1995-01-01', o_orderdate)  as days_since_epoch_start,
+               date_diff('month', timestamp '1995-01-01', o_orderdate) as months_since
+        from orders
+        where o_orderkey < 1200
+    """,
+)
+def dt_add_diff(spark, sf_dir):
+    """#79, #80, #87: Presto date_add(unit, n, ts) ≡ Spark
+    timestampadd / interval arithmetic; date_diff(unit, t1, t2) ≡
+    Spark timestampdiff — SAME argument order (verified §0.1)."""
+    o = table(spark, sf_dir, "orders")
+    epoch0 = "timestamp '1995-01-01'"
+    return o.where(F.col("o_orderkey") < 1200).select(
+        "o_orderkey",
+        F.expr("timestampadd(DAY, 30, o_orderdate)").cast("date").alias("due_date"),
+        (F.col("o_orderdate") - F.expr("interval 2 month")).cast("date").alias("lookback"),
+        F.expr(f"timestampdiff(DAY, {epoch0}, o_orderdate)").alias("days_since_epoch_start"),
+        F.expr(f"timestampdiff(MONTH, {epoch0}, o_orderdate)").alias("months_since"),
+    )
+
+
+@query(
+    "dt_day_of_week_year",
+    oracle="""
+        select l_orderkey, l_linenumber,
+               isodow(l_shipdate)      as dow_iso,
+               dayofyear(l_shipdate)   as doy,
+               weekofyear(l_shipdate)  as woy,
+               cast(last_day(l_shipdate) as date) as month_end
+        from lineitem
+        where l_orderkey < 250
+    """,
+)
+def dt_day_of_week_year(spark, sf_dir):
+    """#82: ISO day-of-week via weekday()+1 (Spark dayofweek is
+    1=Sunday — the flagged trap); dayofyear/weekofyear are ISO in
+    both."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_orderkey") < 250).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.weekday("l_shipdate") + 1).cast("bigint").alias("dow_iso"),
+        F.dayofyear("l_shipdate").cast("bigint").alias("doy"),
+        F.weekofyear("l_shipdate").cast("bigint").alias("woy"),
+        F.last_day("l_shipdate").alias("month_end"),
+    )
+
+
+@query(
+    "dt_unixtime",
+    oracle="""
+        select o_orderkey,
+               cast(epoch(o_orderdate) as bigint) as epoch_sec,
+               strftime(make_timestamp(cast(epoch(o_orderdate) as bigint) * 1000000
+                                       + 43200000000),
+                        '%Y-%m-%d %H:%M:%S') as noon_after
+        from orders
+        where o_orderkey < 800
+    """,
+)
+def dt_unixtime(spark, sf_dir):
+    """#83 to_unixtime/from_unixtime.  Spark from_unixtime returns a
+    STRING (trap) — we use timestamp_seconds for the typed path, then
+    format; oracle mirrors via make_timestamp(µs) (DuckDB to_timestamp
+    returns a tz-aware value, avoided)."""
+    o = table(spark, sf_dir, "orders")
+    epoch_sec = F.unix_timestamp("o_orderdate")
+    return o.where(F.col("o_orderkey") < 800).select(
+        "o_orderkey",
+        epoch_sec.alias("epoch_sec"),
+        F.date_format(
+            F.timestamp_seconds(epoch_sec + 43200), "yyyy-MM-dd HH:mm:ss"
+        ).alias("noon_after"),
+    )
+
+
+@query(
+    "dt_parse_format",
+    oracle="""
+        select o_orderkey,
+               strftime(o_orderdate, '%Y/%m')  as ym,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') as full_str,
+               cast(strptime(strftime(o_orderdate, '%d|%m|%Y'), '%d|%m|%Y') as date)
+                   as roundtrip_date,
+               cast(cast('1997-06-15' as timestamp) as date) as fixed_date
+        from orders
+        where o_orderkey < 600
+    """,
+)
+def dt_parse_format(spark, sf_dir):
+    """#84, #85, #88: format_datetime ≡ date_format (Java patterns) ≡
+    strftime; parse_datetime ≡ to_timestamp — patterns differ per
+    engine (Joda vs Java vs C) so each side uses its own dialect of
+    the SAME format, asserted equal via the roundtrip."""
+    o = table(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderkey") < 600).select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy/MM").alias("ym"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("full_str"),
+        F.to_timestamp(
+            F.date_format("o_orderdate", "dd|MM|yyyy"), "dd|MM|yyyy"
+        ).cast("date").alias("roundtrip_date"),
+        F.lit("1997-06-15").cast("timestamp").cast("date").alias("fixed_date"),
+    )

@@ -1,1 +1,292 @@
-"""Placeholder — populated in this round."""
+"""Event-time / streaming-shaped operators (§2.10 #128-134), batch mode.
+
+A Presto ETL tool is micro-batch: it re-runs SQL over append-only
+tables.  Every operator here is therefore implemented as a batch
+DataFrame op with event-time semantics — which makes it DuckDB-gradeable
+— and the SAME transformations run under Structured Streaming via
+``sparketl.streaming`` (readStream + withWatermark; see that module
+for the streaming runner and the stateful #133 path).
+
+Window starts are emitted as formatted strings (never raw timestamps,
+SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparketl.registry import query
+from sparketl.tables import table
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "stream_tumbling_window",
+    oracle=f"""
+        select strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') as window_start,
+               event_type,
+               count(*) as n,
+               round(sum(cast(round(value * 100) as bigint)) / cast(100 as double), 6) as total_value
+        from events
+        group by 1, 2
+    """,
+)
+def stream_tumbling_window(spark, sf_dir):
+    """#128 tumbling window agg: groupBy(window(ts, '1 hour')) — the
+    identical expression runs under readStream; in batch it's plan-
+    equivalent to a date_trunc group (what the oracle states)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                / F.lit(100).cast("double"),
+                6,
+            ).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle=f"""
+        with slid as (
+            select e.*,
+                   make_timestamp(((cast(floor(epoch(e.ts) / 900) as bigint) - s.i) * 900)
+                                  * 1000000) as w_start
+            from events e
+            cross join (select unnest(generate_series(0, 3)) as i) s
+        )
+        select strftime(w_start, '{_TS_FMT_DUCK}') as window_start,
+               count(*) as n,
+               count(distinct user_id) as n_users
+        from slid
+        group by 1
+    """,
+)
+def stream_sliding_window(spark, sf_dir):
+    """#129 sliding window (1h length, 15m slide → each event in 4
+    windows).  Spark: window(ts, '1 hour', '15 minutes'); oracle
+    regenerates the same 4 window starts arithmetically."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT_SPARK).alias("window_start"),
+            "n",
+            "n_users",
+        )
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle=f"""
+        with flagged as (
+            select user_id, ts, value,
+                   case when ts - lag(ts) over (partition by user_id order by ts)
+                             > interval 30 minute
+                        or lag(ts) over (partition by user_id order by ts) is null
+                        then 1 else 0 end as new_session
+            from events
+        ),
+        numbered as (
+            select user_id, ts, value,
+                   sum(new_session) over (partition by user_id order by ts
+                                          rows unbounded preceding) as session_id
+            from flagged
+        )
+        select user_id, session_id,
+               strftime(min(ts), '{_TS_FMT_DUCK}') as session_start,
+               count(*) as n_events
+        from numbered
+        group by user_id, session_id
+    """,
+)
+def stream_session_window(spark, sf_dir):
+    """#130 session windows (30-min gap).  Implemented with the
+    gaps-and-islands window form — one shuffle on user_id, linear at
+    scale, and byte-identical semantics to the oracle.  Spark's native
+    session_window(ts, '30 minutes') produces the same sessions (same
+    start/count set) and is what the streaming runner uses; the island
+    form is used here because session_window emits no ordinal id."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts") - F.lag("ts").over(w) > F.expr("interval 30 minute"))
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), _TS_FMT_SPARK).alias("session_start"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "stream_session_window_native",
+    oracle=f"""
+        with flagged as (
+            select user_id, ts,
+                   case when ts - lag(ts) over (partition by user_id order by ts)
+                             > interval 30 minute
+                        or lag(ts) over (partition by user_id order by ts) is null
+                        then 1 else 0 end as new_session
+            from events
+        ),
+        numbered as (
+            select user_id, ts,
+                   sum(new_session) over (partition by user_id order by ts
+                                          rows unbounded preceding) as session_id
+            from flagged
+        )
+        select user_id,
+               strftime(min(ts), '{_TS_FMT_DUCK}') as session_start,
+               count(*) as n_events
+        from numbered
+        group by user_id, session_id
+    """,
+)
+def stream_session_window_native(spark, sf_dir):
+    """#130 via Spark's native session_window — cross-checked against
+    the hand-rolled island SQL (SURVEY.md §7 P6 asks exactly this):
+    same (user, session_start, count) sets ⇒ both formulations agree."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), _TS_FMT_SPARK).alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "stream_watermark_late_drop",
+    oracle="""
+        select event_type, count(*) as n_kept
+        from events
+        where ts >= (select max(ts) from events) - interval 7 day
+        group by event_type
+    """,
+)
+def stream_watermark_late_drop(spark, sf_dir):
+    """#131 watermark: tolerate lateness δ, drop older.  Batch
+    equivalent of withWatermark('ts', δ): keep rows within δ of the
+    observed max event time (the streaming runner uses the real
+    watermark; this declared query grades the cutoff semantics)."""
+    ev = table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("m"))
+    return (
+        ev.join(F.broadcast(max_ts))
+        .where(F.col("ts") >= F.col("m") - F.expr("interval 7 day"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+        with ranked as (
+            select user_id, event_type, event_id, value,
+                   row_number() over (partition by user_id, event_type
+                                      order by ts, event_id) as rn
+            from events
+        )
+        select user_id, event_type, event_id,
+               round(value, 6) as first_value
+        from ranked
+        where rn = 1
+    """,
+)
+def stream_dedup(spark, sf_dir):
+    """#132 streaming dedup: first event per (user, type) in event-time
+    order — the deterministic formulation of dropDuplicates (Spark's
+    dropDuplicates keeps an arbitrary row; within a watermark the
+    streaming runner uses dropDuplicatesWithinWatermark)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.round("value", 6).alias("first_value"),
+        )
+    )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+        with dim as (
+            select * from (values
+                ('click',    'engagement'),
+                ('view',     'engagement'),
+                ('purchase', 'revenue'),
+                ('signup',   'growth'),
+                ('error',    'ops')
+            ) as t(event_type, category)
+        )
+        select d.category,
+               count(*) as n,
+               count(distinct e.user_id) as n_users
+        from events e
+        join dim d on e.event_type = d.event_type
+        group by d.category
+    """,
+)
+def stream_static_enrich(spark, sf_dir):
+    """#134 stream-static enrichment join: the static dim side is
+    broadcast — on a real stream this is a map-side join per
+    micro-batch, no shuffle of the stream."""
+    ev = table(spark, sf_dir, "events")
+    dim = ev.sparkSession.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "revenue"),
+            ("signup", "growth"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+    return (
+        ev.join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
