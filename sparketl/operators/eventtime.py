@@ -290,3 +290,50 @@ def stream_static_enrich(spark, sf_dir):
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "stream_stateful_sessions",
+    oracle=f"""
+        with flagged as (
+            select user_id, ts,
+                   case when ts - lag(ts) over (partition by user_id order by ts)
+                             > interval 30 minute
+                        or lag(ts) over (partition by user_id order by ts) is null
+                        then 1 else 0 end as new_session
+            from events
+        ),
+        numbered as (
+            select user_id, ts,
+                   sum(new_session) over (partition by user_id order by ts
+                                          rows unbounded preceding) as session_id
+            from flagged
+        )
+        select user_id, session_id,
+               strftime(min(ts), '{_TS_FMT_DUCK}') as session_start,
+               strftime(max(ts), '{_TS_FMT_DUCK}') as session_end,
+               count(*) as n_events,
+               epoch_us(max(ts)) - epoch_us(min(ts)) as duration_us
+        from numbered
+        group by user_id, session_id
+    """,
+)
+def stream_stateful_sessions(spark, sf_dir):
+    """#133 custom stateful sessionization, batch face: per-user
+    imperative session assembly in applyInPandas, sharing its core
+    (``sessionize_pandas``) with the streaming ``applyInPandasWithState``
+    operator in sparketl.streaming.runner — same code, two runtimes,
+    which is the #133 contract (custom evolving per-key state).
+
+    Scale: one shuffle on user_id; per-user state is two longs in the
+    streaming runtime (timeout-pruned), pandas-local in batch.  The
+    oracle is the gaps-and-islands SQL — provable because the pandas
+    body uses only integer/time math."""
+    from sparketl.streaming.runner import SESSION_OUT_SCHEMA, sessionize_pandas
+
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandas(lambda pdf: sessionize_pandas(pdf), schema=SESSION_OUT_SCHEMA)
+    )

@@ -51,6 +51,7 @@ def load_all_modules() -> None:
         eventtime,
         joins,
         llm,
+        multimodal,
         relational,
         udfs,
         windows,
@@ -62,4 +63,4 @@ def load_all_modules() -> None:
         mathfns,
         strings,
     )
-    from sparketl import sources  # noqa: F401
+    from sparketl.sources import connectors  # noqa: F401

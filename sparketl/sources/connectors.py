@@ -1,0 +1,162 @@
+"""Source / sink connectors (SURVEY.md §2.1 #2-4).
+
+Presto reads and writes through connectors; the ETL-tool surface is
+"ingest from files with explicit schema, write partitioned columnar
+output".  Spark equivalents: ``spark.read.schema(..).csv/json`` and
+``df.write.partitionBy(..).parquet``.
+
+Declared queries prove each connector with a *round-trip*: export a
+fixture table to the format under ``.scratch/`` (gitignored), read it
+back through the connector, and return a result the DuckDB oracle
+reproduces straight from the original parquet — so any loss/mangling
+in the format hop (types, quoting, nulls, partition values) breaks the
+hash.
+
+Schema policy (SURVEY.md §1.1): sources always get an EXPLICIT schema
+— never ``inferSchema`` (a second pass over 100 TB, and type guesses
+drift between runs).
+
+Scale: writes are partitioned both row-wise (task parallelism follows
+the upstream partitioning — no single-writer bottleneck) and
+directory-wise (``partitionBy`` → partition pruning for downstream
+readers, SURVEY.md §4.1 DPP row).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sparketl.registry import query
+from sparketl.tables import table
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".scratch")
+
+
+def _scratch_dir(sf_dir: str, name: str) -> str:
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(_SCRATCH, sf_tag, name)
+
+
+NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+SUPPLIER_SCHEMA = T.StructType(
+    [
+        T.StructField("s_suppkey", T.LongType()),
+        T.StructField("s_name", T.StringType()),
+        T.StructField("s_nationkey", T.IntegerType()),
+        T.StructField("s_acctbal", T.DoubleType()),
+    ]
+)
+
+
+@query(
+    "source_csv",
+    oracle="""
+        select n.n_nationkey, n.n_name, r.r_name as region_name
+        from nation n join region r on n.n_regionkey = r.r_regionkey
+    """,
+)
+def source_csv(spark, sf_dir):
+    """#2 CSV source: nation exported to headered CSV, read back with
+    an explicit schema (no inference), joined to a dimension — the
+    classic ETL ingest step.  Oracle reads the original parquet, so
+    the CSV hop must be lossless."""
+    nation = table(spark, sf_dir, "nation")
+    path = _scratch_dir(sf_dir, "nation_csv")
+    nation.write.mode("overwrite").option("header", True).csv(path)
+    n = spark.read.schema(NATION_SCHEMA).option("header", True).csv(path)
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name", F.col("r_name").alias("region_name"))
+    )
+
+
+@query(
+    "source_jsonlines",
+    oracle="""
+        select s_nationkey,
+               count(*) as n_suppliers,
+               round(sum(cast(round(s_acctbal * 100) as bigint))
+                     / cast(100 as double), 6) as total_acctbal
+        from supplier
+        group by s_nationkey
+    """,
+)
+def source_jsonlines(spark, sf_dir):
+    """#3 JSON-lines source: supplier exported to ndjson, read back
+    with an explicit schema, aggregated.  Doubles survive the JSON hop
+    bit-exactly (Spark prints round-trippable shortest-repr doubles);
+    the exact-cents sum makes the aggregate engine-stable anyway."""
+    supplier = table(spark, sf_dir, "supplier")
+    path = _scratch_dir(sf_dir, "supplier_json")
+    supplier.write.mode("overwrite").json(path)
+    s = spark.read.schema(SUPPLIER_SCHEMA).json(path)
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.round(
+            F.sum(F.round(F.col("s_acctbal") * 100).cast("bigint"))
+            / F.lit(100).cast("double"),
+            6,
+        ).alias("total_acctbal"),
+    )
+
+
+@query(
+    "sink_parquet_partitioned",
+    oracle="""
+        select o_orderstatus, o_orderpriority,
+               count(*) as n_orders,
+               round(sum(cast(round(o_totalprice * 100) as bigint))
+                     / cast(100 as double), 6) as total_price
+        from orders
+        group by o_orderstatus, o_orderpriority
+    """,
+)
+def sink_parquet_partitioned(spark, sf_dir):
+    """#4 partitioned parquet sink: orders written
+    ``partitionBy(o_orderstatus)``, re-read, and aggregated — with a
+    status filter applied on the re-read path so partition pruning
+    (the point of directory partitioning) is exercised; the final
+    union restores full coverage for the oracle.
+
+    Scale: partitionBy keys with bounded cardinality (3 statuses) give
+    pruning without small-file explosion; high-cardinality keys would
+    instead be bucketed.  The re-read scan lists only matching
+    directories (static partition pruning, SURVEY.md §4.1)."""
+    orders = table(spark, sf_dir, "orders")
+    path = _scratch_dir(sf_dir, "orders_by_status")
+    (
+        orders.select(
+            "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
+        )
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    # partition-pruned branch + remainder branch: both scans prune dirs
+    pruned = back.where(F.col("o_orderstatus") == "F")
+    rest = back.where(F.col("o_orderstatus") != "F")
+    return (
+        pruned.unionByName(rest)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                / F.lit(100).cast("double"),
+                6,
+            ).alias("total_price"),
+        )
+    )

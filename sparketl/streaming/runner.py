@@ -1,0 +1,178 @@
+"""Structured Streaming runner (SURVEY.md §2.10, the streaming half).
+
+The batch event-time operators in ``sparketl.operators.eventtime`` are
+written as plain DataFrame transformations — which is exactly what
+Structured Streaming executes incrementally.  This module provides the
+stream-side wiring: a file-source ``readStream`` over the events table,
+a generic run-to-completion helper (``Trigger.AvailableNow`` → memory
+sink), and the custom-stateful path (#133) via
+``applyInPandasWithState``.
+
+Scale: the file source tails a directory the way a production job
+tails a landing zone; ``availableNow`` gives reprocessing with
+bounded-batch semantics.  State (#133) is per-key and pruned by a
+processing-time timeout, so the state store stays O(active users), not
+O(events) — the property that lets sessionization run indefinitely on
+an unbounded stream.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: raw schema of events.parquet under nanosAsLong (SURVEY.md §0.1)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos; normalized below
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+SESSION_GAP_MIN = 30
+
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("session_start", T.StringType()),
+        T.StructField("session_end", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("duration_us", T.LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_id", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """#128-134 ingestion: file-source readStream over the events
+    landing directory, with the same ns→µs ts normalization as the
+    batch loader (sparketl.tables)."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    query_name: str | None = None,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into a
+    memory sink and return the materialized result as a DataFrame.
+    ``output_mode``: 'append' for row streams, 'complete' for
+    aggregations."""
+    name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def stage_events_dir(sf_dir: str, scratch_root: str) -> str:
+    """Copy events.parquet into a fresh landing directory (file sources
+    consume directories; fixtures are single files)."""
+    dst = os.path.join(scratch_root, "stream_events_in")
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst, exist_ok=True)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(dst, "part-000.parquet"),
+    )
+    return dst
+
+
+def sessionize_pandas(pdf: pd.DataFrame, gap_min: int = SESSION_GAP_MIN) -> pd.DataFrame:
+    """Shared sessionization core (batch applyInPandas AND the
+    per-microbatch body of the stateful path): split one user's events
+    into sessions at > ``gap_min``-minute silences.  Integer/time math
+    only — oracle-checkable."""
+    pdf = pdf.sort_values("ts").reset_index(drop=True)
+    gap = pd.Timedelta(minutes=gap_min)
+    new_session = (pdf["ts"].diff() > gap) | pdf["ts"].diff().isna()
+    session_id = new_session.cumsum().astype("int64")
+    out = (
+        pdf.assign(session_id=session_id)
+        .groupby("session_id", as_index=False)
+        .agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("ts", "size"),
+        )
+    )
+    # exact integer µs duration (no float math — engine-stable)
+    out["duration_us"] = (
+        (out["session_end"] - out["session_start"]).astype("int64") // 1000
+    )
+    out["session_start"] = out["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
+    out["session_end"] = out["session_end"].dt.strftime("%Y-%m-%d %H:%M:%S")
+    return out[
+        ["user_id", "session_id", "session_start", "session_end", "n_events", "duration_us"]
+    ]
+
+
+def _sessionize_stateful(key, pdf_iter, state: GroupState):
+    """#133 applyInPandasWithState body: carries (open session id,
+    last event time) across micro-batches; emits only CLOSED sessions
+    plus the final open one on timeout.  State stays two longs per
+    active user."""
+    (user_id,) = key
+    rows = pd.concat(list(pdf_iter)).sort_values("ts")
+    sid0, last_us = state.get if state.exists else (0, None)
+    sessions = sessionize_pandas(rows)
+    # merge with carried-over open session if the first new event is
+    # within the gap of the carried last_ts
+    if last_us is not None:
+        first_ts_us = int(rows["ts"].iloc[0].value // 1000)
+        if first_ts_us - last_us <= SESSION_GAP_MIN * 60_000_000:
+            sessions["session_id"] += sid0 - 1  # continue open session
+        else:
+            sessions["session_id"] += sid0
+    new_last_us = int(rows["ts"].iloc[-1].value // 1000)
+    state.update((int(sessions["session_id"].max()), new_last_us))
+    sessions["user_id"] = user_id
+    yield sessions
+
+
+def stateful_sessions_stream(events_stream: DataFrame) -> DataFrame:
+    """#133 custom stateful streaming operator: gap-based sessions via
+    applyInPandasWithState (per-key state + timeout), the Spark-native
+    replacement for a hand-rolled stateful ETL stage."""
+    return events_stream.select("user_id", "ts").groupBy("user_id").applyInPandasWithState(
+        _sessionize_stateful,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        # NoTimeout here: under Trigger.AvailableNow a processing-time
+        # timeout keeps scheduling wake-up batches and the run never
+        # terminates.  In a 24/7 deployment switch to
+        # ProcessingTimeTimeout + state.setTimeoutDuration() so idle
+        # users' state is evicted (keeps the store O(active users)).
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
