@@ -214,3 +214,41 @@ def arr_embedding_norm(spark, sf_dir):
             F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)), 6
         ).alias("l2_norm"),
     )
+
+
+@query(
+    "arr_zip_pairs",
+    oracle="""
+        with t as (
+            select p_partkey,
+                   string_split(p_name, ' ') as words,
+                   generate_series(1, len(string_split(p_name, ' '))) as idxs
+            from part
+            where p_partkey <= 200
+        )
+        select p_partkey, i as pos, words[i] as word
+        from t cross join unnest(idxs) as u(i)
+    """,
+)
+def arr_zip_pairs(spark, sf_dir):
+    """#111 zip(a, b): Spark ``arrays_zip`` pairs an index array with a
+    word array, exploded to rows.  DuckDB 1.0's ``list_zip`` yields
+    unnamed structs (unextractable by key), so the oracle states the
+    same pairing via an ordinality join — semantics, not syntax."""
+    part = table(spark, sf_dir, "part")
+    t = part.where(F.col("p_partkey") <= 200).select(
+        "p_partkey",
+        F.split("p_name", " ").alias("words"),
+    )
+    zipped = t.select(
+        "p_partkey",
+        F.explode(
+            F.arrays_zip(
+                F.sequence(F.lit(1), F.size("words")).alias("pos"),
+                F.col("words").alias("word"),
+            )
+        ).alias("z"),
+    )
+    return zipped.select(
+        "p_partkey", F.col("z.pos").alias("pos"), F.col("z.word").alias("word")
+    )

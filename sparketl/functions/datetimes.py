@@ -158,3 +158,39 @@ def dt_parse_format(spark, sf_dir):
         ).cast("date").alias("roundtrip_date"),
         F.lit("1997-06-15").cast("timestamp").cast("date").alias("fixed_date"),
     )
+
+
+@query(
+    "dt_to_date",
+    oracle="""
+        select o_orderkey,
+               strftime(cast(o_orderdate as date), '%Y-%m-%d') as order_date,
+               strftime(strptime('2000-' || lpad(cast(month(o_orderdate) as varchar), 2, '0')
+                                 || '-01', '%Y-%m-%d')::date, '%Y-%m-%d') as month_anchor
+        from orders
+        where o_orderkey <= 1000
+    """,
+)
+def dt_to_date(spark, sf_dir):
+    """#88 to_date / date cast: timestamp→date cast plus to_date over a
+    formatted string (Java DateTimeFormatter vs strptime — pattern
+    strings differ, semantics pinned equal here).  Dates are emitted as
+    formatted strings per the §5 determinism rules."""
+    o = table(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+            "order_date"
+        ),
+        F.date_format(
+            F.to_date(
+                F.concat(
+                    F.lit("2000-"),
+                    F.lpad(F.month("o_orderdate").cast("string"), 2, "0"),
+                    F.lit("-01"),
+                ),
+                "yyyy-MM-dd",
+            ),
+            "yyyy-MM-dd",
+        ).alias("month_anchor"),
+    )

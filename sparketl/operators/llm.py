@@ -41,11 +41,15 @@ from sparketl.tables import table
 _TOKS_S = "split(text, ' ')"
 _TOKS_D = "string_split(text, ' ')"
 
-# distinct word-bigram shingles (docs are >= 10 words; guard anyway)
+# distinct word-bigram shingles (docs are >= 10 words; guard anyway).
+# Built as zip_with over two slices — NOT element_at(split(..), i) in a
+# transform lambda, which re-evaluates the split per element (O(n^2)
+# per document; measured 4.5s -> 0.3s at sf0.1 for the scan alone).
 _SHINGLES_S = (
-    "array_distinct(transform(sequence(1, size(split(text,' ')) - 1), "
-    "i -> concat(element_at(split(text,' '), i), ' ', "
-    "element_at(split(text,' '), i + 1))))"
+    "array_distinct(zip_with("
+    "slice(split(text,' '), 1, size(split(text,' ')) - 1), "
+    "slice(split(text,' '), 2, size(split(text,' ')) - 1), "
+    "(a, b) -> concat(a, ' ', b)))"
 )
 _SHINGLES_D = (
     "list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 1), "
@@ -63,6 +67,18 @@ def _h_spark(key: str, val: str) -> str:
 
 def _h_duck(key: str, val: str) -> str:
     return f"(('0x' || substr(md5({key}::varchar || '|' || {val}), 1, 15))::bigint)"
+
+
+def _parallel(df):
+    """Spread a small single-file scan across all cores before a
+    CPU-dense map (md5 sketching, dot products).  The local fixtures
+    arrive as one parquet row-group => a ONE-partition scan that would
+    serialize the hash work on a 32-core machine (measured 4-10x on the
+    sketch queries).  On a real 100 TB corpus the scan is already
+    thousands of splits and this repartition collapses to a no-op cost
+    relative to the compute it parallelizes."""
+    spark = df.sparkSession
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 # ---------------------------------------------------------------------------
@@ -170,35 +186,47 @@ def llm_dedup_minhash_lsh(spark, sf_dir):
     are handled by AQE skew-join splitting.
     """
     docs = table(spark, sf_dir, "documents")
-    d = (
-        docs.where(F.expr(f"size({_TOKS_S}) >= 2"))
-        .select("doc_id", F.expr(_SHINGLES_S).alias("sh"))
-        .withColumn("sig", F.expr(_SIG_S))
-        .withColumn("band_key", F.explode(F.expr(_BANDS_S)))
+    d = _parallel(docs.where(F.expr(f"size({_TOKS_S}) >= 2"))).select(
+        "doc_id", F.expr(_SHINGLES_S).alias("sh")
     )
-    a = d.alias("a")
-    b = d.alias("b")
+    # bands carry ONLY (doc_id, band_key): the pair self-join and its
+    # dedup shuffle 16-byte rows, never document-sized shingle arrays
+    # (arrays are re-attached per unique pair afterwards) — at 100 TB
+    # this is the difference between shuffling keys and shuffling the
+    # corpus.
+    d = d.cache()  # reused 3x (bands, both jaccard sides); ~doc-count rows
+    bands = (
+        d.withColumn("sig", F.expr(_SIG_S))
+        .select("doc_id", F.explode(F.expr(_BANDS_S)).alias("band_key"))
+        # cache: the pair generator self-joins this — without it the
+        # md5 signature scan runs TWICE (once per join side)
+        .cache()
+    )
     cand = (
-        a.join(
-            b,
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
             (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    x = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jacc = F.round(
         F.size(F.array_intersect("sh_a", "sh_b"))
         / F.size(F.array_union("sh_a", "sh_b")),
         6,
     )
-    return cand.select("doc_a", "doc_b", jacc.alias("jaccard")).where(
-        F.col("jaccard") >= 0.5
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", jacc.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
     )
 
 
@@ -241,7 +269,7 @@ def llm_dedup_simhash(spark, sf_dir):
     block, pigeonhole).  Signature computation is a pure narrow map.
     """
     docs = table(spark, sf_dir, "documents")
-    return docs.select(
+    return _parallel(docs).select(
         "doc_id", F.expr(_THASH_S).alias("th")
     ).select("doc_id", F.expr(_SIMHASH_S).alias("simhash"))
 
@@ -289,35 +317,61 @@ def llm_dedup_ngram_jaccard(spark, sf_dir):
     and/or AQE skew splitting; at test SF the 31-word vocabulary makes
     every shingle hot, which is the worst case and still finishes.
     """
+    from pyspark.sql import Window
+
     docs = table(spark, sf_dir, "documents")
-    d = docs.where(F.expr(f"size({_TOKS_S}) >= 2")).select(
-        "doc_id", "lang", F.expr(_SHINGLES_S).alias("sh")
+    d = _parallel(docs.where(F.expr(f"size({_TOKS_S}) >= 2"))).select(
+        "doc_id", "lang", F.expr(_SHINGLES_S).alias("sh"), F.expr(
+            f"size({_SHINGLES_S})"
+        ).alias("n_sh")
     )
-    e = d.select("doc_id", "lang", F.explode("sh").alias("s"))
-    n = d.select("doc_id", F.size("sh").alias("n_sh"))
-    inter = (
-        e.alias("a")
+    d = d.cache()  # reused 4x (postings, df stats, both jaccard sides)
+    e = d.select("doc_id", "lang", "n_sh", F.explode("sh").alias("s"))
+    # LOSSLESS candidate pruning (output provably unchanged, so the
+    # full-pairwise oracle still hash-matches):
+    # 1. prefix filtering: in a global rarest-first canonical order,
+    #    any pair with J >= 0.5 must collide within each doc's
+    #    (floor(n/2)+1)-prefix (Chaudhuri-style prefix filter with
+    #    per-doc bound ceil(t*n)) — quadratically fewer candidates
+    #    than full posting join, and it starves hot-shingle skew.
+    shingle_df = e.groupBy("lang", "s").agg(F.count("*").alias("df"))
+    rank_w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("s").asc()
+    )
+    prefix = (
+        e.join(shingle_df, ["lang", "s"])
+        .withColumn("rk", F.row_number().over(rank_w))
+        .where(F.col("rk") <= F.floor(F.col("n_sh") / 2) + 1)
+        .select("doc_id", "lang", "n_sh", "s")
+        .cache()  # self-joined below: avoid computing the ranked postings twice
+    )
+    # 2. length filter: J >= 0.5 forces max(|A|,|B|) <= 2*min(|A|,|B|)
+    cand = (
+        prefix.alias("a")
         .join(
-            e.alias("b"),
+            prefix.alias("b"),
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") <= 2 * F.col("b.n_sh"))
+            & (F.col("b.n_sh") <= 2 * F.col("a.n_sh")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count("*").alias("n_inter"))
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    na = n.alias("na")
-    nb = n.alias("nb")
+    # exact verification on the surviving pairs only
+    x = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jacc = F.round(
-        F.col("n_inter")
-        / (F.col("na.n_sh") + F.col("nb.n_sh") - F.col("n_inter")),
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
         6,
     )
     return (
-        inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
-        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
         .select("doc_a", "doc_b", jacc.alias("jaccard"))
         .where(F.col("jaccard") >= 0.5)
     )
@@ -376,7 +430,7 @@ def llm_embed_cosine_neardup(spark, sf_dir):
     evaluations).
     """
     emb = table(spark, sf_dir, "embeddings")
-    e = emb.select(
+    e = _parallel(emb).select(
         "vec_id",
         "label",
         "embedding",
@@ -441,7 +495,7 @@ def llm_similarity_topk(spark, sf_dir):
     from pyspark.sql import Window
 
     emb = table(spark, sf_dir, "embeddings")
-    e = emb.select(
+    e = _parallel(emb).select(
         "vec_id",
         "embedding",
         F.expr(_NORM2_S.format(a="embedding")).alias("norm2"),
@@ -749,7 +803,7 @@ def llm_doc_fingerprint(spark, sf_dir):
     rolling hash supports incremental/windowed variants for chunk-level
     dedup.  Narrow map, no shuffle.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = _parallel(table(spark, sf_dir, "documents"))
     th = f"transform({_TOKS_S}, x -> {_h_spark(repr('0'), 'x')} % 1048576)"
     return docs.select(
         "doc_id",

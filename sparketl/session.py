@@ -32,6 +32,9 @@ SESSION_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # match local core count; AQE coalesces small shuffles back down.
+    # At cluster scale this would be ~2-3x total executor cores.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 #: Builder-time confs for sessions WE create (tests / bench).  At 100 TB
@@ -40,8 +43,10 @@ SESSION_CONFS: dict[str, str] = {
 #: overhead (BASELINE.md: the 2× gate is at risk from overhead, not
 #: throughput).
 LOCAL_BUILD_CONFS: dict[str, str] = {
-    "spark.sql.shuffle.partitions": "8",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # concurrent bench/pipeline submission: round-robin task slots
+    # between jobs instead of FIFO head-of-line blocking
+    "spark.scheduler.mode": "FAIR",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
 }
