@@ -53,6 +53,7 @@ def load_all_modules() -> None:
         llm,
         multimodal,
         relational,
+        tpch,
         udfs,
         windows,
     )

@@ -1,0 +1,88 @@
+"""Physical-plan audits (SURVEY.md §4, SCALING.md): the optimizations
+the 100-TB story depends on must actually appear in the executed plans —
+predicate pushdown to the parquet scan, column pruning, broadcast joins
+on dimensions, whole-stage codegen on the hot relational path, and no
+accidental cartesian products.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from sparketl import registry
+from tests.conftest import SF_DIR
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    def build(name: str):
+        return registry.QUERIES[name](spark, SF_DIR)
+
+    return build
+
+
+def test_predicate_pushdown_reaches_scan(q):
+    plan = plan_str(q("scan_predicate_pushdown"))
+    assert "PushedFilters: [" in plan
+    # at least one real filter pushed (not an empty list)
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), plan
+
+
+def test_projection_pruning_reaches_scan(q):
+    plan = plan_str(q("scan_projection_pruning"))
+    # lineitem has 11 columns; the pruned scan must read far fewer
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert read_schema.count(":") <= 4, read_schema
+
+
+def test_dimension_joins_broadcast(q):
+    for name in ("join_broadcast_dim", "join_star_multiway"):
+        plan = plan_str(q(name))
+        assert "BroadcastHashJoin" in plan, f"{name}:\n{plan}"
+        assert "CartesianProduct" not in plan, name
+
+
+def test_flagship_is_codegen_hash_agg(q):
+    df = q("flagship_q1_pricing_summary")
+    plan = plan_str(df)
+    assert "HashAggregate" in plan
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert "PushedFilters: [" in plan
+    # whole-stage codegen spans exist — visible only in the FINAL
+    # adaptive plan, so execute first (AQE shows 0 subtrees pre-run)
+    df.collect()
+    final = plan_str(df, mode="simple")
+    assert "isFinalPlan=true" in final and "*(1)" in final, final
+
+
+def test_similarity_topk_broadcasts_queries(q):
+    # query set broadcast => corpus streams once, no corpus shuffle
+    plan = plan_str(q("llm_similarity_topk"))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_no_cartesian_outside_declared_cross(spark):
+    """Only join_cross (and the broadcast NL joins, which are bounded by
+    a broadcast side) may plan a cartesian; everything else must not."""
+    offenders = []
+    for name, fn in registry.QUERIES.items():
+        if name == "join_cross":
+            continue
+        try:
+            plan = plan_str(fn(spark, SF_DIR), mode="simple")
+        except Exception:  # plan-time only; runtime covered by oracle gate
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
