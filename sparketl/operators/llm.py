@@ -542,7 +542,46 @@ def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
     ]
 
 
-@query("llm_similarity_ann_lsh")  # rows-only: approximate by design
+def _ann_oracle_sql() -> str:
+    """DuckDB replay of the ANN-LSH pipeline with the SAME literal
+    hyperplanes — bucketing is sign-of-exact-double-dot, so candidate
+    sets and scores are bit-identical across engines and the
+    'approximate' operator is still hash-gradeable."""
+    planes = _hyperplanes()
+    planes_sql = (
+        "[" + ", ".join(
+            "[" + ", ".join(f"{v:.1f}" for v in p) + "]::double[]" for p in planes
+        ) + "]"
+    )
+    dot = _DOT_D.format(a="embedding", b="c.embedding")
+    return f"""
+        with pl as (select {planes_sql} as planes),
+        e as (
+            select vec_id, embedding,
+                   {_NORM2_D.format(a='embedding')} as norm2,
+                   list_sum(list_transform(generate_series(0, 7), p ->
+                       case when list_sum(list_transform(generate_series(1, 64),
+                                i -> embedding[i]::double * planes[p + 1][i])) > 0
+                            then (1 << p) else 0 end)) as bucket
+            from embeddings cross join pl
+        ),
+        scored as (
+            select q.vec_id as query_id, c.vec_id as neighbor_id,
+                   round({_DOT_D.format(a='q.embedding', b='c.embedding')}
+                         / sqrt(q.norm2 * c.norm2), 6) as cos_sim
+            from e q join e c
+              on q.bucket = c.bucket and q.vec_id <> c.vec_id
+            where q.vec_id % 25 = 0
+        )
+        select query_id, neighbor_id, cos_sim,
+               row_number() over (partition by query_id
+                                  order by cos_sim desc, neighbor_id asc) as rnk
+        from scored
+        qualify rnk <= 3
+    """
+
+
+@query("llm_similarity_ann_lsh", oracle=_ann_oracle_sql())
 def llm_similarity_ann_lsh(spark, sf_dir):
     """#137 scale path: random-hyperplane LSH ANN.  Each vector gets an
     8-bit bucket (sign of dot with 8 deterministic Rademacher
@@ -553,9 +592,10 @@ def llm_similarity_ann_lsh(spark, sf_dir):
     equi-join on bucket (expected bucket population n/256), giving
     ~n^2/256 scored pairs instead of n^2 — and the bucket count grows
     with more planes, so the knob scales to 100 TB (16-20 planes +
-    multi-probe).  Oracle: rows-only — ANN output is
-    approximation-defined, not SQL-semantics-defined
-    (__spark_entry__.py:35-36).
+    multi-probe).  Although ANN is approximation-defined, the
+    approximation itself is deterministic (sign of exact double dots
+    against literal hyperplanes), so the oracle replays it exactly and
+    this query IS hash-graded.
     """
     from pyspark.sql import Window
 
@@ -955,5 +995,163 @@ def llm_multimodal_binary(spark, sf_dir):
             F.length("payload").alias("n_bytes"),
             F.sha2("text", 256).alias("digest"),
             F.substring(F.md5("text"), 1, 8).alias("chunk_key"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.11 north-star extensions: chunking, redaction, IVF centroids
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_doc_chunking",
+    oracle=f"""
+        with t as (
+            select doc_id, {_TOKS_D} as toks, len({_TOKS_D}) as n
+            from documents
+        ),
+        c as (
+            select doc_id, n, unnest(generate_series(0,
+                       cast(greatest(ceil((n - 8) / 8.0), 0) as bigint))) as ci
+            from t
+        )
+        select c.doc_id, ci as chunk_id,
+               ci * 8 + 1 as start_tok,
+               least(ci * 8 + 16, t.n) as end_tok,
+               array_to_string(list_slice(t.toks, ci * 8 + 1,
+                                          least(ci * 8 + 16, t.n)), ' ') as chunk_text
+        from c join t using (doc_id)
+    """,
+)
+def llm_doc_chunking(spark, sf_dir):
+    """North-star document chunking: overlapping 16-token windows with
+    stride 8 (the standard context-window prep for embedding/training
+    pipelines).  Chunk count per doc = ceil((n-8)/8) [+1 for ci=0],
+    computed arithmetically so the explode is bounded and predictable.
+
+    Scale: narrow map + explode with ~n/8 fan-out — shuffle-free; chunk
+    ids are (doc_id, chunk_id) so downstream dedup/embedding stages
+    key on 16 bytes.  NB Spark ``slice`` takes (start, LENGTH) while
+    DuckDB ``list_slice`` takes (start, STOP) — SURVEY.md §2.9 #108
+    trap, resolved here on both sides."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.expr(_TOKS_S).alias("toks"),
+        F.expr(f"size({_TOKS_S})").alias("n"),
+    )
+    c = t.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.expr(
+                "sequence(cast(0 as bigint), "
+                "cast(greatest(ceil((n - 8) / 8.0), 0) as bigint))"
+            )
+        ).alias("ci"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("ci").alias("chunk_id"),
+        (F.col("ci") * 8 + 1).alias("start_tok"),
+        F.least(F.col("ci") * 8 + 16, F.col("n")).alias("end_tok"),
+        F.array_join(
+            F.expr(
+                "slice(toks, cast(ci * 8 + 1 as int), "
+                "cast(least(ci * 8 + 16, n) - (ci * 8 + 1) + 1 as int))"
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
+@query(
+    "llm_pii_redaction",
+    oracle="""
+        select doc_id,
+               regexp_replace(
+                   regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                   '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<ID>', 'g') as redacted,
+               len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) as n_emails,
+               length(text) as orig_len
+        from documents
+        where doc_id < 200
+    """,
+)
+def llm_pii_redaction(spark, sf_dir):
+    """North-star PII scrubbing: regex redaction of email/ID patterns +
+    a hit count — the pre-training compliance pass.  (Fixture text has
+    no PII; the operator is the point.)  Narrow map, no shuffle; Spark
+    regexp_replace is global by default, DuckDB needs the 'g' flag —
+    pinned equal here."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.where(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("text"), "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"
+            ),
+            r"\b\d{3}-\d{2}-\d{4}\b",
+            "<ID>",
+        ).alias("redacted"),
+        F.expr("size(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+', 0))").alias(
+            "n_emails"
+        ),
+        F.length("text").alias("orig_len"),
+    )
+
+
+@query(
+    "llm_ivf_centroids",
+    oracle=f"""
+        with e as (
+            select label, embedding from embeddings
+        ),
+        sums as (
+            select label, i,
+                   round(sum(embedding[i]::double), 6) as s,
+                   count(*) as n
+            from e cross join unnest(generate_series(1, 64)) as u(i)
+            group by label, i
+        )
+        select label, i as dim, round(s / n, 6) as centroid_val, n as n_vecs
+        from sums
+        where i <= 4
+    """,
+)
+def llm_ivf_centroids(spark, sf_dir):
+    """North-star IVF index build step: per-label centroid of the
+    embedding vectors (labels stand in for k-means cluster assignments,
+    FIXTURES.md).  Emitted long-form (label, dim, value) for the first
+    4 dims so the oracle compare stays exact; the full 64-dim centroid
+    array is the same aggregation without the dim filter.
+
+    Float note: per-dimension sums cross partitions, so bare double
+    sums would be order-dependent — rounded at 6 on BOTH sides, and
+    each dimension sums <= n_vecs values of magnitude <= 1 so the
+    rounding absorbs reorder noise.
+
+    Scale: explode(64) + map-side-combined groupBy((label, dim)) — the
+    canonical distributed centroid step of k-means/IVF training; the
+    result (k x 64 rows) broadcasts back for assignment."""
+    emb = _parallel(table(spark, sf_dir, "embeddings"))
+    e = emb.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("i0", "v"),
+    ).select("label", (F.col("i0") + 1).alias("dim"), F.col("v"))
+    return (
+        e.groupBy("label", "dim")
+        .agg(
+            F.round(F.sum(F.col("v").cast("double")), 6).alias("s"),
+            F.count("*").alias("n_vecs"),
+        )
+        .where(F.col("dim") <= 4)
+        .select(
+            "label",
+            "dim",
+            F.round(F.col("s") / F.col("n_vecs"), 6).alias("centroid_val"),
+            "n_vecs",
         )
     )

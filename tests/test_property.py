@@ -1,0 +1,91 @@
+"""Property-based differential testing (SURVEY.md §5): hypothesis
+generates random filter/group-by query shapes over lineitem; the SAME
+ANSI SQL text runs through Spark SQL (entry point E2) and DuckDB, and
+results must agree exactly.
+
+Aggregates are chosen order-independent (count / min / max / integer
+cents sums) so partitioning differences cannot produce float noise —
+any mismatch is a genuine semantics divergence (predicate evaluation,
+null handling, date comparison, modulo sign, ...).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import given, settings, strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis unavailable", allow_module_level=True)
+
+from tests.conftest import SF_DIR
+
+
+PREDICATES = [
+    "l_quantity < {q:.1f}",
+    "l_returnflag = '{flag}'",
+    "l_discount between {lo:.2f} and {hi:.2f}",
+    "l_shipdate < timestamp '199{y}-07-01'",
+    "l_partkey % {k} = 0",
+    "l_linenumber >= {ln}",
+]
+
+GROUP_KEYS = [
+    "l_returnflag",
+    "l_linestatus",
+    "l_suppkey % 7",
+    "l_linenumber",
+]
+
+
+@st.composite
+def query_shape(draw):
+    n_preds = draw(st.integers(1, 3))
+    idxs = draw(
+        st.lists(
+            st.integers(0, len(PREDICATES) - 1),
+            min_size=n_preds,
+            max_size=n_preds,
+            unique=True,
+        )
+    )
+    params = {
+        "q": draw(st.floats(1.0, 50.0, allow_nan=False)),
+        "flag": draw(st.sampled_from(["A", "N", "R"])),
+        "lo": draw(st.floats(0.0, 0.05, allow_nan=False)),
+        "hi": draw(st.floats(0.05, 0.1, allow_nan=False)),
+        "y": draw(st.integers(5, 8)),
+        "k": draw(st.integers(2, 13)),
+        "ln": draw(st.integers(1, 7)),
+    }
+    preds = " and ".join(PREDICATES[i].format(**params) for i in idxs)
+    key = draw(st.sampled_from(GROUP_KEYS))
+    return f"""
+        select {key} as grp,
+               count(*) as n,
+               min(l_orderkey) as min_ok,
+               max(l_quantity) as max_qty,
+               sum(cast(round(l_extendedprice * 100) as bigint)) as cents
+        from lineitem
+        where {preds}
+        group by {key}
+    """
+
+
+@settings(max_examples=25, deadline=None)
+@given(sql=query_shape())
+def test_spark_matches_duckdb_on_random_shapes(spark_duck, sql):
+    spark, duck = spark_duck
+    got = {
+        tuple(r) for r in spark.sql(sql).collect()
+    }
+    want = {tuple(r) for r in duck.execute(sql).fetchall()}
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def spark_duck(spark, duck):
+    from sparketl.tables import load_tables
+
+    load_tables(spark, SF_DIR)  # registers the lineitem view
+    return spark, duck
