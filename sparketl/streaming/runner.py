@@ -208,3 +208,72 @@ def stateful_sessions_stream(events_stream: DataFrame) -> DataFrame:
         # users' state is evicted (keeps the store O(active users)).
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# #133, Spark 4.x API: transformWithStateInPandas (StatefulProcessor)
+# ---------------------------------------------------------------------------
+
+try:  # Spark 4.x only; ALSO requires protobuf (the TWS state protocol
+    # is protobuf-based — absent in this container, so the capability
+    # gate import-checks it; applyInPandasWithState above is the #133
+    # implementation that runs everywhere)
+    import google.protobuf.descriptor  # noqa: F401
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCountProcessor(StatefulProcessor):
+        """#133 via the 4.x arbitrary-state API: per-key running event
+        count + running value total (integer cents).  State = one
+        two-field ValueState per key; the state store (RocksDB at
+        scale) holds O(keys), checkpointed per micro-batch."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            import pyspark.sql.types as T
+
+            schema = T.StructType(
+                [
+                    T.StructField("n", T.LongType()),
+                    T.StructField("cents", T.LongType()),
+                ]
+            )
+            self._state = handle.getValueState("totals", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = (
+                self._state.get() if self._state.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    pdf["value"].mul(100.0).round().astype("int64").sum()
+                )
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"event_type": [key[0]], "n": [n], "cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    HAS_TRANSFORM_WITH_STATE = True
+except ImportError:  # pragma: no cover
+    HAS_TRANSFORM_WITH_STATE = False
+
+
+def running_totals_stream(events_stream: DataFrame) -> DataFrame:
+    """#133 (4.x API): per-event-type running totals via
+    transformWithStateInPandas."""
+    return (
+        events_stream.select("event_type", "value")
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningCountProcessor(),
+            outputStructType="event_type string, n long, cents long",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

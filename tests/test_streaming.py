@@ -78,3 +78,60 @@ def test_stateful_sessions_stream_matches_batch(spark, events_dir):
     got_rows = {tuple(r) for r in got.collect()}
     want_rows = {tuple(r) for r in want.collect()}
     assert got_rows == want_rows and len(got_rows) > 0
+
+
+def test_sliding_window_stream_equals_batch(spark, events_dir):
+    from sparketl.streaming.runner import read_events_stream
+
+    stream = read_events_stream(spark, events_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("w"), "n")
+    )
+    got = {
+        (r.w, r.n) for r in run_available_now(agg, output_mode="complete").collect()
+    }
+    ev = table(spark, SF_DIR, "events")
+    want = {
+        (r.w, r.n)
+        for r in ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("w"), "n")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_transform_with_state_running_totals(spark, events_dir):
+    """#133 via the Spark 4.x StatefulProcessor API: final per-key
+    running totals equal the batch aggregation."""
+    from sparketl.streaming.runner import (
+        HAS_TRANSFORM_WITH_STATE,
+        read_events_stream,
+        running_totals_stream,
+    )
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        pytest.skip("transformWithStateInPandas unavailable")
+    stream = read_events_stream(spark, events_dir)
+    out = run_available_now(
+        running_totals_stream(stream), output_mode="update"
+    )
+    # last update per key == final running total
+    got = {
+        r.event_type: (r.n, r.cents)
+        for r in out.orderBy("n").collect()  # later updates have larger n
+    }
+    ev = table(spark, SF_DIR, "events")
+    want = {
+        r.event_type: (r.n, r.cents)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
