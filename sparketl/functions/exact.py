@@ -15,6 +15,14 @@ Each ``round(x * 10^s)`` recovers the exact integer because the true
 scaled value is an integer < 2^53 and the double is within ulp of it.
 Spark's long sums and DuckDB's hugeint sums are both exact; the final
 divisions are mirrored literally so the doubles come out bit-identical.
+
+**Do NOT wrap these results in round(x, d).**  The outputs are already
+bit-identical, and ``round(x, 6)`` is itself engine-divergent once
+``|x| * 10^6`` approaches 2^53 (~ |x| > 1e9): DuckDB rounds by float
+scaling (multiply, rint, divide) while Spark rounds on the exact
+decimal expansion of the double — the last kept digit can differ
+(observed on the Q1 sum_charge at sf0.1).  General §5 policy refined:
+``round(expr, d)`` is safe only while ``|expr| * 10^d << 2^53``.
 """
 
 from __future__ import annotations

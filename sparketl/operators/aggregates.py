@@ -34,13 +34,13 @@ from sparketl.tables import table
     "flagship_q1_pricing_summary",
     oracle=f"""
         select l_returnflag, l_linestatus,
-               round({exact_sum_sql('l_quantity', 2)}, 6)      as sum_qty,
-               round({exact_sum_sql('l_extendedprice', 2)}, 6) as sum_base_price,
-               round({disc_price_sum_sql()}, 6)                as sum_disc_price,
-               round({charge_sum_sql()}, 6)                    as sum_charge,
-               round({exact_avg_sql('l_quantity', 2)}, 6)      as avg_qty,
-               round({exact_avg_sql('l_extendedprice', 2)}, 6) as avg_price,
-               round({exact_avg_sql('l_discount', 4)}, 6)      as avg_disc,
+               {exact_sum_sql('l_quantity', 2)}      as sum_qty,
+               {exact_sum_sql('l_extendedprice', 2)} as sum_base_price,
+               {disc_price_sum_sql()}                as sum_disc_price,
+               {charge_sum_sql()}                    as sum_charge,
+               {exact_avg_sql('l_quantity', 2)}      as avg_qty,
+               {exact_avg_sql('l_extendedprice', 2)} as avg_price,
+               {exact_avg_sql('l_discount', 4)}      as avg_disc,
                count(*)                                        as count_order
         from lineitem
         where l_shipdate <= timestamp '1998-09-01'
@@ -61,13 +61,19 @@ def flagship_q1_pricing_summary(spark, sf_dir):
         li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(exact_sum("l_quantity", 2), 6).alias("sum_qty"),
-            F.round(exact_sum("l_extendedprice", 2), 6).alias("sum_base_price"),
-            F.round(disc_price_sum(), 6).alias("sum_disc_price"),
-            F.round(charge_sum(), 6).alias("sum_charge"),
-            F.round(exact_avg("l_quantity", 2), 6).alias("avg_qty"),
-            F.round(exact_avg("l_extendedprice", 2), 6).alias("avg_price"),
-            F.round(exact_avg("l_discount", 4), 6).alias("avg_disc"),
+            # NO round() wrappers here: the exact-integer decomposition is
+            # already bit-identical across engines, and round(x, 6) on a
+            # >1e9 value is itself engine-divergent (x*1e6 nears 2^53;
+            # DuckDB rounds via float scaling, Spark via exact decimal —
+            # the last digit flips; found at sf0.1).  Rule: round only
+            # values whose |x| * 10^d stays far below 2^53.
+            exact_sum("l_quantity", 2).alias("sum_qty"),
+            exact_sum("l_extendedprice", 2).alias("sum_base_price"),
+            disc_price_sum().alias("sum_disc_price"),
+            charge_sum().alias("sum_charge"),
+            exact_avg("l_quantity", 2).alias("avg_qty"),
+            exact_avg("l_extendedprice", 2).alias("avg_price"),
+            exact_avg("l_discount", 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
