@@ -170,3 +170,33 @@ def math_random_seeded(spark, sf_dir):
             F.round(F.rand(seed=42), 6).alias("r"),
         )
     )
+
+
+@query(
+    "math_bitwise",
+    oracle="""
+        select p_partkey,
+               p_size & 12                 as band,
+               p_size | 5                  as bor,
+               xor(p_size::bigint, 9)      as bxor,
+               p_size << 2                 as shl,
+               p_size >> 1                 as shr,
+               bit_count(p_size::bigint)   as popcount
+        from part
+        where p_partkey <= 500
+    """,
+)
+def math_bitwise(spark, sf_dir):
+    """Presto bitwise family (bitwise_and/or/xor, shifts, bit_count):
+    Spark operators `& | ^ shiftleft/shiftright` ≡ DuckDB `& | xor()
+    << >>`.  Int widths pinned: bit_count over bigint on both sides."""
+    p = table(spark, sf_dir, "part")
+    return p.where(F.col("p_partkey") <= 500).select(
+        "p_partkey",
+        F.expr("p_size & 12").alias("band"),
+        F.expr("p_size | 5").alias("bor"),
+        F.expr("cast(p_size as bigint) ^ 9").alias("bxor"),
+        F.expr("shiftleft(p_size, 2)").alias("shl"),
+        F.expr("shiftright(p_size, 1)").alias("shr"),
+        F.expr("cast(bit_count(cast(p_size as bigint)) as int)").alias("popcount"),
+    )

@@ -141,3 +141,68 @@ def str_codepoints(spark, sf_dir):
         F.char(F.ascii("r_name") + 1).alias("next_chr"),
         F.translate("r_name", "AEI", "aei").alias("translated"),
     )
+
+
+@query(
+    "str_case_misc",
+    oracle="""
+        select p_partkey,
+               array_to_string(list_transform(string_split(lower(p_name), ' '),
+                   w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ') as title_name,
+               concat_ws('|', p_brand, p_type)                        as brand_type,
+               translate(p_brand, '#', '-')                          as brand_dash,
+               substr(p_type, 1, 1) || 'XX' || substr(p_type, 4)     as overlaid
+        from part
+        where p_partkey <= 300
+    """,
+)
+def str_case_misc(spark, sf_dir):
+    """initcap / concat_ws / translate / overlay.  DuckDB 1.0 lacks
+    initcap and overlay natively — the oracle states the semantics via
+    per-word list transform and substr composition (semantics, not
+    syntax, is the contract)."""
+    p = table(spark, sf_dir, "part")
+    return p.where(F.col("p_partkey") <= 300).select(
+        "p_partkey",
+        F.initcap(F.lower("p_name")).alias("title_name"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.expr("overlay(p_type placing 'XX' from 2)").alias("overlaid"),
+    )
+
+
+@query(
+    "str_url_extract",
+    oracle="""
+        with u as (
+            select doc_id,
+                   'https://' || source || '.example.com/docs/' || doc_id
+                       || '?lang=' || lang as url
+            from documents
+        )
+        select doc_id, url,
+               regexp_extract(url, '^https://([^/]+)', 1) as host,
+               regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) as path,
+               regexp_extract(url, '\\?(.*)$', 1) as query_string
+        from u
+    """,
+)
+def str_url_extract(spark, sf_dir):
+    """Presto url_extract_host/path/query ≡ Spark parse_url.  The
+    oracle re-states URL anatomy with anchored regexes (DuckDB has no
+    URL library) — any parse_url/regex disagreement breaks the hash."""
+    docs = table(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query_string"),
+    )

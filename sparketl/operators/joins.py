@@ -377,3 +377,59 @@ def join_asof(spark, sf_dir):
             F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
         )
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+        select r.r_name as region_name,
+               count(*) as n_customers,
+               round(sum(cast(round(c.c_acctbal * 100) as bigint))
+                     / cast(100 as double), 6) as total_acctbal
+        from customer c
+        join nation n on c.c_nationkey = n.n_nationkey
+        join region r on n.n_regionkey = r.r_regionkey
+        group by r.r_name
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Manual skew salting (the 100-TB hot-key pattern, SCALING.md):
+    the big side tags each row with salt = pmod(row key, 8); the small
+    side replicates across all 8 salts; the join runs on
+    (key, salt), splitting any hot key's rows across 8 tasks.  The
+    salt is invisible in the result — the oracle is the plain join.
+    AQE's skew-join split covers this automatically for shuffle joins;
+    the explicit operator exists for engines-off scenarios and for
+    deliberate key+salt bucketing of persistent tables."""
+    n_salts = 8
+    c = table(spark, sf_dir, "customer").withColumn(
+        "salt", F.pmod(F.col("c_custkey"), F.lit(n_salts))
+    )
+    dim = (
+        table(spark, sf_dir, "nation")
+        .join(table(spark, sf_dir, "region"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .crossJoin(
+            F.broadcast(
+                c.sparkSession.range(n_salts).select(
+                    F.col("id").cast("int").alias("salt")
+                )
+            )
+        )
+    )
+    return (
+        c.join(
+            dim,
+            (F.col("c_nationkey") == F.col("n_nationkey"))
+            & (c["salt"] == dim["salt"]),
+        )
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+                / F.lit(100).cast("double"),
+                6,
+            ).alias("total_acctbal"),
+        )
+    )
