@@ -89,3 +89,47 @@ def spark_duck(spark, duck):
 
     load_tables(spark, SF_DIR)  # registers the lineitem view
     return spark, duck
+
+
+JOIN_TYPES = ["inner", "left", "semi", "anti"]
+JOIN_SQL = {
+    "inner": "select {cols} from orders o join customer c on o.o_custkey = c.c_custkey where {pred}",
+    "left": "select {cols} from orders o left join customer c on o.o_custkey = c.c_custkey where {pred}",
+    "semi": "select o.o_orderkey, o.o_custkey from orders o where {pred} and exists (select 1 from customer c where c.c_custkey = o.o_custkey and c.c_acctbal > {bal:.0f})",
+    "anti": "select o.o_orderkey, o.o_custkey from orders o where {pred} and not exists (select 1 from customer c where c.c_custkey = o.o_custkey and c.c_acctbal > {bal:.0f})",
+}
+
+
+@st.composite
+def join_shape(draw):
+    jt = draw(st.sampled_from(JOIN_TYPES))
+    pred = draw(
+        st.sampled_from(
+            [
+                "o.o_totalprice < {tp:.0f}",
+                "o.o_orderstatus = '{status}'",
+                "o.o_orderkey % {k} = 0",
+            ]
+        )
+    ).format(
+        tp=draw(st.floats(1000, 300000, allow_nan=False)),
+        status=draw(st.sampled_from(["F", "O", "P"])),
+        k=draw(st.integers(2, 9)),
+    )
+    return JOIN_SQL[jt].format(
+        cols="o.o_orderkey, o.o_custkey, c.c_nationkey, c.c_mktsegment",
+        pred=pred,
+        bal=draw(st.floats(0, 9000, allow_nan=False)),
+    )
+
+
+@settings(max_examples=20, deadline=None)
+@given(sql=join_shape())
+def test_join_shapes_match_duckdb(spark_duck, sql):
+    """Random join type x predicate over orders⋈customer: identical SQL
+    through both engines (exercises null-extension, semi/anti subquery
+    decorrelation, and 3-valued predicate logic)."""
+    spark, duck = spark_duck
+    got = sorted(tuple(r) for r in spark.sql(sql).collect())
+    want = sorted(duck.execute(sql).fetchall())
+    assert got == want
