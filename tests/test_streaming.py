@@ -135,3 +135,78 @@ def test_transform_with_state_running_totals(spark, events_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """#131 live: batch 0 = recent events (sets the watermark), batch 1
+    commits it, batch 2 = only-late events.  Spark's watermark commit
+    lags one batch, so the late batch runs with the recent watermark
+    active: its rows are dropped (metric-visible) and nothing late is
+    emitted — every emitted (window, count) comes from the recent data
+    alone."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{SF_DIR}/events.parquet")
+    ts_i = pc.cast(src.column("ts"), pa.int64())  # ns since epoch
+    lo, hi = pc.min(ts_i).as_py(), pc.max(ts_i).as_py()
+    cutoff = lo + (hi - lo) * 2 // 3
+    gap = 3_600_000_000_000  # 1h dead zone between late and recent
+    recent = src.filter(pc.greater_equal(ts_i, cutoff))
+    late = src.filter(pc.less(ts_i, cutoff - gap))
+    assert len(recent) > 0 and len(late) > 0
+
+    d = tmp_path / "late_in"
+    d.mkdir()
+    pq.write_table(recent, d / "000-recent.parquet")
+    pq.write_table(recent.slice(0, 5), d / "001-commit.parquet")
+    pq.write_table(late, d / "002-late.parquet")
+    now = _time.time()
+    os.utime(d / "000-recent.parquet", (now - 300, now - 300))
+    os.utime(d / "001-commit.parquet", (now - 150, now - 150))
+
+    stream = read_events_stream(spark, str(d))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("w"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    emitted = {(r.w, r.n) for r in spark.table("wm_late_drop").collect()}
+    assert emitted, "no window finalized"
+
+    # the late batch ran with an active watermark and dropped rows
+    late_batches = [p for p in progress if p["batchId"] == 2]
+    assert late_batches, [p["batchId"] for p in progress]
+    dropped = late_batches[0]["stateOperators"][0]["numRowsDroppedByWatermark"]
+    assert dropped > 0, late_batches[0]
+    assert late_batches[0]["sink"]["numOutputRows"] == 0
+
+    # nothing late leaked: emitted windows come from recent data alone
+    recent_only = (
+        spark.read.parquet(str(d / "000-recent.parquet"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .unionByName(
+            spark.read.parquet(str(d / "001-commit.parquet")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        )
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("w"), "n")
+    )
+    want = {(r.w, r.n) for r in recent_only.collect()}
+    assert emitted <= want, sorted(emitted - want)[:5]
