@@ -120,29 +120,14 @@ def llm_dedup_exact(spark, sf_dir):
 _MINHASH_K = 8  # signature length
 _LSH_BANDS = 4  # bands of R = K/B = 2 rows
 
-# sig[k] = min over shingles of H(k, shingle), k = 0..7
-_SIG_S = (
-    f"transform(sequence(0, {_MINHASH_K - 1}), "
-    f"k -> array_min(transform(sh, s -> {_h_spark('k', 's')})))"
-)
-_SIG_D = (
-    f"list_transform(generate_series(0, {_MINHASH_K - 1}), "
-    f"k -> list_min(list_transform(sh, s -> {_h_duck('k', 's')})))"
-)
-
-# band key b (0..3) = md5 over (band index, the 2 signature rows)
-_BANDS_S = (
-    f"transform(sequence(0, {_LSH_BANDS - 1}), "
-    "b -> md5(concat(cast(b as string), ':', "
-    "cast(element_at(sig, 2*b + 1) as string), ',', "
-    "cast(element_at(sig, 2*b + 2) as string))))"
-)
-_BANDS_D = (
-    f"list_transform(generate_series(0, {_LSH_BANDS - 1}), "
-    "b -> md5(b::varchar || ':' || sig[2*b + 1]::varchar || ',' "
-    "|| sig[2*b + 2]::varchar))"
-)
-
+# Double-hashing minhash (Broder): two md5-derived base hashes per
+# shingle, then sig[k] = min over shingles of (h1 + k*h2) mod 2^60 —
+# 2 md5 evaluations per shingle instead of K.  Computed via
+# explode -> groupBy(doc).min so each md5 runs EXACTLY once (array
+# lambdas re-evaluate inlined subexpressions per signature row); the
+# per-doc min aggregation is map-side combinable, which is also the
+# right 100 TB shape.  h2 < 2^60, k <= 7 => h1 + k*h2 < 2^63.
+_MOD60 = 1 << 60
 
 @query(
     "llm_dedup_minhash_lsh",
@@ -152,9 +137,13 @@ _BANDS_D = (
             from documents
             where len({_TOKS_D}) >= 2
         ),
-        sg as (select doc_id, sh, {_SIG_D} as sig from d),
+        ex as (
+            select doc_id, (('0x' || substr(md5('0' || '|' || s), 1, 15))::bigint) as h1, (('0x' || substr(md5('1' || '|' || s), 1, 15))::bigint) as h2
+            from (select doc_id, unnest(sh) as s from d)
+        ),
+        sg as (select doc_id, min((h1 + 0 * h2) % 1152921504606846976) as s0, min((h1 + 1 * h2) % 1152921504606846976) as s1, min((h1 + 2 * h2) % 1152921504606846976) as s2, min((h1 + 3 * h2) % 1152921504606846976) as s3, min((h1 + 4 * h2) % 1152921504606846976) as s4, min((h1 + 5 * h2) % 1152921504606846976) as s5, min((h1 + 6 * h2) % 1152921504606846976) as s6, min((h1 + 7 * h2) % 1152921504606846976) as s7 from ex group by doc_id),
         bd as (
-            select doc_id, unnest({_BANDS_D}) as band_key
+            select doc_id, unnest([md5('0:' || s0::varchar || ',' || s1::varchar), md5('1:' || s2::varchar || ',' || s3::varchar), md5('2:' || s4::varchar || ',' || s5::varchar), md5('3:' || s6::varchar || ',' || s7::varchar)]) as band_key
             from sg
         ),
         cand as (
@@ -195,11 +184,34 @@ def llm_dedup_minhash_lsh(spark, sf_dir):
     # this is the difference between shuffling keys and shuffling the
     # corpus.
     d = d.cache()  # reused 3x (bands, both jaccard sides); ~doc-count rows
+    ex = d.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id",
+        F.expr(_h_spark(repr("0"), "s")).alias("h1"),
+        F.expr(_h_spark(repr("1"), "s")).alias("h2"),
+    )
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h1") + F.lit(k) * F.col("h2")) % F.lit(_MOD60)).alias(
+                f"s{k}"
+            )
+            for k in range(_MINHASH_K)
+        ]
+    )
+    band_exprs = [
+        F.md5(
+            F.concat(
+                F.lit(f"{b}:"),
+                F.col(f"s{2 * b}").cast("string"),
+                F.lit(","),
+                F.col(f"s{2 * b + 1}").cast("string"),
+            )
+        )
+        for b in range(_LSH_BANDS)
+    ]
     bands = (
-        d.withColumn("sig", F.expr(_SIG_S))
-        .select("doc_id", F.explode(F.expr(_BANDS_S)).alias("band_key"))
+        sig.select("doc_id", F.explode(F.array(*band_exprs)).alias("band_key"))
         # cache: the pair generator self-joins this — without it the
-        # md5 signature scan runs TWICE (once per join side)
+        # signature pipeline runs TWICE (once per join side)
         .cache()
     )
     cand = (
