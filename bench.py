@@ -94,18 +94,63 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "n_queries": len(timings),
-            }
-        )
+
+    # Full per-query detail goes to a file; the stdout line must stay
+    # SHORT.  Round 1 lesson (BENCH_r01.json "parsed": null): the driver
+    # keeps only a bounded tail of stdout, and a 130-entry queries dict
+    # pushed the JSON line past that buffer, so the driver recorded NO
+    # bench metric.  Emit a compact line with a curated headline subset
+    # and suite-level aggregates instead.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+            "w",
+        ) as f:
+            json.dump(
+                {"value": total, "sf": sf_val, "threads": n_threads, "queries": timings},
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+    except OSError:
+        pass
+
+    HEADLINE = [
+        "flagship_q1_pricing_summary",
+        "tpch_q3_shape",
+        "tpch_q5_shape",
+        "tpch_q6_forecast",
+        "tpch_q10_returns",
+        "agg_basic_grouped",
+        "join_star_multiway",
+        "join_asof",
+        "win_topk_per_group",
+        "stream_session_window",
+        "llm_dedup_exact",
+        "llm_dedup_minhash_lsh",
+        "llm_dedup_ngram_jaccard",
+        "llm_similarity_topk",
+        "llm_similarity_ann_lsh",
+        "llm_text_quality",
+        "llm_tfidf_top_term",
+        "llm_token_count",
+    ]
+    headline = {k: round(timings[k], 2) for k in HEADLINE if k in timings}
+    line = json.dumps(
+        {
+            "metric": "declared_query_suite_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": headline,
+            "sf": sf_val,
+            "n_queries": len(timings),
+            "sum_query_sec": round(sum(t for t in timings.values() if t > 0), 2),
+            "n_errors": sum(1 for t in timings.values() if t < 0),
+        },
+        separators=(",", ":"),
     )
+    assert len(line) < 2000, f"bench JSON line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -58,7 +58,7 @@ def arr_basics(spark, sf_dir):
     "arr_sort_dedup",
     oracle=f"""
         select doc_id,
-               list_sort(list_distinct({_TOK}))                as vocab,
+               coalesce(array_to_string(list_sort(list_distinct({_TOK})), ','), '') as vocab,
                cast(len(list_distinct({_TOK})) as bigint)      as n_distinct,
                list_sort({_TOK})[1]                            as min_token
         from documents
@@ -68,12 +68,15 @@ def arr_basics(spark, sf_dir):
 def arr_sort_dedup(spark, sf_dir):
     """#103, #105, #106: array_distinct + array_sort (sorted on both
     sides — Spark preserves first-occurrence order, DuckDB doesn't);
-    array_min via sorted head."""
+    array_min via sorted head.  Array results are serialized with
+    array_join in the final select: the driver's canonicalizer hashes
+    through pandas, where a list cell is unhashable
+    (CORRECTNESS_r01.json agg_array_agg error)."""
     d = table(spark, sf_dir, "documents")
     toks = _tokens()
     return d.where(F.col("doc_id") < 150).select(
         "doc_id",
-        F.array_sort(F.array_distinct(toks)).alias("vocab"),
+        F.array_join(F.array_sort(F.array_distinct(toks)), ",").alias("vocab"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
         F.array_min(toks).alias("min_token"),
     )
@@ -83,12 +86,12 @@ def arr_sort_dedup(spark, sf_dir):
     "arr_set_ops",
     oracle="""
         select doc_id,
-               list_sort(list_intersect(generate_series(1, 1 + doc_id % 5),
-                                        generate_series(2, 6)))            as inter,
-               list_sort(list_distinct(generate_series(1, 1 + doc_id % 5)
-                                       || generate_series(2, 6)))          as uni,
-               list_sort(list_filter(generate_series(1, 1 + doc_id % 5),
-                                     x -> not list_contains(generate_series(2, 6), x))) as minus,
+               coalesce(array_to_string(list_sort(list_intersect(generate_series(1, 1 + doc_id % 5),
+                                        generate_series(2, 6))), ','), '') as inter,
+               coalesce(array_to_string(list_sort(list_distinct(generate_series(1, 1 + doc_id % 5)
+                                       || generate_series(2, 6))), ','), '') as uni,
+               coalesce(array_to_string(list_sort(list_filter(generate_series(1, 1 + doc_id % 5),
+                                     x -> not list_contains(generate_series(2, 6), x))), ','), '') as minus,
                list_has_any(generate_series(1, 1 + doc_id % 5),
                             generate_series(4, 6))                          as overlaps
         from documents
@@ -99,15 +102,16 @@ def arr_set_ops(spark, sf_dir):
     """#104, #109, #115: array_intersect/union/except + arrays_overlap
     + sequence.  DuckDB lacks list_except → expressed as filter(not
     contains), which is the identical multiset-distinct semantics
-    here; everything sorted before hashing."""
+    here; everything sorted before hashing, then joined to a string
+    (pandas-canon can't hash list cells)."""
     d = table(spark, sf_dir, "documents")
     a = F.sequence(F.lit(1), (F.col("doc_id") % 5 + 1).cast("int"))
     b = F.sequence(F.lit(2), F.lit(6))
     return d.where(F.col("doc_id") < 120).select(
         "doc_id",
-        F.array_sort(F.array_intersect(a, b)).alias("inter"),
-        F.array_sort(F.array_union(a, b)).alias("uni"),
-        F.array_sort(F.array_except(a, b)).alias("minus"),
+        F.array_join(F.array_sort(F.array_intersect(a, b)), ",").alias("inter"),
+        F.array_join(F.array_sort(F.array_union(a, b)), ",").alias("uni"),
+        F.array_join(F.array_sort(F.array_except(a, b)), ",").alias("minus"),
         F.arrays_overlap(a, F.sequence(F.lit(4), F.lit(6))).alias("overlaps"),
     )
 
@@ -116,11 +120,13 @@ def arr_set_ops(spark, sf_dir):
     "arr_slice_join_zip",
     oracle=f"""
         select doc_id,
-               list_slice({_TOK}, 2, 4)                        as middle,
+               coalesce(array_to_string(list_slice({_TOK}, 2, 4), ','), '') as middle,
                array_to_string(list_slice({_TOK}, 1, 5), '-')  as head_joined,
-               flatten([list_slice({_TOK}, 1, 2), list_slice({_TOK}, 3, 4)]) as refl,
-               list_transform(list_zip(generate_series(1, 3), generate_series(4, 6)),
-                              s -> s[1] * 10 + s[2])           as zipped
+               coalesce(array_to_string(
+                   flatten([list_slice({_TOK}, 1, 2), list_slice({_TOK}, 3, 4)]), ','), '') as refl,
+               array_to_string(
+                   list_transform(list_zip(generate_series(1, 3), generate_series(4, 6)),
+                                  s -> s[1] * 10 + s[2]), ',') as zipped
         from documents
         where doc_id < 100
     """,
@@ -134,13 +140,18 @@ def arr_slice_join_zip(spark, sf_dir):
     toks = _tokens()
     return d.where(F.col("doc_id") < 100).select(
         "doc_id",
-        F.slice(toks, 2, 3).alias("middle"),
+        F.array_join(F.slice(toks, 2, 3), ",").alias("middle"),
         F.array_join(F.slice(toks, 1, 5), "-").alias("head_joined"),
-        F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 3, 2))).alias("refl"),
-        F.zip_with(
-            F.sequence(F.lit(1), F.lit(3)),
-            F.sequence(F.lit(4), F.lit(6)),
-            lambda x, y: x * 10 + y,
+        F.array_join(
+            F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 3, 2))), ","
+        ).alias("refl"),
+        F.array_join(
+            F.zip_with(
+                F.sequence(F.lit(1), F.lit(3)),
+                F.sequence(F.lit(4), F.lit(6)),
+                lambda x, y: x * 10 + y,
+            ),
+            ",",
         ).alias("zipped"),
     )
 
@@ -149,8 +160,8 @@ def arr_slice_join_zip(spark, sf_dir):
     "arr_lambda",
     oracle="""
         select p_partkey,
-               list_transform(generate_series(1, p_size % 6 + 2), x -> x * x) as squares,
-               list_filter(generate_series(1, p_size % 6 + 2), x -> x % 2 = 0) as evens,
+               array_to_string(list_transform(generate_series(1, p_size % 6 + 2), x -> x * x), ',') as squares,
+               coalesce(array_to_string(list_filter(generate_series(1, p_size % 6 + 2), x -> x % 2 = 0), ','), '') as evens,
                cast(list_aggregate(generate_series(1, p_size % 6 + 2), 'sum') as bigint) as total
         from part
         where p_partkey < 300
@@ -163,8 +174,8 @@ def arr_lambda(spark, sf_dir):
     seq = F.sequence(F.lit(1), (F.col("p_size") % 6 + 2).cast("int"))
     return p.where(F.col("p_partkey") < 300).select(
         "p_partkey",
-        F.transform(seq, lambda x: x * x).alias("squares"),
-        F.filter(seq, lambda x: x % 2 == 0).alias("evens"),
+        F.array_join(F.transform(seq, lambda x: x * x), ",").alias("squares"),
+        F.array_join(F.filter(seq, lambda x: x % 2 == 0), ",").alias("evens"),
         F.aggregate(
             seq, F.lit(0).cast("bigint"), lambda acc, x: acc + x
         ).alias("total"),

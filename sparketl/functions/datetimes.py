@@ -4,9 +4,10 @@ for silent divergence (SURVEY.md §2.9): Presto's unit-string-first
 ``day_of_week`` conventions differ (Spark ``dayofweek`` is 1=Sunday —
 we use ``weekday()+1`` ≡ ISO ≡ DuckDB ``isodow``, verified §0.1).
 
-Timestamp outputs are emitted as DATE or formatted strings — never raw
-TIMESTAMP — to sidestep tz-aware/naive representation mismatches
-between engines (SURVEY.md §5 determinism rules).
+Timestamp AND date outputs are emitted as formatted strings — never raw
+TIMESTAMP or DATE — because the driver canonicalizes through pandas,
+where DuckDB DATE surfaces as a midnight Timestamp while Spark DATE
+surfaces as datetime.date (silent hash mismatch; found round 2).
 """
 
 from __future__ import annotations
@@ -21,8 +22,8 @@ from sparketl.tables import table
     "dt_trunc_extract",
     oracle="""
         select o_orderkey,
-               cast(date_trunc('month', o_orderdate) as date) as order_month,
-               cast(date_trunc('week',  o_orderdate) as date) as order_week,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') as order_month,
+               strftime(date_trunc('week',  o_orderdate), '%Y-%m-%d') as order_week,
                year(o_orderdate)    as y,
                month(o_orderdate)   as m,
                day(o_orderdate)     as d,
@@ -38,8 +39,8 @@ def dt_trunc_extract(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     return o.where(F.col("o_orderkey") < 1500).select(
         "o_orderkey",
-        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
-        F.date_trunc("week", "o_orderdate").cast("date").alias("order_week"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month"),
+        F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias("order_week"),
         F.year("o_orderdate").cast("bigint").alias("y"),
         F.month("o_orderdate").cast("bigint").alias("m"),
         F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
@@ -52,8 +53,8 @@ def dt_trunc_extract(spark, sf_dir):
     "dt_add_diff",
     oracle="""
         select o_orderkey,
-               cast(o_orderdate + interval 30 day as date)    as due_date,
-               cast(o_orderdate - interval 2 month as date)   as lookback,
+               strftime(o_orderdate + interval 30 day, '%Y-%m-%d')  as due_date,
+               strftime(o_orderdate - interval 2 month, '%Y-%m-%d') as lookback,
                date_diff('day', timestamp '1995-01-01', o_orderdate)  as days_since_epoch_start,
                date_diff('month', timestamp '1995-01-01', o_orderdate) as months_since
         from orders
@@ -68,8 +69,8 @@ def dt_add_diff(spark, sf_dir):
     epoch0 = "timestamp '1995-01-01'"
     return o.where(F.col("o_orderkey") < 1200).select(
         "o_orderkey",
-        F.expr("timestampadd(DAY, 30, o_orderdate)").cast("date").alias("due_date"),
-        (F.col("o_orderdate") - F.expr("interval 2 month")).cast("date").alias("lookback"),
+        F.date_format(F.expr("timestampadd(DAY, 30, o_orderdate)"), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.col("o_orderdate") - F.expr("interval 2 month"), "yyyy-MM-dd").alias("lookback"),
         F.expr(f"timestampdiff(DAY, {epoch0}, o_orderdate)").alias("days_since_epoch_start"),
         F.expr(f"timestampdiff(MONTH, {epoch0}, o_orderdate)").alias("months_since"),
     )
@@ -82,7 +83,7 @@ def dt_add_diff(spark, sf_dir):
                isodow(l_shipdate)      as dow_iso,
                dayofyear(l_shipdate)   as doy,
                weekofyear(l_shipdate)  as woy,
-               cast(last_day(l_shipdate) as date) as month_end
+               strftime(last_day(l_shipdate), '%Y-%m-%d') as month_end
         from lineitem
         where l_orderkey < 250
     """,
@@ -98,7 +99,7 @@ def dt_day_of_week_year(spark, sf_dir):
         (F.weekday("l_shipdate") + 1).cast("bigint").alias("dow_iso"),
         F.dayofyear("l_shipdate").cast("bigint").alias("doy"),
         F.weekofyear("l_shipdate").cast("bigint").alias("woy"),
-        F.last_day("l_shipdate").alias("month_end"),
+        F.date_format(F.last_day("l_shipdate"), "yyyy-MM-dd").alias("month_end"),
     )
 
 
@@ -136,9 +137,9 @@ def dt_unixtime(spark, sf_dir):
         select o_orderkey,
                strftime(o_orderdate, '%Y/%m')  as ym,
                strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') as full_str,
-               cast(strptime(strftime(o_orderdate, '%d|%m|%Y'), '%d|%m|%Y') as date)
+               strftime(strptime(strftime(o_orderdate, '%d|%m|%Y'), '%d|%m|%Y'), '%Y-%m-%d')
                    as roundtrip_date,
-               cast(cast('1997-06-15' as timestamp) as date) as fixed_date
+               strftime(cast('1997-06-15' as timestamp), '%Y-%m-%d') as fixed_date
         from orders
         where o_orderkey < 600
     """,
@@ -153,10 +154,11 @@ def dt_parse_format(spark, sf_dir):
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy/MM").alias("ym"),
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("full_str"),
-        F.to_timestamp(
-            F.date_format("o_orderdate", "dd|MM|yyyy"), "dd|MM|yyyy"
-        ).cast("date").alias("roundtrip_date"),
-        F.lit("1997-06-15").cast("timestamp").cast("date").alias("fixed_date"),
+        F.date_format(
+            F.to_timestamp(F.date_format("o_orderdate", "dd|MM|yyyy"), "dd|MM|yyyy"),
+            "yyyy-MM-dd",
+        ).alias("roundtrip_date"),
+        F.date_format(F.lit("1997-06-15").cast("timestamp"), "yyyy-MM-dd").alias("fixed_date"),
     )
 
 

@@ -26,8 +26,8 @@ _M = "MAP {'n_chars': n_chars, 'n_tokens': cast(len(string_split(text, ' ')) as 
     "map_build_access",
     oracle=f"""
         select doc_id,
-               list_sort(map_keys({_M}))        as keys_sorted,
-               list_sort(map_values({_M}))      as vals_sorted,
+               array_to_string(list_sort(map_keys({_M})), ',')   as keys_sorted,
+               array_to_string(list_sort(map_values({_M})), ',') as vals_sorted,
                ({_M})['n_chars'][1]             as chars_val,
                (element_at({_M}, 'missing'))[1] as missing_val
         from documents
@@ -50,8 +50,8 @@ def map_build_access(spark, sf_dir):
     )
     return d.where(F.col("doc_id") < 150).select(
         "doc_id",
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
-        F.array_sort(F.map_values(m)).alias("vals_sorted"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_values(m)), ",").alias("vals_sorted"),
         F.try_element_at(m, F.lit("n_chars")).alias("chars_val"),
         F.try_element_at(m, F.lit("missing")).alias("missing_val"),
     )
@@ -61,12 +61,12 @@ def map_build_access(spark, sf_dir):
     "map_transform_filter",
     oracle=f"""
         select doc_id,
-               list_sort(list_transform(map_entries({_M}),
-                         e -> e.key || '=' || cast(e.value * 2 as varchar)))   as doubled,
-               list_sort(list_transform(
+               array_to_string(list_sort(list_transform(map_entries({_M}),
+                         e -> e.key || '=' || cast(e.value * 2 as varchar))), ',')   as doubled,
+               coalesce(array_to_string(list_sort(list_transform(
                          list_filter(map_entries({_M}), e -> e.value > 200),
-                         e -> e.key || '=' || cast(e.value as varchar)))       as big_entries,
-               list_sort(map_keys(map_concat({_M}, MAP {{'extra': cast(1 as bigint)}})))
+                         e -> e.key || '=' || cast(e.value as varchar))), ','), '')  as big_entries,
+               array_to_string(list_sort(map_keys(map_concat({_M}, MAP {{'extra': cast(1 as bigint)}}))), ',')
                    as all_keys
         from documents
         where doc_id < 120
@@ -90,24 +90,33 @@ def map_transform_filter(spark, sf_dir):
     kv = lambda k, v: F.concat(k, F.lit("="), v.cast("string"))  # noqa: E731
     return d.where(F.col("doc_id") < 120).select(
         "doc_id",
-        F.array_sort(
-            F.transform(
-                F.map_entries(F.transform_values(m, lambda k, v: v * 2)),
-                lambda e: kv(e.key, e.value),
-            )
-        ).alias("doubled"),
-        F.array_sort(
-            F.transform(
-                F.map_entries(F.map_filter(m, lambda k, v: v > 200)),
-                lambda e: kv(e.key, e.value),
-            )
-        ).alias("big_entries"),
-        F.array_sort(
-            F.map_keys(
-                F.map_concat(
-                    m, F.create_map(F.lit("extra"), F.lit(1).cast("bigint"))
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(F.transform_values(m, lambda k, v: v * 2)),
+                    lambda e: kv(e.key, e.value),
                 )
-            )
+            ),
+            ",",
+        ).alias("doubled"),
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(F.map_filter(m, lambda k, v: v > 200)),
+                    lambda e: kv(e.key, e.value),
+                )
+            ),
+            ",",
+        ).alias("big_entries"),
+        F.array_join(
+            F.array_sort(
+                F.map_keys(
+                    F.map_concat(
+                        m, F.create_map(F.lit("extra"), F.lit(1).cast("bigint"))
+                    )
+                )
+            ),
+            ",",
         ).alias("all_keys"),
     )
 
@@ -145,7 +154,7 @@ def json_extract_scalar(spark, sf_dir):
                cast(json_extract(props, '$.k') as integer)                    as parsed_k,
                to_json(struct_pack(event_id := event_id, event_type := event_type)) as as_json,
                json_array_length(to_json([event_id, user_id]))                as arr_len,
-               cast(json_keys(props) as varchar[])                            as obj_keys
+               array_to_string(cast(json_keys(props) as varchar[]), ',')      as obj_keys
         from events
         where event_id < 300
     """,
@@ -160,5 +169,5 @@ def json_parse_format(spark, sf_dir):
         F.from_json("props", "k INT").getField("k").alias("parsed_k"),
         F.to_json(F.struct("event_id", "event_type")).alias("as_json"),
         F.json_array_length(F.to_json(F.array("event_id", "user_id"))).cast("bigint").alias("arr_len"),
-        F.json_object_keys("props").alias("obj_keys"),
+        F.array_join(F.json_object_keys("props"), ",").alias("obj_keys"),
     )

@@ -66,7 +66,7 @@ def str_basic(spark, sf_dir):
     "str_split_find",
     oracle="""
         select c_custkey,
-               string_split(c_name, '#')        as name_parts,
+               array_to_string(string_split(c_name, '#'), '|') as name_parts,
                split_part(c_name, '#', 2)       as cust_num,
                strpos(c_name, '#')              as hash_pos,
                strpos(c_name, 'zzz')            as missing_pos,
@@ -82,7 +82,7 @@ def str_split_find(spark, sf_dir):
     c = table(spark, sf_dir, "customer")
     return c.where(F.col("c_custkey") < 300).select(
         "c_custkey",
-        F.split("c_name", "#").alias("name_parts"),
+        F.array_join(F.split("c_name", "#"), "|").alias("name_parts"),
         F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("cust_num"),
         F.instr("c_name", "#").cast("bigint").alias("hash_pos"),
         F.instr("c_name", "zzz").cast("bigint").alias("missing_pos"),

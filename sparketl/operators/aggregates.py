@@ -235,17 +235,20 @@ def agg_bool(spark, sf_dir):
     "agg_array_agg",
     oracle="""
         select n_regionkey,
-               array_agg(n_name order by n_name) as nations
+               array_to_string(array_agg(n_name order by n_name), ',') as nations
         from nation
         group by n_regionkey
     """,
 )
 def agg_array_agg(spark, sf_dir):
     """#34 array_agg — always sorted in declared queries (Presto's
-    array_agg is order-nondeterministic; the value-hash is not)."""
+    array_agg is order-nondeterministic; the value-hash is not), and
+    serialized to a string in the final select: the driver's pandas
+    canonicalizer cannot hash list cells (r1 ADVICE.md + the recorded
+    TypeError in CORRECTNESS_r01.json)."""
     n = table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations")
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
     )
 
 
@@ -257,15 +260,18 @@ def agg_array_agg(spark, sf_dir):
             from orders group by 1, 2
         )
         select o_orderstatus,
-               array_agg(struct_pack(key := o_orderpriority, value := cnt)
-                         order by o_orderpriority) as prio_counts
+               array_to_string(
+                   array_agg(o_orderpriority || ':' || cast(cnt as varchar)
+                             order by o_orderpriority), ',') as prio_counts
         from c
         group by o_orderstatus
     """,
 )
 def agg_map_agg(spark, sf_dir):
     """#35 map_agg: build the map with map_from_entries(collect_list),
-    emit sorted map_entries so the value-hash is key-order-independent."""
+    then serialize sorted 'key:value' entries to one string — map cells
+    are unhashable in the driver's pandas canonicalizer (r1 ADVICE.md),
+    so the map itself never reaches the final select."""
     o = table(spark, sf_dir, "orders")
     counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("cnt"))
     mapped = counts.groupBy("o_orderstatus").agg(
@@ -282,7 +288,13 @@ def agg_map_agg(spark, sf_dir):
     )
     return mapped.select(
         "o_orderstatus",
-        F.sort_array(F.map_entries("prio_map")).alias("prio_counts"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.map_entries("prio_map")),
+                lambda e: F.concat(e["key"], F.lit(":"), e["value"].cast("string")),
+            ),
+            ",",
+        ).alias("prio_counts"),
     )
 
 
@@ -370,8 +382,8 @@ def agg_having(spark, sf_dir):
     "agg_count_if",
     oracle=f"""
         select l_returnflag,
-               count_if(l_discount > 0.05)  as n_discounted,
-               count_if(l_quantity >= 45)   as n_huge,
+               cast(count_if(l_discount > 0.05) as bigint) as n_discounted,
+               cast(count_if(l_quantity >= 45) as bigint)  as n_huge,
                round({exact_sum_sql("case when l_linestatus = 'F' then l_extendedprice else 0 end", 2)}, 6) as sum_f
         from lineitem
         group by l_returnflag

@@ -106,8 +106,8 @@ def stream_sliding_window(spark, sf_dir):
         ),
         numbered as (
             select user_id, ts, value,
-                   sum(new_session) over (partition by user_id order by ts
-                                          rows unbounded preceding) as session_id
+                   cast(sum(new_session) over (partition by user_id order by ts
+                                          rows unbounded preceding) as bigint) as session_id
             from flagged
         )
         select user_id, session_id,
@@ -158,8 +158,8 @@ def stream_session_window(spark, sf_dir):
         ),
         numbered as (
             select user_id, ts,
-                   sum(new_session) over (partition by user_id order by ts
-                                          rows unbounded preceding) as session_id
+                   cast(sum(new_session) over (partition by user_id order by ts
+                                          rows unbounded preceding) as bigint) as session_id
             from flagged
         )
         select user_id,
@@ -305,8 +305,8 @@ def stream_static_enrich(spark, sf_dir):
         ),
         numbered as (
             select user_id, ts,
-                   sum(new_session) over (partition by user_id order by ts
-                                          rows unbounded preceding) as session_id
+                   cast(sum(new_session) over (partition by user_id order by ts
+                                          rows unbounded preceding) as bigint) as session_id
             from flagged
         )
         select user_id, session_id,

@@ -162,7 +162,7 @@ def _count_rows(price: pd.Series) -> int:
     "udf_grouped_agg_pandas",
     oracle="""
         select o_orderpriority,
-               sum(cast(round(o_totalprice * 100) as bigint)) as total_cents,
+               cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) as total_cents,
                count(*) as n_orders
         from orders
         group by o_orderpriority

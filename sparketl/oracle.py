@@ -5,6 +5,26 @@ entry at sf0.01 and compares against ``oracle_sql()`` via DuckDB on
 row-count + schema + order-insensitive value-hash.  This module lets us
 run the same gate locally before the driver does (SURVEY.md §5).
 
+Round-2 hardening: the driver canonicalizes through *pandas* (its
+recorded traceback in CORRECTNESS_r01.json shows ``DataFrame.sort_values``
+over the result frame), which has two consequences the round-1 replica
+missed:
+
+1. **Complex cells break the gate.**  A result column holding lists /
+   arrays / maps / structs is an ``object`` column of unhashable values
+   → ``TypeError: unhashable type: 'list'`` in pandas' sort.  Declared
+   queries must serialize complex values (``array_join``, ``to_json``)
+   in the final select on BOTH sides.  This replica therefore fetches
+   both sides as pandas frames and *fails* any query whose result
+   contains such cells.
+
+2. **DuckDB HUGEINT becomes float64.**  DuckDB's ``sum(INTEGER)`` /
+   ``count_if`` return HUGEINT, which ``.df()`` converts to float64 —
+   so the oracle yields ``6.0`` where Spark yields ``6`` and the hash
+   mismatches.  Oracle SQL must ``cast(... as bigint)`` every
+   HUGEINT-producing aggregate.  Fetching through ``.df()`` here makes
+   the divergence visible locally.
+
 Canonicalization: values are rendered to strings (floats via repr so
 only bit-identical doubles match — the driver's hash is exact, so we
 hold ourselves to exactness, which the round(x, 6)-on-both-sides policy
@@ -19,6 +39,7 @@ from dataclasses import dataclass
 
 import duckdb
 import numpy as np
+import pandas as pd
 
 from sparketl.tables import TABLE_NAMES
 
@@ -35,44 +56,56 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+class ComplexCellError(TypeError):
+    """A result cell the driver's pandas canonicalization cannot hash
+    (list/array/map/struct).  Serialize it in the query instead."""
+
+
 def _canon_value(v) -> str:
-    if v is None:
+    if v is None or v is pd.NaT:
         return "NULL"
     if isinstance(v, (np.floating, float)):
         f = float(v)
         if math.isnan(f):
-            return "NaN"
+            # pandas represents both SQL NULL and NaN as NaN in float
+            # columns — the driver cannot tell them apart, so neither
+            # do we.
+            return "NULL"
         if f == 0.0:
             f = 0.0  # normalize -0.0
         return repr(f)
-    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
-        return str(int(v))
     if isinstance(v, (np.bool_, bool)):
         return str(bool(v))
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
     if isinstance(v, bytes):
         return "0x" + v.hex()
-    if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, (pd.Timestamp, dt.datetime)):
+        return (
+            pd.Timestamp(v)
+            .to_pydatetime()
+            .replace(tzinfo=None)
+            .isoformat(sep=" ", timespec="microseconds")
+        )
     if isinstance(v, dt.date):
         return v.isoformat()
-    if isinstance(v, np.ndarray):
-        return "[" + ",".join(_canon_value(x) for x in v.tolist()) + "]"
-    if hasattr(v, "asDict"):  # pyspark Row (struct) — before tuple check
-        return _canon_value(v.asDict())
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon_value(x) for x in v) + "]"
-    if isinstance(v, dict):
-        items = sorted((str(k), _canon_value(x)) for k, x in v.items())
-        return "{" + ",".join(f"{k}:{x}" for k, x in items) + "}"
-    # pyspark Row (structs) and anything else
-    if hasattr(v, "asDict"):
-        return _canon_value(v.asDict())
+    if isinstance(v, str):
+        return v
+    if isinstance(v, (list, tuple, dict, np.ndarray)) or hasattr(v, "asDict"):
+        raise ComplexCellError(
+            f"driver-unhashable complex cell {type(v).__name__}: {str(v)[:80]}"
+        )
     return str(v)
 
 
-def canonical_rows(columns: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = [tuple(_canon_value(r[i]) for i in order) for r in rows]
+def canonical_frame(pdf: pd.DataFrame) -> list[tuple[str, ...]]:
+    """Column-name-sorted, row-sorted, string-rendered rows — the
+    order-insensitive exact-value canonical form."""
+    cols = sorted(pdf.columns)
+    out = [
+        tuple(_canon_value(row[c]) for c in cols)
+        for row in pdf.to_dict(orient="records")
+    ]
     out.sort()
     return out
 
@@ -97,25 +130,35 @@ def compare_one(
     oracle_sql: str | None,
     max_diff_shown: int = 3,
 ) -> CompareResult:
-    s_cols = list(spark_df.columns)
-    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_pdf = spark_df.toPandas()
     if oracle_sql is None:
-        return CompareResult(name, True, len(s_rows), None, "(rows-only)")
+        # rows-only: the driver still needs a materializable result;
+        # reject driver-unhashable cells here too, to be safe.
+        try:
+            canonical_frame(s_pdf)
+        except ComplexCellError as e:
+            return CompareResult(name, False, len(s_pdf), None, f"(rows-only) {e}")
+        return CompareResult(name, True, len(s_pdf), None, "(rows-only)")
 
-    cur = con.execute(oracle_sql)
-    o_cols = [d[0] for d in cur.description]
-    o_rows = cur.fetchall()
+    o_pdf = con.execute(oracle_sql).df()
 
-    if sorted(s_cols) != sorted(o_cols):
+    if sorted(s_pdf.columns) != sorted(o_pdf.columns):
         return CompareResult(
-            name, False, len(s_rows), len(o_rows),
-            f"schema mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}",
+            name, False, len(s_pdf), len(o_pdf),
+            f"schema mismatch: spark={sorted(s_pdf.columns)} oracle={sorted(o_pdf.columns)}",
         )
-    if len(s_rows) != len(o_rows):
-        return CompareResult(name, False, len(s_rows), len(o_rows), "row count mismatch")
+    if len(s_pdf) != len(o_pdf):
+        return CompareResult(name, False, len(s_pdf), len(o_pdf), "row count mismatch")
 
-    cs = canonical_rows(s_cols, s_rows)
-    co = canonical_rows(o_cols, o_rows)
+    try:
+        cs = canonical_frame(s_pdf)
+    except ComplexCellError as e:
+        return CompareResult(name, False, len(s_pdf), len(o_pdf), f"spark side: {e}")
+    try:
+        co = canonical_frame(o_pdf)
+    except ComplexCellError as e:
+        return CompareResult(name, False, len(s_pdf), len(o_pdf), f"oracle side: {e}")
+
     if cs != co:
         diffs = [
             f"\n  spark : {a}\n  oracle: {b}"
@@ -123,7 +166,7 @@ def compare_one(
             if a != b
         ][:max_diff_shown]
         return CompareResult(
-            name, False, len(s_rows), len(o_rows),
+            name, False, len(s_pdf), len(o_pdf),
             "value mismatch:" + "".join(diffs),
         )
-    return CompareResult(name, True, len(s_rows), len(o_rows))
+    return CompareResult(name, True, len(s_pdf), len(o_pdf))
