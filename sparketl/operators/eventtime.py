@@ -172,7 +172,13 @@ def stream_session_window(spark, sf_dir):
 def stream_session_window_native(spark, sf_dir):
     """#130 via Spark's native session_window — cross-checked against
     the hand-rolled island SQL (SURVEY.md §7 P6 asks exactly this):
-    same (user, session_start, count) sets ⇒ both formulations agree."""
+    same (user, session_start, count) sets ⇒ both formulations agree.
+
+    Boundary convention (verified empirically, round 2): two events
+    exactly gap apart (t and t+30:00) land in the SAME native session —
+    Spark merges sessions whose [ts, ts+gap) ranges touch.  That is
+    identical to the islands rule ``diff > gap ⇒ new session``, so the
+    oracle equivalence is exact, not fixture-dependent."""
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")

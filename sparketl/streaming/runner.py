@@ -57,6 +57,11 @@ SESSION_STATE_SCHEMA = T.StructType(
     [
         T.StructField("session_id", T.LongType()),
         T.StructField("last_ts_us", T.LongType()),
+        # the still-open session's running totals — carried so a session
+        # spanning micro-batches is emitted with its FULL start/count,
+        # not just the current batch's slice (round-1 ADVICE bug)
+        T.StructField("open_start_us", T.LongType()),
+        T.StructField("open_n_events", T.LongType()),
     ]
 )
 
@@ -170,26 +175,66 @@ def sessionize_pandas_bucket(
 
 
 def _sessionize_stateful(key, pdf_iter, state: GroupState):
-    """#133 applyInPandasWithState body: carries (open session id,
-    last event time) across micro-batches; emits only CLOSED sessions
-    plus the final open one on timeout.  State stays two longs per
-    active user."""
+    """#133 applyInPandasWithState body.
+
+    State per user is four longs: (highest session id, last event µs,
+    open session start µs, open session event count).  Each batch emits
+    an UPSERT stream keyed by (user_id, session_id): sessions closed
+    within the batch are final; the still-open final session is emitted
+    with its cumulative start/count/duration and re-emitted (same key,
+    updated totals) by later batches that extend it.  Downstream
+    consumers keep the LAST row per key — exactly the contract of an
+    update-mode sink — and tests assert that last-row-per-key equals
+    the batch-mode sessionization (batch ≡ stream).
+
+    Assumes batches arrive in event-time order (append-only landing
+    zone); an out-of-order event older than the open session still
+    joins it (negative gap ≤ gap) without corrupting the totals.
+    """
     (user_id,) = key
-    rows = pd.concat(list(pdf_iter)).sort_values("ts")
-    sid0, last_us = state.get if state.exists else (0, None)
-    sessions = sessionize_pandas(rows)
-    # merge with carried-over open session if the first new event is
-    # within the gap of the carried last_ts
-    if last_us is not None:
-        first_ts_us = int(rows["ts"].iloc[0].value // 1000)
-        if first_ts_us - last_us <= SESSION_GAP_MIN * 60_000_000:
-            sessions["session_id"] += sid0 - 1  # continue open session
+    rows = pd.concat(list(pdf_iter)).sort_values("ts").reset_index(drop=True)
+    # robust to pandas datetime64[ns] vs [us] backing
+    ts_us = pd.Series(rows["ts"].values.astype("datetime64[us]").astype("int64"))
+    gap_us = SESSION_GAP_MIN * 60_000_000
+    new_session = ts_us.diff().gt(gap_us) | ts_us.diff().isna()
+    local_sid = new_session.cumsum().astype("int64")
+    grouped = pd.DataFrame({"sid": local_sid, "us": ts_us}).groupby("sid")["us"]
+    starts = grouped.min().astype("int64")
+    ends = grouped.max().astype("int64")
+    counts = grouped.size().astype("int64")
+
+    sid_offset = 0
+    if state.exists:
+        sid0, last_us, open_start_us, open_n = state.get
+        if int(ts_us.iloc[0]) - last_us <= gap_us:
+            # first local session continues the carried open session:
+            # merge its running totals before emitting
+            sid_offset = sid0 - 1
+            starts.iloc[0] = min(int(starts.iloc[0]), open_start_us)
+            counts.iloc[0] += open_n
         else:
-            sessions["session_id"] += sid0
-    new_last_us = int(rows["ts"].iloc[-1].value // 1000)
-    state.update((int(sessions["session_id"].max()), new_last_us))
-    sessions["user_id"] = user_id
-    yield sessions
+            sid_offset = sid0
+
+    session_ids = (starts.index + sid_offset).astype("int64")
+    state.update(
+        (
+            int(session_ids.max()),
+            int(ts_us.iloc[-1]),
+            int(starts.iloc[-1]),
+            int(counts.iloc[-1]),
+        )
+    )
+    fmt = "%Y-%m-%d %H:%M:%S"
+    yield pd.DataFrame(
+        {
+            "user_id": user_id,
+            "session_id": session_ids,
+            "session_start": pd.to_datetime(starts.values, unit="us").strftime(fmt),
+            "session_end": pd.to_datetime(ends.values, unit="us").strftime(fmt),
+            "n_events": counts.values,
+            "duration_us": (ends.values - starts.values).astype("int64"),
+        }
+    )
 
 
 def stateful_sessions_stream(events_stream: DataFrame) -> DataFrame:

@@ -14,6 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from sparketl.streaming.runner import (
+    SESSION_OUT_SCHEMA,
     read_events_stream,
     run_available_now,
     sessionize_pandas,
@@ -78,6 +79,56 @@ def test_stateful_sessions_stream_matches_batch(spark, events_dir):
     got_rows = {tuple(r) for r in got.collect()}
     want_rows = {tuple(r) for r in want.collect()}
     assert got_rows == want_rows and len(got_rows) > 0
+
+
+def test_stateful_sessions_multibatch_upsert_matches_batch(spark, tmp_path):
+    """#133 across MICRO-BATCH boundaries (the round-1 ADVICE bug):
+    time-split the events into 3 files → 3 batches, so sessions span
+    batches.  The operator emits an upsert stream keyed by
+    (user_id, session_id); keeping the latest (cumulative) row per key
+    must reproduce the batch sessionization exactly — including
+    session_start/n_events/duration of sessions that straddle a batch
+    boundary, which the old state (no open-session totals) got wrong."""
+    import time as _time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{SF_DIR}/events.parquet")
+    src = src.take(pc.sort_indices(src.column("ts")))
+    n, third = len(src), len(src) // 3
+    d = tmp_path / "mb_in"
+    d.mkdir()
+    now = _time.time()
+    for i, (lo, hi) in enumerate([(0, third), (third, 2 * third), (2 * third, n)]):
+        f = d / f"00{i}.parquet"
+        pq.write_table(src.slice(lo, hi - lo), f)
+        os.utime(f, (now - 300 + i * 100, now - 300 + i * 100))
+
+    stream = read_events_stream(spark, str(d))
+    out = run_available_now(
+        stateful_sessions_stream(stream), output_mode="append"
+    ).collect()
+
+    # upsert contract: later emissions for a key are cumulative (higher
+    # n_events), so the final row per key is the max-n_events one
+    last = {}
+    for r in out:
+        k = (r.user_id, r.session_id)
+        if k not in last or r.n_events >= last[k].n_events:
+            last[k] = r
+    got = {tuple(r) for r in last.values()}
+
+    ev = table(spark, SF_DIR, "events")
+    want_df = (
+        ev.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandas(lambda pdf: sessionize_pandas(pdf), schema=SESSION_OUT_SCHEMA)
+    )
+    want = {tuple(r) for r in want_df.collect()}
+    assert got == want and len(got) > 0
+    # sessions spanning a boundary were re-emitted with updated totals
+    assert len(out) > len(got)
 
 
 def test_sliding_window_stream_equals_batch(spark, events_dir):
