@@ -61,33 +61,42 @@ def main() -> None:
     # contention cliff seen at >= 6 threads
     n_threads = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "4"))
 
-    # longest-processing-time-first submission: start the known-heavy
-    # queries immediately so cheap queries fill scheduler gaps around
-    # them instead of queueing behind them at the end (classic LPT
-    # makespan reduction; alphabetical order clusters the heavy llm_*
-    # queries onto the same wave)
+    # Round-2 lesson (VERDICT.md): when several of the HEAVY queries
+    # land concurrently they inflate each other up to 40x (recorded
+    # 71-84s vs 1-11s standalone) — each repartitions to all 32 cores
+    # and the Pandas-UDF ones also fight over the Python worker pool.
+    # So the heavy set runs SEQUENTIALLY on a dedicated lane
+    # (longest-first), while the ~120 cheap queries share the
+    # remaining threads: suite wall-clock ~ max(sum(heavy),
+    # sum(cheap)/(n_threads-1)), and no two heavies ever overlap.
     HEAVY = [
-        "llm_dedup_ngram_jaccard",
-        "llm_dedup_minhash_lsh",
         "stream_stateful_sessions",
-        "stream_static_enrich",
+        "llm_dedup_minhash_lsh",
+        "llm_dedup_ngram_jaccard",
         "udf_grouped_map_apply",
-        "llm_embed_cosine_neardup",
+        "stream_static_enrich",
         "llm_similarity_topk",
+        "exact_percentile_median",
+        "llm_embed_cosine_neardup",
         "llm_similarity_ann_lsh",
-        "tpch_q3_shape",
-        "agg_array_agg",
     ]
-    order = [n for n in HEAVY if n in registry.QUERIES] + [
-        n for n in sorted(registry.QUERIES) if n not in HEAVY
-    ]
+    heavy_names = [n for n in HEAVY if n in registry.QUERIES]
+    cheap_names = sorted(n for n in registry.QUERIES if n not in set(HEAVY))
     t_suite = time.perf_counter()
     if n_threads <= 1:
-        for name in order:
+        for name in heavy_names + cheap_names:
             run_one(name)
     else:
-        with ThreadPoolExecutor(max_workers=n_threads) as pool:
-            list(pool.map(run_one, order))
+        with ThreadPoolExecutor(max_workers=1) as heavy_pool, ThreadPoolExecutor(
+            max_workers=max(1, n_threads - 1)
+        ) as cheap_pool:
+            heavy_fut = heavy_pool.submit(
+                lambda: [run_one(n) for n in heavy_names]
+            )
+            cheap_futs = [cheap_pool.submit(run_one, n) for n in cheap_names]
+            heavy_fut.result()
+            for f in cheap_futs:
+                f.result()
     total = round(time.perf_counter() - t_suite, 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -149,7 +158,14 @@ def main() -> None:
         },
         separators=(",", ":"),
     )
-    assert len(line) < 2000, f"bench JSON line too long ({len(line)} chars)"
+    # Keep the stdout line inside the driver's bounded tail buffer —
+    # degrade by shrinking the headline dict rather than crashing after
+    # the whole suite has run (which would record no metric at all).
+    while len(line) >= 2000 and headline:
+        headline.pop(next(iter(headline)))
+        payload = json.loads(line)
+        payload["queries"] = headline
+        line = json.dumps(payload, separators=(",", ":"))
     print(line)
 
 
