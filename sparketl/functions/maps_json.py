@@ -154,7 +154,7 @@ def json_extract_scalar(spark, sf_dir):
                cast(json_extract(props, '$.k') as integer)                    as parsed_k,
                to_json(struct_pack(event_id := event_id, event_type := event_type)) as as_json,
                json_array_length(to_json([event_id, user_id]))                as arr_len,
-               array_to_string(cast(json_keys(props) as varchar[]), ',')      as obj_keys
+               coalesce(array_to_string(cast(json_keys(props) as varchar[]), ','), '') as obj_keys
         from events
         where event_id < 300
     """,
@@ -169,5 +169,11 @@ def json_parse_format(spark, sf_dir):
         F.from_json("props", "k INT").getField("k").alias("parsed_k"),
         F.to_json(F.struct("event_id", "event_type")).alias("as_json"),
         F.json_array_length(F.to_json(F.array("event_id", "user_id"))).cast("bigint").alias("arr_len"),
-        F.array_join(F.json_object_keys("props"), ",").alias("obj_keys"),
+        # coalesce('') on BOTH sides: DuckDB array_to_string over an
+        # empty varchar[] yields NULL where Spark array_join yields '',
+        # and json_keys of a NULL/non-object props is NULL on both —
+        # pinned to '' so empty-object and null rows stay hash-equal
+        F.coalesce(F.array_join(F.json_object_keys("props"), ","), F.lit("")).alias(
+            "obj_keys"
+        ),
     )

@@ -331,8 +331,9 @@ def stream_stateful_sessions(spark, sf_dir):
     operator in sparketl.streaming.runner — same code, two runtimes,
     which is the #133 contract (custom evolving per-key state).
 
-    Scale: one shuffle on user_id; per-user state is two longs in the
-    streaming runtime (timeout-pruned), pandas-local in batch.  The
+    Scale: one shuffle on user_id; per-user state is four longs in the
+    streaming runtime (session_id, last_ts_us, open_start_us,
+    open_n_events; timeout-pruned), pandas-local in batch.  The
     oracle is the gaps-and-islands SQL — provable because the pandas
     body uses only integer/time math.
 

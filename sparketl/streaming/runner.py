@@ -208,9 +208,14 @@ def _sessionize_stateful(key, pdf_iter, state: GroupState):
         sid0, last_us, open_start_us, open_n = state.get
         if int(ts_us.iloc[0]) - last_us <= gap_us:
             # first local session continues the carried open session:
-            # merge its running totals before emitting
+            # merge its running totals before emitting.  The end must
+            # carry forward too — a batch of out-of-order events all
+            # older than the open session's last event must not regress
+            # the already-emitted session_end/duration (the last-row-
+            # per-key consumer would keep a shrunken session).
             sid_offset = sid0 - 1
             starts.iloc[0] = min(int(starts.iloc[0]), open_start_us)
+            ends.iloc[0] = max(int(ends.iloc[0]), last_us)
             counts.iloc[0] += open_n
         else:
             sid_offset = sid0
@@ -219,7 +224,10 @@ def _sessionize_stateful(key, pdf_iter, state: GroupState):
     state.update(
         (
             int(session_ids.max()),
-            int(ts_us.iloc[-1]),
+            # the open session's latest event time (ends.iloc[-1]
+            # already includes any merged carry-over), NOT the batch's
+            # last raw timestamp — keeps the gap anchor monotone
+            int(ends.iloc[-1]),
             int(starts.iloc[-1]),
             int(counts.iloc[-1]),
         )
