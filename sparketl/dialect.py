@@ -1,0 +1,343 @@
+"""Presto-dialect SQL front door (SURVEY.md §2.9, §8 candidate 1).
+
+The reference is a tool whose users write *Presto* SQL.  This module
+lets them run that SQL unchanged on the Spark engine::
+
+    from sparketl import dialect
+    df = dialect.sql(spark, "select date_diff('day', a, b) ... ")
+
+``translate()`` rewrites the documented Presto→Spark divergences
+(SURVEY.md §2.9 tables — name changes, argument-order traps, semantics
+pins) and leaves everything else alone, so the output is plain Spark
+SQL handed to ``spark.sql()``.  It is a *surface* translator driven by
+a literal-safe tokenizer, not a full parser: every rewrite operates
+outside string literals/comments and balances parentheses when it has
+to read arguments.
+
+Rewrite inventory (each has a unit test in tests/test_dialect.py):
+
+===========================  =============================================
+Presto                       Spark
+===========================  =============================================
+date_diff('u', t1, t2)       timestampdiff(U, t1, t2)   (same t2-t1 order)
+date_add('u', n, ts)         timestampadd(U, n, ts)
+day_of_week(x) / dow(x)      (weekday(x) + 1)           (ISO 1=Mon..7=Sun)
+day_of_month(x)              dayofmonth(x)
+day_of_year(x) / doy(x)      dayofyear(x)
+week_of_year(x) / week(x)    weekofyear(x)
+from_unixtime(e)             timestamp_seconds(e)       (Spark's returns str)
+to_unixtime(ts)              (cast(unix_micros(ts) as double) / 1000000.0)
+format_datetime(ts, f)       date_format(ts, f)
+parse_datetime(s, f)         to_timestamp(s, f)         (Joda≈JDK for simple
+                                                         patterns only)
+split(s, d[, n])             split(s, regex-escaped d[, n])  (Presto delim
+                                                         literal, Spark regex)
+strpos(s, sub)               instr(s, sub)
+starts_with(s, p)            startswith(s, p)
+levenshtein_distance         levenshtein
+format(f, ...)               format_string(f, ...)
+json_extract_scalar(j, p)    get_json_object(j, p)
+json_extract(j, p)           get_json_object(j, p)
+json_format(x)               to_json(x)
+contains(a, x)               array_contains(a, x)
+element_at(c, i)             try_element_at(c, i)       (Presto NULL o.o.b.;
+                                                         Spark ANSI errors)
+zip(a, b)                    arrays_zip(a, b)
+arbitrary(x)                 any_value(x)
+approx_distinct(x)           approx_count_distinct(x)
+truncate(x)                  (sign(x) * floor(abs(x)))  (toward zero, double)
+is_nan(x)                    isnan(x)
+infinity()                   cast('Infinity' as double)
+nan()                        cast('NaN' as double)
+"ident"                      `ident`                    (Spark double-quote
+                                                         is a string literal)
+CROSS JOIN UNNEST(e) AS t(c) LATERAL VIEW explode(e) t AS c
+FROM t, UNNEST(e) AS u(c)    same (comma-join form)
+===========================  =============================================
+
+Already identical (no rewrite, verified in §2.9): concat/||, substr,
+trim family, replace, split_part, lpad/rpad, reverse, regexp_like,
+regexp_extract, regexp_replace, date_trunc, extract, year/month/day,
+interval literals, abs/ceil/floor/round/power/sqrt/exp/ln/log2/log10/
+log(b,x)/mod/sign/greatest/least/width_bucket/trig, cardinality,
+array_position, array_distinct, array_intersect/union/except,
+array_sort, array_min/max, array_join, slice, sequence, flatten,
+transform, filter, reduce (Spark accepts ``reduce`` as an
+``aggregate`` alias 3.5+), arrays_overlap, map_keys/values,
+map_concat, map_filter, transform_keys/values, map_from_entries,
+map_entries, try_cast, CASE, lambdas ``x -> f(x)``.
+
+Known-unsupported (left untouched so Spark raises — loud, never a
+silent semantic change): TRY(expr) (use the relational try_expr
+operator), json_size, Joda patterns beyond the JDK-compatible subset,
+UNNEST WITH ORDINALITY, multi-array and map UNNEST.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Spark timestampadd/timestampdiff unit keywords (SQL identifiers).
+_TIME_UNITS = {
+    "year", "quarter", "month", "week", "day", "hour",
+    "minute", "second", "millisecond", "microsecond",
+}
+
+#: plain name→name rewrites: NAME( → REPL( .  Word boundaries make the
+#: rules order-independent ('_' is a word char, so ``json_extract``
+#: cannot bite ``json_extract_scalar``, ``format`` cannot bite
+#: ``format_datetime`` or ``date_format``, ``week`` cannot bite
+#: ``weekofyear``).
+_SIMPLE_FN: dict[str, str] = {
+    "strpos": "instr",
+    "starts_with": "startswith",
+    "levenshtein_distance": "levenshtein",
+    "format": "format_string",
+    "format_datetime": "date_format",
+    "parse_datetime": "to_timestamp",
+    "json_extract_scalar": "get_json_object",
+    "json_extract": "get_json_object",
+    "json_format": "to_json",
+    "contains": "array_contains",
+    "element_at": "try_element_at",
+    "zip": "arrays_zip",
+    "arbitrary": "any_value",
+    "approx_distinct": "approx_count_distinct",
+    "is_nan": "isnan",
+    "from_unixtime": "timestamp_seconds",
+    "day_of_month": "dayofmonth",
+    "day_of_year": "dayofyear",
+    "doy": "dayofyear",
+    "week_of_year": "weekofyear",
+    "week": "weekofyear",
+}
+
+#: zero-argument constant functions
+_CONST_FN: dict[str, str] = {
+    "infinity": "cast('Infinity' as double)",
+    "nan": "cast('NaN' as double)",
+}
+
+_STR_SENTINEL = "\x00{}\x00"
+_SENT_RE = re.compile("\x00(\\d+)\x00")
+
+# Java-regex metacharacters to escape when a Presto literal delimiter
+# becomes a Spark split() regex.
+_REGEX_META = set("\\^$.|?*+()[]{}")
+
+
+def _mask(sql: str) -> tuple[str, list[str]]:
+    """Replace string literals with sentinels; normalize double-quoted
+    identifiers to backticks; strip comments.  Returns (masked,
+    literals) where literals hold the *quoted* original text."""
+    out: list[str] = []
+    lits: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                elif sql[j] == "'":
+                    break
+                else:
+                    j += 1
+            if j >= n:
+                raise ValueError("unterminated string literal in SQL")
+            lits.append(sql[i : j + 1])
+            out.append(_STR_SENTINEL.format(len(lits) - 1))
+            i = j + 1
+        elif c == '"':
+            j = sql.find('"', i + 1)
+            if j < 0:
+                raise ValueError("unterminated quoted identifier in SQL")
+            out.append("`" + sql[i + 1 : j] + "`")
+            i = j + 1
+        elif c == "-" and sql.startswith("--", i):
+            j = sql.find("\n", i)
+            i = n if j < 0 else j
+        elif c == "/" and sql.startswith("/*", i):
+            j = sql.find("*/", i)
+            i = n if j < 0 else j + 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out), lits
+
+
+def _unmask(masked: str, lits: list[str]) -> str:
+    return _SENT_RE.sub(lambda m: lits[int(m.group(1))], masked)
+
+
+def _match_paren(masked: str, op: int) -> int:
+    """Index of the ')' closing the '(' at ``op`` (masked text has no
+    string literals, so raw scanning is safe)."""
+    depth, j = 1, op + 1
+    while j < len(masked):
+        if masked[j] == "(":
+            depth += 1
+        elif masked[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+        j += 1
+    raise ValueError("unbalanced parentheses in SQL")
+
+
+def _split_args(argtext: str) -> list[str]:
+    """Split a (masked, so quote-free) argument string on top-level
+    commas."""
+    args, depth, start = [], 0, 0
+    for i, c in enumerate(argtext):
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            args.append(argtext[start:i].strip())
+            start = i + 1
+    tail = argtext[start:].strip()
+    if tail or args:
+        args.append(tail)
+    return args
+
+
+def _lit_value(lits: list[str], token: str) -> str | None:
+    """If ``token`` is exactly one string-literal sentinel, return its
+    unquoted value, else None."""
+    m = _SENT_RE.fullmatch(token.strip())
+    if not m:
+        return None
+    quoted = lits[int(m.group(1))]
+    return quoted[1:-1].replace("''", "'")
+
+
+def _java_regex_escape(s: str) -> str:
+    return "".join("\\" + c if c in _REGEX_META else c for c in s)
+
+
+def _rewrite_calls(masked: str, name: str, make_repl) -> str:
+    """Left-to-right scan for NAME( ... ) calls; ``make_repl(args) ->
+    str | None`` builds the replacement for the whole call (None =
+    leave untouched).  The scan re-searches after every edit and
+    resumes *inside* the match, so nested calls (in arguments or in
+    replacements) are found on later iterations and no cached offsets
+    go stale."""
+    pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(masked, pos)
+        if not m:
+            return masked
+        cp = _match_paren(masked, m.end() - 1)
+        repl = make_repl(_split_args(masked[m.end() : cp]))
+        if repl is None:
+            pos = m.end()  # step past 'name(' — still scans the args
+            continue
+        masked = masked[: m.start()] + repl + masked[cp + 1 :]
+        pos = m.start() + 1
+
+
+def _unit_fn(spark_name: str, lits: list[str]):
+    """date_diff('unit', a, b) → timestampdiff(UNIT, a, b); same shape
+    for date_add → timestampadd.  Only fires when the first argument is
+    a string literal naming a known unit — other arities/forms (e.g.
+    Spark's own 2-arg date_add) pass through untouched."""
+
+    def make(args: list[str]) -> str | None:
+        if len(args) != 3:
+            return None
+        unit = _lit_value(lits, args[0])
+        if unit is None or unit.lower() not in _TIME_UNITS:
+            return None
+        return f"{spark_name}({unit.upper()}, {args[1]}, {args[2]})"
+
+    return make
+
+
+def _split_fn(lits: list[str]):
+    """Presto split(s, delim[, limit]) — delim is a LITERAL; Spark's is
+    a Java regex.  Literal delimiters are regex-escaped; non-literal
+    delimiter expressions get \\Q..\\E regex quoting."""
+
+    def make(args: list[str]) -> str | None:
+        if len(args) not in (2, 3):
+            return None
+        d = _lit_value(lits, args[1])
+        if d is not None:
+            esc = _java_regex_escape(d)
+            lits.append("'" + esc.replace("'", "''") + "'")
+            args = [args[0], _STR_SENTINEL.format(len(lits) - 1), *args[2:]]
+        else:
+            args = [args[0], f"concat('\\\\Q', {args[1]}, '\\\\E')", *args[2:]]
+        return "split(" + ", ".join(args) + ")"
+
+    return make
+
+
+_UNNEST_RE = re.compile(r"(?:cross\s+join|,)\s*unnest\s*\(", re.IGNORECASE)
+_UNNEST_TAIL_RE = re.compile(
+    r"\s*(with\s+ordinality\s+)?as\s+(\w+)\s*\(\s*(\w+)\s*(?:,\s*(\w+)\s*)?\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_unnest(masked: str) -> str:
+    """``CROSS JOIN UNNEST(expr) AS t(c)`` (or the comma-join form) →
+    ``LATERAL VIEW explode(expr) t AS c``.  Only the single-array,
+    single-column form translates; WITH ORDINALITY / multi-column
+    UNNEST are left untouched (Spark raises — loud, not silent)."""
+    pos = 0
+    while True:
+        m = _UNNEST_RE.search(masked, pos)
+        if not m:
+            return masked
+        cp = _match_paren(masked, m.end() - 1)
+        expr = masked[m.end() : cp]
+        tail = _UNNEST_TAIL_RE.match(masked, cp + 1)
+        if not tail or tail.group(1) or tail.group(4):
+            pos = m.end()
+            continue
+        alias, col = tail.group(2), tail.group(3)
+        repl = f" lateral view explode({expr}) {alias} as {col}"
+        masked = masked[: m.start()] + repl + masked[tail.end() :]
+        pos = m.start() + 1
+
+
+def translate(presto_sql: str) -> str:
+    """Presto-dialect SQL → Spark SQL (see module docstring table)."""
+    masked, lits = _mask(presto_sql)
+
+    masked = _rewrite_unnest(masked)
+    masked = _rewrite_calls(masked, "date_diff", _unit_fn("timestampdiff", lits))
+    masked = _rewrite_calls(masked, "date_add", _unit_fn("timestampadd", lits))
+    masked = _rewrite_calls(masked, "split", _split_fn(lits))
+    for presto_name in ("day_of_week", "dow"):
+        masked = _rewrite_calls(
+            masked, presto_name,
+            lambda a: f"(weekday({a[0]}) + 1)" if len(a) == 1 else None,
+        )
+    masked = _rewrite_calls(
+        masked, "to_unixtime",
+        lambda a: f"(cast(unix_micros({a[0]}) as double) / 1000000.0)"
+        if len(a) == 1 else None,
+    )
+    masked = _rewrite_calls(
+        masked, "truncate",
+        lambda a: f"(sign({a[0]}) * floor(abs({a[0]})))" if len(a) == 1 else None,
+    )
+    for name, const in _CONST_FN.items():
+        masked = re.sub(rf"\b{name}\s*\(\s*\)", const, masked, flags=re.IGNORECASE)
+    for name, repl in _SIMPLE_FN.items():
+        masked = re.sub(rf"\b{name}\s*\(", repl + "(", masked, flags=re.IGNORECASE)
+
+    return _unmask(masked, lits)
+
+
+def sql(spark: SparkSession, presto_sql: str) -> DataFrame:
+    """Run Presto-dialect SQL against the current Spark catalog."""
+    return spark.sql(translate(presto_sql))

@@ -1,0 +1,74 @@
+"""Declared queries exercising the Presto-dialect SQL front door
+(sparketl.dialect; SURVEY.md §2.9 + §8 candidate 1).
+
+The query text below is *Presto* SQL — exactly what a user of the
+reference tool would have in their pipeline repo — executed through
+``dialect.sql()``.  The oracle is independent native DuckDB SQL, so
+the gate proves the whole chain: Presto text → translate → Spark plan
+→ results equal to a second engine's native semantics.
+"""
+
+from __future__ import annotations
+
+from sparketl import dialect
+from sparketl.registry import query
+from sparketl.tables import load_tables
+
+# Presto-dialect text: every line with a trailing comment exercises a
+# documented §2.9 divergence the translator must fix.
+_PRESTO_TEXT = """
+    select o.o_orderkey,
+           date_diff('day', cast(o.o_orderdate as timestamp),
+                     cast(l.l_shipdate as timestamp))            as ship_days,
+           day_of_week(o.o_orderdate)                            as dow_iso,
+           strpos(o.o_orderpriority, '-')                        as dash_pos,
+           element_at(split(o.o_orderpriority, '-'), 1)          as prio_code,
+           element_at(split(o.o_orderpriority, '-'), 99)         as oob_null,
+           format('%s/%s', o.o_orderstatus, l.l_returnflag)      as tag,
+           truncate(cast(o.o_totalprice as double) / 1000)       as price_k,
+           to_unixtime(cast(o.o_orderdate as timestamp))         as epoch_s,
+           cast(date_add('month', 2, o.o_orderdate) as date)     as plus2m
+    from orders o
+    join lineitem l
+      on o.o_orderkey = l.l_orderkey
+    where o.o_orderkey < 300
+"""
+
+
+@query(
+    "sql_presto_dialect",
+    oracle="""
+        select o.o_orderkey,
+               date_diff('day', cast(o.o_orderdate as timestamp),
+                         cast(l.l_shipdate as timestamp))        as ship_days,
+               cast(isodow(o.o_orderdate) as integer)            as dow_iso,
+               cast(strpos(o.o_orderpriority, '-') as integer)   as dash_pos,
+               string_split(o.o_orderpriority, '-')[1]           as prio_code,
+               string_split(o.o_orderpriority, '-')[99]          as oob_null,
+               printf('%s/%s', o.o_orderstatus, l.l_returnflag)  as tag,
+               trunc(cast(o.o_totalprice as double) / 1000)      as price_k,
+               epoch(cast(o.o_orderdate as timestamp))           as epoch_s,
+               -- strftime: DuckDB DATE reaches pandas as datetime64
+               -- (canonicalizes with a time part) while Spark DATE
+               -- stays a date; the string form matches Spark's
+               -- date isoformat exactly
+               strftime(o.o_orderdate + interval 2 month, '%Y-%m-%d') as plus2m
+        from orders o
+        join lineitem l
+          on o.o_orderkey = l.l_orderkey
+        where o.o_orderkey < 300
+    """,
+)
+def sql_presto_dialect(spark, sf_dir):
+    """Presto-dialect front door, end-to-end: the §2.9 divergence
+    rewrites (date_diff/date_add arg order, ISO day_of_week, literal
+    split delimiter, NULL-on-out-of-bounds element_at, strpos, format,
+    truncate, to_unixtime) over an orders⋈lineitem join, oracle'd by
+    native DuckDB SQL.
+
+    Scale: the translated text plans exactly like hand-written Spark
+    SQL — same Catalyst pipeline, same pushdowns; translation is a
+    driver-side string pass, O(query length), zero runtime cost.
+    """
+    load_tables(spark, sf_dir)  # register the named views
+    return dialect.sql(spark, _PRESTO_TEXT)

@@ -1,0 +1,245 @@
+"""Presto-dialect translator tests (sparketl.dialect).
+
+One unit test per rewrite rule (string-level), plus execution tests
+that run translated Presto SQL on Spark and compare values against
+DuckDB running the semantically-equal native query — the same bar as
+the declared-query oracle gate.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sparketl.dialect import sql as presto_sql
+from sparketl.dialect import translate
+from sparketl.tables import load_tables
+from tests.conftest import SF_DIR
+
+
+def _norm(s: str) -> str:
+    return " ".join(s.split()).lower()
+
+
+# ---------------------------------------------------------------------------
+# string-level rules
+# ---------------------------------------------------------------------------
+
+
+def test_date_diff_unit_unquoted():
+    assert _norm(translate("select date_diff('day', a, b)")) == (
+        "select timestampdiff(day, a, b)"
+    )
+
+
+def test_date_diff_nested_and_case_insensitive():
+    out = translate("select DATE_DIFF('HOUR', date_add('day', 1, t), u)")
+    assert _norm(out) == "select timestampdiff(hour, timestampadd(day, 1, t), u)"
+
+
+def test_date_add_non_literal_unit_untouched():
+    # Spark's own 2-arg date_add must pass through
+    assert _norm(translate("select date_add(d, 5)")) == "select date_add(d, 5)"
+
+
+def test_day_of_week_iso():
+    assert _norm(translate("select day_of_week(d)")) == "select (weekday(d) + 1)"
+    assert _norm(translate("select dow(d)")) == "select (weekday(d) + 1)"
+
+
+def test_day_name_family():
+    assert _norm(translate("select day_of_year(d), week(d)")) == (
+        "select dayofyear(d), weekofyear(d)"
+    )
+
+
+def test_split_literal_delimiter_regex_escaped():
+    assert translate("select split(s, '.')") == "select split(s, '\\.')"
+    assert translate("select split(s, '||')") == "select split(s, '\\|\\|')"
+
+
+def test_split_plain_delimiter_unchanged_value():
+    assert translate("select split(s, '-')") == "select split(s, '-')"
+
+
+def test_split_nonliteral_delimiter_quoted():
+    out = translate("select split(s, d)")
+    assert "\\\\Q" in out and "\\\\E" in out
+
+
+def test_split_inside_string_untouched():
+    assert translate("select 'split(s, .)'") == "select 'split(s, .)'"
+
+
+def test_strpos_and_starts_with():
+    assert _norm(translate("select strpos(s, '-'), starts_with(s, 'a')")) == (
+        "select instr(s, '-'), startswith(s, 'a')"
+    )
+
+
+def test_format_family():
+    out = translate("select format('%s', x), format_datetime(t, 'yyyy'), date_format(t, 'yyyy')")
+    assert _norm(out) == (
+        "select format_string('%s', x), date_format(t, 'yyyy'), date_format(t, 'yyyy')"
+    )
+
+
+def test_json_family():
+    out = translate("select json_extract_scalar(j, '$.k'), json_extract(j, '$.k')")
+    assert _norm(out) == (
+        "select get_json_object(j, '$.k'), get_json_object(j, '$.k')"
+    )
+
+
+def test_element_at_try():
+    out = translate("select element_at(a, 5), try_element_at(a, 5)")
+    assert _norm(out) == "select try_element_at(a, 5), try_element_at(a, 5)"
+
+
+def test_unixtime_round_trip():
+    out = translate("select to_unixtime(t), from_unixtime(e)")
+    assert _norm(out) == (
+        "select (cast(unix_micros(t) as double) / 1000000.0), timestamp_seconds(e)"
+    )
+
+
+def test_truncate_toward_zero():
+    assert _norm(translate("select truncate(x)")) == (
+        "select (sign(x) * floor(abs(x)))"
+    )
+
+
+def test_constants_and_misc_names():
+    out = translate(
+        "select infinity(), nan(), is_nan(x), arbitrary(y), approx_distinct(z), "
+        "contains(arr, 1), zip(a, b), levenshtein_distance(s, t)"
+    )
+    assert _norm(out) == (
+        "select cast('infinity' as double), cast('nan' as double), isnan(x), "
+        "any_value(y), approx_count_distinct(z), array_contains(arr, 1), "
+        "arrays_zip(a, b), levenshtein(s, t)"
+    )
+
+
+def test_double_quoted_identifiers_to_backticks():
+    assert translate('select "col one" from "t"') == "select `col one` from `t`"
+
+
+def test_comments_stripped_strings_preserved():
+    out = translate("select x -- strpos(s, 'y')\n, 'strpos(a, b)' from t")
+    assert "instr" not in out and "'strpos(a, b)'" in out
+
+
+def test_unnest_cross_join():
+    out = translate("select c from t cross join unnest(arr) as u(c)")
+    assert _norm(out) == "select c from t lateral view explode(arr) u as c"
+
+
+def test_unnest_comma_join():
+    out = translate("select c from t, unnest(arr) as u(c)")
+    assert _norm(out) == "select c from t lateral view explode(arr) u as c"
+
+
+def test_unnest_with_ordinality_untouched():
+    src = "select c from t cross join unnest(arr) with ordinality as u(c, o)"
+    assert _norm(translate(src)) == _norm(src)
+
+
+# ---------------------------------------------------------------------------
+# execution parity: translated Presto SQL on Spark vs native DuckDB
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark):
+    load_tables(spark, SF_DIR)
+
+
+def test_exec_date_functions_match_duckdb(spark, duck):
+    got = presto_sql(
+        spark,
+        """
+        select o_orderkey,
+               date_diff('day', cast(o_orderdate as timestamp),
+                         cast(date_add('day', 3, o_orderdate) as timestamp)) as d3,
+               day_of_week(o_orderdate) as dow
+        from orders where o_orderkey < 64 order by o_orderkey
+        """,
+    ).collect()
+    want = duck.execute(
+        """
+        select o_orderkey, 3 as d3, isodow(o_orderdate) as dow
+        from orders where o_orderkey < 64 order by o_orderkey
+        """
+    ).fetchall()
+    assert [(r.o_orderkey, r.d3, r.dow) for r in got] == [tuple(r) for r in want]
+
+
+def test_exec_string_functions_match_duckdb(spark, duck):
+    got = presto_sql(
+        spark,
+        """
+        select o_orderkey,
+               strpos(o_orderpriority, '-') as p,
+               element_at(split(o_orderpriority, '-'), 1) as code,
+               element_at(split(o_orderpriority, '-'), 99) as oob,
+               format('%s/%s', o_orderstatus, o_orderpriority) as tag
+        from orders where o_orderkey < 64 order by o_orderkey
+        """,
+    ).collect()
+    want = duck.execute(
+        """
+        select o_orderkey, strpos(o_orderpriority, '-') as p,
+               string_split(o_orderpriority, '-')[1] as code,
+               string_split(o_orderpriority, '-')[99] as oob,
+               printf('%s/%s', o_orderstatus, o_orderpriority) as tag
+        from orders where o_orderkey < 64 order by o_orderkey
+        """
+    ).fetchall()
+    assert [(r.o_orderkey, r.p, r.code, r.oob, r.tag) for r in got] == [
+        tuple(r) for r in want
+    ]
+
+
+def test_exec_unnest_matches_duckdb(spark, duck):
+    got = presto_sql(
+        spark,
+        """
+        select s, count(*) as n
+        from (select split(o_orderpriority, '-') as parts
+              from orders where o_orderkey < 256) t
+        cross join unnest(parts) as u(s)
+        group by s order by s
+        """,
+    ).collect()
+    want = duck.execute(
+        """
+        select s, count(*) as n
+        from (select unnest(string_split(o_orderpriority, '-')) as s
+              from orders where o_orderkey < 256) t
+        group by s order by s
+        """
+    ).fetchall()
+    assert [(r.s, r.n) for r in got] == [tuple(r) for r in want]
+
+
+def test_exec_truncate_and_unixtime(spark, duck):
+    got = presto_sql(
+        spark,
+        """
+        select o_orderkey,
+               truncate(cast(o_totalprice as double) / 100) as tp,
+               to_unixtime(cast(o_orderdate as timestamp)) as epoch_s
+        from orders where o_orderkey < 64 order by o_orderkey
+        """,
+    ).collect()
+    want = duck.execute(
+        """
+        select o_orderkey,
+               trunc(cast(o_totalprice as double) / 100) as tp,
+               epoch(cast(o_orderdate as timestamp)) as epoch_s
+        from orders where o_orderkey < 64 order by o_orderkey
+        """
+    ).fetchall()
+    assert [(r.o_orderkey, r.tp, float(r.epoch_s)) for r in got] == [
+        (w[0], w[1], float(w[2])) for w in want
+    ]
