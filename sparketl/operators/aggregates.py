@@ -430,6 +430,63 @@ def approx_count_distinct(spark, sf_dir):
 
 
 @query(
+    "approx_top_k_sketch",
+    oracle="""
+        with exact as (
+            select event_type, count(*) as n from events group by 1
+        ),
+        top as (
+            select event_type, n,
+                   row_number() over (order by n desc, event_type asc) as rnk
+            from exact
+            qualify rnk <= 3
+        )
+        select event_type, cast(n as bigint) as n, rnk,
+               true as in_sketch
+        from top
+    """,
+)
+def approx_top_k_sketch(spark, sf_dir):
+    """Presto approx family: frequent-items / approx_top_k sketch
+    (Spark 4 built-in, Filtered Space-Saving).  Same tolerance-boolean
+    scheme as #40/#41: the Spark side checks its OWN sketch against
+    its OWN exact top-k (count desc, value asc) and emits the
+    membership boolean; the oracle states the accuracy contract
+    directly (``true`` — the true top-3 must appear in the sketch;
+    DuckDB 1.0.0 has no approx_top_k to replay, so unlike #40 the
+    oracle's boolean is the contract rather than a second sketch).
+    event_type has 5 distinct values with distinct counts at every SF,
+    so k=3 has no tie at the boundary and the Spark boolean is
+    deterministically true.
+
+    Scale: the sketch aggregate is map-side combinable (mergeable FSS
+    summaries, like HLL) — one narrow pass + tiny merges; the exact
+    side is a 5-group count.  At 100 TB the sketch path is the one
+    that survives: top-k over high-cardinality keys without a global
+    sort or full groupBy materialization.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    # bounded global window: 5 groups total (known-benign
+    # "No Partition Defined" warning, same as win_ntile)
+    w = Window.orderBy(F.col("n").desc(), F.col("event_type").asc())
+    top = exact.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 3)
+    sk = ev.agg(
+        F.expr("transform(approx_top_k(event_type, 3, 10000), e -> e.item)").alias(
+            "items"
+        )
+    )
+    return top.crossJoin(F.broadcast(sk)).select(
+        "rnk",
+        "event_type",
+        "n",
+        F.array_contains("items", F.col("event_type")).alias("in_sketch"),
+    )
+
+
+@query(
     "approx_percentile",
     oracle="""
         select round(quantile_cont(o_totalprice, 0.5), 6) as exact_p50,

@@ -1164,3 +1164,133 @@ def llm_ivf_centroids(spark, sf_dir):
             "n_vecs",
         )
     )
+
+
+# squared-L2 distance to a centroid vector, same ordered-fold contract
+# as _DOT_S/_DOT_D (bit-exact across engines given identical inputs)
+_L2_S = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "(cast(x as double) - y) * (cast(x as double) - y)), "
+    "cast(0 as double), (s, x) -> s + x)"
+)
+_L2_D = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> ({a}[i]::double - {b}[i]) * ({a}[i]::double - {b}[i])))"
+)
+
+# per-dimension centroid value: round(round(sum, 6) / n, 6) — rounding
+# the cross-partition sum at 6 absorbs reorder noise (see
+# llm_ivf_centroids float note), so both engines see IDENTICAL centroid
+# doubles and every downstream distance is bit-exact.
+_CEN_VAL_S = (
+    "round(round(sum(cast(element_at(embedding, {i}) as double)), 6)"
+    " / count(*), 6)"
+)
+
+
+@query(
+    "llm_ivf_search",
+    oracle=f"""
+        with cen_long as (
+            select label, i,
+                   round(round(sum(embedding[i]::double), 6) / count(*), 6) as c
+            from embeddings cross join unnest(generate_series(1, 64)) as u(i)
+            group by label, i
+        ),
+        cen as (
+            select label as c_label, list(c order by i) as cvec
+            from cen_long group by label
+        ),
+        e as (
+            select vec_id, embedding,
+                   {_NORM2_D.format(a='embedding')} as norm2
+            from embeddings
+        ),
+        assigned as (
+            select vec_id, embedding, norm2, c_label,
+                   row_number() over (
+                       partition by vec_id
+                       order by {_L2_D.format(a='embedding', b='cvec')} asc,
+                                c_label asc) as rn
+            from e cross join cen
+            qualify rn = 1
+        ),
+        scored as (
+            select q.vec_id as query_id, c.vec_id as neighbor_id,
+                   round({_DOT_D.format(a='q.embedding', b='c.embedding')}
+                         / sqrt(q.norm2 * c.norm2), 6) as cos_sim
+            from assigned q join assigned c
+              on q.c_label = c.c_label and q.vec_id <> c.vec_id
+            where q.vec_id % 25 = 0
+        )
+        select query_id, neighbor_id, cos_sim,
+               row_number() over (partition by query_id
+                                  order by cos_sim desc, neighbor_id asc) as rnk
+        from scored
+        qualify rnk <= 3
+    """,
+)
+def llm_ivf_search(spark, sf_dir):
+    """#137 second ANN path — IVF assignment + search, consuming the
+    centroid build step (llm_ivf_centroids is the long-form view of the
+    same aggregation): (1) per-label centroids as 64-dim arrays,
+    (2) every vector assigned to its nearest centroid by squared-L2
+    (10-row centroid table broadcast; ties broken by label), (3) top-3
+    cosine neighbors searched WITHIN the query's cluster only.
+    Deterministic end-to-end — centroids are order-noise-rounded, and
+    all distances are ordered folds over identical doubles — so this
+    'approximate' index is hash-graded exactly, like ANN-LSH.
+
+    Scale: the canonical IVF plan.  Centroids: one map-side-combinable
+    groupBy (k x 64 doubles out).  Assignment: broadcast nested loop
+    over k centroids — a narrow map, no shuffle of the corpus.  Search:
+    equi-join on assigned cluster ~ n^2/k scored pairs instead of n^2;
+    nprobe>1 (probing the next-nearest clusters too) generalizes by
+    keeping rn <= nprobe assignments for the QUERY side only.
+    """
+    from pyspark.sql import Window
+
+    emb = _parallel(table(spark, sf_dir, "embeddings"))
+    cen = emb.groupBy(F.col("label").alias("c_label")).agg(
+        F.array(
+            *[F.expr(_CEN_VAL_S.format(i=i)) for i in range(1, 65)]
+        ).alias("cvec")
+    )
+    e = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_NORM2_S.format(a="embedding")).alias("norm2"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.expr(_L2_S.format(a="embedding", b="cvec")).asc(), F.col("c_label").asc()
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cen))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "norm2", "c_label")
+    )
+    q = assigned.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("q_norm2"),
+        F.col("c_label").alias("q_label"),
+    )
+    cos = F.round(
+        F.expr(_DOT_S.format(a="q_emb", b="embedding"))
+        / F.sqrt(F.col("q_norm2") * F.col("norm2")),
+        6,
+    )
+    scored = q.join(
+        assigned,
+        (F.col("q_label") == F.col("c_label"))
+        & (F.col("query_id") != F.col("vec_id")),
+    ).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w_rank)).where(
+        F.col("rnk") <= 3
+    )
