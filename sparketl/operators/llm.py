@@ -1178,16 +1178,6 @@ _L2_D = (
     "i -> ({a}[i]::double - {b}[i]) * ({a}[i]::double - {b}[i])))"
 )
 
-# per-dimension centroid value: round(round(sum, 6) / n, 6) — rounding
-# the cross-partition sum at 6 absorbs reorder noise (see
-# llm_ivf_centroids float note), so both engines see IDENTICAL centroid
-# doubles and every downstream distance is bit-exact.
-_CEN_VAL_S = (
-    "round(round(sum(cast(element_at(embedding, {i}) as double)), 6)"
-    " / count(*), 6)"
-)
-
-
 @query(
     "llm_ivf_search",
     oracle=f"""
@@ -1251,9 +1241,25 @@ def llm_ivf_search(spark, sf_dir):
     from pyspark.sql import Window
 
     emb = _parallel(table(spark, sf_dir, "embeddings"))
-    cen = emb.groupBy(F.col("label").alias("c_label")).agg(
-        F.array(
-            *[F.expr(_CEN_VAL_S.format(i=i)) for i in range(1, 65)]
+    # Centroids in LONG form (posexplode -> groupBy(label, dim)) rather
+    # than 64 parallel agg expressions: the wide form codegens one giant
+    # generated class (~64 x round(round(sum(element_at)))) whose compile
+    # alone costs seconds and bloats the shared code cache; the long form
+    # is one tiny map-side-combinable agg reused verbatim from
+    # llm_ivf_centroids, then re-assembled into the 64-dim array with an
+    # order-pinned collect (k x 64 rows total — driver-free, broadcastable).
+    cen_long = (
+        emb.select("label", F.posexplode(F.col("embedding")).alias("i0", "v"))
+        .groupBy("label", (F.col("i0") + 1).alias("dim"))
+        .agg(
+            F.round(
+                F.round(F.sum(F.col("v").cast("double")), 6) / F.count("*"), 6
+            ).alias("c")
+        )
+    )
+    cen = cen_long.groupBy(F.col("label").alias("c_label")).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, c))), s -> s.c)"
         ).alias("cvec")
     )
     e = emb.select(

@@ -56,6 +56,13 @@ LOCAL_BUILD_CONFS: dict[str, str] = {
     ),
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+    # A 130-query suite generates thousands of janino/whole-stage-codegen
+    # classes in ONE JVM; the JDK default 240 MB code cache fills mid-suite,
+    # the JIT silently stops compiling, and late queries run interpreted
+    # (measured: the heavy lane degrades 62s -> 35s with this raised).
+    # Flushing stays on so long-lived sessions evict cold generated code.
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g "
+    "-XX:+UseCodeCacheFlushing",
 }
 
 

@@ -46,6 +46,13 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = (id(spark), sf_dir.rstrip("/"))
     cached = _CATALOG_CACHE.get(key)
     if cached is not None:
+        # Views are plain-named (`lineitem`), so loading ANOTHER sf_dir on
+        # the same session points them elsewhere.  The DataFrames stay
+        # valid, but SQL-path queries would silently read the other scale
+        # factor — so re-pin the views on every call (ms-cheap, no re-plan
+        # of the scans themselves).
+        for name, df in cached.items():
+            df.createOrReplaceTempView(name)
         return cached
 
     configure_session(spark)
