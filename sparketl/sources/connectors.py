@@ -160,3 +160,70 @@ def sink_parquet_partitioned(spark, sf_dir):
             ).alias("total_price"),
         )
     )
+
+
+def _bucketed_table(spark, sf_dir: str, name: str, df, key: str, n: int = 8) -> str:
+    """Create (or replace) an external bucketed+sorted parquet table and
+    return its catalog name.  Names are sf-scoped so sf0.01 (driver
+    correctness) and sf0.1 (bench) never collide in one session."""
+    sf_tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    tbl = f"sparketl_{name}_{sf_tag}"
+    spark.sql(f"drop table if exists {tbl}")
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n, key)
+        .sortBy(key)
+        .option("path", _scratch_dir(sf_dir, f"bucketed_{name}"))
+        .saveAsTable(tbl)
+    )
+    return tbl
+
+
+@query(
+    "sink_bucketed_colocated_join",
+    oracle="""
+        select o_orderpriority,
+               count(*) as n_items,
+               round(sum(cast(round(l_extendedprice * 100) as bigint))
+                     / cast(100 as double), 6) as revenue
+        from orders o
+        join lineitem l on l.l_orderkey = o.o_orderkey
+        group by o_orderpriority
+    """,
+)
+def sink_bucketed_colocated_join(spark, sf_dir):
+    """#4/§8 bucketed table layout: orders and lineitem written
+    ``bucketBy(8, <orderkey>) + sortBy`` as external parquet tables,
+    then fact-fact joined on the bucket key.  Because both sides carry
+    identical HashPartitioning from their bucketed scans, the join
+    plans with NO Exchange on either side (asserted in
+    tests/test_plans.py::test_bucketed_join_elides_shuffle).
+
+    Scale: THE shuffle-elision story for repeated fact-fact joins at
+    100 TB — pay one bucketed write, then every downstream join /
+    groupBy on the bucket key skips its exchange entirely (and sortBy
+    lets SortMergeJoin skip its sort).  Bucket count at cluster scale
+    would be sized to ~target-partition-bytes (e.g. 4096), not 8."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    t_o = _bucketed_table(spark, sf_dir, "orders", orders, "o_orderkey")
+    t_l = _bucketed_table(spark, sf_dir, "lineitem", li, "l_orderkey")
+    o = spark.table(t_o)
+    l = spark.table(t_l)
+    return (
+        o.join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                / F.lit(100).cast("double"),
+                6,
+            ).alias("revenue"),
+        )
+    )

@@ -86,3 +86,28 @@ def test_no_cartesian_outside_declared_cross(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_bucketed_join_elides_shuffle(spark):
+    """Both sides of a fact-fact join on the bucket key read with
+    identical HashPartitioning from their bucketed layouts => the join
+    itself needs NO Exchange (the 100-TB repeated-join story)."""
+    from sparketl.sources.connectors import _bucketed_table
+    from sparketl.tables import table
+
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_extendedprice")
+    t_o = _bucketed_table(spark, SF_DIR, "orders", o, "o_orderkey")
+    t_l = _bucketed_table(spark, SF_DIR, "lineitem", li, "l_orderkey")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(t_o).join(
+            spark.table(t_l),
+            spark.table(t_l).l_orderkey == spark.table(t_o).o_orderkey,
+        )
+        plan = plan_str(joined, mode="simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
