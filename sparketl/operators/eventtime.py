@@ -356,3 +356,46 @@ def stream_stateful_sessions(spark, sf_dir):
             lambda pdf: sessionize_pandas_bucket(pdf), schema=SESSION_OUT_SCHEMA
         )
     )
+
+
+@query(
+    "stream_kafka_roundtrip",
+    oracle="""
+        select cast(user_id % 8 as int) as kafka_partition,
+               count(*) as n_events,
+               min(event_id) as first_offset,
+               max(event_id) as last_offset,
+               round(sum(cast(round(value * 100) as bigint))
+                     / cast(100 as double), 6) as total_value
+        from events
+        group by cast(user_id % 8 as int)
+    """,
+)
+def stream_kafka_roundtrip(spark, sf_dir):
+    """§2.10/§8 Kafka-shaped source: events serialized through the
+    producer path (key/value/topic/partition/offset wire schema,
+    sparketl.streaming.kafka_shim), then consumed back with the
+    standard ``cast(value as string)`` → ``from_json`` pattern and
+    aggregated per topic-partition.  The oracle computes the same
+    result straight from the events table, so any loss in the
+    serialize→parse hop (types, doubles, timestamps, keying) breaks
+    the hash.  The LIVE unbounded variant of the same pipeline (rate
+    source, no broker in this container) runs in
+    tests/test_streaming.py::test_rate_kafka_stream_live."""
+    from sparketl.streaming.kafka_shim import (
+        events_to_kafka_records,
+        parse_kafka_events,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    parsed = parse_kafka_events(events_to_kafka_records(ev))
+    return parsed.groupBy("kafka_partition").agg(
+        F.count("*").alias("n_events"),
+        F.min("kafka_offset").alias("first_offset"),
+        F.max("kafka_offset").alias("last_offset"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            / F.lit(100).cast("double"),
+            6,
+        ).alias("total_value"),
+    )

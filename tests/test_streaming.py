@@ -320,3 +320,56 @@ def test_stateful_sessionize_out_of_order_merge_keeps_open_end():
     b3 = pd.DataFrame({"ts": [t3]})
     out3 = pd.concat(list(_sessionize_stateful(("u1",), iter([b3]), state)))
     assert out3["session_id"].iloc[0] == row["session_id"] + 1
+
+
+def test_rate_kafka_stream_live(spark):
+    """Kafka-shaped shim, LIVE: the rate source mapped to the exact
+    Kafka wire schema, consumed through the standard from_json pattern
+    under a real unbounded streaming query (no broker in container)."""
+    import time as _time
+
+    from sparketl.streaming.kafka_shim import (
+        N_TOPIC_PARTITIONS,
+        parse_kafka_events,
+        read_rate_kafka_stream,
+    )
+
+    rec = read_rate_kafka_stream(spark, rows_per_second=500)
+    assert rec.isStreaming
+    # wire schema must match format("kafka") exactly — that is what
+    # makes the shim swappable for the real connector
+    assert [(f.name, f.dataType.simpleString()) for f in rec.schema.fields] == [
+        ("key", "binary"),
+        ("value", "binary"),
+        ("topic", "string"),
+        ("partition", "int"),
+        ("offset", "bigint"),
+        ("timestamp", "timestamp"),
+        ("timestampType", "int"),
+    ]
+
+    q = (
+        parse_kafka_events(rec)
+        .writeStream.format("memory")
+        .queryName("rate_kafka_live")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if spark.table("rate_kafka_live").count() >= 100:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+
+    rows = spark.table("rate_kafka_live").collect()
+    assert len(rows) >= 100, len(rows)
+    for r in rows:
+        # keyed-producer invariant survives the round trip
+        assert r.kafka_partition == r.user_id % N_TOPIC_PARTITIONS
+        assert r.event_type in ("click", "view", "purchase")
+        # doubles are bit-exact through the JSON value codec
+        assert r.value == r.event_id * 0.25
+        assert r.ts is not None and r.props == '{"src":"rate"}'
