@@ -1300,3 +1300,125 @@ def llm_ivf_search(spark, sf_dir):
     return scored.withColumn("rnk", F.row_number().over(w_rank)).where(
         F.col("rnk") <= 3
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.11 #137 — multi-probe LSH (SURVEY.md §8 candidate)
+# ---------------------------------------------------------------------------
+
+
+def _multiprobe_oracle_sql() -> str:
+    """DuckDB replay of multi-probe ANN: identical literal hyperplanes,
+    query probes its own bucket plus all 8 Hamming-distance-1 buckets."""
+    planes = _hyperplanes()
+    planes_sql = (
+        "[" + ", ".join(
+            "[" + ", ".join(f"{v:.1f}" for v in p) + "]::double[]" for p in planes
+        ) + "]"
+    )
+    probes = ", ".join(f"xor(q.bucket, {1 << b})" for b in range(8))
+    return f"""
+        with pl as (select {planes_sql} as planes),
+        e as (
+            select vec_id, embedding,
+                   {_NORM2_D.format(a='embedding')} as norm2,
+                   list_sum(list_transform(generate_series(0, 7), p ->
+                       case when list_sum(list_transform(generate_series(1, 64),
+                                i -> embedding[i]::double * planes[p + 1][i])) > 0
+                            then (1 << p) else 0 end)) as bucket
+            from embeddings cross join pl
+        ),
+        scored as (
+            select q.vec_id as query_id, c.vec_id as neighbor_id,
+                   round({_DOT_D.format(a='q.embedding', b='c.embedding')}
+                         / sqrt(q.norm2 * c.norm2), 6) as cos_sim
+            from e q join e c
+              on c.bucket in (q.bucket, {probes})
+             and q.vec_id <> c.vec_id
+            where q.vec_id % 25 = 0
+        )
+        select query_id, neighbor_id, cos_sim,
+               row_number() over (partition by query_id
+                                  order by cos_sim desc, neighbor_id asc) as rnk
+        from scored
+        qualify rnk <= 3
+    """
+
+
+@query("llm_similarity_ann_multiprobe", oracle=_multiprobe_oracle_sql())
+def llm_similarity_ann_multiprobe(spark, sf_dir):
+    """#137 multi-probe LSH: same 8-hyperplane bucketing as
+    llm_similarity_ann_lsh, but each QUERY additionally probes the 8
+    buckets at Hamming distance 1 from its own (flip one sign bit) —
+    the standard recall repair for sign-LSH (a near neighbor falls on
+    the far side of one hyperplane with probability ~theta/pi per
+    plane, and one flipped plane is by far the most likely miss).
+
+    Scale: recall is bought with 9 probe keys per QUERY — a 9x
+    fan-out of the (small) query side's 8-byte keys, NOT more
+    replicas of the corpus (corpus rows still live in exactly one
+    bucket; compare index replication, which multiplies the corpus).
+    The probe join stays a key-equi-join (explode -> shuffle on
+    bucket), so the candidate set is ~9·n/256 per query vs n for
+    brute force, and the knob (planes, probe radius) tunes
+    recall/cost independently of corpus size.  Deterministic
+    (sign-of-exact-double-dot buckets), so hash-graded like the
+    single-probe query."""
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+    plane_lit = F.array(*[F.array(*[F.lit(v) for v in p]) for p in planes])
+    e = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.expr(_NORM2_S.format(a="embedding")).alias("norm2"),
+            plane_lit.alias("planes"),
+        )
+        .withColumn(
+            "bucket",
+            F.expr(
+                "aggregate(transform(sequence(0, 7), p -> if("
+                + _DOT_S.format(a="element_at(planes, p + 1)", b="embedding")
+                + " > 0, shiftleft(1, p), 0)), 0, (s, x) -> s + x)"
+            ),
+        )
+        .drop("planes")
+    )
+    q = (
+        e.where(F.col("vec_id") % 25 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm2").alias("q_norm2"),
+            # own bucket + the 8 single-bit flips
+            F.explode(
+                F.expr(
+                    "array(bucket, "
+                    + ", ".join(f"bucket ^ {1 << b}" for b in range(8))
+                    + ")"
+                )
+            ).alias("probe_bucket"),
+        )
+    )
+    cos = F.round(
+        F.expr(_DOT_S.format(a="q_emb", b="embedding"))
+        / F.sqrt(F.col("q_norm2") * F.col("norm2")),
+        6,
+    )
+    # each corpus row lives in exactly ONE bucket and probe buckets are
+    # distinct per query, so no (query, neighbor) pair can duplicate
+    scored = q.join(
+        e,
+        (F.col("probe_bucket") == F.col("bucket"))
+        & (F.col("query_id") != F.col("vec_id")),
+    ).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= 3
+    )
