@@ -110,7 +110,9 @@ def main() -> None:
     HEAVY = [
         "stream_stateful_sessions",
         "llm_dedup_minhash_lsh",
+        "llm_dedup_ngram_dfcap",
         "llm_dedup_ngram_jaccard",
+        "sink_bucketed_colocated_join",
         "llm_ivf_search",
         "udf_grouped_map_apply",
         "stream_static_enrich",

@@ -1422,3 +1422,112 @@ def llm_similarity_ann_multiprobe(spark, sf_dir):
     return scored.withColumn("rnk", F.row_number().over(w)).where(
         F.col("rnk") <= 3
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.11 #136 — df-capped n-gram Jaccard (the 100-TB skew mitigation,
+# as a first-class graded operator)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_dedup_ngram_dfcap",
+    oracle=f"""
+        with d as (
+            select doc_id, lang, {_SHINGLES_D} as sh
+            from documents
+            where len({_TOKS_D}) >= 2
+        ),
+        tot as (select count(*) as n_docs from d),
+        e0 as (select doc_id, lang, unnest(sh) as s from d),
+        dfreq as (
+            select lang, s, count(*) as df
+            from e0 group by lang, s
+        ),
+        e as (
+            select e0.doc_id, e0.lang, e0.s
+            from e0
+            join dfreq on e0.lang = dfreq.lang and e0.s = dfreq.s
+            cross join tot
+            where dfreq.df <= greatest(2, cast(ceil(0.05 * tot.n_docs) as bigint))
+        ),
+        n as (select doc_id, count(*) as n_sh from e group by doc_id),
+        inter as (
+            select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_inter
+            from e a join e b
+              on a.s = b.s and a.lang = b.lang and a.doc_id < b.doc_id
+            group by 1, 2
+        )
+        select i.doc_a, i.doc_b,
+               round(n_inter / (na.n_sh + nb.n_sh - n_inter), 6) as jaccard
+        from inter i
+        join n na on i.doc_a = na.doc_id
+        join n nb on i.doc_b = nb.doc_id
+        where round(n_inter / (na.n_sh + nb.n_sh - n_inter), 6) >= 0.5
+    """,
+)
+def llm_dedup_ngram_dfcap(spark, sf_dir):
+    """#136 df-capped n-gram Jaccard: identical inverted-index plan to
+    llm_dedup_ngram_jaccard, but shingles whose document frequency
+    exceeds max(2, ceil(5% of corpus)) are dropped from the index and
+    the metric — i.e. Jaccard over the LOW-DF shingle universe, the
+    standard boilerplate-removal formulation from the dedup
+    literature.
+
+    The cap is computed exactly (per-lang df, corpus count via a
+    broadcast scalar — no collect), so the operator is deterministic
+    and the DuckDB oracle replays it bit-for-bit: the "lossy at 100 TB"
+    mitigation is itself hash-graded here.
+
+    Scale: THE fix for the hot-shingle skew called out in
+    llm_dedup_ngram_jaccard — posting-join shuffle volume is
+    sum(df^2) per shingle, so one boilerplate shingle in 1% of a
+    100 TB corpus generates 10^14 pair rows; capping df bounds every
+    posting list, making worst-case volume <= cap^2 * |vocab| —
+    independent of corpus skew.  The cap threshold scales with corpus
+    size (fraction, not constant), so the same query text runs at
+    every SF."""
+    docs = table(spark, sf_dir, "documents")
+    d = _parallel(docs.where(F.expr(f"size({_TOKS_S}) >= 2"))).select(
+        "doc_id", "lang", F.expr(_SHINGLES_S).alias("sh")
+    )
+    e0 = d.select("doc_id", "lang", F.explode("sh").alias("s"))
+    tot = d.agg(F.count("*").alias("n_docs"))
+    dfreq = e0.groupBy("lang", "s").agg(F.count("*").alias("df"))
+    e = (
+        e0.join(dfreq, ["lang", "s"])
+        .join(F.broadcast(tot))
+        .where(
+            F.col("df")
+            <= F.greatest(F.lit(2), F.ceil(F.lit(0.05) * F.col("n_docs")))
+        )
+        .select("doc_id", "lang", "s")
+        # consumed 3x (sizes + both self-join sides): without this the
+        # explode+df-join pipeline runs three times (landmine 4,
+        # SURVEY.md §8); rows are (id, lang, 16-char shingle) — small
+        .cache()
+    )
+    n = e.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    en = e.join(F.broadcast(n), "doc_id")
+    pairs = en.alias("a").join(
+        en.alias("b"),
+        (F.col("a.s") == F.col("b.s"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # lossless length filter over the CAPPED set sizes
+        & (F.col("a.n_sh") <= 2 * F.col("b.n_sh"))
+        & (F.col("b.n_sh") <= 2 * F.col("a.n_sh")),
+    )
+    inter = pairs.groupBy(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.n_sh").alias("na"),
+        F.col("b.n_sh").alias("nb"),
+    ).agg(F.count("*").alias("n_inter"))
+    jacc = F.round(
+        F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+    )
+    return (
+        inter.select("doc_a", "doc_b", jacc.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+    )
