@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sparketl.registry import query
-from sparketl.tables import table
+from sparketl.tables import load_tables, table
 
 # revenue = sum(l_extendedprice * (1 - l_discount)) in exact cents:
 # price has 2 decimals, discount 2 decimals -> price*(1-disc) has <= 4
@@ -160,3 +160,642 @@ def tpch_q10_returns(spark, sf_dir):
         .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Decorrelation suite (round 3): the TPC-H shapes a Presto-ETL user
+# actually has in their pipeline repo — EXISTS / NOT EXISTS, IN /
+# NOT IN, correlated scalar subqueries, disjunctive join predicates,
+# outer-join + double aggregation.  Adapted to the fixture columns
+# (FIXTURES.md: no partsupp / commitdate / receiptdate / shipmode /
+# phone, so the correlating predicates use the columns that exist).
+#
+# Subquery-shaped queries are written as Spark SQL on purpose: the
+# point is that Catalyst's RewriteCorrelatedScalarSubquery /
+# RewritePredicateSubquery turn them into the same distributed
+# joins a hand-written DataFrame plan would use (SURVEY.md §4 row
+# "subquery decorrelation") — asserted in tests/test_plans.py.
+# Aggregate-heavy shapes without subqueries stay DataFrame-API.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q4_priority_exists",
+    oracle="""
+        select o.o_orderpriority, count(*) as order_count
+        from orders o
+        where o.o_orderdate >= timestamp '1996-01-01'
+          and o.o_orderdate < timestamp '1996-04-01'
+          and exists (
+              select 1 from lineitem l
+              where l.l_orderkey = o.o_orderkey
+                and l.l_shipdate > o.o_orderdate + interval 60 day
+          )
+        group by o.o_orderpriority
+        order by o.o_orderpriority
+    """,
+)
+def tpch_q4_priority_exists(spark, sf_dir):
+    """Q4 shape (order-priority checking) via correlated EXISTS: count
+    orders per priority having at least one line shipped >60 days
+    after order date (commitdate/receiptdate don't exist in the
+    fixtures; the ship-lag predicate keeps the correlated two-column
+    comparison).  Catalyst rewrites the EXISTS to a LEFT SEMI hash
+    join on l_orderkey — the lineitem fact is scanned once, the
+    ship-lag predicate evaluates join-side, and the count is a
+    map-side-combined agg over ~5 groups.  Scale: semi join shuffles
+    only (orderkey, orderdate) pairs, never wide rows."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        select o.o_orderpriority, count(*) as order_count
+        from orders o
+        where o.o_orderdate >= timestamp '1996-01-01'
+          and o.o_orderdate < timestamp '1996-04-01'
+          and exists (
+              select 1 from lineitem l
+              where l.l_orderkey = o.o_orderkey
+                and l.l_shipdate > o.o_orderdate + interval 60 day
+          )
+        group by o.o_orderpriority
+        order by o.o_orderpriority
+    """)
+
+
+@query(
+    "tpch_q5_local_supplier",
+    oracle=f"""
+        select n.n_name as nation, {_REV_D} as revenue
+        from customer c
+        join orders o on c.c_custkey = o.o_custkey
+        join lineitem l on o.o_orderkey = l.l_orderkey
+        join supplier s on l.l_suppkey = s.s_suppkey
+                       and c.c_nationkey = s.s_nationkey
+        join nation n on s.s_nationkey = n.n_nationkey
+        join region r on n.n_regionkey = r.r_regionkey
+        where r.r_name = 'ASIA'
+          and o.o_orderdate >= timestamp '1996-01-01'
+          and o.o_orderdate < timestamp '1997-01-01'
+        group by n.n_name
+        order by revenue desc, nation asc
+    """,
+)
+def tpch_q5_local_supplier(spark, sf_dir):
+    """Q5 shape (local-supplier volume): revenue by nation where the
+    supplier and customer share a nation inside one region — the
+    classic 6-table join with a SECOND, non-hierarchical equi-condition
+    (c_nationkey = s_nationkey) that prunes the join graph.  Plan:
+    region+nation+supplier collapse to a broadcast dim; the
+    customer->orders->lineitem chain shuffles on its keys once; the
+    nationkey equality rides the supplier join as an extra conjunct
+    (no new shuffle).  Exact-cents revenue -> order-independent."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    dim = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(dim),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.expr(_REV_S).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("nation").asc())
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+        select n1.n_name as supp_nation, n2.n_name as cust_nation,
+               year(l.l_shipdate) as l_year, {_REV_D} as revenue
+        from supplier s
+        join lineitem l on s.s_suppkey = l.l_suppkey
+        join orders o on o.o_orderkey = l.l_orderkey
+        join customer c on c.c_custkey = o.o_custkey
+        join nation n1 on s.s_nationkey = n1.n_nationkey
+        join nation n2 on c.c_nationkey = n2.n_nationkey
+        where ((n1.n_name = 'NATION_3' and n2.n_name = 'NATION_7')
+            or (n1.n_name = 'NATION_7' and n2.n_name = 'NATION_3'))
+          and l.l_shipdate >= timestamp '1996-01-01'
+          and l.l_shipdate < timestamp '1998-01-01'
+        group by supp_nation, cust_nation, l_year
+        order by supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """Q7 shape (volume shipping): bilateral trade between two nations
+    by year — the self-joined-dimension shape (nation appears twice
+    under different roles) with a disjunctive cross-pair predicate.
+    Plan: both nation copies broadcast; the disjunction evaluates on
+    the already-joined row (it references both sides, so it cannot be
+    pushed below either join — the right plan is filter-above-join,
+    which is what Catalyst picks).  Facts shuffle once per equi-key."""
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.expr(_REV_S).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q13_cust_distribution",
+    oracle="""
+        select c_count, count(*) as custdist
+        from (
+            select c.c_custkey, count(o.o_orderkey) as c_count
+            from customer c
+            left outer join (
+                select * from orders where o_orderpriority <> '5-LOW'
+            ) o on c.c_custkey = o.o_custkey
+            group by c.c_custkey
+        )
+        group by c_count
+        order by custdist desc, c_count desc
+    """,
+)
+def tpch_q13_cust_distribution(spark, sf_dir):
+    """Q13 shape (customer order-count distribution): left outer join
+    with a right-side-only predicate (priority filter stands in for
+    the comment filter), then TWO stacked aggregations — per-customer
+    count including the zero-order customers the outer join preserves,
+    then the distribution over those counts.  Plan: the filter
+    evaluates below the join (equivalent to the ON-clause placement
+    for outer joins on the preserved side); agg #1 shuffles on
+    c_custkey, agg #2 on the tiny c_count domain — the second shuffle
+    is a few hundred bytes regardless of SF."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "5-LOW")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+        select round(
+            100.0 * sum(case when p.p_type = 'PROMO'
+                  then cast(round(l.l_extendedprice * (1 - l.l_discount) * 10000) as bigint)
+                  else 0 end)
+            / sum(cast(round(l.l_extendedprice * (1 - l.l_discount) * 10000) as bigint)),
+            6) as promo_pct
+        from lineitem l
+        join part p on p.p_partkey = l.l_partkey
+        where l.l_shipdate >= timestamp '1996-09-01'
+          and l.l_shipdate < timestamp '1996-10-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """Q14 shape (promotion effect): percent of one month's revenue
+    from PROMO-type parts — conditional aggregation over a fact-dim
+    join.  Both numerator and denominator sum exact integer cents*100
+    (order-independent), and the single double division happens once
+    on the final pair, so the percentage is bit-stable under any
+    partitioning.  Plan: part broadcasts; one map-side-combined agg,
+    no shuffle of the fact beyond the scan."""
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0)))
+                / F.sum(cents),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+        with rev as (
+            select l_suppkey as supplier_no, {_REV_D} as total_revenue
+            from lineitem
+            where l_shipdate >= timestamp '1996-01-01'
+              and l_shipdate < timestamp '1996-04-01'
+            group by l_suppkey
+        )
+        select s.s_suppkey, s.s_name, r.total_revenue
+        from supplier s
+        join rev r on s.s_suppkey = r.supplier_no
+        where r.total_revenue = (select max(total_revenue) from rev)
+        order by s.s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """Q15 shape (top supplier): CTE consumed twice — once as the join
+    input, once inside an uncorrelated scalar subquery (max revenue).
+    The revenue is an exact-cents sum, so the max and the equality
+    against it are deterministic doubles (identical integer->double
+    arithmetic on both engines; no epsilon needed).  Catalyst turns
+    the scalar subquery into a one-row broadcast joined against the
+    aggregated CTE.  Scale: the CTE output is |suppliers| rows — the
+    double evaluation costs one extra pass over a key-sized aggregate,
+    not over the fact."""
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+        with rev as (
+            select l_suppkey as supplier_no, {_REV_S} as total_revenue
+            from lineitem
+            where l_shipdate >= timestamp '1996-01-01'
+              and l_shipdate < timestamp '1996-04-01'
+            group by l_suppkey
+        )
+        select s.s_suppkey, s.s_name, r.total_revenue
+        from supplier s
+        join rev r on s.s_suppkey = r.supplier_no
+        where r.total_revenue = (select max(total_revenue) from rev)
+        order by s.s_suppkey
+    """)
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+        select p.p_brand, p.p_type, p.p_size,
+               count(distinct l.l_suppkey) as supplier_cnt
+        from lineitem l
+        join part p on p.p_partkey = l.l_partkey
+        where p.p_brand <> 'Brand#13'
+          and p.p_type <> 'PROMO'
+          and p.p_size in (1, 9, 14, 19, 23, 36, 45, 49)
+          and l.l_suppkey not in (
+              select s_suppkey from supplier where s_acctbal < 0.0
+          )
+        group by p.p_brand, p.p_type, p.p_size
+        order by supplier_cnt desc, p.p_brand, p.p_type, p.p_size
+        limit 20
+    """,
+)
+def tpch_q16_supplier_cnt(spark, sf_dir):
+    """Q16 shape (parts/supplier relationship): distinct supplier
+    count per part attribute bucket, excluding suppliers from a NOT IN
+    subquery (negative account balance stands in for the complaints
+    comment scan; lineitem stands in for partsupp).  s_suppkey is
+    non-nullable so the null-aware NOT IN degenerates to a clean LEFT
+    ANTI join — Catalyst's RewritePredicateSubquery does exactly that
+    (plan-asserted).  Deterministic top-20: full key tiebreak."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        select p.p_brand, p.p_type, p.p_size,
+               count(distinct l.l_suppkey) as supplier_cnt
+        from lineitem l
+        join part p on p.p_partkey = l.l_partkey
+        where p.p_brand <> 'Brand#13'
+          and p.p_type <> 'PROMO'
+          and p.p_size in (1, 9, 14, 19, 23, 36, 45, 49)
+          and l.l_suppkey not in (
+              select s_suppkey from supplier where s_acctbal < 0.0
+          )
+        group by p.p_brand, p.p_type, p.p_size
+        order by supplier_cnt desc, p.p_brand, p.p_type, p.p_size
+        limit 20
+    """)
+
+
+@query(
+    "tpch_q17_small_qty_order",
+    oracle="""
+        select round(
+            sum(cast(round(l.l_extendedprice * 100) as bigint)) / 100.0 / 7.0,
+            6) as avg_yearly
+        from lineitem l
+        join part p on p.p_partkey = l.l_partkey
+        where p.p_brand = 'Brand#13'
+          and l.l_quantity < (
+              select 0.2 * avg(l2.l_quantity)
+              from lineitem l2
+              where l2.l_partkey = p.p_partkey
+          )
+    """,
+)
+def tpch_q17_small_qty_order(spark, sf_dir):
+    """Q17 shape (small-quantity-order revenue): CORRELATED SCALAR
+    subquery — each lineitem compares against 20% of the per-part
+    average quantity.  Catalyst's RewriteCorrelatedScalarSubquery
+    turns it into a per-partkey aggregate joined back on the
+    correlation key: one extra map-side-combined agg over the fact,
+    zero per-row subquery executions.  Determinism: l_quantity is
+    integral doubles, so sum/avg are exact (no fp-order sensitivity);
+    the revenue sum goes through exact cents.  Scale: the rewritten
+    plan shuffles (partkey, sum, count) pairs — key-sized."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        select round(
+            sum(cast(round(l.l_extendedprice * 100) as bigint))
+              / cast(100 as double) / cast(7 as double),
+            6) as avg_yearly
+        from lineitem l
+        join part p on p.p_partkey = l.l_partkey
+        where p.p_brand = 'Brand#13'
+          and l.l_quantity < (
+              select 0.2 * avg(l2.l_quantity)
+              from lineitem l2
+              where l2.l_partkey = p.p_partkey
+          )
+    """)
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+        select c.c_name, c.c_custkey, o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') as order_date,
+               o.o_totalprice, sum(l.l_quantity) as total_qty
+        from customer c
+        join orders o on c.c_custkey = o.o_custkey
+        join lineitem l on o.o_orderkey = l.l_orderkey
+        where o.o_orderkey in (
+            select l_orderkey from lineitem
+            group by l_orderkey having sum(l_quantity) > 300
+        )
+        group by c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        order by o.o_totalprice desc, o.o_orderkey asc
+        limit 20
+    """,
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """Q18 shape (large-volume customers): IN over an aggregated-
+    HAVING subquery on the same fact.  Catalyst rewrites the IN to a
+    LEFT SEMI join against the grouped subquery — the fact aggregates
+    once into key-sized (orderkey, sum) pairs, the semi join prunes,
+    then the surviving orders re-aggregate with their customer.
+    Deterministic top-20: totalprice is a raw column (no float
+    arithmetic) with orderkey tiebreak; qty sums are integral."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        select c.c_name, c.c_custkey, o.o_orderkey,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') as order_date,
+               o.o_totalprice, sum(l.l_quantity) as total_qty
+        from customer c
+        join orders o on c.c_custkey = o.o_custkey
+        join lineitem l on o.o_orderkey = l.l_orderkey
+        where o.o_orderkey in (
+            select l_orderkey from lineitem
+            group by l_orderkey having sum(l_quantity) > 300
+        )
+        group by c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        order by o.o_totalprice desc, o.o_orderkey asc
+        limit 20
+    """)
+
+
+@query(
+    "tpch_q19_disjunctive_join",
+    oracle=f"""
+        select {_REV_D} as revenue, count(*) as n_lines
+        from lineitem l
+        join part p on p.p_partkey = l.l_partkey
+        where (p.p_brand = 'Brand#12' and p.p_size between 1 and 5
+               and l.l_quantity between 1 and 11)
+           or (p.p_brand = 'Brand#23' and p.p_size between 1 and 10
+               and l.l_quantity between 10 and 20)
+           or (p.p_brand = 'Brand#34' and p.p_size between 1 and 15
+               and l.l_quantity between 20 and 30)
+    """,
+)
+def tpch_q19_disjunctive_join(spark, sf_dir):
+    """Q19 shape (discounted revenue, disjunctive predicates): an
+    equi-join whose residual condition is an OR of three brand/size/
+    quantity conjunctions referencing BOTH sides.  The optimizer must
+    (a) keep the p_partkey equi-join hashable, (b) evaluate the
+    disjunction as a post-join filter, and (c) infer the pushable
+    single-side envelopes (CNF conversion gives part: size 1-15 and
+    brand IN the three; lineitem: quantity 1-30).  Plan: part
+    broadcasts, lineitem scans once."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).where(
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.agg(
+        F.expr(_REV_S).alias("revenue"), F.count("*").alias("n_lines")
+    )
+
+
+@query(
+    "tpch_q20_nested_in",
+    oracle="""
+        select s.s_name, s.s_acctbal
+        from supplier s
+        where s.s_suppkey in (
+            select l.l_suppkey from lineitem l
+            where l.l_partkey in (
+                select p_partkey from part where p_name like 'red%'
+            )
+              and l.l_shipdate >= timestamp '1996-01-01'
+              and l.l_shipdate < timestamp '1997-01-01'
+            group by l.l_suppkey
+            having sum(l.l_quantity) > 100
+        )
+        order by s.s_name
+    """,
+)
+def tpch_q20_nested_in(spark, sf_dir):
+    """Q20 shape (potential part promotion): NESTED IN subqueries —
+    suppliers who moved >100 units of red parts in 1996 (lineitem
+    stands in for partsupp; p_name LIKE keeps the pattern-scan inner
+    query).  Catalyst rewrites both IN levels to LEFT SEMI joins: part
+    filters by the LIKE, semi-joins lineitem on partkey, aggregates to
+    (suppkey, qty), semi-joins supplier.  Every intermediate is
+    key-sized; the LIKE is a pushed parquet filter."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        select s.s_name, s.s_acctbal
+        from supplier s
+        where s.s_suppkey in (
+            select l.l_suppkey from lineitem l
+            where l.l_partkey in (
+                select p_partkey from part where p_name like 'red%'
+            )
+              and l.l_shipdate >= timestamp '1996-01-01'
+              and l.l_shipdate < timestamp '1997-01-01'
+            group by l.l_suppkey
+            having sum(l.l_quantity) > 100
+        )
+        order by s.s_name
+    """)
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+        with fl as (
+            select l.l_orderkey, l.l_suppkey
+            from lineitem l
+            join orders o on o.o_orderkey = l.l_orderkey
+            where o.o_orderstatus = 'F'
+              and l.l_shipdate > o.o_orderdate + interval 90 day
+        )
+        select s.s_name, count(*) as numwait
+        from supplier s
+        join fl l1 on s.s_suppkey = l1.l_suppkey
+        where exists (
+            select 1 from lineitem l2
+            where l2.l_orderkey = l1.l_orderkey
+              and l2.l_suppkey <> l1.l_suppkey
+        )
+        and not exists (
+            select 1 from fl l3
+            where l3.l_orderkey = l1.l_orderkey
+              and l3.l_suppkey <> l1.l_suppkey
+        )
+        group by s.s_name
+        order by numwait desc, s.s_name asc
+        limit 10
+    """,
+)
+def tpch_q21_waiting_supplier(spark, sf_dir):
+    """Q21 shape (suppliers who kept orders waiting): EXISTS and NOT
+    EXISTS against the same derived table — the supplier was LATE
+    (shipped >90 days after order date, standing in for receipt>
+    commit) on a multi-supplier finished order where NO OTHER supplier
+    was late.  The late-lines set is a CTE so both correlated
+    predicates decorrelate to semi/anti joins on l_orderkey against
+    key-sized inputs.  Scale: worst shape in the suite by design —
+    two extra joins over the fact — but every join is equi on
+    orderkey and the CTE rows are 16 bytes."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        with fl as (
+            select l.l_orderkey, l.l_suppkey
+            from lineitem l
+            join orders o on o.o_orderkey = l.l_orderkey
+            where o.o_orderstatus = 'F'
+              and l.l_shipdate > o.o_orderdate + interval 90 day
+        )
+        select s.s_name, count(*) as numwait
+        from supplier s
+        join fl l1 on s.s_suppkey = l1.l_suppkey
+        where exists (
+            select 1 from lineitem l2
+            where l2.l_orderkey = l1.l_orderkey
+              and l2.l_suppkey <> l1.l_suppkey
+        )
+        and not exists (
+            select 1 from fl l3
+            where l3.l_orderkey = l1.l_orderkey
+              and l3.l_suppkey <> l1.l_suppkey
+        )
+        group by s.s_name
+        order by numwait desc, s.s_name asc
+        limit 10
+    """)
+
+
+@query(
+    "tpch_q22_dormant_customers",
+    oracle="""
+        select cast(c.c_nationkey % 10 as integer) as cntrycode,
+               count(*) as numcust,
+               round(sum(cast(round(c.c_acctbal * 100) as bigint)) / 100.0,
+                     6) as totacctbal
+        from customer c
+        where c.c_acctbal > (
+            select sum(cast(round(c2.c_acctbal * 100) as bigint))
+                   / (100.0 * count(*))
+            from customer c2 where c2.c_acctbal > 0.0
+        )
+        and not exists (
+            select 1 from orders o
+            where o.o_custkey = c.c_custkey
+              and o.o_orderdate >= timestamp '1999-01-01'
+        )
+        group by cntrycode
+        order by cntrycode
+    """,
+)
+def tpch_q22_dormant_customers(spark, sf_dir):
+    """Q22 shape (global sales opportunity): rich customers with no
+    RECENT orders (the fixture's order coverage is dense, so "never
+    ordered" would be empty at every SF; the dormancy cutoff keeps the
+    anti join non-trivial) — an uncorrelated scalar subquery (mean positive balance)
+    feeding a filter, plus NOT EXISTS -> LEFT ANTI join on custkey
+    (nationkey%10 stands in for the phone country code).  The mean is
+    computed as exact integer cents / (100*count) so the threshold
+    double is bit-identical across engines and partitionings —
+    avg(double) would be fp-order-sensitive and could flip boundary
+    rows.  Plan: scalar broadcasts; anti join shuffles custkeys only."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        select cast(c.c_nationkey % 10 as int) as cntrycode,
+               count(*) as numcust,
+               round(sum(cast(round(c.c_acctbal * 100) as bigint))
+                     / cast(100 as double),
+                     6) as totacctbal
+        from customer c
+        where c.c_acctbal > (
+            select sum(cast(round(c2.c_acctbal * 100) as bigint))
+                   / (cast(100 as double) * count(*))
+            from customer c2 where c2.c_acctbal > 0.0
+        )
+        and not exists (
+            select 1 from orders o
+            where o.o_custkey = c.c_custkey
+              and o.o_orderdate >= timestamp '1999-01-01'
+        )
+        group by cntrycode
+        order by cntrycode
+    """)

@@ -111,3 +111,34 @@ def test_bucketed_join_elides_shuffle(spark):
         assert "Exchange" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+DECORRELATION_CASES = [
+    # (query, join type Catalyst must rewrite the subquery into)
+    ("tpch_q4_priority_exists", "LeftSemi"),     # EXISTS
+    ("tpch_q18_large_orders", "LeftSemi"),       # IN (agg-HAVING subquery)
+    ("tpch_q20_nested_in", "LeftSemi"),          # nested IN
+    ("tpch_q16_supplier_cnt", "LeftAnti"),       # NOT IN (non-null key)
+    ("tpch_q21_waiting_supplier", "LeftAnti"),   # NOT EXISTS
+    ("tpch_q22_dormant_customers", "LeftAnti"),  # NOT EXISTS
+]
+
+
+@pytest.mark.parametrize("name,jt", DECORRELATION_CASES)
+def test_subqueries_decorrelate(q, name, jt):
+    """EXISTS / IN / NOT EXISTS / NOT IN subqueries must compile to
+    semi/anti HASH joins (RewritePredicateSubquery), never to per-row
+    subquery execution or a cartesian."""
+    plan = plan_str(q(name), mode="simple")
+    assert jt in plan, f"{name}: expected {jt} join\n{plan}"
+    assert "CartesianProduct" not in plan, name
+
+
+def test_correlated_scalar_subquery_decorrelates(q):
+    """Q17's per-part average must become an aggregate joined on the
+    correlation key (RewriteCorrelatedScalarSubquery) — the plan shows
+    the avg as a plain HashAggregate feeding a join, and the only
+    scalar-subquery nodes allowed are uncorrelated one-row broadcasts."""
+    plan = plan_str(q("tpch_q17_small_qty_order"), mode="simple")
+    assert "HashAggregate" in plan and "Join" in plan, plan
+    assert "CartesianProduct" not in plan
