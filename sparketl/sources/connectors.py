@@ -24,6 +24,7 @@ readers, SURVEY.md §4.1 DPP row).
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import functions as F
@@ -226,4 +227,142 @@ def sink_bucketed_colocated_join(spark, sf_dir):
                 6,
             ).alias("revenue"),
         )
+    )
+
+
+@query(
+    "sink_partition_overwrite_dynamic",
+    oracle="""
+        with restated as (
+            select o_orderkey, o_totalprice, 'X-RESTATED' as o_orderpriority,
+                   o_orderstatus
+            from orders where o_orderstatus = 'F'
+        ),
+        final_state as (
+            select o_orderkey, o_totalprice, o_orderpriority, o_orderstatus
+            from orders where o_orderstatus <> 'F'
+            union all
+            select * from restated
+        )
+        select o_orderstatus, o_orderpriority,
+               count(*) as n_orders,
+               round(sum(cast(round(o_totalprice * 100) as bigint))
+                     / cast(100 as double), 6) as total_price
+        from final_state
+        group by o_orderstatus, o_orderpriority
+    """,
+)
+def sink_partition_overwrite_dynamic(spark, sf_dir):
+    """#4 dynamic partition overwrite — the idempotent-backfill
+    primitive every production ETL tool needs: re-running a day's
+    pipeline replaces ONLY the partitions the new data touches,
+    leaving sibling partitions byte-identical.
+
+    Here: orders land partitioned by status, then a "restatement" job
+    rewrites just the F partition (priority set to X-RESTATED) with
+    ``partitionOverwriteMode=dynamic`` — O and P partitions are never
+    rewritten (asserted file-level in tests/test_sinks.py).  The
+    oracle reconstructs the expected merged state relationally, so the
+    gate proves overwrite scoping, not just the happy path.
+
+    Scale: dynamic mode turns backfill cost from O(table) to
+    O(changed partitions); with date-partitioned 100 TB tables that is
+    the difference between rewriting 36 PB-days and one."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
+    )
+    path = _scratch_dir(sf_dir, "orders_dyn_overwrite")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    restated = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .withColumn("o_orderpriority", F.lit("X-RESTATED"))
+    )
+    with _partition_overwrite_dynamic(spark):
+        (
+            restated.write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(path)
+        )
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            / F.lit(100).cast("double"),
+            6,
+        ).alias("total_price"),
+    )
+
+
+@contextlib.contextmanager
+def _partition_overwrite_dynamic(spark):
+    """Scope partitionOverwriteMode=dynamic to one write: the session
+    default (static) is what ad-hoc ``mode("overwrite")`` users expect
+    — leaking dynamic would silently change unrelated sinks'
+    semantics."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+@query(
+    "sink_compacted_files",
+    oracle="""
+        select l_returnflag,
+               count(*) as n_lines,
+               round(sum(cast(round(l_extendedprice * 100) as bigint))
+                     / cast(100 as double), 6) as revenue
+        from lineitem
+        where l_shipdate >= timestamp '1996-01-01'
+          and l_shipdate < timestamp '1996-07-01'
+        group by l_returnflag
+    """,
+)
+def sink_compacted_files(spark, sf_dir):
+    """#4 small-file compaction — the maintenance job that keeps a
+    100 TB lake scannable: a fragmented landing zone (64 shards here,
+    standing in for per-task/per-micro-batch files) is rewritten into
+    size-targeted files via ``repartition(n_target)`` +
+    ``maxRecordsPerFile``, where n_target = ceil(bytes / 64 MiB) from
+    the ACTUAL on-disk footprint (filesystem metadata — no data pass,
+    no collect).  The oracle aggregates the original table, so the
+    gate proves the rewrite is lossless; tests/test_sinks.py asserts
+    the file count actually collapses.
+
+    Scale: compaction is shuffle-bound on exactly the data it
+    rewrites; round-robin repartition (no key) avoids skew by
+    construction, and maxRecordsPerFile caps the worst file even if
+    the size estimate is off."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    frag = _scratch_dir(sf_dir, "lineitem_fragmented")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    fragmented = spark.read.parquet(frag)
+    n_bytes = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    n_target = max(1, -(-n_bytes // (64 * 1024 * 1024)))
+    compact = _scratch_dir(sf_dir, "lineitem_compacted")
+    (
+        fragmented.repartition(n_target)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 10_000_000)
+        .parquet(compact)
+    )
+    back = spark.read.parquet(compact)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            / F.lit(100).cast("double"),
+            6,
+        ).alias("revenue"),
     )

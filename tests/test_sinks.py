@@ -1,0 +1,67 @@
+"""File-level assertions for the maintenance sinks: the oracle gate
+proves the DATA is right; these prove the FILE behavior the operators
+exist for — overwrite scoping and file-count collapse."""
+
+from __future__ import annotations
+
+import os
+
+from sparketl import registry
+from sparketl.sources.connectors import _scratch_dir
+from tests.conftest import SF_DIR
+
+
+def _parquet_files(path: str) -> dict[str, float]:
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, path)] = os.path.getmtime(p)
+    return out
+
+
+def test_dynamic_overwrite_touches_only_written_partitions(spark):
+    """Re-running the restatement must rewrite files under the F
+    partition only: O and P partition files keep their identity
+    (same paths, same mtimes) — the idempotent-backfill property.
+    The re-run repeats ONLY the dynamic-overwrite step (the query
+    function also re-lands the base table, which legitimately
+    rewrites everything)."""
+    import pyspark.sql.functions as F
+
+    from sparketl.sources.connectors import _partition_overwrite_dynamic
+    from sparketl.tables import table
+
+    registry.QUERIES["sink_partition_overwrite_dynamic"](spark, SF_DIR).collect()
+    path = _scratch_dir(SF_DIR, "orders_dyn_overwrite")
+    before = _parquet_files(path)
+    restated = (
+        table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus")
+        .where(F.col("o_orderstatus") == "F")
+        .withColumn("o_orderpriority", F.lit("X-RESTATED"))
+    )
+    with _partition_overwrite_dynamic(spark):
+        restated.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    after = _parquet_files(path)
+    untouched = {f for f in before if "o_orderstatus=F" not in f}
+    assert untouched == {f for f in after if "o_orderstatus=F" not in f}
+    changed = [f for f in untouched if before[f] != after[f]]
+    assert not changed, f"sibling partitions rewritten: {changed}"
+    # and the F partition WAS rewritten
+    f_before = {f for f in before if "o_orderstatus=F" in f}
+    f_after = {f for f in after if "o_orderstatus=F" in f}
+    assert f_after and (
+        f_before != f_after
+        or any(before[f] != after[f] for f in f_before & f_after)
+    )
+
+
+def test_compaction_collapses_file_count(spark):
+    registry.QUERIES["sink_compacted_files"](spark, SF_DIR).collect()
+    frag = _parquet_files(_scratch_dir(SF_DIR, "lineitem_fragmented"))
+    compact = _parquet_files(_scratch_dir(SF_DIR, "lineitem_compacted"))
+    assert len(frag) == 64
+    # sf0.01 slice is far below the 64 MiB target => exactly one file
+    assert len(compact) < len(frag) // 8, (len(frag), len(compact))
