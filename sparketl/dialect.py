@@ -281,31 +281,163 @@ def _split_fn(lits: list[str]):
 
 _UNNEST_RE = re.compile(r"(?:cross\s+join|,)\s*unnest\s*\(", re.IGNORECASE)
 _UNNEST_TAIL_RE = re.compile(
-    r"\s*(with\s+ordinality\s+)?as\s+(\w+)\s*\(\s*(\w+)\s*(?:,\s*(\w+)\s*)?\)",
+    r"\s*(with\s+ordinality\s+)?as\s+(\w+)\s*\(\s*([\w\s,]*?)\s*\)",
     re.IGNORECASE,
 )
 
 
 def _rewrite_unnest(masked: str) -> str:
-    """``CROSS JOIN UNNEST(expr) AS t(c)`` (or the comma-join form) →
-    ``LATERAL VIEW explode(expr) t AS c``.  Only the single-array,
-    single-column form translates; WITH ORDINALITY / multi-column
-    UNNEST are left untouched (Spark raises — loud, not silent)."""
+    """Presto UNNEST forms → Spark LATERAL VIEW:
+
+    - ``UNNEST(arr) AS t(c)``              → ``explode(arr) t AS c``
+    - ``UNNEST(m) AS t(k, v)``             → ``explode(m) t AS k, v``
+      (map form; an array-of-ROW expansion would need ONE Spark column,
+      so the alias-count mismatch raises loudly rather than silently
+      re-interpreting)
+    - ``UNNEST(a, b, …) AS t(x, y, …)``    → ``inline(arrays_zip(a, b,
+      …)) t AS x, y, …``  (both engines zip to the longest input,
+      padding with NULLs)
+    - ``UNNEST(arr) WITH ORDINALITY AS t(c, ord)`` →
+      ``inline(transform(arr, (__x, __i) -> struct(__x, cast(__i + 1
+      as bigint)))) t AS c, ord``  (1-based like Presto; empty arrays
+      produce zero rows — a naive zip-with-sequence(1, size) would
+      emit Spark's descending [1,0] sequence for empty input)
+
+    Multi-array + ORDINALITY stays untouched (Spark raises — loud)."""
     pos = 0
     while True:
         m = _UNNEST_RE.search(masked, pos)
         if not m:
             return masked
         cp = _match_paren(masked, m.end() - 1)
-        expr = masked[m.end() : cp]
+        exprs = _split_args(masked[m.end() : cp])
         tail = _UNNEST_TAIL_RE.match(masked, cp + 1)
-        if not tail or tail.group(1) or tail.group(4):
+        if not tail:
             pos = m.end()
             continue
-        alias, col = tail.group(2), tail.group(3)
-        repl = f" lateral view explode({expr}) {alias} as {col}"
+        ordinal, alias = bool(tail.group(1)), tail.group(2)
+        cols = [c.strip() for c in tail.group(3).split(",") if c.strip()]
+        repl = None
+        if not ordinal and len(exprs) == 1 and len(cols) in (1, 2):
+            repl = (
+                f" lateral view explode({exprs[0]}) {alias}"
+                f" as {', '.join(cols)}"
+            )
+        elif not ordinal and len(exprs) >= 2 and len(cols) == len(exprs):
+            repl = (
+                f" lateral view inline(arrays_zip({', '.join(exprs)}))"
+                f" {alias} as {', '.join(cols)}"
+            )
+        elif ordinal and len(exprs) == 1 and len(cols) == 2:
+            repl = (
+                f" lateral view inline(transform({exprs[0]},"
+                f" (__x, __i) -> struct(__x, cast(__i + 1 as bigint))))"
+                f" {alias} as {cols[0]}, {cols[1]}"
+            )
+        if repl is None:
+            pos = m.end()
+            continue
         masked = masked[: m.start()] + repl + masked[tail.end() :]
         pos = m.start() + 1
+
+
+def _match_bracket(masked: str, ob: int) -> int:
+    """Index of the ']' closing the '[' at ``ob``."""
+    depth, j = 1, ob + 1
+    while j < len(masked):
+        if masked[j] == "[":
+            depth += 1
+        elif masked[j] == "]":
+            depth -= 1
+            if depth == 0:
+                return j
+        j += 1
+    raise ValueError("unbalanced brackets in SQL")
+
+
+def _rewrite_array_literals(masked: str) -> str:
+    """Presto ``ARRAY[e1, e2, …]`` → Spark ``array(e1, e2, …)``.
+    Rescans inside each replacement so nested literals translate."""
+    pat = re.compile(r"\barray\s*\[", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(masked, pos)
+        if not m:
+            return masked
+        cb = _match_bracket(masked, m.end() - 1)
+        inner = masked[m.end() : cb]
+        masked = masked[: m.start()] + "array(" + inner + ")" + masked[cb + 1 :]
+        pos = m.start() + len("array(")
+
+
+def _map_ctor(args: list[str]) -> str | None:
+    """Presto ``MAP(keys_array, values_array)`` → Spark
+    ``map_from_arrays``.  (Presto has no interleaved k1,v1,… form, so
+    two args always mean the array-pair constructor; zero-arg
+    ``map()`` is already valid Spark.)"""
+    return f"map_from_arrays({args[0]}, {args[1]})" if len(args) == 2 else None
+
+
+def _subscript_base_start(masked: str, i: int) -> int | None:
+    """For a '[' at ``i``, find where the subscripted base expression
+    starts (identifier/dotted chain, call, or chained subscript), or
+    None if the bracket doesn't follow a subscriptable expression."""
+    j = i - 1
+    while j >= 0 and masked[j].isspace():
+        j -= 1
+    if j < 0:
+        return None
+    c = masked[j]
+    if c in ")]":
+        close, opn = c, "(" if c == ")" else "["
+        depth = 0
+        while j >= 0:
+            if masked[j] == close:
+                depth += 1
+            elif masked[j] == opn:
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        if depth != 0:
+            return None
+        j -= 1
+        while j >= 0 and (masked[j].isalnum() or masked[j] in "_.\x00"):
+            j -= 1
+        return j + 1
+    if c.isalnum() or c in "_`\x00":
+        while j >= 0 and (masked[j].isalnum() or masked[j] in "_.`\x00"):
+            j -= 1
+        return j + 1
+    return None
+
+
+def _rewrite_subscripts(masked: str) -> str:
+    """Presto ``expr[k]`` (1-based array index / map key) → Spark
+    ``try_element_at(expr, k)``.  Spark's native ``[]`` is 0-BASED for
+    arrays — the silent off-by-one is the worst porting bug this
+    translator prevents.  try_element_at matches the translator's
+    element_at policy (NULL on out-of-bounds/missing rather than the
+    ANSI error).  Runs LAST, after every other rule has consumed the
+    non-subscript brackets (ARRAY literals, UNNEST aliases)."""
+    pos = 0
+    while True:
+        i = masked.find("[", pos)
+        if i < 0:
+            return masked
+        cb = _match_bracket(masked, i)
+        inner = masked[i + 1 : cb].strip()
+        start = _subscript_base_start(masked, i)
+        if start is None or not inner or len(_split_args(inner)) != 1:
+            pos = i + 1
+            continue
+        base = masked[start:i].rstrip()
+        if not base:
+            pos = i + 1
+            continue
+        repl = f"try_element_at({base}, {inner})"
+        masked = masked[:start] + repl + masked[cb + 1 :]
+        pos = start + len("try_element_at(")
 
 
 def translate(presto_sql: str) -> str:
@@ -313,6 +445,8 @@ def translate(presto_sql: str) -> str:
     masked, lits = _mask(presto_sql)
 
     masked = _rewrite_unnest(masked)
+    masked = _rewrite_array_literals(masked)
+    masked = _rewrite_calls(masked, "map", _map_ctor)
     masked = _rewrite_calls(masked, "date_diff", _unit_fn("timestampdiff", lits))
     masked = _rewrite_calls(masked, "date_add", _unit_fn("timestampadd", lits))
     masked = _rewrite_calls(masked, "split", _split_fn(lits))
@@ -334,6 +468,7 @@ def translate(presto_sql: str) -> str:
         masked = re.sub(rf"\b{name}\s*\(\s*\)", const, masked, flags=re.IGNORECASE)
     for name, repl in _SIMPLE_FN.items():
         masked = re.sub(rf"\b{name}\s*\(", repl + "(", masked, flags=re.IGNORECASE)
+    masked = _rewrite_subscripts(masked)
 
     return _unmask(masked, lits)
 
