@@ -139,8 +139,31 @@ def test_unnest_comma_join():
     assert _norm(out) == "select c from t lateral view explode(arr) u as c"
 
 
-def test_unnest_with_ordinality_untouched():
-    src = "select c from t cross join unnest(arr) with ordinality as u(c, o)"
+def test_unnest_with_ordinality_rewritten():
+    out = translate(
+        "select c from t cross join unnest(arr) with ordinality as u(c, o)"
+    )
+    assert _norm(out) == (
+        "select c from t lateral view inline(transform(arr,"
+        " (__x, __i) -> struct(__x, cast(__i + 1 as bigint)))) u as c, o"
+    )
+
+
+def test_unnest_multi_array_zip():
+    out = translate("select x, y from t cross join unnest(a, b) as u(x, y)")
+    assert _norm(out) == (
+        "select x, y from t lateral view inline(arrays_zip(a, b)) u as x, y"
+    )
+
+
+def test_unnest_map_form():
+    out = translate("select k, v from t cross join unnest(m) as u(k, v)")
+    assert _norm(out) == "select k, v from t lateral view explode(m) u as k, v"
+
+
+def test_unnest_multi_array_with_ordinality_untouched():
+    # deliberately unsupported: must pass through so Spark raises loudly
+    src = "select x from t cross join unnest(a, b) with ordinality as u(x, y, o)"
     assert _norm(translate(src)) == _norm(src)
 
 
@@ -220,6 +243,93 @@ def test_exec_unnest_matches_duckdb(spark, duck):
         """
     ).fetchall()
     assert [(r.s, r.n) for r in got] == [tuple(r) for r in want]
+
+
+def test_exec_unnest_ordinality_matches_duckdb(spark, duck):
+    # 1-based ordinality; even keys carry an EMPTY array and must emit
+    # zero rows (the naive sequence(1, size) zip would emit [1,0] rows)
+    got = presto_sql(
+        spark,
+        """
+        select o_orderkey, s, i
+        from (select o_orderkey,
+                     case when o_orderkey % 2 = 1
+                          then split(o_orderpriority, '-')
+                          else slice(split(o_orderpriority, '-'), 1, 0) end
+                       as parts
+              from orders where o_orderkey < 256) t
+        cross join unnest(parts) with ordinality as u(s, i)
+        order by o_orderkey, i
+        """,
+    ).collect()
+    want = duck.execute(
+        """
+        select o_orderkey, unnest(parts) as s,
+               generate_subscripts(parts, 1) as i
+        from (select o_orderkey,
+                     case when o_orderkey % 2 = 1
+                          then string_split(o_orderpriority, '-')
+                          else [] end as parts
+              from orders where o_orderkey < 256) t
+        order by o_orderkey, i
+        """
+    ).fetchall()
+    assert len(got) > 0
+    assert [(r.o_orderkey, r.s, r.i) for r in got] == [tuple(r) for r in want]
+
+
+def test_exec_unnest_multi_array_null_padding_matches_duckdb(spark, duck):
+    # unequal lengths zip to the longest, padding the short side with NULL
+    got = presto_sql(
+        spark,
+        """
+        select o_orderkey, x, y
+        from (select o_orderkey,
+                     split(o_orderpriority, '-') as a,
+                     slice(split(o_orderpriority, '-'), 1, 1) as b
+              from orders where o_orderkey < 256) t
+        cross join unnest(a, b) as u(x, y)
+        order by o_orderkey, x, y
+        """,
+    ).collect()
+    want = duck.execute(
+        """
+        select o_orderkey, unnest(a) as x, unnest(b) as y
+        from (select o_orderkey,
+                     string_split(o_orderpriority, '-') as a,
+                     string_split(o_orderpriority, '-')[1:1] as b
+              from orders where o_orderkey < 256) t
+        order by o_orderkey, x, y
+        """
+    ).fetchall()
+    assert len(got) > 0
+    assert any(r.y is None for r in got)  # padding actually exercised
+    assert [(r.o_orderkey, r.x, r.y) for r in got] == [tuple(r) for r in want]
+
+
+def test_exec_unnest_map_matches_duckdb(spark, duck):
+    got = presto_sql(
+        spark,
+        """
+        select o_orderkey, k, v
+        from (select o_orderkey,
+                     map_from_arrays(ARRAY['lo', 'hi'],
+                                     ARRAY[o_orderkey, o_orderkey + 1]) as m
+              from orders where o_orderkey < 64) t
+        cross join unnest(m) as u(k, v)
+        order by o_orderkey, k
+        """,
+    ).collect()
+    want = duck.execute(
+        """
+        select o_orderkey, unnest(['lo', 'hi']) as k,
+               unnest([o_orderkey, o_orderkey + 1]) as v
+        from orders where o_orderkey < 64
+        order by o_orderkey, k
+        """
+    ).fetchall()
+    assert len(got) > 0
+    assert [(r.o_orderkey, r.k, r.v) for r in got] == [tuple(r) for r in want]
 
 
 def test_exec_truncate_and_unixtime(spark, duck):
