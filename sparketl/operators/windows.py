@@ -77,13 +77,61 @@ def win_rank_dense_rank(spark, sf_dir):
     """,
 )
 def win_ntile(spark, sf_dir):
-    """#46 ntile over a total order (unique tiebreak keeps bucket
-    boundaries deterministic)."""
-    o = table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc_nulls_last(), F.col("o_orderkey").asc())
+    """#46 ntile over a total order — scale-safe distributed-rank plan.
+
+    A bare ``ntile(k) OVER (ORDER BY ...)`` funnels the whole relation
+    through a single task (Spark warns ``WindowExec: No Partition
+    Defined``).  Instead we reproduce ntile's exact bucket arithmetic
+    on a distributed global rank:
+
+    1. ``repartitionByRange`` on the sort key — the same mechanism as
+       Spark's global sort, so ranges are ordered across partitions;
+    2. per-partition ``row_number`` (window partitioned by partition
+       id — parallel, no global funnel);
+    3. per-partition counts → cumulative offsets (tiny table, ~#parts
+       rows, broadcast back);
+    4. global rank r = offset + local row number, then the ntile rule:
+       with n rows and k buckets, the first ``n mod k`` buckets take
+       ``floor(n/k)+1`` rows and the rest ``floor(n/k)``.
+
+    Exactly equal to ntile(k) for any input with a unique total order
+    (the o_orderkey tiebreak guarantees that here).
+    """
+    k = 4
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    nparts = spark.sparkContext.defaultParallelism
+    parts = o.repartitionByRange(
+        nparts, F.col("o_totalprice").asc_nulls_last(), F.col("o_orderkey").asc()
+    ).withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy("__pid").orderBy(
+        F.col("o_totalprice").asc_nulls_last(), F.col("o_orderkey").asc()
+    )
+    ranked = parts.withColumn("__rn", F.row_number().over(w_local))
+    counts = ranked.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    # cumulative offsets over the tiny per-partition count table (~nparts
+    # rows) — the only unpartitioned window, and it is metadata-sized
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    total = counts.agg(F.sum("__cnt").alias("__n"))
+    r = F.col("__off") + F.col("__rn")
+    n = F.col("__n")
+    q = F.floor(n / k)
+    rem = n % k
+    big = rem * (q + 1)  # rows covered by the oversized leading buckets
+    bucket = F.when(r <= big, F.floor((r - 1) / (q + 1)) + 1).otherwise(
+        rem + F.floor((r - big - 1) / q) + 1
+    )
     return (
-        o.where(F.col("o_orderkey") < 2000)
-        .select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+        ranked.join(F.broadcast(offsets), "__pid")
+        .join(F.broadcast(total))
+        .select("o_orderkey", bucket.cast("int").alias("quartile"))
     )
 
 
