@@ -894,13 +894,17 @@ def llm_tfidf_term_stats(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("term"))
     n = docs.agg(F.count("*").alias("n_docs"))
+    # single-pass rollup: groupBy(doc_id, term) first, then per-term —
+    # df is a plain count over per-doc-term rows and tf_total a sum, so
+    # both stages are map-side combinable (no count-distinct expansion)
+    per_doc_term = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     return (
-        tok.crossJoin(F.broadcast(n))
-        .groupBy("term", "n_docs")
+        per_doc_term.groupBy("term")
         .agg(
-            F.countDistinct("doc_id").alias("df"),
-            F.count("*").alias("tf_total"),
+            F.count("*").alias("df"),
+            F.sum("tf").alias("tf_total"),
         )
+        .crossJoin(F.broadcast(n))
         .select(
             "term",
             "df",
@@ -937,7 +941,14 @@ def llm_tfidf_top_term(spark, sf_dir):
     (ties by term asc; doubles are bit-identical across engines so the
     ordering is deterministic).
 
-    Scale: two grouped aggregations + a broadcast of the term-idf table
+    Scale: both tf and idf derive from the same groupBy(doc_id, term)
+    rollup — df is a skew-immune two-level count (map-side combinable),
+    not a count-distinct expansion over the raw token stream.  The
+    rollup lineage appears in both branches (Catalyst prunes the idf
+    branch's aggregate so ReuseExchange can't canonicalize them equal);
+    that second pass is map-parallel scan+explode with no extra
+    shuffle, which beats materializing a corpus-scale intermediate.
+    idf rides back in as a broadcast of the term-idf table
     (vocabulary << corpus), then a bounded top-1 window per doc.
     """
     from pyspark.sql import Window
@@ -947,9 +958,9 @@ def llm_tfidf_top_term(spark, sf_dir):
     n = docs.agg(F.count("*").alias("n_docs"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     idf = (
-        tok.crossJoin(F.broadcast(n))
-        .groupBy("term", "n_docs")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n))
         .select("term", F.log(F.col("n_docs") / F.col("df")).alias("idf"))
     )
     w = Window.partitionBy("doc_id").orderBy(
