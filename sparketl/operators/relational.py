@@ -168,20 +168,24 @@ def pred_between_in_like(spark, sf_dir):
     oracle="""
         select s_suppkey,
                nullif(s_acctbal, 0) is null as bal_zero_or_null,
-               (nullif(s_name, s_name) is not distinct from nullif(s_name, s_name)) as nullsafe_eq,
+               (nullif(s_name, s_name) is not distinct from nullif(upper(s_name), upper(s_name))) as nullsafe_eq,
                coalesce(nullif(s_nationkey, 0), -1) as natkey_or_default
         from supplier
     """,
 )
 def pred_null_safe(spark, sf_dir):
     """#11 IS NULL / IS [NOT] DISTINCT FROM (<=>); NULLs manufactured
-    via nullif since the fixtures are NULL-free."""
+    via nullif since the fixtures are NULL-free.  The two NULLs come
+    from distinct expression trees so the null-safe compare is not a
+    self-compare (a same-expression <=> trips PySpark's trivially-true
+    Column warning)."""
     s = table(spark, sf_dir, "supplier")
-    nulled = F.nullif(F.col("s_name"), F.col("s_name"))
+    nulled_a = F.nullif(F.col("s_name"), F.col("s_name"))
+    nulled_b = F.nullif(F.upper("s_name"), F.upper("s_name"))
     return s.select(
         "s_suppkey",
         F.nullif(F.col("s_acctbal"), F.lit(0)).isNull().alias("bal_zero_or_null"),
-        nulled.eqNullSafe(nulled).alias("nullsafe_eq"),
+        nulled_a.eqNullSafe(nulled_b).alias("nullsafe_eq"),
         F.coalesce(F.nullif(F.col("s_nationkey"), F.lit(0)), F.lit(-1)).alias(
             "natkey_or_default"
         ),
