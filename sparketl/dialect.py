@@ -51,6 +51,9 @@ infinity()                   cast('Infinity' as double)
 nan()                        cast('NaN' as double)
 "ident"                      `ident`                    (Spark double-quote
                                                          is a string literal)
+varchar (bare, in casts)     string                     (Spark VARCHAR needs
+                                                         a length parameter)
+varbinary                    binary
 CROSS JOIN UNNEST(e) AS t(c) LATERAL VIEW explode(e) t AS c
 FROM t, UNNEST(e) AS u(c)    same (comma-join form)
 ===========================  =============================================
@@ -464,6 +467,13 @@ def translate(presto_sql: str) -> str:
         masked, "truncate",
         lambda a: f"(sign({a[0]}) * floor(abs({a[0]})))" if len(a) == 1 else None,
     )
+    # Presto's unparameterized VARCHAR: Spark's parser rejects a bare
+    # VARCHAR ("requires a length parameter") — map to STRING.
+    # Parameterized varchar(n) is valid Spark and passes through.
+    masked = re.sub(
+        r"\bvarchar\b(?!\s*\()", "string", masked, flags=re.IGNORECASE
+    )
+    masked = re.sub(r"\bvarbinary\b", "binary", masked, flags=re.IGNORECASE)
     for name, const in _CONST_FN.items():
         masked = re.sub(rf"\b{name}\s*\(\s*\)", const, masked, flags=re.IGNORECASE)
     for name, repl in _SIMPLE_FN.items():

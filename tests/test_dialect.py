@@ -129,6 +129,13 @@ def test_comments_stripped_strings_preserved():
     assert "instr" not in out and "'strpos(a, b)'" in out
 
 
+def test_bare_varchar_and_varbinary_types():
+    out = translate("select cast(x as varchar), cast(y as varchar(10)), cast(z as varbinary)")
+    assert _norm(out) == (
+        "select cast(x as string), cast(y as varchar(10)), cast(z as binary)"
+    )
+
+
 def test_unnest_cross_join():
     out = translate("select c from t cross join unnest(arr) as u(c)")
     assert _norm(out) == "select c from t lateral view explode(arr) u as c"
@@ -330,6 +337,120 @@ def test_exec_unnest_map_matches_duckdb(spark, duck):
     ).fetchall()
     assert len(got) > 0
     assert [(r.o_orderkey, r.k, r.v) for r in got] == [tuple(r) for r in want]
+
+
+def test_exec_subscript_one_based_matches_duckdb(spark, duck):
+    # Presto a[k] is 1-BASED; Spark's native [] is 0-based — the rewrite
+    # to try_element_at must preserve Presto indexing and NULL o.o.b.
+    got = presto_sql(
+        spark,
+        """
+        select o_orderkey,
+               split(o_orderpriority, '-')[1] as first_part,
+               split(o_orderpriority, '-')[2] as second_part,
+               split(o_orderpriority, '-')[99] as oob,
+               MAP(ARRAY['a', 'b'], ARRAY[o_orderkey, -1])['a'] as mval,
+               MAP(ARRAY['a'], ARRAY[o_orderkey])['missing'] as mmiss
+        from orders where o_orderkey < 64 order by o_orderkey
+        """,
+    ).collect()
+    want = duck.execute(
+        """
+        select o_orderkey,
+               string_split(o_orderpriority, '-')[1] as first_part,
+               string_split(o_orderpriority, '-')[2] as second_part,
+               string_split(o_orderpriority, '-')[99] as oob,
+               o_orderkey as mval,
+               NULL as mmiss
+        from orders where o_orderkey < 64 order by o_orderkey
+        """
+    ).fetchall()
+    assert len(got) > 0
+    assert [
+        (r.o_orderkey, r.first_part, r.second_part, r.oob, r.mval, r.mmiss)
+        for r in got
+    ] == [tuple(r) for r in want]
+
+
+def test_exec_datetime_parse_format_matches_duckdb(spark, duck):
+    # from_unixtime returns a TIMESTAMP (Spark's native returns string);
+    # parse_datetime/format_datetime map onto to_timestamp/date_format
+    got = presto_sql(
+        spark,
+        """
+        select o_orderkey,
+               format_datetime(from_unixtime(o_orderkey * 86400), 'yyyy-MM-dd') as d,
+               parse_datetime('2024-03-05 06:07:08', 'yyyy-MM-dd HH:mm:ss') as ts
+        from orders where o_orderkey < 64 order by o_orderkey
+        """,
+    ).collect()
+    want = duck.execute(
+        """
+        select o_orderkey,
+               strftime(to_timestamp(o_orderkey * 86400), '%Y-%m-%d') as d,
+               timestamp '2024-03-05 06:07:08' as ts
+        from orders where o_orderkey < 64 order by o_orderkey
+        """
+    ).fetchall()
+    assert len(got) > 0
+    assert [(r.o_orderkey, r.d, r.ts) for r in got] == [tuple(r) for r in want]
+
+
+def test_exec_json_extract_scalar_matches_duckdb(spark, duck):
+    got = presto_sql(
+        spark,
+        """
+        select o_orderkey,
+               json_extract_scalar(j, '$.k') as k,
+               json_extract_scalar(j, '$.n') as n,
+               json_extract_scalar(j, '$.missing') as miss
+        from (select o_orderkey,
+                     format('{"k": "%s", "n": %s}', o_orderstatus,
+                            cast(o_orderkey as varchar)) as j
+              from orders where o_orderkey < 64) t
+        order by o_orderkey
+        """,
+    ).collect()
+    want = duck.execute(
+        """
+        select o_orderkey,
+               json_extract_string(j, '$.k') as k,
+               json_extract_string(j, '$.n') as n,
+               json_extract_string(j, '$.missing') as miss
+        from (select o_orderkey,
+                     printf('{"k": "%s", "n": %s}', o_orderstatus,
+                            cast(o_orderkey as varchar)) as j
+              from orders where o_orderkey < 64) t
+        order by o_orderkey
+        """
+    ).fetchall()
+    assert len(got) > 0
+    assert [(r.o_orderkey, r.k, r.n, r.miss) for r in got] == [
+        tuple(r) for r in want
+    ]
+
+
+def test_exec_array_literal_functions_match_duckdb(spark, duck):
+    # ARRAY[..] literal + zip + contains + arbitrary/approx_distinct names
+    got = presto_sql(
+        spark,
+        """
+        select contains(ARRAY[1, 2, 3], o_orderkey % 5) as has,
+               cardinality(ARRAY[o_orderkey, o_orderkey + 1]) as card,
+               o_orderkey
+        from orders where o_orderkey < 64 order by o_orderkey
+        """,
+    ).collect()
+    want = duck.execute(
+        """
+        select list_contains([1, 2, 3], o_orderkey % 5) as has,
+               len([o_orderkey, o_orderkey + 1]) as card,
+               o_orderkey
+        from orders where o_orderkey < 64 order by o_orderkey
+        """
+    ).fetchall()
+    assert len(got) > 0
+    assert [(r.has, r.card, r.o_orderkey) for r in got] == [tuple(r) for r in want]
 
 
 def test_exec_truncate_and_unixtime(spark, duck):
