@@ -9,11 +9,11 @@ Conf contract (SURVEY.md §4.3):
     Presto/DuckDB error-on-overflow semantics.
   * ``spark.sql.session.timeZone=UTC`` — timestamp parity with the
     DuckDB oracle.
-  * ``spark.sql.legacy.parquet.nanosAsLong=true`` — events.parquet has a
-    nanosecond timestamp column that PySpark 4.1 otherwise refuses to
-    read (PARQUET_TYPE_ILLEGAL); the loader converts with
-    ``timestamp_micros(ts div 1000)`` which is hash-exact vs DuckDB's
-    truncating µs read (SURVEY.md §0.1).
+  * ``spark.sql.legacy.parquet.nanosAsLong=true`` — pre-round-4 fixture
+    generations carried events.ts as a nanosecond timestamp that PySpark
+    4.1 otherwise refuses to read (PARQUET_TYPE_ILLEGAL).  The round-4
+    regeneration writes ``timestamp[us]`` (conf then has no effect); the
+    loader's ``normalize_events_ts`` adapts to either physical type.
   * AQE on (default) — runtime SMJ→BHJ conversion + skew-join splitting;
     this is the 100 TB skew story (no hand-rolled salting needed for
     the inventory's key distributions).

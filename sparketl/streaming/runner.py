@@ -28,17 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: raw schema of events.parquet under nanosAsLong (SURVEY.md §0.1)
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos; normalized below
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from sparketl.tables import normalize_events_ts
 
 SESSION_GAP_MIN = 30
 
@@ -68,14 +58,18 @@ SESSION_STATE_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """#128-134 ingestion: file-source readStream over the events
-    landing directory, with the same ns→µs ts normalization as the
-    batch loader (sparketl.tables)."""
+    landing directory, with the same ts normalization as the batch
+    loader (sparketl.tables).  File streams require an explicit schema;
+    it is taken from a batch peek at the landing directory's footers so
+    the stream tracks whichever physical ts type the fixtures carry
+    (one driver-side metadata read, no data scan)."""
+    raw_schema = spark.read.parquet(events_dir).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def run_available_now(

@@ -5,17 +5,22 @@ is parquet's embedded schema — no inference (SURVEY.md §1.1).  Views are
 registered once per (session, sf_dir) and cached so a 100-query suite
 doesn't re-plan 1000 scans; DataFrames themselves stay lazy.
 
-events.ts normalization (SURVEY.md §0.1, verified): the parquet column
-is TIMESTAMP(NANOS) which PySpark 4.1 cannot read natively.  With
-``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as LongType
-nanos; ``timestamp_micros(ts div 1000)`` (integer division = truncation)
-is bit-exact with DuckDB's own truncating µs read of the same file.
+events.ts normalization (SURVEY.md §0.1): the driver's fixture
+generations have shipped the column as either TIMESTAMP(NANOS) — which
+PySpark 4.1 reads only under ``spark.sql.legacy.parquet.nanosAsLong=true``
+as LongType nanos, normalized via ``timestamp_micros(ts div 1000)``
+(truncation, bit-exact vs DuckDB's truncating µs read) — or, as of the
+round-4 regeneration, a native ``timestamp[us]`` column that arrives as
+TIMESTAMP_NTZ.  :func:`normalize_events_ts` handles both by inspecting
+the loaded dtype, so the engine tracks whichever schema the driver
+generates next.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from sparketl.session import configure_session
 
@@ -34,6 +39,24 @@ TABLE_NAMES: tuple[str, ...] = (
 
 #: (session id, sf_dir) -> {table: DataFrame}
 _CATALOG_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-timezone TIMESTAMP regardless
+    of the fixture generation's physical type (see module docstring).
+
+    * LongType — TIMESTAMP(NANOS) read under ``nanosAsLong``: truncate
+      to µs (matches DuckDB's truncating read of the same file).
+    * TIMESTAMP_NTZ — native ``timestamp[us]`` parquet: cast; with
+      ``spark.sql.session.timeZone=UTC`` the wall-clock is preserved.
+    * TIMESTAMP — already what downstream operators expect.
+    """
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -60,7 +83,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLE_NAMES:
         df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
         if name == "events":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = normalize_events_ts(df)
         dfs[name] = df
         df.createOrReplaceTempView(name)
 

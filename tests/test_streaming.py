@@ -210,10 +210,16 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     import pyarrow.parquet as pq
 
     src = pq.read_table(f"{SF_DIR}/events.parquet")
-    ts_i = pc.cast(src.column("ts"), pa.int64())  # ns since epoch
+    ts_i = pc.cast(src.column("ts"), pa.int64())  # epoch in the col's unit
+    ts_type = src.column("ts").type
+    unit_per_s = (
+        {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts_type.unit]
+        if pa.types.is_timestamp(ts_type)
+        else 10**9  # legacy fixtures: int64 nanos
+    )
     lo, hi = pc.min(ts_i).as_py(), pc.max(ts_i).as_py()
     cutoff = lo + (hi - lo) * 2 // 3
-    gap = 3_600_000_000_000  # 1h dead zone between late and recent
+    gap = 3600 * unit_per_s  # 1h dead zone between late and recent
     recent = src.filter(pc.greater_equal(ts_i, cutoff))
     late = src.filter(pc.less(ts_i, cutoff - gap))
     assert len(recent) > 0 and len(late) > 0
@@ -254,13 +260,12 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert late_batches[0]["sink"]["numOutputRows"] == 0
 
     # nothing late leaked: emitted windows come from recent data alone
+    from sparketl.tables import normalize_events_ts
+
     recent_only = (
-        spark.read.parquet(str(d / "000-recent.parquet"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        normalize_events_ts(spark.read.parquet(str(d / "000-recent.parquet")))
         .unionByName(
-            spark.read.parquet(str(d / "001-commit.parquet")).withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+            normalize_events_ts(spark.read.parquet(str(d / "001-commit.parquet")))
         )
         .groupBy(F.window("ts", "1 hour"))
         .agg(F.count("*").alias("n"))
