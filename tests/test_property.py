@@ -133,3 +133,125 @@ def test_join_shapes_match_duckdb(spark_duck, sql):
     got = sorted(tuple(r) for r in spark.sql(sql).collect())
     want = sorted(duck.execute(sql).fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Window family (§2 #44-52): identical SQL through both engines.  The
+# ORDER BY always ends in the unique o_orderkey, so every window value
+# is deterministic and any mismatch is a semantics divergence (frame
+# bounds, peer handling, lag/lead defaults), not an ordering artifact.
+# ---------------------------------------------------------------------------
+
+WINDOW_FNS = [
+    "row_number()",
+    "rank()",
+    "dense_rank()",
+    "lag(o_orderkey, {off}, -1)",
+    "lead(o_orderkey, {off}, -1)",
+    "first_value(o_orderkey)",
+    "sum(cast(round(o_totalprice * 100) as bigint))",
+    "count(*)",
+]
+
+FRAMES = [
+    "rows between unbounded preceding and current row",
+    "rows between {m} preceding and current row",
+    "rows between current row and {m} following",
+]
+
+
+@st.composite
+def window_shape(draw):
+    fn = draw(st.sampled_from(WINDOW_FNS)).format(off=draw(st.integers(1, 3)))
+    # ranking/offset functions take no frame; aggregates get an explicit one
+    frame = ""
+    if fn.startswith(("sum", "count", "first_value")):
+        frame = " " + draw(st.sampled_from(FRAMES)).format(m=draw(st.integers(0, 5)))
+    nparts = draw(st.integers(1, 50))
+    k = draw(st.integers(2, 9))
+    return f"""
+        select o_orderkey,
+               cast({fn} over (
+                   partition by o_custkey % {nparts}
+                   order by o_orderdate, o_orderkey{frame}
+               ) as bigint) as w
+        from orders
+        where o_orderkey % {k} = 0
+    """
+
+
+@settings(max_examples=20, deadline=None)
+@given(sql=window_shape())
+def test_window_shapes_match_duckdb(spark_duck, sql):
+    spark, duck = spark_duck
+    got = sorted(tuple(r) for r in spark.sql(sql).collect())
+    want = sorted(duck.execute(sql).fetchall())
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Array family (§2 #99-116): model-based, NOT differential — DuckDB's
+# list dialect diverges from Spark's (1-based brackets, list_* names),
+# so identical-text SQL can't express these.  Instead hypothesis
+# generates random int arrays and the Spark lambda results must equal a
+# pure-Python model of the declared semantics.
+# ---------------------------------------------------------------------------
+
+_arrays = st.lists(
+    st.one_of(st.integers(-50, 50), st.none()), min_size=0, max_size=8
+)
+
+
+def _model_row(a):
+    no_null = [x for x in a if x is not None]
+    return {
+        "t_double": [None if x is None else 2 * x + 1 for x in a],
+        "f_even": [x for x in a if x is not None and x % 2 == 0],
+        "agg_sum": sum(no_null) if len(no_null) == len(a) else None,
+        "srt": sorted(no_null) + [None] * (len(a) - len(no_null)),
+        "rev": list(reversed(a)),
+        "dedup_n": len(set(a)),
+        "has_seven": (
+            True if 7 in a else (None if any(x is None for x in a) else False)
+        ),
+        "sliced": a[1:4],
+        "zipped": [None if x is None else x + i for i, x in enumerate(a)],
+    }
+
+
+@settings(max_examples=15, deadline=None)
+@given(batch=st.lists(_arrays, min_size=1, max_size=24))
+def test_array_lambdas_match_python_model(spark_duck, batch):
+    spark, _ = spark_duck
+    df = spark.createDataFrame([(a,) for a in batch], "a array<int>")
+    out = df.selectExpr(
+        "a",
+        "transform(a, x -> 2 * x + 1) as t_double",
+        "filter(a, x -> x % 2 = 0) as f_even",
+        "aggregate(a, 0, (acc, x) -> acc + x) as agg_sum",
+        "array_sort(a) as srt",
+        "reverse(a) as rev",
+        "cardinality(array_distinct(a)) as dedup_n",
+        "array_contains(a, 7) as has_seven",
+        "slice(a, 2, 3) as sliced",
+        "zip_with(a, sequence(0, greatest(cardinality(a) - 1, 0)),"
+        " (x, i) -> x + i) as zipped",
+    ).collect()
+    for r in out:
+        want = _model_row(r.a)
+        got = {
+            "t_double": r.t_double,
+            "f_even": r.f_even,
+            "agg_sum": r.agg_sum,
+            "srt": r.srt,
+            "rev": r.rev,
+            "dedup_n": r.dedup_n,
+            "has_seven": r.has_seven,
+            "sliced": r.sliced,
+            "zipped": r.zipped,
+        }
+        if not r.a:
+            # zip_with on empty a: sequence(0,0) still has one element,
+            # padding with a NULL x — model it explicitly
+            want["zipped"] = [None]
+        assert got == want, f"input={r.a}\n got={got}\nwant={want}"
