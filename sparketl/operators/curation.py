@@ -1,0 +1,312 @@
+"""Training-data curation operators (north-star extensions beyond the
+SURVEY.md §2 inventory): the pieces a 100-TB pretraining pipeline runs
+AFTER dedup/quality scoring — benchmark-contamination screening,
+deterministic train/val splitting, per-source stratified sampling,
+sequence packing, and repetition-based quality signals.
+
+All five are plain declarative plans (no Python UDFs), oracle-graded
+against DuckDB with the same 60-bit md5 hash family and tokenization
+fragments as sparketl.operators.llm, and chosen so the same code
+survives a 1000-executor deployment:
+
+* contamination — broadcast the (small) eval-set shingle vocabulary,
+  stream the corpus once; the shuffle carries (doc_id, count) pairs.
+* split / sample — narrow hash maps; sampling's only shuffle is a
+  window partitioned by ``source`` (thousands of shards at scale).
+* packing — per-source prefix-sum window (the shard is the packing
+  unit, so no global ordering funnel).
+* repetition — one explode + two map-side-combinable groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparketl.operators.llm import (
+    _SHINGLES_D,
+    _SHINGLES_S,
+    _TOKS_D,
+    _TOKS_S,
+    _h_duck,
+    _h_spark,
+)
+from sparketl.registry import query
+from sparketl.tables import table
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination screening
+# ---------------------------------------------------------------------------
+
+#: deterministic stand-in for "the benchmark/eval set": every 97th doc.
+_EVAL_PRED = "doc_id % 97 = 0"
+_CONTAM_THRESHOLD = 0.3
+
+
+@query(
+    "llm_contamination_ngram",
+    oracle=f"""
+        with eval_vocab as (
+            select distinct unnest({_SHINGLES_D}) as shingle
+            from documents
+            where {_EVAL_PRED}
+        ),
+        corpus as (
+            select doc_id,
+                   unnest({_SHINGLES_D}) as shingle,
+                   len({_SHINGLES_D})    as n_sh
+            from documents
+            where not ({_EVAL_PRED})
+        ),
+        hits as (
+            select c.doc_id, c.n_sh, count(*) as n_hit
+            from corpus c
+            join eval_vocab v using (shingle)
+            group by c.doc_id, c.n_sh
+        )
+        select doc_id,
+               cast(n_hit as bigint) as n_hit,
+               cast(n_sh as bigint)  as n_sh,
+               round(cast(n_hit as double) / n_sh, 6) as overlap
+        from hits
+        where cast(n_hit as double) / n_sh >= {_CONTAM_THRESHOLD}
+    """,
+)
+def llm_contamination_ngram(spark, sf_dir):
+    """Benchmark-contamination screen: flag corpus docs whose distinct
+    word-bigram overlap with the eval set's shingle vocabulary exceeds
+    a threshold (the decontamination pass run before pretraining).
+
+    Scale: eval sets are MB-sized against a 100-TB corpus, so the
+    distinct eval vocabulary is broadcast and the corpus streams once;
+    the groupBy carries (doc_id, n_sh) keys with map-side-combined
+    counts — never document text.  Shingles are per-doc distinct, so
+    ``count(*)`` after the join IS the distinct-overlap count.
+    """
+    docs = table(spark, sf_dir, "documents")
+    eval_vocab = (
+        docs.where(_EVAL_PRED)
+        .select(F.explode(F.expr(_SHINGLES_S)).alias("shingle"))
+        .distinct()
+    )
+    corpus = (
+        docs.where(f"not ({_EVAL_PRED})")
+        .select("doc_id", F.expr(_SHINGLES_S).alias("sh"))
+        .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    )
+    hits = (
+        corpus.join(F.broadcast(eval_vocab), "shingle")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        hits.where(F.col("n_hit").cast("double") / F.col("n_sh") >= _CONTAM_THRESHOLD)
+        .select(
+            "doc_id",
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.col("n_sh").cast("bigint").alias("n_sh"),
+            F.round(F.col("n_hit").cast("double") / F.col("n_sh"), 6).alias("overlap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_train_val_split",
+    oracle=f"""
+        select case when {_h_duck("doc_id", "'split'")} % 100 < 90
+                    then 'train' else 'val' end as split,
+               lang,
+               count(*) as n_docs,
+               cast(sum(doc_id) as bigint) as id_checksum
+        from documents
+        group by 1, 2
+    """,
+)
+def llm_train_val_split(spark, sf_dir):
+    """Deterministic hash-based train/val split (90/10) with per-split
+    per-language counts + an id checksum proving membership stability.
+
+    Scale: the split is a pure narrow map on the 60-bit md5 hash — no
+    shuffle, no stored split table, and any worker (or a later rerun
+    on new data) assigns the same doc to the same side.  Salting the
+    hash key with the literal ``'split'`` decorrelates it from every
+    other hash use (sampling, LSH) on the same ids.
+    """
+    docs = table(spark, sf_dir, "documents")
+    split = F.when(
+        F.expr(_h_spark("doc_id", "'split'")) % 100 < 90, F.lit("train")
+    ).otherwise(F.lit("val"))
+    return (
+        docs.select(split.alias("split"), "lang", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source stratified sampling
+# ---------------------------------------------------------------------------
+
+_SAMPLE_PER_SOURCE = 20
+
+
+@query(
+    "llm_sample_stratified",
+    oracle=f"""
+        select source, doc_id, rnk
+        from (
+            select source, doc_id,
+                   row_number() over (
+                       partition by source
+                       order by {_h_duck("doc_id", "'sample'")}, doc_id
+                   ) as rnk
+            from documents
+        )
+        where rnk <= {_SAMPLE_PER_SOURCE}
+    """,
+)
+def llm_sample_stratified(spark, sf_dir):
+    """Stratified per-source sample: a deterministic hash-rank picks
+    the same N docs per source on every run (reproducible corpus
+    mixing quotas, unlike TABLESAMPLE whose seed is engine-local).
+
+    Scale: one shuffle partitioned by ``source`` (thousands of shard
+    keys at 100 TB), then a bounded per-partition rank — Spark pushes
+    a per-partition top-N (WindowGroupLimit) below the shuffle, so
+    only candidate rows move.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.expr(_h_spark("doc_id", "'sample'")), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= _SAMPLE_PER_SOURCE)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 512
+
+
+@query(
+    "llm_seq_packing",
+    oracle=f"""
+        with t as (
+            select source, doc_id, len({_TOKS_D}) as tok
+            from documents
+        ),
+        c as (
+            select source, doc_id, tok,
+                   sum(tok) over (
+                       partition by source order by doc_id
+                       rows between unbounded preceding and current row
+                   ) - tok as start_off
+            from t
+        )
+        select source,
+               cast(floor(start_off / {_SEQ_LEN}.0) as bigint) as bin,
+               count(*) as n_docs,
+               cast(sum(tok) as bigint) as bin_tokens,
+               min(doc_id) as first_doc,
+               max(doc_id) as last_doc
+        from c
+        group by source, bin
+    """,
+)
+def llm_seq_packing(spark, sf_dir):
+    """Sequence packing: concatenate each source's docs in doc_id
+    order and chunk the token stream into fixed-length training
+    sequences; a doc's bin is its starting offset div seq_len (the
+    concat-then-chunk strategy of GPT-style pretraining loaders).
+
+    Scale: the prefix sum is a window partitioned by ``source`` — the
+    shard is the packing unit, exactly how a distributed loader packs
+    (per input shard, not globally), so there is no single-task global
+    ordering funnel.  Output is bin-level metadata; token payloads
+    never shuffle.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", F.size(F.expr(_TOKS_S)).alias("tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("start_off", F.sum("tok").over(w) - F.col("tok"))
+    return (
+        c.withColumn(
+            "bin", F.floor(F.col("start_off") / F.lit(float(_SEQ_LEN))).cast("bigint")
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition-based quality signals
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_quality_repetition",
+    oracle=f"""
+        with tok as (
+            select doc_id, unnest({_TOKS_D}) as w
+            from documents
+        ),
+        wc as (
+            select doc_id, w, count(*) as c
+            from tok
+            group by doc_id, w
+        )
+        select doc_id,
+               cast(sum(c) as bigint) as n_tok,
+               cast(count(*) as bigint) as n_distinct,
+               round(cast(max(c) as double) / sum(c), 6) as top_word_frac,
+               round(1.0 - cast(count(*) as double) / sum(c), 6) as dup_word_frac
+        from wc
+        group by doc_id
+    """,
+)
+def llm_quality_repetition(spark, sf_dir):
+    """Repetition quality signals (Gopher-rule style): most-frequent-
+    word fraction and duplicate-word fraction per document — the
+    filters that catch boilerplate and keyword-stuffed pages.
+
+    Scale: explode → two stacked groupBys, both map-side combinable;
+    the second aggregates the (doc, word) counts of the first, so the
+    heavy shuffle carries fixed-width count rows, not text.
+    """
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return wc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tok"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_word_frac"),
+        F.round(1.0 - F.count("*").cast("double") / F.sum("c"), 6).alias(
+            "dup_word_frac"
+        ),
+    )
