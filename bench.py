@@ -109,6 +109,7 @@ def main() -> None:
     # the lane to 6 with mid-weights shared = 34.6/37.8s.  Keep this one.
     HEAVY = [
         "stream_stateful_sessions",
+        "llm_contamination_ngram",
         "llm_dedup_minhash_lsh",
         "llm_dedup_ngram_dfcap",
         "llm_dedup_ngram_jaccard",

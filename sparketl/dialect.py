@@ -70,10 +70,14 @@ transform, filter, reduce (Spark accepts ``reduce`` as an
 map_concat, map_filter, transform_keys/values, map_from_entries,
 map_entries, try_cast, CASE, lambdas ``x -> f(x)``.
 
+UNNEST is fully handled (see ``_rewrite_unnest``): single-array, map,
+multi-array, and WITH ORDINALITY over each — except ORDINALITY over
+non-identifier array expressions, which stays untouched so Spark
+raises (arrays_zip field naming is only defined for column refs).
+
 Known-unsupported (left untouched so Spark raises — loud, never a
 silent semantic change): TRY(expr) (use the relational try_expr
-operator), json_size, Joda patterns beyond the JDK-compatible subset,
-UNNEST WITH ORDINALITY, multi-array and map UNNEST.
+operator), json_size, Joda patterns beyond the JDK-compatible subset.
 """
 
 from __future__ import annotations
@@ -305,8 +309,14 @@ def _rewrite_unnest(masked: str) -> str:
       as bigint)))) t AS c, ord``  (1-based like Presto; empty arrays
       produce zero rows — a naive zip-with-sequence(1, size) would
       emit Spark's descending [1,0] sequence for empty input)
-
-    Multi-array + ORDINALITY stays untouched (Spark raises — loud)."""
+    - ``UNNEST(a, b, …) WITH ORDINALITY AS t(x, y, …, ord)`` →
+      ``inline(transform(arrays_zip(a, b, …), (__z, __i) ->
+      struct(__z.a, __z.b, …, cast(__i + 1 as bigint)))) t AS x, y,
+      …, ord``.  Works because ``arrays_zip`` over plain column
+      references names each struct field after its source column, so
+      the lambda can re-expand positionally; restricted to
+      (possibly-qualified) identifier arguments with distinct terminal
+      names — anything fancier stays untouched (Spark raises — loud)."""
     pos = 0
     while True:
         m = _UNNEST_RE.search(masked, pos)
@@ -337,6 +347,22 @@ def _rewrite_unnest(masked: str) -> str:
                 f" (__x, __i) -> struct(__x, cast(__i + 1 as bigint))))"
                 f" {alias} as {cols[0]}, {cols[1]}"
             )
+        elif ordinal and len(exprs) >= 2 and len(cols) == len(exprs) + 1:
+            # arrays_zip names each field after its source column's
+            # terminal identifier; require plain refs + distinct names
+            terminals = [e.strip().rsplit(".", 1)[-1] for e in exprs]
+            if all(
+                re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)*", e.strip())
+                for e in exprs
+            ) and len(set(terminals)) == len(terminals):
+                fields = ", ".join(f"__z.{t}" for t in terminals)
+                repl = (
+                    f" lateral view inline(transform("
+                    f"arrays_zip({', '.join(e.strip() for e in exprs)}),"
+                    f" (__z, __i) -> struct({fields},"
+                    f" cast(__i + 1 as bigint))))"
+                    f" {alias} as {', '.join(cols)}"
+                )
         if repl is None:
             pos = m.end()
             continue

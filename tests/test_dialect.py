@@ -168,9 +168,33 @@ def test_unnest_map_form():
     assert _norm(out) == "select k, v from t lateral view explode(m) u as k, v"
 
 
-def test_unnest_multi_array_with_ordinality_untouched():
-    # deliberately unsupported: must pass through so Spark raises loudly
-    src = "select x from t cross join unnest(a, b) with ordinality as u(x, y, o)"
+def test_unnest_multi_array_with_ordinality_rewritten():
+    out = translate(
+        "select x from t cross join unnest(a, b) with ordinality as u(x, y, o)"
+    )
+    assert _norm(out) == (
+        "select x from t lateral view inline(transform(arrays_zip(a, b),"
+        " (__z, __i) -> struct(__z.a, __z.b, cast(__i + 1 as bigint))))"
+        " u as x, y, o"
+    )
+
+
+def test_unnest_multi_array_ordinality_nonident_untouched():
+    # arrays_zip field naming is only defined for column refs, so an
+    # expression argument must pass through and raise loudly in Spark
+    src = (
+        "select x from t cross join"
+        " unnest(split(s, ','), b) with ordinality as u(x, y, o)"
+    )
+    assert _norm(translate(src)) == _norm(src)
+
+
+def test_unnest_multi_array_ordinality_dup_terminal_untouched():
+    # t1.e and t2.e would both zip to field name 'e' — ambiguous, loud
+    src = (
+        "select x from t cross join"
+        " unnest(t1.e, t2.e) with ordinality as u(x, y, o)"
+    )
     assert _norm(translate(src)) == _norm(src)
 
 
@@ -312,6 +336,39 @@ def test_exec_unnest_multi_array_null_padding_matches_duckdb(spark, duck):
     assert len(got) > 0
     assert any(r.y is None for r in got)  # padding actually exercised
     assert [(r.o_orderkey, r.x, r.y) for r in got] == [tuple(r) for r in want]
+
+
+def test_exec_unnest_multi_array_ordinality_matches_duckdb(spark, duck):
+    # zip-to-longest NULL padding AND 1-based ordinality in one form
+    got = presto_sql(
+        spark,
+        """
+        select o_orderkey, x, y, o
+        from (select o_orderkey,
+                     split(o_orderpriority, '-') as a,
+                     slice(split(o_orderpriority, '-'), 1, 1) as b
+              from orders where o_orderkey < 256) t
+        cross join unnest(a, b) with ordinality as u(x, y, o)
+        order by o_orderkey, o
+        """,
+    ).collect()
+    want = duck.execute(
+        """
+        select o_orderkey, unnest(a) as x, unnest(b) as y,
+               generate_subscripts(a, 1) as o
+        from (select o_orderkey,
+                     string_split(o_orderpriority, '-') as a,
+                     string_split(o_orderpriority, '-')[1:1] as b
+              from orders where o_orderkey < 256) t
+        order by o_orderkey, o
+        """
+    ).fetchall()
+    assert len(got) > 0
+    assert any(r.y is None for r in got)  # padding exercised
+    assert min(r.o for r in got) == 1  # 1-based like Presto
+    assert [(r.o_orderkey, r.x, r.y, r.o) for r in got] == [
+        tuple(r) for r in want
+    ]
 
 
 def test_exec_unnest_map_matches_duckdb(spark, duck):
