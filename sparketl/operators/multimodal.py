@@ -96,3 +96,67 @@ def llm_multimodal_features(spark, sf_dir):
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return payloads.mapInPandas(_extract_features, schema=FEATURE_SCHEMA)
+
+
+_TARGET_SIDE = 224
+_MAX_SAMPLED_FRAMES = 4
+
+
+@query(
+    "llm_multimodal_framesample",
+    oracle=f"""
+        with feats as (
+            select doc_id,
+                   (64 + ('0x' || substr(sha256(text), 1, 2))::int % 192) as w,
+                   (64 + ('0x' || substr(sha256(text), 3, 2))::int % 192) as h,
+                   (1 + ('0x' || substr(sha256(text), 5, 2))::int % 8) as n_frames
+            from documents
+        ),
+        planned as (
+            select doc_id, n_frames,
+                   cast((w * {_TARGET_SIDE}) // greatest(w, h) as int) as out_w,
+                   cast((h * {_TARGET_SIDE}) // greatest(w, h) as int) as out_h,
+                   greatest(1, cast(ceil(n_frames / {_MAX_SAMPLED_FRAMES}.0) as int))
+                       as step
+            from feats
+        )
+        select doc_id, out_w, out_h,
+               cast(unnest(range(0, n_frames, step)) as int) as frame_idx
+        from planned
+    """,
+)
+def llm_multimodal_framesample(spark, sf_dir):
+    """#139 resize + frame-sample plumbing: from the decoded metadata
+    (stubbed decoder, same hash arithmetic as ``llm_multimodal_features``)
+    plan an aspect-preserving resize (longest side → 224, truncating
+    integer math so both engines agree bit-for-bit) and an every-k-th
+    frame sample capped at 4 frames.
+
+    Scale: the plan stage is a narrow map over the feature stream —
+    the real pixel work (resize, frame decode) happens inside the SAME
+    mapInPandas pass as the decoder once codecs are swapped in, so
+    payload bytes still never shuffle; what flows downstream is one
+    (doc_id, frame_idx, dims) row per sampled frame.
+    """
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    feats = payloads.mapInPandas(_extract_features, schema=FEATURE_SCHEMA)
+    planned = feats.select(
+        "doc_id",
+        "n_frames",
+        F.expr(f"cast((fake_width * {_TARGET_SIDE}) div"
+               f" greatest(fake_width, fake_height) as int)").alias("out_w"),
+        F.expr(f"cast((fake_height * {_TARGET_SIDE}) div"
+               f" greatest(fake_width, fake_height) as int)").alias("out_h"),
+        F.greatest(
+            F.lit(1), F.ceil(F.col("n_frames") / F.lit(_MAX_SAMPLED_FRAMES))
+        ).cast("int").alias("step"),
+    )
+    return planned.select(
+        "doc_id",
+        "out_w",
+        "out_h",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.col("step"))
+        ).alias("frame_idx"),
+    )
