@@ -190,6 +190,83 @@ def test_window_shapes_match_duckdb(spark_duck, sql):
 
 
 # ---------------------------------------------------------------------------
+# String family (§2 #61-77): identical SQL through both engines over
+# the common dialect subset (substr, upper/lower, trim, replace,
+# length, concat ||, like) with random slicing parameters.
+# ---------------------------------------------------------------------------
+
+STRING_EXPRS = [
+    "substr(c_name, {i}, {n})",
+    "upper(substr(c_mktsegment, {i}, {n}))",
+    "replace(c_name, '{ch}', '_')",
+    "trim(concat(' ', c_name, ' '))",
+    "c_name || '/' || c_mktsegment",
+    "length(c_name) + {n}",
+]
+
+
+@st.composite
+def string_shape(draw):
+    expr = draw(st.sampled_from(STRING_EXPRS)).format(
+        i=draw(st.integers(1, 10)),
+        n=draw(st.integers(0, 8)),
+        ch=draw(st.sampled_from(["0", "1", "e", "#"])),
+    )
+    pat = draw(st.sampled_from(["%1%", "C%", "%er#00%", "_ustomer%"]))
+    return f"""
+        select c_custkey, {expr} as s
+        from customer
+        where c_name like '{pat}' and c_custkey % {draw(st.integers(2, 7))} = 0
+    """
+
+
+@settings(max_examples=20, deadline=None)
+@given(sql=string_shape())
+def test_string_shapes_match_duckdb(spark_duck, sql):
+    spark, duck = spark_duck
+    got = sorted((r.c_custkey, r.s) for r in spark.sql(sql).collect())
+    want = sorted(duck.execute(sql).fetchall())
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Date/time family (§2 #78-88): identical SQL through both engines —
+# date_trunc / extract / comparisons over o_orderdate with random
+# units and literals.  Results cast to string so naive-vs-aware
+# timestamp handling can't mask a value difference.
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def datetime_shape(draw):
+    unit = draw(st.sampled_from(["year", "quarter", "month", "week", "day"]))
+    part = draw(st.sampled_from(["year", "month", "day", "quarter"]))
+    y = draw(st.integers(1995, 2000))
+    m = draw(st.integers(1, 12))
+    k = draw(st.integers(2, 9))
+    return f"""
+        select o_orderkey,
+               cast(date_trunc('{unit}', o_orderdate) as string) as tr,
+               extract({part} from o_orderdate) as p
+        from orders
+        where o_orderdate >= timestamp '{y}-{m:02d}-01 00:00:00'
+          and o_orderdate <  timestamp '{y + 1}-{m:02d}-01 00:00:00'
+          and o_orderkey % {k} = 0
+    """
+
+
+@settings(max_examples=20, deadline=None)
+@given(sql=datetime_shape())
+def test_datetime_shapes_match_duckdb(spark_duck, sql):
+    spark, duck = spark_duck
+    got = sorted(
+        (r.o_orderkey, str(r.tr), int(r.p)) for r in spark.sql(sql).collect()
+    )
+    want = sorted((k, str(t), int(p)) for k, t, p in duck.execute(sql).fetchall())
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # Array family (§2 #99-116): model-based, NOT differential — DuckDB's
 # list dialect diverges from Spark's (1-based brackets, list_* names),
 # so identical-text SQL can't express these.  Instead hypothesis
