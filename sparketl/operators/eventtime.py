@@ -337,21 +337,27 @@ def stream_stateful_sessions(spark, sf_dir):
     oracle is the gaps-and-islands SQL — provable because the pandas
     body uses only integer/time math.
 
-    The batch Spark group key is a salted USER BUCKET (pmod 256), not
-    the raw user_id: per-user groups would pay one Arrow/Python round
-    trip per user (measured ~15s at sf0.1); bucketing amortizes it
-    (~1s) while the vectorized body preserves exact per-user
-    semantics.  The streaming twin keeps per-user grouping because
-    that is what the state store keys on."""
+    The batch Spark group key is a salted USER BUCKET (pmod core
+    count), not the raw user_id: per-user groups would pay one
+    Arrow/Python round trip per user (measured ~15s at sf0.1), and
+    even a fixed 256 buckets pays ~12ms of per-group overhead each
+    (measured 3.1s at 256 vs 1.05s at 32 on local[32]).  Tracking
+    ``defaultParallelism`` keeps every core busy with exactly one
+    well-amortized group per core; on a 1000-executor cluster the
+    same expression yields thousands of buckets.  The vectorized body
+    preserves exact per-user semantics regardless of bucketing.  The
+    streaming twin keeps per-user grouping because that is what the
+    state store keys on."""
     from sparketl.streaming.runner import (
         SESSION_OUT_SCHEMA,
         sessionize_pandas_bucket,
     )
 
     ev = table(spark, sf_dir, "events")
+    n_buckets = spark.sparkContext.defaultParallelism
     return (
         ev.select("user_id", "ts")
-        .groupBy(F.pmod(F.col("user_id"), F.lit(256)).alias("bucket"))
+        .groupBy(F.pmod(F.col("user_id"), F.lit(n_buckets)).alias("bucket"))
         .applyInPandas(
             lambda pdf: sessionize_pandas_bucket(pdf), schema=SESSION_OUT_SCHEMA
         )

@@ -1504,20 +1504,26 @@ def llm_dedup_ngram_dfcap(spark, sf_dir):
     )
     e0 = d.select("doc_id", "lang", F.explode("sh").alias("s"))
     tot = d.agg(F.count("*").alias("n_docs"))
+    # kept = the sub-cap shingle vocabulary.  It is vocabulary-sized
+    # (not postings-sized), so BROADCAST it and the postings stream is
+    # never shuffled for the cap — measured 8-11s -> ~2s at sf0.1 vs
+    # the previous shuffle join + cache + count join-back plan.  At
+    # 100 TB a billion-term vocabulary outgrows a broadcast: drop the
+    # hint and the same plan runs as a shuffle semi-join that AQE
+    # skew-splits — the downstream pair-join bound is unchanged.
     dfreq = e0.groupBy("lang", "s").agg(F.count("*").alias("df"))
-    e = (
-        e0.join(dfreq, ["lang", "s"])
-        .join(F.broadcast(tot))
+    kept = (
+        dfreq.join(F.broadcast(tot))
         .where(
             F.col("df")
             <= F.greatest(F.lit(2), F.ceil(F.lit(0.05) * F.col("n_docs")))
         )
-        .select("doc_id", "lang", "s")
-        # consumed 3x (sizes + both self-join sides): without this the
-        # explode+df-join pipeline runs three times (landmine 4,
-        # SURVEY.md §8); rows are (id, lang, 16-char shingle) — small
-        .cache()
+        .select("lang", "s")
     )
+    e = e0.join(F.broadcast(kept), ["lang", "s"], "left_semi")
+    # capped per-doc set sizes ride back in as a broadcast (doc-count-
+    # sized keys+count; at corpus scale this becomes a co-partitioned
+    # sort-merge join on doc_id instead)
     n = e.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     en = e.join(F.broadcast(n), "doc_id")
     pairs = en.alias("a").join(
