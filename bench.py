@@ -91,8 +91,9 @@ def main() -> None:
 
     # 4 concurrent queries is the measured local[32] sweet spot: enough
     # to overlap driver/planning gaps, below the GC/task-queue
-    # contention cliff seen at >= 6 threads
-    n_threads = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "4"))
+    # contention cliff seen at >= 6 threads; 5 measured best r4 after
+    # the heavy-lane fixes rebalanced the lanes (17.7s vs 21.3s at 4)
+    n_threads = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "5"))
 
     # Round-2 lesson (VERDICT.md): when several of the HEAVY queries
     # land concurrently they inflate each other up to 40x (recorded
@@ -110,6 +111,7 @@ def main() -> None:
     HEAVY = [
         "stream_stateful_sessions",
         "llm_contamination_ngram",
+        "llm_dedup_components",
         "llm_dedup_minhash_lsh",
         "llm_dedup_ngram_dfcap",
         "llm_dedup_ngram_jaccard",
