@@ -112,6 +112,7 @@ def main() -> None:
         "stream_stateful_sessions",
         "llm_contamination_ngram",
         "llm_dedup_components",
+        "llm_dedup_apply",
         "llm_dedup_minhash_lsh",
         "llm_dedup_ngram_dfcap",
         "llm_dedup_ngram_jaccard",

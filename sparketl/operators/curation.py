@@ -380,6 +380,96 @@ def llm_dedup_components(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# dedup application + incremental dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_dedup_apply",
+    oracle=f"""
+        with recursive pairs as ({ORACLES["llm_dedup_minhash_lsh"]}),
+        edges as (
+            select doc_a as src, doc_b as dst from pairs
+            union
+            select doc_b, doc_a from pairs
+        ),
+        nodes as (select distinct src as node from edges),
+        walk(node, reach) as (
+            select node, node from nodes
+            union
+            select w.node, e.dst
+            from walk w join edges e on e.src = w.reach
+        ),
+        drop_list as (
+            select node as doc_id from walk
+            group by node
+            having node <> min(reach)
+        )
+        select d.doc_id, d.lang, d.source
+        from documents d
+        where d.doc_id not in (select doc_id from drop_list)
+    """,
+)
+def llm_dedup_apply(spark, sf_dir):
+    """Materialize the deduplicated corpus: every document except the
+    non-keeper members of each near-dup cluster — the pipeline step
+    that actually shrinks the training set after
+    ``llm_dedup_components`` resolves the clusters.
+
+    Scale: the drop list is cluster-membership-sized (tiny vs the
+    corpus), so it rides into a broadcast LEFT ANTI join against the
+    full corpus scan — one narrow pass over the data, no shuffle of
+    document payloads.  On a corpus where the drop list outgrows a
+    broadcast the same anti-join runs shuffle-partitioned on doc_id.
+    """
+    docs = table(spark, sf_dir, "documents")
+    drop = llm_dedup_components(spark, sf_dir).where(~F.col("is_keeper")).select(
+        "doc_id"
+    )
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
+#: deterministic split: the standing corpus vs the newly-arrived batch
+_EXISTING_PRED = "doc_id % 10 < 8"
+
+
+@query(
+    "llm_dedup_incremental",
+    oracle=f"""
+        with existing as (
+            select md5(text) as sig from documents where {_EXISTING_PRED}
+        )
+        select d.doc_id, d.lang, md5(d.text) as text_md5
+        from documents d
+        where not ({_EXISTING_PRED})
+          and md5(d.text) not in (select sig from existing)
+    """,
+)
+def llm_dedup_incremental(spark, sf_dir):
+    """Incremental ingestion dedup: drop newly-arrived docs whose
+    content hash already exists in the standing corpus — the
+    batch-over-batch form of exact dedup that a continuously-fed
+    pipeline runs instead of re-deduplicating 100 TB from scratch.
+
+    Scale: the join carries 16-byte signatures, never text.  The
+    standing-corpus side is signature-table-shaped: at scale it is a
+    bucketed/Z-ordered table on sig so each ingest batch's anti-join
+    touches only matching buckets (here: hash anti-join; the new
+    batch is the small side and Spark builds on it).
+    """
+    docs = table(spark, sf_dir, "documents")
+    existing = docs.where(_EXISTING_PRED).select(F.md5("text").alias("sig"))
+    new_batch = docs.where(f"not ({_EXISTING_PRED})").select(
+        "doc_id", "lang", F.md5("text").alias("text_md5")
+    )
+    return new_batch.join(
+        existing, new_batch.text_md5 == existing.sig, "left_anti"
+    )
+
+
+# ---------------------------------------------------------------------------
 # repetition-based quality signals
 # ---------------------------------------------------------------------------
 
