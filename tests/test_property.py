@@ -232,8 +232,12 @@ def test_string_shapes_match_duckdb(spark_duck, sql):
 # ---------------------------------------------------------------------------
 # Date/time family (§2 #78-88): identical SQL through both engines —
 # date_trunc / extract / comparisons over o_orderdate with random
-# units and literals.  Results cast to string so naive-vs-aware
-# timestamp handling can't mask a value difference.
+# units and literals.  date_trunc results go through cast(.. as date):
+# DuckDB's date_trunc NARROWS to DATE for day-and-coarser units while
+# Spark (like Presto) preserves the timestamp type — the same instant
+# renders '1995-01-01' vs '1995-01-01 00:00:00' (found by this test's
+# first run).  All generated units are >= day, so the date cast is a
+# pure representation normalization, never value-losing.
 # ---------------------------------------------------------------------------
 
 
@@ -246,7 +250,7 @@ def datetime_shape(draw):
     k = draw(st.integers(2, 9))
     return f"""
         select o_orderkey,
-               cast(date_trunc('{unit}', o_orderdate) as string) as tr,
+               cast(cast(date_trunc('{unit}', o_orderdate) as date) as string) as tr,
                extract({part} from o_orderdate) as p
         from orders
         where o_orderdate >= timestamp '{y}-{m:02d}-01 00:00:00'
