@@ -114,6 +114,42 @@ def source_jsonlines(spark, sf_dir):
 
 
 @query(
+    "source_orc_roundtrip",
+    oracle="""
+        select c_mktsegment,
+               count(*) as n_customers,
+               round(sum(cast(round(c_acctbal * 100) as bigint))
+                     / cast(100 as double), 6) as total_acctbal
+        from customer
+        group by c_mktsegment
+    """,
+)
+def source_orc_roundtrip(spark, sf_dir):
+    """#2/#3-family columnar interchange: customer exported to ORC
+    (Spark-native writer, no external package), read back and
+    aggregated.  ORC is the other columnar lake format a Presto-family
+    engine reads; types (int64/double/string) and values must survive
+    the hop bit-exactly — the oracle reads the ORIGINAL parquet.
+
+    Scale: ORC scans get the same vectorized reader + predicate
+    pushdown + column pruning treatment as parquet in Spark, so the
+    choice of columnar format does not change any plan in this repo.
+    """
+    customer = table(spark, sf_dir, "customer")
+    path = _scratch_dir(sf_dir, "customer_orc")
+    customer.write.mode("overwrite").orc(path)
+    c = spark.read.orc(path)
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+            / F.lit(100).cast("double"),
+            6,
+        ).alias("total_acctbal"),
+    )
+
+
+@query(
     "sink_parquet_partitioned",
     oracle="""
         select o_orderstatus, o_orderpriority,
