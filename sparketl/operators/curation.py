@@ -268,6 +268,106 @@ def llm_seq_packing(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# end-to-end curation pipeline
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_curation_pipeline",
+    oracle=f"""
+        with toks as (
+            select doc_id, source, text,
+                   len({_TOKS_D}) as n_tok,
+                   len(list_distinct({_TOKS_D})) as n_distinct
+            from documents
+        ),
+        quality as (
+            select * from toks
+            where n_tok >= 5
+              and (1.0 - cast(n_distinct as double) / n_tok) <= 0.6
+        ),
+        keepers as (
+            select min(doc_id) as doc_id from quality group by md5(text)
+        ),
+        kept as (
+            select q.doc_id, q.source, q.n_tok
+            from quality q join keepers k on q.doc_id = k.doc_id
+        ),
+        split_docs as (
+            select doc_id, source, n_tok,
+                   case when {_h_duck("doc_id", "'split'")} % 100 < 90
+                        then 'train' else 'val' end as split
+            from kept
+        ),
+        packed as (
+            select split, source, n_tok,
+                   sum(n_tok) over (
+                       partition by split, source order by doc_id
+                       rows between unbounded preceding and current row
+                   ) - n_tok as start_off
+            from split_docs
+        )
+        select split, source,
+               count(*) as n_docs,
+               cast(sum(n_tok) as bigint) as n_tokens,
+               cast(count(distinct cast(floor(start_off / {_SEQ_LEN}.0) as bigint))
+                    as bigint) as n_bins
+        from packed
+        group by split, source
+    """,
+)
+def llm_curation_pipeline(spark, sf_dir):
+    """End-to-end curation DAG in ONE declarative plan: repetition
+    quality gate → exact dedup (keep min doc_id per content hash) →
+    deterministic 90/10 split → per-(split, source) sequence packing,
+    reported as bin/doc/token counts per output shard.  This is the
+    integration query proving the curation operators compose — the
+    shape a real corpus build runs nightly.
+
+    Scale: quality is a narrow map; dedup is one signature groupBy +
+    a semi join back; split is hash arithmetic; packing windows are
+    partitioned by (split, source).  No stage shuffles document text —
+    only ids, hashes, and token counts.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.expr(_TOKS_S)).alias("n_tok"),
+        F.size(F.expr(f"array_distinct({_TOKS_S})")).alias("n_distinct"),
+    )
+    quality = toks.where(
+        "n_tok >= 5 and (1.0 - cast(n_distinct as double) / n_tok) <= 0.6"
+    )
+    keepers = (
+        quality.groupBy(F.md5("text").alias("sig"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = quality.join(keepers, "doc_id", "left_semi")
+    split = F.when(
+        F.expr(_h_spark("doc_id", "'split'")) % 100 < 90, F.lit("train")
+    ).otherwise(F.lit("val"))
+    split_docs = kept.select("doc_id", "source", "n_tok", split.alias("split"))
+    w = (
+        Window.partitionBy("split", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = split_docs.withColumn(
+        "start_off", F.sum("n_tok").over(w) - F.col("n_tok")
+    )
+    return packed.groupBy("split", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.countDistinct(
+            F.floor(F.col("start_off") / F.lit(float(_SEQ_LEN))).cast("bigint")
+        ).cast("bigint").alias("n_bins"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # duplicate-cluster connected components
 # ---------------------------------------------------------------------------
 
