@@ -659,6 +659,121 @@ def llm_similarity_ann_lsh(spark, sf_dir):
     )
 
 
+def _register_similarity_eval_and_quantize() -> None:
+    """Registered via a function so the oracle f-strings can reference
+    the ALREADY-registered topk/ann oracles verbatim (composition at
+    the SQL level mirrors the DataFrame-level composition below)."""
+    from sparketl.registry import ORACLES
+
+    @query(
+        "llm_ann_recall_eval",
+        oracle=f"""
+            with bf as ({ORACLES["llm_similarity_topk"]}),
+            ann as ({ORACLES["llm_similarity_ann_lsh"]})
+            select bf.query_id,
+                   count(ann.neighbor_id) as n_hit,
+                   round(count(ann.neighbor_id) / 5.0, 6) as recall_at_5
+            from bf
+            left join ann on bf.query_id = ann.query_id
+                         and bf.neighbor_id = ann.neighbor_id
+            group by bf.query_id
+        """,
+    )
+    def llm_ann_recall_eval(spark, sf_dir):
+        """#137 evaluation harness: recall@5 of the sign-LSH ANN path
+        against the exact brute-force top-5, per query vector — the
+        metric that decides LSH band/width tuning before a corpus-wide
+        rollout.  Composes the two declared queries (and their oracles)
+        verbatim, so the evaluation can never drift from what the
+        production paths actually return.
+
+        Scale: both inputs are query-set-sized (queries × k rows), so
+        the join is trivially broadcast; the expensive parts are the
+        underlying paths being evaluated, not the evaluation.
+        """
+        bf = llm_similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
+        ann = llm_similarity_ann_lsh(spark, sf_dir).select(
+            F.col("query_id").alias("a_query_id"),
+            F.col("neighbor_id").alias("a_neighbor_id"),
+        )
+        hits = bf.join(
+            F.broadcast(ann),
+            (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+            "left",
+        )
+        return hits.groupBy("query_id").agg(
+            F.count("a_neighbor_id").alias("n_hit"),
+            F.round(F.count("a_neighbor_id") / F.lit(5.0), 6).alias(
+                "recall_at_5"
+            ),
+        )
+
+    @query(
+        "llm_embed_quantize",
+        oracle="""
+            with m as (
+                select vec_id, label, embedding,
+                       list_max(list_transform(embedding, x -> abs(x::double)))
+                           as maxabs
+                from embeddings
+            )
+            select vec_id, label,
+                   round(127.0 / maxabs, 6) as scale,
+                   array_to_string(
+                       list_transform(embedding,
+                           x -> cast(floor(x::double * (127.0 / maxabs) + 0.5)
+                                     as bigint)),
+                       ',') as qvec,
+                   cast(list_sum(list_transform(embedding,
+                           x -> cast(floor(x::double * (127.0 / maxabs) + 0.5)
+                                     as bigint))) as bigint) as qsum
+            from m
+        """,
+    )
+    def llm_embed_quantize(spark, sf_dir):
+        """#137-family int8 symmetric quantization: per-vector scale =
+        127 / max|x|, elements mapped through floor(x*scale + 0.5) —
+        written as floor(+0.5) rather than round() so both engines run
+        the identical IEEE double expression with no engine-specific
+        tie-breaking, making the int8 codes bit-reproducible.
+
+        Scale: a pure narrow map (no shuffle); quantization is the
+        standard 4× memory/IO reduction before ANN index build, and
+        the per-vector scale column is what dequantizes scores later.
+        The float32 embeddings are cast to double BEFORE arithmetic on
+        both sides (DuckDB's float32 list math diverges otherwise —
+        module docstring).
+        """
+        emb = table(spark, sf_dir, "embeddings")
+        m = emb.select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.expr(
+                "array_max(transform(embedding, x -> abs(double(x))))"
+            ).alias("maxabs"),
+        )
+        qexpr = (
+            "transform(embedding,"
+            " x -> cast(floor(double(x) * (127.0 / maxabs) + 0.5) as bigint))"
+        )
+        return m.select(
+            "vec_id",
+            "label",
+            F.round(F.lit(127.0) / F.col("maxabs"), 6).alias("scale"),
+            F.expr(
+                f"array_join(transform({qexpr}, v -> cast(v as string)), ',')"
+            ).alias("qvec"),
+            F.expr(f"aggregate({qexpr}, 0L, (acc, v) -> acc + v)").alias(
+                "qsum"
+            ),
+        )
+
+
+_register_similarity_eval_and_quantize()
+
+
 # ---------------------------------------------------------------------------
 # §2.11 #138 — text analysis
 # ---------------------------------------------------------------------------
