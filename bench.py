@@ -121,6 +121,7 @@ def main() -> None:
         "udf_grouped_map_apply",
         "stream_static_enrich",
         "llm_similarity_topk",
+        "llm_ann_recall_eval",
         "exact_percentile_median",
         "llm_embed_cosine_neardup",
         "llm_similarity_ann_lsh",
