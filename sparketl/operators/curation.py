@@ -200,6 +200,85 @@ def llm_sample_stratified(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# temperature-weighted domain mixing
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.5  # temperature exponent: 1 = natural, 0 = uniform
+_MIX_BUDGET = 200  # total docs in the mixed corpus
+
+
+@query(
+    "llm_domain_mix",
+    oracle=f"""
+        with w as (
+            select source, count(*) as n_docs,
+                   pow(count(*), {_MIX_ALPHA}) as wgt
+            from documents
+            group by source
+        ),
+        quota as (
+            select source, n_docs,
+                   greatest(1, cast(floor(
+                       {_MIX_BUDGET} * wgt / (select sum(wgt) from w)
+                   ) as bigint)) as q
+            from w
+        ),
+        ranked as (
+            select d.doc_id, d.source, q.q,
+                   row_number() over (
+                       partition by d.source
+                       order by {_h_duck("d.doc_id", "'mix'")}, d.doc_id
+                   ) as rnk
+            from documents d join quota q using (source)
+        )
+        select source, doc_id, rnk
+        from ranked
+        where rnk <= q
+    """,
+)
+def llm_domain_mix(spark, sf_dir):
+    """Temperature-weighted domain mixing: per-source quotas go as
+    count^alpha (alpha=0.5 up-weights small sources, the standard
+    multilingual/multi-domain rebalancing), filled by deterministic
+    hash-rank — the pass that decides how much of each source lands in
+    the final training mix.
+
+    Scale: quotas come from a source-level aggregate (thousands of
+    rows at 100 TB) broadcast back onto the corpus; selection is the
+    same WindowGroupLimit top-N-per-source shape as
+    ``llm_sample_stratified``, so only candidate rows shuffle.  The
+    normalizing sum rides in as a broadcast scalar, never a collect.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.pow(F.count("*"), F.lit(_MIX_ALPHA)).alias("wgt"),
+    )
+    tot = w.agg(F.sum("wgt").alias("wsum"))
+    quota = (
+        w.join(F.broadcast(tot))
+        .select(
+            "source",
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(_MIX_BUDGET) * F.col("wgt") / F.col("wsum")).cast(
+                    "bigint"
+                ),
+            ).alias("q"),
+        )
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.expr(_h_spark("doc_id", "'mix'")), F.col("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(quota), "source")
+        .select("source", "doc_id", "q", F.row_number().over(win).alias("rnk"))
+        .where(F.col("rnk") <= F.col("q"))
+        .select("source", "doc_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # sequence packing
 # ---------------------------------------------------------------------------
 

@@ -327,6 +327,39 @@ def test_stateful_sessionize_out_of_order_merge_keeps_open_end():
     assert out3["session_id"].iloc[0] == row["session_id"] + 1
 
 
+def test_normalize_events_ts_handles_both_fixture_generations(spark, tmp_path):
+    """The driver has shipped events.ts as TIMESTAMP(NANOS) (pre-r4,
+    long-nanos under nanosAsLong) and as native timestamp[us] (r4).
+    normalize_events_ts must yield the identical session-tz TIMESTAMP
+    values for the same instants through either physical layout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparketl.tables import normalize_events_ts
+
+    us = [1_704_067_200_000_000, 1_704_067_260_123_456]  # 2024-01-01 UTC
+    ns_file = tmp_path / "ev_ns.parquet"
+    us_file = tmp_path / "ev_us.parquet"
+    pq.write_table(
+        pa.table({"ts": pa.array([u * 1000 for u in us], pa.int64())}), ns_file
+    )
+    pq.write_table(
+        pa.table({"ts": pa.array(us, pa.timestamp("us"))}), us_file
+    )
+
+    got_ns = [
+        r.ts for r in normalize_events_ts(spark.read.parquet(str(ns_file)))
+        .orderBy("ts").collect()
+    ]
+    got_us = [
+        r.ts for r in normalize_events_ts(spark.read.parquet(str(us_file)))
+        .orderBy("ts").collect()
+    ]
+    assert got_ns == got_us
+    assert got_ns[0].isoformat() == "2024-01-01T00:00:00"
+    assert got_ns[1].microsecond == 123456
+
+
 def test_rate_kafka_stream_live(spark):
     """Kafka-shaped shim, LIVE: the rate source mapped to the exact
     Kafka wire schema, consumed through the standard from_json pattern
