@@ -273,7 +273,11 @@ def llm_domain_mix(spark, sf_dir):
     return (
         docs.join(F.broadcast(quota), "source")
         .select("source", "doc_id", "q", F.row_number().over(win).alias("rnk"))
-        .where(F.col("rnk") <= F.col("q"))
+        # the constant conjunct (q is always <= the total budget) lets
+        # Spark push a WindowGroupLimit below the shuffle so only the
+        # top `budget` candidates per source ever move; the per-source
+        # column bound then trims to the exact quota
+        .where((F.col("rnk") <= F.lit(_MIX_BUDGET)) & (F.col("rnk") <= F.col("q")))
         .select("source", "doc_id", "rnk")
     )
 

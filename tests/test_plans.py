@@ -53,6 +53,22 @@ def test_dimension_joins_broadcast(q):
         assert "CartesianProduct" not in plan, name
 
 
+def test_curation_plans_have_scale_shapes(q):
+    """The curation operators' 100-TB claims (SCALING.md) must appear
+    in the executed plans: broadcast eval vocabulary + broadcast
+    drop-list anti-join, and WindowGroupLimit pushing per-group top-N
+    below the shuffle for the sampling/mixing selections."""
+    p = plan_str(q("llm_contamination_ngram"))
+    assert "BroadcastHashJoin" in p, p
+    p = plan_str(q("llm_dedup_apply"))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    p = plan_str(q("llm_dedup_incremental"))
+    assert "LeftAnti" in p, p
+    for name in ("llm_sample_stratified", "llm_domain_mix"):
+        p = plan_str(q(name))
+        assert "WindowGroupLimit" in p, f"{name}:\n{p}"
+
+
 def test_flagship_is_codegen_hash_agg(q):
     df = q("flagship_q1_pricing_summary")
     plan = plan_str(df)
