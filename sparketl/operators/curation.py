@@ -461,7 +461,7 @@ _CC_MAX_ITERS = 50
     "llm_dedup_components",
     oracle=f"""
         with recursive pairs as ({ORACLES["llm_dedup_minhash_lsh"]}),
-        edges as (
+        edges as materialized (
             select doc_a as src, doc_b as dst from pairs
             union
             select doc_b, doc_a from pairs
@@ -571,7 +571,7 @@ def llm_dedup_components(spark, sf_dir):
     "llm_dedup_apply",
     oracle=f"""
         with recursive pairs as ({ORACLES["llm_dedup_minhash_lsh"]}),
-        edges as (
+        edges as materialized (
             select doc_a as src, doc_b as dst from pairs
             union
             select doc_b, doc_a from pairs

@@ -132,7 +132,7 @@ _MOD60 = 1 << 60
 @query(
     "llm_dedup_minhash_lsh",
     oracle=f"""
-        with d as (
+        with d as materialized (
             select doc_id, {_SHINGLES_D} as sh
             from documents
             where len({_TOKS_D}) >= 2
@@ -294,7 +294,7 @@ def llm_dedup_simhash(spark, sf_dir):
 @query(
     "llm_dedup_ngram_jaccard",
     oracle=f"""
-        with d as (
+        with d as materialized (
             select doc_id, lang, {_SHINGLES_D} as sh
             from documents
             where len({_TOKS_D}) >= 2
@@ -1559,13 +1559,13 @@ def llm_similarity_ann_multiprobe(spark, sf_dir):
 @query(
     "llm_dedup_ngram_dfcap",
     oracle=f"""
-        with d as (
+        with d as materialized (
             select doc_id, lang, {_SHINGLES_D} as sh
             from documents
             where len({_TOKS_D}) >= 2
         ),
         tot as (select count(*) as n_docs from d),
-        e0 as (select doc_id, lang, unnest(sh) as s from d),
+        e0 as materialized (select doc_id, lang, unnest(sh) as s from d),
         dfreq as (
             select lang, s, count(*) as df
             from e0 group by lang, s
