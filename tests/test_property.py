@@ -300,6 +300,71 @@ def _model_row(a):
     }
 
 
+# ---------------------------------------------------------------------------
+# Map family (§2 #117-122): model-based like arrays (DuckDB's MAP
+# dialect diverges).  Random (unique-key, nullable-value) pairs; Spark
+# map lambdas must equal a Python dict model.  element_at goes through
+# try_element_at — ANSI mode errors on missing map keys.
+# ---------------------------------------------------------------------------
+
+_map_rows = st.lists(
+    st.tuples(st.integers(0, 9), st.one_of(st.integers(-9, 9), st.none())),
+    min_size=0,
+    max_size=6,
+    unique_by=lambda t: t[0],
+)
+
+
+def _map_model(pairs, probe):
+    d = dict(pairs)
+    return {
+        "n": len(d),
+        "probed": d.get(probe),
+        "doubled": {k: (None if v is None else 2 * v + k) for k, v in d.items()},
+        "evens": {k: v for k, v in d.items() if v is not None and v % 2 == 0},
+        "ksum": sum(d.keys()),
+    }
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    batch=st.lists(
+        st.tuples(_map_rows, st.integers(0, 9)), min_size=1, max_size=16
+    )
+)
+def test_map_lambdas_match_python_model(spark_duck, batch):
+    spark, _ = spark_duck
+    df = spark.createDataFrame(
+        [([p[0] for p in pairs], [p[1] for p in pairs], probe)
+         for pairs, probe in batch],
+        "ks array<int>, vs array<int>, probe int",
+    )
+    out = df.selectExpr(
+        "ks", "vs", "probe",
+        "size(map_from_arrays(ks, vs)) as n",
+        "try_element_at(map_from_arrays(ks, vs), probe) as probed",
+        "to_json(transform_values(map_from_arrays(ks, vs),"
+        " (k, v) -> 2 * v + k)) as doubled_js",
+        "to_json(map_filter(map_from_arrays(ks, vs),"
+        " (k, v) -> v % 2 = 0)) as evens_js",
+        "aggregate(map_keys(map_from_arrays(ks, vs)), 0,"
+        " (acc, k) -> acc + k) as ksum",
+    ).collect()
+    import json as _json
+
+    for r in out:
+        want = _map_model(list(zip(r.ks, r.vs)), r.probe)
+        got_doubled = {
+            int(k): v for k, v in _json.loads(r.doubled_js).items()
+        }
+        got_evens = {int(k): v for k, v in _json.loads(r.evens_js).items()}
+        assert r.n == want["n"], (r.ks, r.vs)
+        assert r.probed == want["probed"], (r.ks, r.vs, r.probe)
+        assert got_doubled == want["doubled"], (r.ks, r.vs)
+        assert got_evens == want["evens"], (r.ks, r.vs)
+        assert r.ksum == want["ksum"], (r.ks, r.vs)
+
+
 @settings(max_examples=15, deadline=None)
 @given(batch=st.lists(_arrays, min_size=1, max_size=24))
 def test_array_lambdas_match_python_model(spark_duck, batch):
