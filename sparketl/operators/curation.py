@@ -1,18 +1,26 @@
 """Training-data curation operators (north-star extensions beyond the
-SURVEY.md §2 inventory): the pieces a 100-TB pretraining pipeline runs
-AFTER dedup/quality scoring — benchmark-contamination screening,
-deterministic train/val splitting, per-source stratified sampling,
-sequence packing, and repetition-based quality signals.
+SURVEY.md §2 inventory): the passes a 100-TB pretraining pipeline runs
+around dedup/quality scoring — benchmark-contamination screening,
+duplicate-cluster resolution and application, incremental ingest
+dedup, deterministic train/val splitting, per-source stratified
+sampling, temperature-weighted domain mixing, sequence packing,
+repetition-based quality signals, and an end-to-end pipeline query
+composing gate→dedup→split→pack in one plan.
 
-All five are plain declarative plans (no Python UDFs), oracle-graded
-against DuckDB with the same 60-bit md5 hash family and tokenization
-fragments as sparketl.operators.llm, and chosen so the same code
-survives a 1000-executor deployment:
+All are declarative plans (the only imperative piece is the
+Pregel-style convergence loop in connected components, whose sole
+driver-side value is a scalar changed-count), oracle-graded against
+DuckDB with the same 60-bit md5 hash family and tokenization fragments
+as sparketl.operators.llm, and chosen so the same code survives a
+1000-executor deployment:
 
 * contamination — broadcast the (small) eval-set shingle vocabulary,
   stream the corpus once; the shuffle carries (doc_id, count) pairs.
-* split / sample — narrow hash maps; sampling's only shuffle is a
-  window partitioned by ``source`` (thousands of shards at scale).
+* components / apply / incremental — edge-count-sized iterative
+  label propagation; broadcast drop-list anti-join; 16-byte signature
+  anti-join per ingest batch.
+* split / sample / mix — narrow hash maps; selection shuffles are
+  windows partitioned by ``source`` with WindowGroupLimit pushdown.
 * packing — per-source prefix-sum window (the shard is the packing
   unit, so no global ordering funnel).
 * repetition — one explode + two map-side-combinable groupBys.
