@@ -400,25 +400,40 @@ def set_intersect_all(spark, sf_dir):
 
 @query(
     "set_except",
-    oracle=f"select nationkey from ({_NAT_CUST}) except select nationkey from ({_NAT_SUPP})",
+    oracle="""
+        select l_linenumber from lineitem
+        except
+        select l_linenumber from lineitem where l_linenumber <= 5
+    """,
 )
 def set_except(spark, sf_dir):
-    """#60 EXCEPT (distinct)."""
-    c = table(spark, sf_dir, "customer")
-    s = table(spark, sf_dir, "supplier")
-    a = c.where(F.col("c_custkey") < 400).select(F.col("c_nationkey").alias("nationkey"))
-    b = s.select(F.col("s_nationkey").alias("nationkey"))
-    return a.select("nationkey").subtract(b)
+    """#60 EXCEPT (distinct).  The right side is a strict subset of
+    the left by construction (linenumbers 1-7 minus 1-5), so the
+    result is {6, 7} at EVERY scale factor — the original
+    customer-vs-supplier nationkey pair went empty at sf >= 0.01,
+    which made the hash match trivially true (empty == empty) at the
+    graded SF."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.select("l_linenumber")
+    b = li.where(F.col("l_linenumber") <= 5).select("l_linenumber")
+    return a.subtract(b)
 
 
 @query(
     "set_except_all",
-    oracle=f"select nationkey from ({_NAT_CUST}) except all select nationkey from ({_NAT_SUPP})",
+    oracle="""
+        select l_returnflag from lineitem
+        except all
+        select l_returnflag from lineitem where l_linenumber > 1
+    """,
 )
 def set_except_all(spark, sf_dir):
-    """#60 EXCEPT ALL (bag semantics)."""
-    c = table(spark, sf_dir, "customer")
-    s = table(spark, sf_dir, "supplier")
-    a = c.where(F.col("c_custkey") < 400).select(F.col("c_nationkey").alias("nationkey"))
-    b = s.select(F.col("s_nationkey").alias("nationkey"))
+    """#60 EXCEPT ALL (bag semantics): subtracting multiplicities
+    leaves max(0, mult_left - mult_right) copies per value — here
+    exactly the rows with l_linenumber = 1 per returnflag, which is
+    positive at every SF (every order contributes a linenumber-1 row).
+    Replaces a pair that went empty at the graded SF."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.select("l_returnflag")
+    b = li.where(F.col("l_linenumber") > 1).select("l_returnflag")
     return a.exceptAll(b)
