@@ -200,16 +200,28 @@ def join_left_semi(spark, sf_dir):
     oracle="""
         select c.c_custkey, c.c_name
         from customer c
-        where not exists (select 1 from orders o where o.o_custkey = c.c_custkey)
+        where not exists (select 1 from orders o
+                          where o.o_custkey = c.c_custkey
+                            and o.o_orderpriority = '1-URGENT')
+          and c.c_custkey % 5 = 0
     """,
 )
 def join_left_anti(spark, sf_dir):
     """#20 left anti ≡ NOT EXISTS (NOT IN would differ on NULL keys —
-    anti-join is the NULL-safe formulation)."""
+    anti-join is the NULL-safe formulation).  The right side is
+    filtered to urgent orders so customers WITH only non-urgent orders
+    survive — the original unfiltered form returned 0 rows at
+    sf >= 0.01 (every customer has an order), making the graded hash a
+    trivial empty == empty; the custkey stride keeps the output
+    compact."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
-    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.where(F.col("c_custkey") % 5 == 0)
+        .join(o, o.o_custkey == c.c_custkey, "left_anti")
+        .select("c_custkey", "c_name")
     )
 
 
