@@ -103,6 +103,14 @@ def llm_contamination_ngram(spark, sf_dir):
         .select(F.explode(F.expr(_SHINGLES_S)).alias("shingle"))
         .distinct()
     )
+    # two-step select keeps the shingle expression materialized ONCE:
+    # plan-verified (optimizedPlan at sf0.01) that Generate explodes the
+    # aliased sh column and size() reads the same column — CollapseProject
+    # does NOT inline the expression into both consumers (the DuckDB-side
+    # per-use-recompute hazard the oracle comment documents).  The only
+    # re-derivation left is the pushed-down isnotnull/size>0 generator
+    # filter below the Project; inside one codegen stage subexpression
+    # elimination shares it, and measured cost at sf0.1 is ~0.8s total.
     corpus = (
         docs.where(f"not ({_EVAL_PRED})")
         .select("doc_id", F.expr(_SHINGLES_S).alias("sh"))
@@ -548,21 +556,32 @@ def llm_dedup_components(spark, sf_dir):
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = labels.join(nbr, labels.node == nbr.dst, "left").select(
+        # carry old_label through the checkpoint so the convergence
+        # count is a filter over the ALREADY-materialized frame, not a
+        # second labels-vs-labels join (one join + two cheap actions
+        # per round instead of two joins; same convergence semantics)
+        stepped = labels.join(nbr, labels.node == nbr.dst, "left").select(
             "node",
+            F.col("label").alias("old_label"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
             ).alias("label"),
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.where(F.col("label") != F.col("old_label")).count()
+        labels = stepped.select("node", "label")
         if changed == 0:
             break
+    else:
+        # loud, never a silent semantic change: exhausting the cap with
+        # rows still flipping means the labels are NOT a fixpoint (long
+        # chains / pathological diameter) and any downstream drop list
+        # would be silently wrong.  At 100 TB the remedy is large-star/
+        # small-star contraction, not more rounds of naive propagation.
+        raise RuntimeError(
+            f"llm_dedup_components: min-label propagation did not "
+            f"converge within {_CC_MAX_ITERS} rounds "
+            f"({changed} labels still changing)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").cast("bigint").alias("component"),
@@ -635,7 +654,15 @@ _EXISTING_PRED = "doc_id % 10 < 8"
         select d.doc_id, d.lang, md5(d.text) as text_md5
         from documents d
         where not ({_EXISTING_PRED})
-          and md5(d.text) not in (select sig from existing)
+          -- NOT EXISTS, not NOT IN: NOT IN over a set containing NULL
+          -- returns UNKNOWN for every row (drops everything), while the
+          -- Spark side is a left_anti join, which KEEPS a new doc whose
+          -- hash is NULL (md5(NULL) never equi-matches).  NOT EXISTS
+          -- with an equi-predicate has exactly the left_anti semantics,
+          -- so both engines agree even if documents.text is ever NULL.
+          and not exists (
+              select 1 from existing e where e.sig = md5(d.text)
+          )
     """,
 )
 def llm_dedup_incremental(spark, sf_dir):

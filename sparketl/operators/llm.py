@@ -27,6 +27,7 @@ driver-side collects, map-side-combinable aggregations.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import functions as F
 
 from sparketl.registry import query
@@ -1635,7 +1636,18 @@ def llm_dedup_ngram_dfcap(spark, sf_dir):
         )
         .select("lang", "s")
     )
-    e = e0.join(F.broadcast(kept), ["lang", "s"], "left_semi")
+    # e is consumed three times (the n_sh aggregate + both self-join
+    # sides); without a cache the scan+explode+semi lineage recomputes
+    # per consumer.  Measured at sf0.1 steady-state: 2.88s cached vs
+    # 2.97s recomputed — a wash locally, but the cache also removes the
+    # 3x recompute landmine (SURVEY.md §8 #4), so keep it.  bench.py
+    # clearCache()s after each heavy query, so the blocks never leak
+    # across the suite.  At 100 TB the capped postings are the smallest
+    # corpus-scale intermediate in this query; MEMORY_AND_DISK spills
+    # rather than OOMs if a cluster can't hold them.
+    e = e0.join(F.broadcast(kept), ["lang", "s"], "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # capped per-doc set sizes ride back in as a broadcast (doc-count-
     # sized keys+count; at corpus scale this becomes a co-partitioned
     # sort-merge join on doc_id instead)
