@@ -799,3 +799,301 @@ def tpch_q22_dormant_customers(spark, sf_dir):
         group by cntrycode
         order by cntrycode
     """)
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+        select distinct
+               s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+               cast(round(l.l_extendedprice / l.l_quantity * 100) as bigint)
+                   as supply_cost_cents
+        from part p
+        join lineitem l on p.p_partkey = l.l_partkey
+        join supplier s on s.s_suppkey = l.l_suppkey
+        join nation n on s.s_nationkey = n.n_nationkey
+        join region r on n.n_regionkey = r.r_regionkey
+        where r.r_name = 'EUROPE'
+          and p.p_type = 'STANDARD'
+          and cast(round(l.l_extendedprice / l.l_quantity * 100) as bigint) = (
+              select min(cast(round(l2.l_extendedprice / l2.l_quantity * 100)
+                              as bigint))
+              from lineitem l2
+              join supplier s2 on s2.s_suppkey = l2.l_suppkey
+              join nation n2 on s2.s_nationkey = n2.n_nationkey
+              join region r2 on n2.n_regionkey = r2.r_regionkey
+              where l2.l_partkey = p.p_partkey and r2.r_name = 'EUROPE'
+          )
+        order by s.s_acctbal desc, n.n_name, s.s_name, p.p_partkey
+        limit 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """Q2 shape (minimum-cost supplier): for each STANDARD-type part,
+    the EUROPE supplier(s) offering the minimum unit cost — a
+    CORRELATED scalar subquery whose body is itself a 4-table join
+    (lineitem stands in for partsupp, unit cost = extendedprice /
+    quantity in exact cents, as q16 stands lineitem in for partsupp).
+    Catalyst's RewriteCorrelatedScalarSubquery turns the per-part min
+    into one region-filtered aggregate joined back on partkey: the
+    fact is scanned twice but shuffles only (partkey, min_cents) pairs
+    for the subquery side.  DISTINCT collapses repeat lineitems of the
+    same (part, supplier) at the same unit cost, so the result is
+    supplier-relationship-shaped exactly like partsupp.  Deterministic
+    top-100: every output column is functionally determined by the
+    (s_acctbal, n_name, s_name, p_partkey) full-tiebreak sort key.
+    Scale: dims broadcast; both fact passes prune to 4 columns."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        select distinct
+               s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+               cast(round(l.l_extendedprice / l.l_quantity * 100) as bigint)
+                   as supply_cost_cents
+        from part p
+        join lineitem l on p.p_partkey = l.l_partkey
+        join supplier s on s.s_suppkey = l.l_suppkey
+        join nation n on s.s_nationkey = n.n_nationkey
+        join region r on n.n_regionkey = r.r_regionkey
+        where r.r_name = 'EUROPE'
+          and p.p_type = 'STANDARD'
+          and cast(round(l.l_extendedprice / l.l_quantity * 100) as bigint) = (
+              select min(cast(round(l2.l_extendedprice / l2.l_quantity * 100)
+                              as bigint))
+              from lineitem l2
+              join supplier s2 on s2.s_suppkey = l2.l_suppkey
+              join nation n2 on s2.s_nationkey = n2.n_nationkey
+              join region r2 on n2.n_regionkey = r2.r_regionkey
+              where l2.l_partkey = p.p_partkey and r2.r_name = 'EUROPE'
+          )
+        order by s.s_acctbal desc, n.n_name, s.s_name, p.p_partkey
+        limit 100
+    """)
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+        select o_year,
+               round(sum(case when nation = 'NATION_18' then vol else 0 end)
+                     / cast(sum(vol) as double), 6) as mkt_share
+        from (
+            select year(o.o_orderdate) as o_year,
+                   cast(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                        as bigint) as vol,
+                   n2.n_name as nation
+            from part p
+            join lineitem l on p.p_partkey = l.l_partkey
+            join supplier s on s.s_suppkey = l.l_suppkey
+            join orders o on o.o_orderkey = l.l_orderkey
+            join customer c on c.c_custkey = o.o_custkey
+            join nation n1 on c.c_nationkey = n1.n_nationkey
+            join region r on n1.n_regionkey = r.r_regionkey
+            join nation n2 on s.s_nationkey = n2.n_nationkey
+            where r.r_name = 'EUROPE'
+              and p.p_type = 'ECONOMY'
+              and o.o_orderdate between timestamp '1996-01-01'
+                                    and timestamp '1997-12-31'
+        ) all_nations
+        group by o_year
+        order by o_year
+    """,
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """Q8 shape (national market share): NATION_18's share of EUROPE
+    ECONOMY-part order volume per year — an 8-table star join (nation
+    joined TWICE: customer side restricts the market, supplier side
+    tags the competitor) feeding a conditional-share aggregate.
+
+    Determinism: volumes are summed as exact integer 10^-4 units, so
+    both engines divide the IDENTICAL pair of bigints — the only
+    double op is that final division (bit-deterministic), never an
+    fp-order-sensitive running sum.  Plan: all five dims broadcast;
+    the lineitem-orders join is the one real shuffle; the share
+    aggregate carries (year, nation, partial sums) — map-side
+    combinable at any scale."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        select o_year,
+               round(sum(case when nation = 'NATION_18' then vol else 0 end)
+                     / cast(sum(vol) as double), 6) as mkt_share
+        from (
+            select year(o.o_orderdate) as o_year,
+                   cast(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                        as bigint) as vol,
+                   n2.n_name as nation
+            from part p
+            join lineitem l on p.p_partkey = l.l_partkey
+            join supplier s on s.s_suppkey = l.l_suppkey
+            join orders o on o.o_orderkey = l.l_orderkey
+            join customer c on c.c_custkey = o.o_custkey
+            join nation n1 on c.c_nationkey = n1.n_nationkey
+            join region r on n1.n_regionkey = r.r_regionkey
+            join nation n2 on s.s_nationkey = n2.n_nationkey
+            where r.r_name = 'EUROPE'
+              and p.p_type = 'ECONOMY'
+              and o.o_orderdate between timestamp '1996-01-01'
+                                    and timestamp '1997-12-31'
+        ) all_nations
+        group by o_year
+        order by o_year
+    """)
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle="""
+        select nation, o_year,
+               round(sum(amount) / cast(10000 as double), 6) as sum_profit
+        from (
+            select n.n_name as nation,
+                   year(o.o_orderdate) as o_year,
+                   cast(round((l.l_extendedprice * (1 - l.l_discount)
+                               - p.p_retailprice * l.l_quantity * 0.1)
+                              * 10000) as bigint) as amount
+            from part p
+            join lineitem l on p.p_partkey = l.l_partkey
+            join supplier s on s.s_suppkey = l.l_suppkey
+            join orders o on o.o_orderkey = l.l_orderkey
+            join nation n on s.s_nationkey = n.n_nationkey
+            where p.p_name like '%red%'
+        ) profit
+        group by nation, o_year
+        order by nation, o_year desc
+    """,
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    """Q9 shape (product-type profit): per supplier-nation, per year,
+    profit on 'red' parts = revenue minus a 10%-of-retail unit cost
+    (p_retailprice stands in for the missing ps_supplycost, scaled so
+    profit is usually positive).  Every profit term has <= 4 decimal
+    digits (price 2dp x discount 2dp; retail 2dp x integral qty x one
+    0.1 factor), so amounts are exact integer 10^-4 units and the
+    grouped sum is order-independent — AQE cannot flip the hash.
+    Plan: part/supplier/nation broadcast, lineitem-orders is the only
+    fact-fact shuffle, no order-side filter (full-history scan like
+    the real Q9)."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        select nation, o_year,
+               round(sum(amount) / cast(10000 as double), 6) as sum_profit
+        from (
+            select n.n_name as nation,
+                   year(o.o_orderdate) as o_year,
+                   cast(round((l.l_extendedprice * (1 - l.l_discount)
+                               - p.p_retailprice * l.l_quantity * 0.1)
+                              * 10000) as bigint) as amount
+            from part p
+            join lineitem l on p.p_partkey = l.l_partkey
+            join supplier s on s.s_suppkey = l.l_suppkey
+            join orders o on o.o_orderkey = l.l_orderkey
+            join nation n on s.s_nationkey = n.n_nationkey
+            where p.p_name like '%red%'
+        ) profit
+        group by nation, o_year
+        order by nation, o_year desc
+    """)
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+        with val as (
+            select l.l_partkey,
+                   sum(cast(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) as bigint)) as value_u
+            from lineitem l
+            join supplier s on l.l_suppkey = s.s_suppkey
+            join nation n on s.s_nationkey = n.n_nationkey
+            join region r on n.n_regionkey = r.r_regionkey
+            where r.r_name = 'MIDDLE EAST'
+            group by l.l_partkey
+        )
+        select l_partkey,
+               round(value_u / cast(10000 as double), 6) as part_value
+        from val
+        where value_u > (select sum(value_u) * 2.0 / count(*) from val)
+        order by value_u desc, l_partkey
+    """,
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """Q11 shape (important stock identification): parts whose
+    MIDDLE-EAST-supplied value exceeds 2x the mean per-part value —
+    the HAVING-against-uncorrelated-scalar-subquery pattern (lineitem
+    value stands in for partsupp cost x availqty).  The real Q11
+    scales its fraction by 1/SF; a fixed fraction here would be empty
+    at sf0.001 and sf0.1, so the threshold is mean-relative (2x mean
+    share), which is provably scale-free — measured non-empty at
+    every fixture SF (2 / 21 / 497 rows).  The region (not a single
+    nation) keeps the supplier side populated at sf0.001's 10
+    suppliers.  The same grouped CTE feeds both the per-part rows and
+    the global threshold; Catalyst plans the scalar as a one-row
+    broadcast subquery result.  Determinism: per-part values are
+    exact bigint 10^-4 sums; the threshold multiply/divide is the
+    only double op and both engines derive it from the identical
+    bigint pair.  Scale: the heavy groupBy shuffles (partkey,
+    partial-sum) pairs, map-side combinable; the region filter
+    reaches the supplier scan via the broadcast dim join."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        with val as (
+            select l.l_partkey,
+                   sum(cast(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) as bigint)) as value_u
+            from lineitem l
+            join supplier s on l.l_suppkey = s.s_suppkey
+            join nation n on s.s_nationkey = n.n_nationkey
+            join region r on n.n_regionkey = r.r_regionkey
+            where r.r_name = 'MIDDLE EAST'
+            group by l.l_partkey
+        )
+        select l_partkey,
+               round(value_u / cast(10000 as double), 6) as part_value
+        from val
+        where value_u > (select sum(value_u) * 2.0 / count(*) from val)
+        order by value_u desc, l_partkey
+    """)
+
+
+@query(
+    "tpch_q12_shipmode_priority",
+    oracle="""
+        select l.l_returnflag as ship_group,
+               cast(sum(case when o.o_orderpriority in ('1-URGENT', '2-HIGH')
+                             then 1 else 0 end) as bigint) as high_line_count,
+               cast(sum(case when o.o_orderpriority not in ('1-URGENT', '2-HIGH')
+                             then 1 else 0 end) as bigint) as low_line_count
+        from orders o
+        join lineitem l on o.o_orderkey = l.l_orderkey
+        where l.l_returnflag in ('A', 'R')
+          and l.l_shipdate >= timestamp '1996-01-01'
+          and l.l_shipdate < timestamp '1997-01-01'
+        group by l.l_returnflag
+        order by l.l_returnflag
+    """,
+)
+def tpch_q12_shipmode_priority(spark, sf_dir):
+    """Q12 shape (shipping modes vs priority): count urgent-priority
+    vs other orders per shipping bucket within a one-year ship window
+    (l_returnflag in ('A','R') stands in for l_shipmode in
+    ('MAIL','SHIP') — the fixtures carry no shipmode/commitdate/
+    receiptdate, FIXTURES.md).  The classic orders-lineitem join with
+    conditional counts: integer CASE sums, so nothing is
+    fp-sensitive.  Plan: the shipdate+flag filter pushes to the
+    lineitem parquet scan; one equi-join shuffle on orderkey (or a
+    broadcast of the date-filtered side under AQE at small SF);
+    2-group aggregate is trivially map-side combined."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        select l.l_returnflag as ship_group,
+               cast(sum(case when o.o_orderpriority in ('1-URGENT', '2-HIGH')
+                             then 1 else 0 end) as bigint) as high_line_count,
+               cast(sum(case when o.o_orderpriority not in ('1-URGENT', '2-HIGH')
+                             then 1 else 0 end) as bigint) as low_line_count
+        from orders o
+        join lineitem l on o.o_orderkey = l.l_orderkey
+        where l.l_returnflag in ('A', 'R')
+          and l.l_shipdate >= timestamp '1996-01-01'
+          and l.l_shipdate < timestamp '1997-01-01'
+        group by l.l_returnflag
+        order by l.l_returnflag
+    """)
