@@ -244,30 +244,38 @@ def join_cross(spark, sf_dir):
 @query(
     "join_theta_nonequi",
     oracle="""
-        select a.s_suppkey as s1, b.s_suppkey as s2
-        from supplier a
-        join supplier b
-          on a.s_nationkey = b.s_nationkey
-         and a.s_acctbal < b.s_acctbal - 4000
+        select a.c_nationkey as nationkey, count(*) as n_pairs
+        from customer a
+        join customer b
+          on a.c_nationkey = b.c_nationkey
+         and a.c_acctbal < b.c_acctbal - 4000
+        group by a.c_nationkey
     """,
 )
 def join_theta_nonequi(spark, sf_dir):
     """#22 theta join: equi-prefix on nation + non-equi residual on
-    acctbal, so the nested-loop part runs within key groups."""
-    s = table(spark, sf_dir, "supplier")
-    a = s.select(
-        F.col("s_suppkey").alias("s1"),
-        F.col("s_nationkey").alias("nk1"),
-        F.col("s_acctbal").alias("bal1"),
+    acctbal, so the nested-loop part runs within key groups.  Customer
+    (not supplier) self-join: sf0.001 has 10 suppliers over 25 nations
+    — zero same-nation supplier pairs, which would make the hash match
+    vacuous there (the round-4 zero-row lesson); 150 customers give
+    ~200 pairs even at the smallest SF.  The pair set is quadratic in
+    per-nation customer count (~1.8M rows at sf0.1), so the query
+    returns per-nation PAIR COUNTS — the theta join still materializes
+    every pair in the join itself, but the driver-side result stays
+    25-row-bounded at any scale."""
+    c = table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_nationkey").alias("nk1"),
+        F.col("c_acctbal").alias("bal1"),
     )
-    b = s.select(
-        F.col("s_suppkey").alias("s2"),
-        F.col("s_nationkey").alias("nk2"),
-        F.col("s_acctbal").alias("bal2"),
+    b = c.select(
+        F.col("c_nationkey").alias("nk2"),
+        F.col("c_acctbal").alias("bal2"),
     )
     return (
         a.join(b, (F.col("nk1") == F.col("nk2")) & (F.col("bal1") < F.col("bal2") - 4000))
-        .select("s1", "s2")
+        .groupBy(F.col("nk1").alias("nationkey"))
+        .agg(F.count("*").alias("n_pairs"))
     )
 
 
