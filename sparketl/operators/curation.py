@@ -736,3 +736,163 @@ def llm_quality_repetition(spark, sf_dir):
             "dup_word_frac"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# repeated-span removal (C4-style) + deterministic shard assignment
+# ---------------------------------------------------------------------------
+
+#: span width (tokens) for exact repeated-span dedup
+_SPAN_W = 5
+
+
+@query(
+    "llm_span_dedup",
+    oracle=f"""
+        with t as (
+            select doc_id, {_TOKS_D} as toks, len({_TOKS_D}) as n
+            from documents
+        ),
+        spans as (
+            select doc_id, si as pos,
+                   array_to_string(
+                       list_slice(t.toks, si * {_SPAN_W} + 1,
+                                  least((si + 1) * {_SPAN_W}, t.n)),
+                       ' ') as span
+            from t, unnest(generate_series(0,
+                       cast(ceil(n / {_SPAN_W}.0) as bigint) - 1)) as u(si)
+        ),
+        kept as (
+            select doc_id, pos, span
+            from spans
+            qualify row_number() over (partition by span
+                                       order by doc_id, pos) = 1
+        ),
+        totals as (select doc_id, count(*) as n_spans from spans group by doc_id)
+        select tt.doc_id,
+               cast(tt.n_spans as bigint) as n_spans,
+               cast(coalesce(k.n_kept, 0) as bigint) as n_kept,
+               coalesce(k.text_kept, '') as text_kept
+        from totals tt
+        left join (
+            select doc_id, count(*) as n_kept,
+                   string_agg(span, ' ' order by pos) as text_kept
+            from kept group by doc_id
+        ) k using (doc_id)
+    """,
+)
+def llm_span_dedup(spark, sf_dir):
+    """C4/RefinedWeb-style repeated-SPAN removal: the corpus is cut
+    into consecutive {_SPAN_W}-token spans, every span that repeats
+    anywhere in the corpus keeps only its FIRST occurrence (min
+    (doc_id, pos)), and each document is reassembled from its
+    surviving spans — sub-document exact dedup, the pass that strips
+    boilerplate headers/footers that whole-document hashing can never
+    catch.  Returns per-doc span totals, survivor counts, and the
+    reassembled text ('' when every span was seen earlier).
+
+    Scale: spans shuffle as (span-text, doc_id, pos) — span text is
+    ~{_SPAN_W} words, never the whole document; at 100 TB the span
+    column drops to an 8-byte xxhash64 before the shuffle and text
+    rides only in the final reassembly join.  First-occurrence is one
+    window per span key (bounded groups — a span repeated k times has
+    a k-row partition) and reassembly is a per-doc sort of kept
+    positions: both map-side-bounded, no global funnel.  The
+    hot-span skew cap (a boilerplate span in every doc) is the same
+    df-cap pattern as llm_dedup_ngram_dfcap applied upstream.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.expr(_TOKS_S).alias("toks"),
+        F.expr(f"size({_TOKS_S})").alias("n"),
+    )
+    spans = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"sequence(cast(0 as bigint), "
+                f"cast(ceil(n / {_SPAN_W}.0) as bigint) - 1)"
+            )
+        ).alias("pos"),
+        "toks",
+        "n",
+    ).select(
+        "doc_id",
+        "pos",
+        F.array_join(
+            F.expr(
+                f"slice(toks, cast(pos * {_SPAN_W} + 1 as int), "
+                f"cast(least((pos + 1) * {_SPAN_W}, n) - pos * {_SPAN_W} as int))"
+            ),
+            " ",
+        ).alias("span"),
+    )
+    w = Window.partitionBy("span").orderBy("doc_id", "pos")
+    kept = (
+        spans.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    totals = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s.span,
+            ),
+            " ",
+        ).alias("text_kept"),
+    )
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.col("text_kept"), F.lit("")).alias("text_kept"),
+    )
+
+
+#: shard count for the deterministic training-order shuffle
+_N_SHARDS = 8
+
+
+@query(
+    "llm_shard_assign",
+    oracle=f"""
+        with h as (
+            select doc_id, {_h_duck("'shuffle'", "doc_id")} as hv
+            from documents
+        )
+        select doc_id,
+               cast(hv % {_N_SHARDS} as bigint) as shard,
+               cast(row_number() over (partition by hv % {_N_SHARDS}
+                                       order by hv, doc_id) as bigint) as seq
+        from h
+    """,
+)
+def llm_shard_assign(spark, sf_dir):
+    """Deterministic global training-order shuffle + shard assignment:
+    every doc gets a seeded 60-bit hash; shard = hash mod {_N_SHARDS},
+    within-shard order = hash order (doc_id tiebreak) — the step that
+    turns a curated corpus into randomized, evenly-sized training
+    shards WITHOUT a true random() (reproducible across engines, runs,
+    and partitionings; same _h as the MinHash family).
+
+    Scale: the hash is a narrow map; the only shuffle is the window's
+    hash-partition by shard — {_N_SHARDS} partitions here, tens of
+    thousands at 100 TB (shard count is the parallelism knob).  The
+    within-shard row_number is the one per-shard ordering funnel, which
+    is exactly the semantics a training loader needs; for
+    order-without-seq, drop the window and the plan is shuffle-free.
+    """
+    docs = table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", F.expr(_h_spark("'shuffle'", "doc_id")).alias("hv")
+    )
+    w = Window.partitionBy(F.col("hv") % _N_SHARDS).orderBy("hv", "doc_id")
+    return h.select(
+        "doc_id",
+        (F.col("hv") % _N_SHARDS).cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("seq"),
+    )
