@@ -158,3 +158,44 @@ def test_correlated_scalar_subquery_decorrelates(q):
     plan = plan_str(q("tpch_q17_small_qty_order"), mode="simple")
     assert "HashAggregate" in plan and "Join" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_q2_correlated_min_decorrelates(q):
+    """Q2's per-part minimum-cost subquery (whose body is itself a
+    4-table region-filtered join) must decorrelate into an aggregate
+    joined back on partkey — never per-row execution or a cartesian —
+    and the nation/region dims must ride in as broadcasts."""
+    plan = plan_str(q("tpch_q2_min_cost_supplier"), mode="simple")
+    assert "HashAggregate" in plan and "Join" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_star_join_broadcasts_all_dims(q):
+    """Q8 joins five dimension tables (nation twice) around the
+    lineitem-orders fact chain; every dim side must broadcast so the
+    only real shuffle is fact-fact."""
+    plan = plan_str(q("tpch_q8_market_share"), mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_threshold_is_uncorrelated_scalar(q):
+    """Q11's 2x-mean threshold must plan as a one-row uncorrelated
+    subquery feeding a filter over the grouped CTE — one aggregate
+    pass reused, not a join explosion."""
+    plan = plan_str(q("tpch_q11_important_stock"), mode="simple")
+    assert "Subquery" in plan or "subquery" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_theta_join_keeps_equi_prefix(q):
+    """The theta join's nation equi-prefix must make it a hash or
+    sort-merge join with the balance residual as the join condition —
+    NOT a nested-loop over the full cross space."""
+    plan = plan_str(q("join_theta_nonequi"), mode="simple")
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
