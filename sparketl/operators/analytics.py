@@ -1,0 +1,199 @@
+"""Event-analytics operators over the ``events`` stream table (batch
+side of SURVEY.md §2.10): conversion funnels, cohort retention, and
+event-path analysis — the product-analytics query family a Presto ETL
+deployment runs daily next to its pipelines (Presto popularized these
+via its sequence/funnel UDF family; here they are pure declarative
+plans so Catalyst distributes them).
+
+Determinism: every output is counts, exact timestamps, or formatted
+dates — no fp-order-sensitive aggregates anywhere in the family.
+
+Scale: each query shuffles on ``user_id`` exactly once (the natural
+partitioning of behavioral data — at 100 TB the events table is
+bucketed by user_id and these all become shuffle-free); per-user state
+is a handful of timestamps, never the event payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparketl.registry import query
+from sparketl.tables import table
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+        with v as (
+            select user_id, min(ts) as t_view
+            from events where event_type = 'view' group by user_id
+        ),
+        c as (
+            select e.user_id, min(e.ts) as t_click
+            from events e join v on e.user_id = v.user_id
+            where e.event_type = 'click' and e.ts > v.t_view
+            group by e.user_id
+        ),
+        p as (
+            select e.user_id, min(e.ts) as t_purchase
+            from events e join c on e.user_id = c.user_id
+            where e.event_type = 'purchase' and e.ts > c.t_click
+            group by e.user_id
+        )
+        select (select count(*) from v) as n_view,
+               (select count(*) from c) as n_click_after_view,
+               (select count(*) from p) as n_purchase_after_click,
+               round((select count(*) from p)
+                     / cast((select count(*) from v) as double), 6)
+                   as view_to_purchase_rate
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase: a user
+    counts for a stage only if it happened STRICTLY AFTER their entry
+    into the previous stage (min-timestamp chaining — the semantics of
+    Presto/Athena's funnel UDFs, expressed as three chained
+    conditional-min aggregates).
+
+    Scale: three aggregates each keyed on user_id + two user-keyed
+    equi-joins carrying one timestamp per row; with the events table
+    bucketed by user_id every stage is co-partitioned and shuffle-free.
+    The final stage counts are single-row scalars (count-only
+    aggregates), so the driver never sees per-user data.
+    """
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count("*").alias("n_view"))
+    nc = c.agg(F.count("*").alias("n_click_after_view"))
+    np_ = p.agg(F.count("*").alias("n_purchase_after_click"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click_after_view",
+            "n_purchase_after_click",
+            F.round(
+                F.col("n_purchase_after_click")
+                / F.col("n_view").cast("double"),
+                6,
+            ).alias("view_to_purchase_rate"),
+        )
+    )
+
+
+@query(
+    "retention_cohort",
+    oracle="""
+        with first_day as (
+            select user_id, min(cast(ts as date)) as d0
+            from events group by user_id
+        ),
+        activity as (
+            select distinct user_id, cast(ts as date) as d from events
+        )
+        select strftime(f.d0, '%Y-%m-%d') as cohort_day,
+               cast(a.d - f.d0 as bigint) as day_offset,
+               count(*) as n_users
+        from activity a join first_day f using (user_id)
+        group by f.d0, a.d - f.d0
+        order by cohort_day, day_offset
+    """,
+)
+def retention_cohort(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-active day,
+    counted again at each later active-day offset — the
+    daily-retention matrix every growth dashboard renders.
+
+    Scale: first-day is one user-keyed min; the distinct-activity set
+    carries (user_id, date) pairs only; the join is user-co-partitioned
+    and the final aggregate's key space is days x offsets (tiny at any
+    corpus size).  DuckDB's DATE-DATE yields integer days while Spark
+    needs datediff() — normalized to bigint on both sides (the §8
+    date-narrowing landmine family).
+    """
+    ev = table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    activity = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    return (
+        activity.join(first_day, "user_id")
+        .groupBy("d0", F.datediff("d", "d0").alias("day_offset"))
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("bigint").alias("day_offset"),
+            "n_users",
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@query(
+    "path_bigrams",
+    oracle="""
+        with seq as (
+            select user_id, event_type, ts, event_id,
+                   lag(event_type) over (
+                       partition by user_id order by ts, event_id
+                   ) as prev_type
+            from events
+        )
+        select prev_type, event_type as next_type, count(*) as n_transitions
+        from seq
+        where prev_type is not null
+        group by prev_type, event_type
+        order by n_transitions desc, prev_type, next_type
+        limit 10
+    """,
+)
+def path_bigrams(spark, sf_dir):
+    """Event-path analysis: the most common consecutive event-type
+    transitions per user timeline (the edges of a behavioral Markov
+    chain / sankey diagram).  Orders by (ts, event_id) so concurrent
+    events break ties deterministically on both engines.
+
+    Scale: one lag window partitioned by user_id (bounded per-user
+    partitions), then a 25-key aggregate — the shuffle carries
+    (user_id-partitioned event types), the aggregate is map-side
+    combinable, and the top-10 fuses to TakeOrderedAndProject.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+        .orderBy(
+            F.col("n_transitions").desc(),
+            F.col("prev_type").asc(),
+            F.col("next_type").asc(),
+        )
+        .limit(10)
+    )

@@ -48,6 +48,7 @@ def load_all_modules() -> None:
     # and circular imports (modules import `query` from here) resolve.
     from sparketl.operators import (  # noqa: F401
         aggregates,
+        analytics,
         curation,
         dialect_queries,
         eventtime,
