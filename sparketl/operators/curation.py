@@ -896,3 +896,67 @@ def llm_shard_assign(spark, sf_dir):
         (F.col("hv") % _N_SHARDS).cast("bigint").alias("shard"),
         F.row_number().over(w).cast("bigint").alias("seq"),
     )
+
+
+@query(
+    "llm_word_entropy",
+    oracle=f"""
+        with wc as (
+            select doc_id, w, count(*) as c
+            from (select doc_id, unnest({_TOKS_D}) as w from documents) t
+            group by doc_id, w
+        ),
+        tot as (select doc_id, sum(c) as n from wc group by doc_id)
+        select wc.doc_id,
+               cast(tot.n as bigint) as n_tok,
+               round(sum(cast(round(
+                   -(c / cast(n as double)) * ln(c / cast(n as double)) * 1e9
+               ) as bigint)) / cast(1e9 as double), 6) as entropy_nats
+        from wc join tot using (doc_id)
+        group by wc.doc_id, tot.n
+    """,
+)
+def llm_word_entropy(spark, sf_dir):
+    """Shannon word entropy per document (in nats) — the
+    information-density quality signal that separates natural prose
+    (high entropy) from keyword stuffing and template boilerplate (low
+    entropy); the standard companion to the repetition fractions in
+    llm_quality_repetition.
+
+    Determinism: a naive sum(-p*ln(p)) over doubles is fp-ORDER-
+    sensitive, so partitioning/AQE could flip the hash.  Instead each
+    term's contribution is rounded to integer NANO-NATS (1e-9) and
+    summed as bigint — the exact-cents policy (functions/exact.py)
+    applied to information units: per-term doubles are bit-identical
+    across engines (same division, same ln — empirically exact across
+    this suite, cf. the tf-idf family), and the integer sum is
+    order-free.  Headroom: a contribution is <= 0.368e9, so overflow
+    needs ~2.5e10 distinct terms in ONE document — not a real doc.
+
+    Scale: explode -> two stacked user-keyed groupBys (both map-side
+    combinable) + a doc-keyed count join-back — identical shuffle
+    profile to llm_quality_repetition; only (doc_id, counts) rows move.
+    """
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = wc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    contrib = F.round(-p * F.log(p) * 1e9).cast("bigint")
+    return (
+        wc.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.round(F.sum(contrib) / F.lit(1e9).cast("double"), 6).alias(
+                "entropy_nats"
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_tok"),
+            "entropy_nats",
+        )
+    )
