@@ -1394,14 +1394,27 @@ def llm_ivf_search(spark, sf_dir):
         "embedding",
         F.expr(_NORM2_S.format(a="embedding")).alias("norm2"),
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.expr(_L2_S.format(a="embedding", b="cvec")).asc(), F.col("c_label").asc()
-    )
+    # assignment is a TRUE narrow map: all k centroids collapse into ONE
+    # broadcast row (k x 64 doubles), and each vector picks its nearest
+    # centroid with a local argmin over that array — array_sort on
+    # (distance, label) structs gives the same (L2 asc, label asc)
+    # tie-break as an orderBy.  The previous shape (explode to k rows
+    # per vector + row_number window) shuffled the whole corpus by
+    # vec_id just to pick a per-row minimum; this one never shuffles
+    # the corpus at all — the exact plan the 100-TB claim requires.
+    cen_one = cen.agg(F.collect_list(F.struct("c_label", "cvec")).alias("cens"))
+    l2_in = _L2_S.format(a="embedding", b="cn.cvec")
     assigned = (
-        e.crossJoin(F.broadcast(cen))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "norm2", "c_label")
+        e.crossJoin(F.broadcast(cen_one))
+        .select(
+            "vec_id",
+            "embedding",
+            "norm2",
+            F.expr(
+                f"array_sort(transform(cens, cn -> "
+                f"struct({l2_in} as d, cn.c_label as l)))[0].l"
+            ).alias("c_label"),
+        )
     )
     q = assigned.where(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"),
