@@ -405,3 +405,60 @@ def stream_kafka_roundtrip(spark, sf_dir):
             6,
         ).alias("total_value"),
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+        select v.user_id,
+               v.event_id as view_id,
+               c.event_id as click_id,
+               epoch_us(c.ts) - epoch_us(v.ts) as lag_us
+        from (select user_id, event_id, ts from events
+              where event_type = 'view') v
+        join (select user_id, event_id, ts from events
+              where event_type = 'click') c
+          on v.user_id = c.user_id
+         and c.ts >= v.ts
+         and c.ts <= v.ts + interval 10 minute
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join, batch face: every click attributed
+    to the same user's views of the preceding 10 minutes — the
+    attribution-join shape Structured Streaming executes with
+    watermarks on BOTH sides (each side's state pruned to the interval
+    + watermark slack).  The LIVE two-readStream variant of this exact
+    plan runs in tests/test_streaming.py::test_stream_stream_join_live.
+
+    Scale: an equi-join on user_id with a time-interval residual —
+    state per user is interval-bounded on both sides, so the streaming
+    job holds O(active users x window) rows regardless of stream
+    length; the batch face shuffles each side once on user_id.  Output
+    is exact integer microsecond lags (no fp anywhere).
+    """
+    ev = table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        v.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("interval 10 minutes")),
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "click_id",
+            (
+                F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("v_ts"))
+            ).alias("lag_us"),
+        )
+    )

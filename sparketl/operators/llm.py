@@ -1442,6 +1442,134 @@ def llm_ivf_search(spark, sf_dir):
     )
 
 
+@query(
+    "llm_ivf_search_nprobe",
+    oracle=f"""
+        with cen_long as (
+            select label, i,
+                   round(round(sum(embedding[i]::double), 6) / count(*), 6) as c
+            from embeddings cross join unnest(generate_series(1, 64)) as u(i)
+            group by label, i
+        ),
+        cen as (
+            select label as c_label, list(c order by i) as cvec
+            from cen_long group by label
+        ),
+        e as (
+            select vec_id, embedding,
+                   {_NORM2_D.format(a='embedding')} as norm2
+            from embeddings
+        ),
+        ranked as (
+            select vec_id, embedding, norm2, c_label,
+                   row_number() over (
+                       partition by vec_id
+                       order by {_L2_D.format(a='embedding', b='cvec')} asc,
+                                c_label asc) as rn
+            from e cross join cen
+        ),
+        assigned as (
+            select vec_id, embedding, norm2, c_label
+            from ranked where rn = 1
+        ),
+        probes as (
+            select vec_id, embedding, norm2, c_label
+            from ranked where rn <= 2 and vec_id % 25 = 0
+        ),
+        scored as (
+            select q.vec_id as query_id, c.vec_id as neighbor_id,
+                   round({_DOT_D.format(a='q.embedding', b='c.embedding')}
+                         / sqrt(q.norm2 * c.norm2), 6) as cos_sim
+            from probes q join assigned c
+              on q.c_label = c.c_label and q.vec_id <> c.vec_id
+        )
+        select query_id, neighbor_id, cos_sim,
+               row_number() over (partition by query_id
+                                  order by cos_sim desc, neighbor_id asc) as rnk
+        from scored
+        qualify rnk <= 3
+    """,
+)
+def llm_ivf_search_nprobe(spark, sf_dir):
+    """#137 IVF search with nprobe=2 — the accuracy/cost knob that makes
+    IVF usable in production: each QUERY probes its two nearest
+    clusters while the corpus stays single-assigned, so candidate
+    volume is ~2 n^2/k (vs n^2/k at nprobe=1) and recall recovers the
+    neighbors that fall just across a Voronoi boundary.  Same
+    deterministic contract as llm_ivf_search (rounded centroids,
+    ordered-fold distances, full tie-breaks) so the probe expansion is
+    hash-graded exactly.
+
+    Scale: identical to llm_ivf_search plus a 2x fan-out on the QUERY
+    side only (queries are the small side by construction); the corpus
+    is still never shuffled for assignment and the candidate join stays
+    a cluster-key equi-join.
+    """
+    emb = _parallel(table(spark, sf_dir, "embeddings"))
+    cen_long = (
+        emb.select("label", F.posexplode(F.col("embedding")).alias("i0", "v"))
+        .groupBy("label", (F.col("i0") + 1).alias("dim"))
+        .agg(
+            F.round(
+                F.round(F.sum(F.col("v").cast("double")), 6) / F.count("*"), 6
+            ).alias("c")
+        )
+    )
+    cen = cen_long.groupBy(F.col("label").alias("c_label")).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, c))), s -> s.c)"
+        ).alias("cvec")
+    )
+    cen_one = cen.agg(F.collect_list(F.struct("c_label", "cvec")).alias("cens"))
+    e = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_NORM2_S.format(a="embedding")).alias("norm2"),
+    )
+    l2_in = _L2_S.format(a="embedding", b="cn.cvec")
+    ranked_expr = (
+        f"array_sort(transform(cens, cn -> struct({l2_in} as d, cn.c_label as l)))"
+    )
+    with_cen = e.crossJoin(F.broadcast(cen_one))
+    assigned = with_cen.select(
+        "vec_id",
+        "embedding",
+        "norm2",
+        F.expr(f"{ranked_expr}[0].l").alias("c_label"),
+    )
+    probes = (
+        with_cen.where(F.col("vec_id") % 25 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm2").alias("q_norm2"),
+            F.explode(
+                F.expr(f"transform(slice({ranked_expr}, 1, 2), s -> s.l)")
+            ).alias("q_label"),
+        )
+    )
+    cos = F.round(
+        F.expr(_DOT_S.format(a="q_emb", b="embedding"))
+        / F.sqrt(F.col("q_norm2") * F.col("norm2")),
+        6,
+    )
+    scored = probes.join(
+        assigned,
+        (F.col("q_label") == F.col("c_label"))
+        & (F.col("query_id") != F.col("vec_id")),
+    ).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim")
+    )
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w_rank)).where(
+        F.col("rnk") <= 3
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.11 #137 — multi-probe LSH (SURVEY.md §8 candidate)
 # ---------------------------------------------------------------------------

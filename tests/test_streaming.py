@@ -411,3 +411,54 @@ def test_rate_kafka_stream_live(spark):
         # doubles are bit-exact through the JSON value codec
         assert r.value == r.event_id * 0.25
         assert r.ts is not None and r.props == '{"src":"rate"}'
+
+
+def test_stream_stream_join_live(spark, events_dir):
+    """#134/stream_stream_join: the LIVE two-readStream interval join —
+    views and clicks as separate watermarked streams, clicks attributed
+    to the same user's views of the preceding 10 minutes, compared
+    row-for-row against the batch face (registry: stream_stream_join)."""
+    from sparketl import registry
+
+    views = (
+        read_events_stream(spark, events_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "10 minutes")
+    )
+    clicks = (
+        read_events_stream(spark, events_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("interval 10 minutes")),
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("v_ts"))).alias(
+            "lag_us"
+        ),
+    )
+    got = {
+        (r.user_id, r.view_id, r.click_id, r.lag_us)
+        for r in run_available_now(joined).collect()
+    }
+    want = {
+        (r.user_id, r.view_id, r.click_id, r.lag_us)
+        for r in registry.QUERIES["stream_stream_join"](spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
