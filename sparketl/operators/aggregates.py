@@ -560,3 +560,74 @@ def numeric_histogram(spark, sf_dir):
             F.round(F.max("o_totalprice"), 6).alias("hi"),
         )
     )
+
+
+@query(
+    "approx_hll_sketch_merge",
+    oracle="""
+        with per_seg as (
+            select l_returnflag,
+                   count(distinct l_partkey) as seg_exact
+            from lineitem group by l_returnflag
+        ),
+        merged as (
+            select count(distinct l_partkey) as union_exact from lineitem
+        )
+        select p.l_returnflag,
+               p.seg_exact,
+               m.union_exact,
+               true as seg_within_5pct,
+               true as union_within_5pct
+        from per_seg p cross join merged m
+        order by p.l_returnflag
+    """,
+)
+def approx_hll_sketch_merge(spark, sf_dir):
+    """#40 depth — MERGEABLE HLL sketches (Presto's signature approx
+    workflow: build per-segment sketches once, union them for any
+    rollup without rescanning): per-returnflag Datasketches HLL via
+    hll_sketch_agg, then hll_union_agg merges the three segment
+    sketches into the global distinct estimate.  Tolerance-boolean
+    grading like #40/#41: Spark checks its own estimates against its
+    own exact counts (±5%); the oracle states the accuracy contract
+    plus the exact counts both engines must agree on.
+
+    Scale: THE pattern for 100-TB rollup serving — per-partition/
+    per-day sketch build is map-side combinable and the stored sketch
+    is KBs; any cross-segment union is sketch-merge, never a rescan of
+    the fact table.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    seg = li.groupBy("l_returnflag").agg(
+        F.expr("hll_sketch_agg(l_partkey)").alias("sk"),
+        F.countDistinct("l_partkey").alias("seg_exact"),
+    )
+    merged = seg.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("union_est")
+    )
+    union_exact = li.agg(
+        F.countDistinct("l_partkey").alias("union_exact")
+    )
+    return (
+        seg.select(
+            "l_returnflag",
+            "seg_exact",
+            F.expr("hll_sketch_estimate(sk)").alias("seg_est"),
+        )
+        .crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(union_exact))
+        .select(
+            "l_returnflag",
+            "seg_exact",
+            "union_exact",
+            (
+                F.abs(F.col("seg_est") - F.col("seg_exact"))
+                <= 0.05 * F.col("seg_exact")
+            ).alias("seg_within_5pct"),
+            (
+                F.abs(F.col("union_est") - F.col("union_exact"))
+                <= 0.05 * F.col("union_exact")
+            ).alias("union_within_5pct"),
+        )
+        .orderBy("l_returnflag")
+    )
