@@ -1570,6 +1570,106 @@ def llm_ivf_search_nprobe(spark, sf_dir):
     )
 
 
+@query(
+    "llm_pq_codes",
+    oracle=f"""
+        with cen_long as (
+            select label, i,
+                   round(round(sum(embedding[i]::double), 6) / count(*), 6) as c
+            from embeddings cross join unnest(generate_series(1, 64)) as u(i)
+            group by label, i
+        ),
+        cen as (
+            select label as c_label, list(c order by i) as cvec
+            from cen_long group by label
+        ),
+        d as (
+            select e.vec_id, m.m, c.c_label,
+                   list_sum(list_transform(generate_series(m.m * 8 + 1,
+                                                           m.m * 8 + 8),
+                       i -> (e.embedding[i]::double - c.cvec[i])
+                            * (e.embedding[i]::double - c.cvec[i]))) as dist
+            from embeddings e
+            cross join (select unnest(generate_series(0, 7)) as m) m
+            cross join cen c
+        ),
+        best as (
+            select vec_id, m, c_label, dist,
+                   row_number() over (partition by vec_id, m
+                                      order by dist asc, c_label asc) as rn
+            from d
+            qualify rn = 1
+        )
+        select vec_id,
+               string_agg(c_label::varchar, ',' order by m) as codes,
+               cast(sum(cast(round(dist * 1e9) as bigint)) as bigint)
+                   as err_nano
+        from best
+        group by vec_id
+    """,
+)
+def llm_pq_codes(spark, sf_dir):
+    """#137-family PRODUCT QUANTIZATION encode: each 64-dim vector is
+    split into 8 subvectors of 8 dims; every subvector is replaced by
+    the id of its nearest subspace codeword (the per-label centroids
+    restricted to that subspace — labels stand in for learned
+    codebooks exactly as in IVF), compressing a vector to 8 small
+    codes — the memory-bound ANN representation (IVF-PQ) that serves
+    billion-vector indexes from RAM.  err_nano is the total squared
+    reconstruction distance in exact integer nano-units (the
+    exact-cents policy, so the fp-order-sensitive sum of 8 subspace
+    distances is order-free and hash-exact).
+
+    Scale: after the k x 64 centroid table collapses into ONE
+    broadcast row, encoding is a pure narrow map — each vector
+    computes 8 local argmins over the codebook; no shuffle of the
+    corpus at any point (same shape as the rewritten IVF assignment).
+    Distances are ordered folds over identical doubles on both
+    engines; code ties break by label asc.
+    """
+    emb = _parallel(table(spark, sf_dir, "embeddings"))
+    cen_long = (
+        emb.select("label", F.posexplode(F.col("embedding")).alias("i0", "v"))
+        .groupBy("label", (F.col("i0") + 1).alias("dim"))
+        .agg(
+            F.round(
+                F.round(F.sum(F.col("v").cast("double")), 6) / F.count("*"), 6
+            ).alias("c")
+        )
+    )
+    cen = cen_long.groupBy(F.col("label").alias("c_label")).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, c))), s -> s.c)"
+        ).alias("cvec")
+    )
+    cen_one = cen.agg(F.collect_list(F.struct("c_label", "cvec")).alias("cens"))
+    sub_l2 = (
+        "aggregate(zip_with(slice(embedding, m * 8 + 1, 8), "
+        "slice(cn.cvec, m * 8 + 1, 8), "
+        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        "cast(0 as double), (acc, t) -> acc + t)"
+    )
+    pq_expr = (
+        f"transform(sequence(0, 7), m -> "
+        f"array_sort(transform(cens, cn -> "
+        f"struct({sub_l2} as d, cn.c_label as l)))[0])"
+    )
+    return (
+        emb.crossJoin(F.broadcast(cen_one))
+        .select("vec_id", F.expr(pq_expr).alias("pq"))
+        .select(
+            "vec_id",
+            F.expr(
+                "array_join(transform(pq, s -> cast(s.l as string)), ',')"
+            ).alias("codes"),
+            F.expr(
+                "aggregate(pq, cast(0 as bigint), "
+                "(acc, s) -> acc + cast(round(s.d * 1e9) as bigint))"
+            ).alias("err_nano"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.11 #137 — multi-probe LSH (SURVEY.md §8 candidate)
 # ---------------------------------------------------------------------------
