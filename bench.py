@@ -118,6 +118,7 @@ def main() -> None:
         "llm_dedup_ngram_jaccard",
         "sink_bucketed_colocated_join",
         "llm_ivf_search",
+        "llm_pq_adc_search",
         "udf_grouped_map_apply",
         "stream_static_enrich",
         "llm_similarity_topk",

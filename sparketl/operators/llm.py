@@ -1670,6 +1670,140 @@ def llm_pq_codes(spark, sf_dir):
     )
 
 
+@query(
+    "llm_pq_adc_search",
+    oracle=f"""
+        with cen_long as (
+            select label, i,
+                   round(round(sum(embedding[i]::double), 6) / count(*), 6) as c
+            from embeddings cross join unnest(generate_series(1, 64)) as u(i)
+            group by label, i
+        ),
+        cen as (
+            select label as c_label, list(c order by i) as cvec
+            from cen_long group by label
+        ),
+        d as (
+            select e.vec_id, m.m, c.c_label,
+                   list_sum(list_transform(generate_series(m.m * 8 + 1,
+                                                           m.m * 8 + 8),
+                       i -> (e.embedding[i]::double - c.cvec[i])
+                            * (e.embedding[i]::double - c.cvec[i]))) as dist
+            from embeddings e
+            cross join (select unnest(generate_series(0, 7)) as m) m
+            cross join cen c
+        ),
+        codes as (
+            select vec_id, m, c_label as code
+            from d
+            qualify row_number() over (partition by vec_id, m
+                                       order by dist asc, c_label asc) = 1
+        ),
+        adc as (
+            select q.vec_id as query_id, c.vec_id as neighbor_id,
+                   cast(sum(cast(round(list_sum(list_transform(
+                       generate_series(c.m * 8 + 1, c.m * 8 + 8),
+                       i -> (q.embedding[i]::double - cb.cvec[i])
+                            * (q.embedding[i]::double - cb.cvec[i])))
+                       * 1e9) as bigint)) as bigint) as adc_nano
+            from embeddings q
+            join codes c on c.vec_id <> q.vec_id
+            join cen cb on cb.c_label = c.code
+            where q.vec_id % 25 = 0
+            group by q.vec_id, c.vec_id
+        )
+        select query_id, neighbor_id, adc_nano,
+               row_number() over (partition by query_id
+                                  order by adc_nano asc, neighbor_id asc)
+                   as rnk
+        from adc
+        qualify rnk <= 3
+    """,
+)
+def llm_pq_adc_search(spark, sf_dir):
+    """#137-family IVF-PQ search side — ASYMMETRIC DISTANCE
+    COMPUTATION: the full-precision query scores every PQ-coded corpus
+    vector as the sum over subspaces of L2(query_subvector,
+    codeword[code_m]) — the corpus side is never decompressed, which
+    is the entire point of PQ (the index stays 8 bytes/vector).
+    Per-subspace distances round to integer nano-units before the
+    8-term sum, so ADC scores are exact bigints (order-free) and the
+    top-3 per query is hash-graded with full tie-breaks.
+
+    Scale: the production shape precomputes a query-local k x M lookup
+    table and scans codes with table lookups; here the lookup is the
+    same codeword distance expressed per pair.  The codebook is one
+    broadcast row, codes are 8 small ints per vector, and the
+    query-corpus pairing is broadcast-query x narrow corpus scan — at
+    100 TB it composes with IVF cluster pruning (llm_ivf_search) so
+    each query touches one cluster's codes, not the corpus.
+    """
+    emb = _parallel(table(spark, sf_dir, "embeddings"))
+    cen_long = (
+        emb.select("label", F.posexplode(F.col("embedding")).alias("i0", "v"))
+        .groupBy("label", (F.col("i0") + 1).alias("dim"))
+        .agg(
+            F.round(
+                F.round(F.sum(F.col("v").cast("double")), 6) / F.count("*"), 6
+            ).alias("c")
+        )
+    )
+    cen = cen_long.groupBy(F.col("label").alias("c_label")).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, c))), s -> s.c)"
+        ).alias("cvec")
+    )
+    cen_one = cen.agg(F.collect_list(F.struct("c_label", "cvec")).alias("cens"))
+    sub_l2 = (
+        "aggregate(zip_with(slice(embedding, m * 8 + 1, 8), "
+        "slice(cn.cvec, m * 8 + 1, 8), "
+        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        "cast(0 as double), (acc, t) -> acc + t)"
+    )
+    code_expr = (
+        f"transform(sequence(0, 7), m -> "
+        f"array_sort(transform(cens, cn -> "
+        f"struct({sub_l2} as d, cn.c_label as l)))[0].l)"
+    )
+    coded = (
+        emb.crossJoin(F.broadcast(cen_one))
+        .select("vec_id", F.expr(code_expr).alias("codes"))
+    )
+    q = (
+        emb.where(F.col("vec_id") % 25 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        .crossJoin(F.broadcast(cen_one))
+    )
+    # ADC score: per subspace, L2 of the query subvector against the
+    # codeword the corpus vector stored for that subspace; nano-unit
+    # rounding per term keeps the 8-term sum exact and order-free.
+    adc_expr = (
+        "aggregate(sequence(0, 7), cast(0 as bigint), (acc, m) -> acc + "
+        "cast(round(aggregate(zip_with("
+        "slice(q_emb, m * 8 + 1, 8), "
+        "slice(filter(cens, cn -> cn.c_label = element_at(codes, m + 1))[0].cvec, "
+        "m * 8 + 1, 8), "
+        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        "cast(0 as double), (a2, t) -> a2 + t) * 1e9) as bigint))"
+    )
+    scored = q.join(coded, F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(adc_expr).alias("adc_nano"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_nano").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= 3
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.11 #137 — multi-probe LSH (SURVEY.md §8 candidate)
 # ---------------------------------------------------------------------------
