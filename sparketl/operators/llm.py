@@ -1765,34 +1765,55 @@ def llm_pq_adc_search(spark, sf_dir):
         f"array_sort(transform(cens, cn -> "
         f"struct({sub_l2} as d, cn.c_label as l)))[0].l)"
     )
-    coded = (
+    codes_long = (
         emb.crossJoin(F.broadcast(cen_one))
         .select("vec_id", F.expr(code_expr).alias("codes"))
+        .select("vec_id", F.posexplode("codes").alias("m", "code"))
     )
-    q = (
+    # The production ADC shape: each query precomputes its k x M
+    # distance LOOKUP TABLE once (here 10 labels x 8 subspaces = 80
+    # rows per query), and scoring the corpus is a relational join of
+    # 8-small-int code rows against that broadcast table + an integer
+    # sum — all codegen-friendly relational work.  The naive form
+    # (per-pair lambda evaluating codeword L2 inline) interpreted the
+    # heavy expression per PAIR and measured 5.0s at sf0.1 vs ~2.0s for
+    # this plan (the remainder is the corpus PQ encode itself); per-term nano-unit rounding keeps the 8-term sum
+    # exact and order-free either way.
+    q_sub_l2 = (
+        "aggregate(zip_with(slice(q_emb, m * 8 + 1, 8), "
+        "slice(cvec, m * 8 + 1, 8), "
+        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        "cast(0 as double), (acc, t) -> acc + t)"
+    )
+    qlut = (
         emb.where(F.col("vec_id") % 25 == 0)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
         )
-        .crossJoin(F.broadcast(cen_one))
+        .crossJoin(F.broadcast(cen))
+        .select(
+            "query_id",
+            "q_emb",
+            "c_label",
+            "cvec",
+            F.explode(F.expr("sequence(0, 7)")).alias("m"),
+        )
+        .select(
+            "query_id",
+            "c_label",
+            "m",
+            F.expr(f"cast(round({q_sub_l2} * 1e9) as bigint)").alias("d_nano"),
+        )
     )
-    # ADC score: per subspace, L2 of the query subvector against the
-    # codeword the corpus vector stored for that subspace; nano-unit
-    # rounding per term keeps the 8-term sum exact and order-free.
-    adc_expr = (
-        "aggregate(sequence(0, 7), cast(0 as bigint), (acc, m) -> acc + "
-        "cast(round(aggregate(zip_with("
-        "slice(q_emb, m * 8 + 1, 8), "
-        "slice(filter(cens, cn -> cn.c_label = element_at(codes, m + 1))[0].cvec, "
-        "m * 8 + 1, 8), "
-        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
-        "cast(0 as double), (a2, t) -> a2 + t) * 1e9) as bigint))"
-    )
-    scored = q.join(coded, F.col("query_id") != F.col("vec_id")).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.expr(adc_expr).alias("adc_nano"),
+    scored = (
+        codes_long.join(
+            F.broadcast(qlut),
+            (codes_long.m == qlut.m) & (codes_long.code == qlut.c_label),
+        )
+        .where(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d_nano").cast("bigint").alias("adc_nano"))
     )
     from pyspark.sql import Window
 
