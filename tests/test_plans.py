@@ -199,3 +199,26 @@ def test_theta_join_keeps_equi_prefix(q):
     ), plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_partitioned_sink_read_prunes_partitions(spark):
+    """Static partition pruning on the partitioned-sink re-read: a
+    status filter must land in the scan's PartitionFilters (directory
+    pruning — the point of partitionBy), not the data filter."""
+    from sparketl.sources.connectors import _scratch_dir
+    from sparketl.tables import table
+    from pyspark.sql import functions as F
+
+    orders = table(spark, SF_DIR, "orders")
+    path = _scratch_dir(SF_DIR, "orders_by_status_plans")
+    (
+        orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    plan = plan_str(back)
+    assert "PartitionFilters: [" in plan, plan
+    pruned = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_orderstatus" in pruned, plan
