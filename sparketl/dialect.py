@@ -45,6 +45,9 @@ element_at(c, i)             try_element_at(c, i)       (Presto NULL o.o.b.;
 zip(a, b)                    arrays_zip(a, b)
 arbitrary(x)                 any_value(x)
 approx_distinct(x)           approx_count_distinct(x)
+reduce(a, s0, m [, f])       aggregate(a, s0, m [, f])
+bitwise_and/or/xor(a, b)     (a & b) / (a | b) / (a ^ b)
+random()                     rand()   (random(n) untouched: different fn)
 truncate(x)                  (sign(x) * floor(abs(x)))  (toward zero, double)
 is_nan(x)                    isnan(x)
 infinity()                   cast('Infinity' as double)
@@ -488,6 +491,21 @@ def translate(presto_sql: str) -> str:
         masked, "to_unixtime",
         lambda a: f"(cast(unix_micros({a[0]}) as double) / 1000000.0)"
         if len(a) == 1 else None,
+    )
+    # Presto reduce(arr, s0, merge, finish) IS Spark aggregate() — same
+    # argument shapes (3-arg form without finish included).
+    masked = re.sub(r"\breduce\s*\(", "aggregate(", masked, flags=re.IGNORECASE)
+    # Presto's bitwise functions are Spark operators.
+    for bname, bop in (("bitwise_and", "&"), ("bitwise_or", "|"),
+                       ("bitwise_xor", "^")):
+        masked = _rewrite_calls(
+            masked, bname,
+            lambda a, _op=bop: f"({a[0]} {_op} {a[1]})" if len(a) == 2 else None,
+        )
+    # random() → rand(); ONLY the zero-arg form (Presto random(n) is an
+    # integer range, a different function — left untouched, loudly).
+    masked = _rewrite_calls(
+        masked, "random", lambda a: "rand()" if len(a) == 0 else None
     )
     masked = _rewrite_calls(
         masked, "truncate",

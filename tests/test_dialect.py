@@ -531,3 +531,38 @@ def test_exec_truncate_and_unixtime(spark, duck):
     assert [(r.o_orderkey, r.tp, float(r.epoch_s)) for r in got] == [
         (w[0], w[1], float(w[2])) for w in want
     ]
+
+
+def test_exec_reduce_and_bitwise_match_duckdb(spark, duck):
+    got = presto_sql(
+        spark,
+        """
+        select o_orderkey,
+               reduce(array[1, 2, 3, o_orderkey], cast(0 as bigint),
+                      (s, x) -> s + x, s -> s) as rsum,
+               bitwise_and(o_orderkey, 255) as b_and,
+               bitwise_or(o_orderkey, 1) as b_or,
+               bitwise_xor(o_orderkey, 7) as b_xor
+        from orders where o_orderkey < 64 order by o_orderkey
+        """,
+    ).collect()
+    want = duck.execute(
+        """
+        select o_orderkey,
+               6 + o_orderkey as rsum,
+               o_orderkey & 255 as b_and,
+               o_orderkey | 1 as b_or,
+               xor(o_orderkey, 7) as b_xor
+        from orders where o_orderkey < 64 order by o_orderkey
+        """
+    ).fetchall()
+    assert [(r.o_orderkey, r.rsum, r.b_and, r.b_or, r.b_xor) for r in got] == [
+        tuple(r) for r in want
+    ]
+
+
+def test_random_rewrite_zero_arg_only():
+    from sparketl.dialect import translate
+
+    out = translate("select random() as r, random(10) as ri from t")
+    assert "rand() as r" in out and "random(10) as ri" in out
