@@ -493,8 +493,13 @@ def translate(presto_sql: str) -> str:
         if len(a) == 1 else None,
     )
     # Presto reduce(arr, s0, merge, finish) IS Spark aggregate() — same
-    # argument shapes (3-arg form without finish included).
-    masked = re.sub(r"\breduce\s*\(", "aggregate(", masked, flags=re.IGNORECASE)
+    # argument shapes (3-arg form without finish included).  Arity-guarded
+    # like every other rewrite: any other reduce( shape passes through so
+    # Spark's error names the text the user actually wrote.
+    masked = _rewrite_calls(
+        masked, "reduce",
+        lambda a: f"aggregate({', '.join(a)})" if len(a) in (3, 4) else None,
+    )
     # Presto's bitwise functions are Spark operators.
     for bname, bop in (("bitwise_and", "&"), ("bitwise_or", "|"),
                        ("bitwise_xor", "^")):

@@ -802,11 +802,16 @@ def llm_span_dedup(spark, sf_dir):
     df-cap pattern as llm_dedup_ngram_dfcap applied upstream.
     """
     docs = table(spark, sf_dir, "documents")
+    # n > 0 guard: a zero-token doc would make Spark's sequence(0, -1)
+    # DESCEND [0, -1] while DuckDB's generate_series(0, -1) is empty —
+    # filtering matches the oracle's doc-vanishes semantics exactly.
+    # Currently unreachable (split() never returns []), but the plan no
+    # longer depends on that fixture property.
     t = docs.select(
         "doc_id",
         F.expr(_TOKS_S).alias("toks"),
         F.expr(f"size({_TOKS_S})").alias("n"),
-    )
+    ).where(F.col("n") > 0)
     spans = t.select(
         "doc_id",
         F.explode(

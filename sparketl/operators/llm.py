@@ -33,6 +33,24 @@ from pyspark.sql import functions as F
 from sparketl.registry import query
 from sparketl.tables import table
 
+#: persisted frames pinned by _pin(), oldest-first.  Bounded so repeated
+#: operator invocations in a long-lived session cannot accumulate cache
+#: blocks; persist is a hint, so evicting an old frame merely lets any
+#: late re-consumer recompute — never a correctness issue.
+_PINNED: list = []
+_PIN_KEEP = 4
+
+
+def _pin(df):
+    """persist(MEMORY_AND_DISK) with a bounded module-level registry:
+    at most _PIN_KEEP frames stay pinned; older ones are unpersisted."""
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PINNED.append(df)
+    while len(_PINNED) > _PIN_KEEP:
+        _PINNED.pop(0).unpersist()
+    return df
+
+
 # ---------------------------------------------------------------------------
 # shared expression fragments (Spark SQL expr ≡ DuckDB SQL, kept visibly
 # parallel so divergence is reviewable line-by-line)
@@ -2036,14 +2054,15 @@ def llm_dedup_ngram_dfcap(spark, sf_dir):
     # sides); without a cache the scan+explode+semi lineage recomputes
     # per consumer.  Measured at sf0.1 steady-state: 2.88s cached vs
     # 2.97s recomputed — a wash locally, but the cache also removes the
-    # 3x recompute landmine (SURVEY.md §8 #4), so keep it.  bench.py
-    # clearCache()s after each heavy query, so the blocks never leak
-    # across the suite.  At 100 TB the capped postings are the smallest
-    # corpus-scale intermediate in this query; MEMORY_AND_DISK spills
-    # rather than OOMs if a cluster can't hold them.
-    e = e0.join(F.broadcast(kept), ["lang", "s"], "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # 3x recompute landmine (SURVEY.md §8 #4), so keep it.  Pinned via
+    # _pin(): the module keeps at most _PIN_KEEP live cache entries, so
+    # repeated invocations in a long-lived session (pytest, a notebook)
+    # cannot leak blocks even if the caller never clearCache()s —
+    # bench.py's per-query clearCache remains a belt on top.  At 100 TB
+    # the capped postings are the smallest corpus-scale intermediate in
+    # this query; MEMORY_AND_DISK spills rather than OOMs if a cluster
+    # can't hold them.
+    e = _pin(e0.join(F.broadcast(kept), ["lang", "s"], "left_semi"))
     # capped per-doc set sizes ride back in as a broadcast (doc-count-
     # sized keys+count; at corpus scale this becomes a co-partitioned
     # sort-merge join on doc_id instead)
