@@ -298,29 +298,37 @@ def tpch_q7_volume_shipping(spark, sf_dir):
     """Q7 shape (volume shipping): bilateral trade between two nations
     by year — the self-joined-dimension shape (nation appears twice
     under different roles) with a disjunctive cross-pair predicate.
-    Plan: both nation copies broadcast; the disjunction evaluates on
-    the already-joined row (it references both sides, so it cannot be
-    pushed below either join — the right plan is filter-above-join,
-    which is what Catalyst picks).  Facts shuffle once per equi-key."""
-    s = table(spark, sf_dir, "supplier")
+    Plan: the disjunction implies ``n_name IN (N3, N7)`` on EACH nation
+    role independently, so both broadcast copies are pre-filtered to 2
+    rows — the inner broadcast-hash probes then prune ~92% of supplier
+    and customer fact rows DURING the joins (2 of 25 nations survive),
+    and only the cross-pair residual (which references both roles and
+    genuinely cannot be pushed below either join) evaluates above.
+    Supplier⨝nation joins before lineitem so the big fact probe is
+    against the pruned supplier build side.  Facts shuffle once per
+    equi-key."""
+    both = ("NATION_3", "NATION_7")
     li = table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    n1 = table(spark, sf_dir, "nation").select(
+    n1 = table(spark, sf_dir, "nation").where(F.col("n_name").isin(*both)).select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
-    n2 = table(spark, sf_dir, "nation").select(
+    n2 = table(spark, sf_dir, "nation").where(F.col("n_name").isin(*both)).select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    )
+    c = table(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
     )
     return (
         s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(
             ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
             | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
