@@ -108,12 +108,18 @@ def main() -> None:
     # LPT-ordered cheap lane = 31.2/38.4s (front-loading expensive cheap
     # queries collides them with the heaviest serialized work); slimming
     # the lane to 6 with mid-weights shared = 34.6/37.8s.  Keep this one.
+    # The minhash pair graph feeds three lane members (r5 verdict #4);
+    # they run ADJACENT, pair-graph-first, under a lane-scoped cache —
+    # see run_heavy_lane.
+    DEDUP_TRIO = (
+        "llm_dedup_minhash_lsh",
+        "llm_dedup_components",
+        "llm_dedup_apply",
+    )
     HEAVY = [
         "stream_stateful_sessions",
         "llm_contamination_ngram",
-        "llm_dedup_components",
-        "llm_dedup_apply",
-        "llm_dedup_minhash_lsh",
+        *DEDUP_TRIO,
         "llm_dedup_ngram_dfcap",
         "llm_dedup_ngram_jaccard",
         "sink_bucketed_colocated_join",
@@ -156,18 +162,37 @@ def main() -> None:
             list(warm_pool.map(warm_one, heavy_names + cheap_names))
         spark.catalog.clearCache()
 
+    def run_heavy_lane() -> None:
+        # Lane-scoped shared subtree (r5 verdict item 4): the minhash
+        # query caches its signature/pair frames internally, so running
+        # the trio ADJACENT and skipping the per-query clearCache for
+        # its first two members lets Spark's cache manager substitute
+        # those frames — by analyzed-plan equality — inside the two
+        # downstream consumers; the CC memo (curation.clear_cc_memo
+        # docs) shares the propagation fixpoint with llm_dedup_apply.
+        # The caches fill DURING the first timed trio query (nothing
+        # is pre-warmed); clearing resumes after the trio's last
+        # member.  Each timed pass clears both caches up front, so
+        # every pass pays the full subtree exactly once — shared, not
+        # amortized away.
+        for n in heavy_names:
+            run_one(n, clear_cache=n not in DEDUP_TRIO[:-1])
+
     def run_suite() -> float:
+        from sparketl.operators.curation import clear_cc_memo
+
+        clear_cc_memo()
+        spark.catalog.clearCache()
         t_suite = time.perf_counter()
         if n_threads <= 1:
-            for name in heavy_names + cheap_names:
-                run_one(name, clear_cache=name in heavy_names)
+            run_heavy_lane()
+            for name in cheap_names:
+                run_one(name)
         else:
             with ThreadPoolExecutor(max_workers=1) as heavy_pool, ThreadPoolExecutor(
                 max_workers=max(1, n_threads - 1)
             ) as cheap_pool:
-                heavy_fut = heavy_pool.submit(
-                    lambda: [run_one(n, clear_cache=True) for n in heavy_names]
-                )
+                heavy_fut = heavy_pool.submit(run_heavy_lane)
                 cheap_futs = [cheap_pool.submit(run_one, n) for n in cheap_names]
                 heavy_fut.result()
                 for f in cheap_futs:
@@ -183,9 +208,17 @@ def main() -> None:
     # neighbors.  SPARK_GRAFT_BENCH_REPEATS=1 restores single-shot.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     runs: list[tuple[float, dict[str, float]]] = []
+    # noise attribution (r5 verdict item 5): record 1-min host load
+    # around every pass and keep EVERY pass's per-query timings in
+    # BENCH_LOCAL.json, so a "regression" can be checked against
+    # co-tenant steal (load >> 32) and first-vs-second-run variance
+    # before any plan surgery.
+    pass_loads: list[tuple[float, float]] = []
     for _ in range(max(1, repeats)):
         timings = {}
+        l0 = os.getloadavg()[0]
         runs.append((run_suite(), timings))
+        pass_loads.append((round(l0, 1), round(os.getloadavg()[0], 1)))
         spark.catalog.clearCache()
     total, timings = min(runs, key=lambda r: r[0])
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -212,6 +245,15 @@ def main() -> None:
                     "threads": n_threads,
                     "all_run_walls": [w for w, _ in runs],
                     "queries": timings,
+                    "passes": [
+                        {
+                            "wall": w,
+                            "load_1m_before": lb,
+                            "load_1m_after": la,
+                            "queries": t,
+                        }
+                        for (w, t), (lb, la) in zip(runs, pass_loads)
+                    ],
                 },
                 f,
                 indent=1,
