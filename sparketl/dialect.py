@@ -47,7 +47,13 @@ arbitrary(x)                 any_value(x)
 approx_distinct(x)           approx_count_distinct(x)
 reduce(a, s0, m [, f])       aggregate(a, s0, m [, f])
 bitwise_and/or/xor(a, b)     (a & b) / (a | b) / (a ^ b)
-random()                     rand()   (random(n) untouched: different fn)
+random()                     rand()
+random(n) / random(m, n)     cast(floor(rand()*span) as bigint) [+ m]
+TRY(cast(x as t))            try_cast(x as t)
+TRY(a op b), op in + - * /   try_add/subtract/multiply/divide(a, b)
+                             (single operator, paren-free operands;
+                              other TRY shapes untouched → loud)
+TRY(try_*(...))              try_*(...)                 (already NULL-safe)
 truncate(x)                  (sign(x) * floor(abs(x)))  (toward zero, double)
 is_nan(x)                    isnan(x)
 infinity()                   cast('Infinity' as double)
@@ -79,8 +85,9 @@ non-identifier array expressions, which stays untouched so Spark
 raises (arrays_zip field naming is only defined for column refs).
 
 Known-unsupported (left untouched so Spark raises — loud, never a
-silent semantic change): TRY(expr) (use the relational try_expr
-operator), json_size, Joda patterns beyond the JDK-compatible subset.
+silent semantic change): TRY(expr) beyond the cast/arithmetic/try_*
+shapes above (use the relational try_expr operator), json_size, Joda
+patterns beyond the JDK-compatible subset.
 """
 
 from __future__ import annotations
@@ -267,6 +274,91 @@ def _unit_fn(spark_name: str, lits: list[str]):
         return f"{spark_name}({unit.upper()}, {args[1]}, {args[2]})"
 
     return make
+
+
+_TRY_BINOP = {
+    "+": "try_add",
+    "-": "try_subtract",
+    "*": "try_multiply",
+    "/": "try_divide",
+}
+
+
+def _top_level_arith_ops(expr: str) -> list[tuple[int, str]]:
+    """Positions of binary + - * / at paren/bracket depth 0 in a masked
+    expression.  '-'/'+' count as binary only when preceded by an
+    operand (identifier char, ')', ']', or a literal sentinel) and not
+    as the exponent sign of scientific notation (``1e-5``)."""
+    ops: list[tuple[int, str]] = []
+    depth = 0
+    for i, c in enumerate(expr):
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and c in "+-*/":
+            j = i - 1
+            while j >= 0 and expr[j].isspace():
+                j -= 1
+            if j < 0:
+                continue  # leading unary sign
+            prev = expr[j]
+            if c in "+-":
+                if not (prev.isalnum() or prev in ")]`\x00_"):
+                    continue  # unary after another operator/comma
+                if (
+                    prev in "eE"
+                    and j > 0
+                    and (expr[j - 1].isdigit() or expr[j - 1] == ".")
+                    and i + 1 < len(expr)
+                    and expr[i + 1].isdigit()
+                ):
+                    continue  # exponent sign: 1e-5
+            ops.append((i, c))
+    return ops
+
+
+def _try_fn(args: list[str]) -> str | None:
+    """Presto TRY(expr) — NULL instead of an error — for the shapes
+    Spark's try-family covers EXACTLY: TRY(cast(x as t)) → try_cast, a
+    single binary + - * / over paren-free operands (column refs /
+    literals) → try_add/subtract/multiply/divide, and TRY(try_*(...))
+    → the inner call (already error-free).  Presto's TRY catches
+    errors anywhere in its argument, so shapes whose OPERANDS could
+    themselves error (nested calls, grouped subexpressions, multiple
+    operators) return None → untouched, and Spark raises on the user's
+    own text — loud, never a silently narrowed error scope."""
+    if len(args) != 1:
+        return None
+    a = args[0].strip()
+    m = re.match(r"(try_[a-z_0-9]+|cast)\s*\(", a, re.IGNORECASE)
+    if m and _match_paren(a, m.end() - 1) == len(a) - 1:
+        return "try_" + a if m.group(1).lower() == "cast" else a
+    ops = _top_level_arith_ops(a)
+    if len(ops) == 1 and "(" not in a:
+        i, op = ops[0]
+        left, right = a[:i].strip(), a[i + 1 :].strip()
+        if left and right:
+            return f"{_TRY_BINOP[op]}({left}, {right})"
+    return None
+
+
+def _random_fn(args: list[str]) -> str | None:
+    """Presto random(): 0-arg → rand() double; random(n) → uniform
+    bigint in [0, n); random(m, n) → uniform bigint in [m, n).  The
+    integer forms keep Presto's half-open-range contract via
+    floor(rand()*span); results are BIGINT (Presto returns the
+    argument's integer type — callers needing INT cast explicitly)."""
+    if len(args) == 0:
+        return "rand()"
+    if len(args) == 1:
+        return f"cast(floor(rand() * ({args[0]})) as bigint)"
+    if len(args) == 2:
+        return (
+            f"(cast(floor(rand() * (({args[1]}) - ({args[0]}))) as bigint) "
+            f"+ ({args[0]}))"
+        )
+    return None
 
 
 def _split_fn(lits: list[str]):
@@ -507,11 +599,7 @@ def translate(presto_sql: str) -> str:
             masked, bname,
             lambda a, _op=bop: f"({a[0]} {_op} {a[1]})" if len(a) == 2 else None,
         )
-    # random() → rand(); ONLY the zero-arg form (Presto random(n) is an
-    # integer range, a different function — left untouched, loudly).
-    masked = _rewrite_calls(
-        masked, "random", lambda a: "rand()" if len(a) == 0 else None
-    )
+    masked = _rewrite_calls(masked, "random", _random_fn)
     masked = _rewrite_calls(
         masked, "truncate",
         lambda a: f"(sign({a[0]}) * floor(abs({a[0]})))" if len(a) == 1 else None,
@@ -528,6 +616,9 @@ def translate(presto_sql: str) -> str:
     for name, repl in _SIMPLE_FN.items():
         masked = re.sub(rf"\b{name}\s*\(", repl + "(", masked, flags=re.IGNORECASE)
     masked = _rewrite_subscripts(masked)
+    # LAST: inner rewrites (element_at→try_element_at, subscripts) have
+    # already produced try_* calls that TRY() can simply unwrap.
+    masked = _rewrite_calls(masked, "try", _try_fn)
 
     return _unmask(masked, lits)
 

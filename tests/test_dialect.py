@@ -561,8 +561,62 @@ def test_exec_reduce_and_bitwise_match_duckdb(spark, duck):
     ]
 
 
-def test_random_rewrite_zero_arg_only():
-    from sparketl.dialect import translate
+def test_random_rewrites():
+    out = translate("select random() as r, random(10) as ri, random(5, 8) as rmn")
+    assert "rand() as r" in out
+    assert "cast(floor(rand() * (10)) as bigint) as ri" in out
+    assert "(cast(floor(rand() * ((8) - (5))) as bigint) + (5)) as rmn" in out
+    # 3+ args: not a Presto form — untouched, loud
+    assert translate("select random(a, b, c)") == "select random(a, b, c)"
 
-    out = translate("select random() as r, random(10) as ri from t")
-    assert "rand() as r" in out and "random(10) as ri" in out
+
+def test_try_cast_and_arithmetic_rewrites():
+    assert _norm(translate("select try(a / b)")) == "select try_divide(a, b)"
+    assert _norm(translate("select TRY(a + b)")) == "select try_add(a, b)"
+    assert _norm(translate("select try(a - b)")) == "select try_subtract(a, b)"
+    assert _norm(translate("select try(a * b)")) == "select try_multiply(a, b)"
+    assert _norm(translate("select try(cast(x as integer))")) == (
+        "select try_cast(x as integer)"
+    )
+    # scientific-notation minus is not a binary operator
+    assert _norm(translate("select try(x * 1e-5)")) == (
+        "select try_multiply(x, 1e-5)"
+    )
+
+
+def test_try_unwraps_already_null_safe_calls():
+    # element_at and [] subscripts translate to try_element_at first;
+    # TRY around an already-NULL-safe call is redundant and unwrapped.
+    assert _norm(translate("select try(element_at(a, 5))")) == (
+        "select try_element_at(a, 5)"
+    )
+    assert _norm(translate("select try(a[5])")) == (
+        "select try_element_at(a, 5)"
+    )
+
+
+def test_try_ambiguous_shapes_untouched():
+    # multiple operators, nested calls, grouped operands: Presto's TRY
+    # catches operand errors too, which Spark's try-family cannot
+    # express — pass through so Spark raises on the user's own text.
+    assert "try(" in _norm(translate("select try(a + b * c)"))
+    assert "try(ln(x))" in _norm(translate("select try(ln(x))"))
+    assert "try((a + b) / c)" in _norm(translate("select try((a + b) / c)"))
+
+
+def test_exec_try_and_random(spark):
+    row = presto_sql(
+        spark,
+        "select try(1 / 0) as a, try(cast('xx' as integer)) as b, "
+        "try(2 + 3) as c",
+    ).collect()[0]
+    assert row.a is None and row.b is None and row.c == 5
+    rows = presto_sql(
+        spark,
+        "select random(10) as r1, random(5, 8) as r2 from range(200)",
+    ).collect()
+    assert {type(r.r1) for r in rows} == {int}
+    assert all(0 <= r.r1 < 10 for r in rows)
+    assert all(5 <= r.r2 < 8 for r in rows)
+    # the full [lo, hi) range is actually reachable
+    assert {r.r2 for r in rows} == {5, 6, 7}
