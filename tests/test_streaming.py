@@ -462,3 +462,143 @@ def test_stream_stream_join_live(spark, events_dir):
         for r in registry.QUERIES["stream_stream_join"](spark, SF_DIR).collect()
     }
     assert got == want and len(got) > 0
+
+
+def _stage_time_split(tmp_path, n_files: int = 4) -> str:
+    """Stage events as n_files time-ordered parquet files (ts quantile
+    split, ascending mtimes) so a maxFilesPerTrigger=1 stream processes
+    them as successive micro-batches with a monotonically advancing
+    watermark — the live multi-batch shape, vs the single-batch
+    complete-mode tests above."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{SF_DIR}/events.parquet")
+    ts_i = pc.cast(src.column("ts"), pa.int64())
+    lo, hi = pc.min(ts_i).as_py(), pc.max(ts_i).as_py()
+    d = tmp_path / "live_in"
+    d.mkdir()
+    now = _time.time()
+    for k in range(n_files):
+        a = lo + (hi - lo) * k // n_files
+        b = lo + (hi - lo) * (k + 1) // n_files if k < n_files - 1 else hi + 1
+        chunk = src.filter(
+            pc.and_(pc.greater_equal(ts_i, a), pc.less(ts_i, b))
+        )
+        assert len(chunk) > 0
+        f = d / f"{k:03d}.parquet"
+        pq.write_table(chunk, f)
+        os.utime(f, (now - 600 + 60 * k, now - 600 + 60 * k))
+    return str(d)
+
+
+def _final_watermark(query):
+    """Parse the last progress's event-time watermark into a naive UTC
+    datetime (the same representation collect() gives under the
+    session's UTC timezone)."""
+    from datetime import datetime, timezone
+
+    wm = query.lastProgress["eventTime"]["watermark"]
+    return (
+        datetime.fromisoformat(wm.replace("Z", "+00:00"))
+        .astimezone(timezone.utc)
+        .replace(tzinfo=None)
+    )
+
+
+def test_sliding_window_live_append_multibatch(spark, tmp_path):
+    """#129 LIVE: sliding windows under append mode across 4 real
+    micro-batches.  Append only emits a window once the watermark
+    passes its end, so the finalized set must equal the batch result
+    restricted to windows below the final watermark — and be a STRICT
+    subset of the full batch result (proving rows were genuinely held
+    back in state, which complete-mode single-batch runs never test)."""
+    d = _stage_time_split(tmp_path)
+    stream = read_events_stream(spark, d)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("w"),
+            F.col("window.end").alias("w_end"),
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slide_live")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
+    wm = _final_watermark(q)
+    got = {(r.w, r.w_end, r.n) for r in spark.table("slide_live").collect()}
+
+    ev = table(spark, SF_DIR, "events")
+    full = {
+        (r.w, r.w_end, r.n)
+        for r in ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("w"),
+            F.col("window.end").alias("w_end"),
+            "n",
+        )
+        .collect()
+    }
+    finalized = {row for row in full if row[1] <= wm}
+    assert got == finalized
+    assert got and got < full  # some windows held back in state
+
+
+def test_session_window_live_append_multibatch(spark, tmp_path):
+    """#130 LIVE: native session_window under append mode across real
+    micro-batches — sessions merge across batch boundaries in state
+    and only emit once the watermark passes their end."""
+    d = _stage_time_split(tmp_path)
+    stream = read_events_stream(spark, d)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_live")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wm = _final_watermark(q)
+    got = {
+        (r.user_id, r.s, r.e, r.n) for r in spark.table("sess_live").collect()
+    }
+    ev = table(spark, SF_DIR, "events")
+    full = {
+        (r.user_id, r.s, r.e, r.n)
+        for r in ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n",
+        )
+        .collect()
+    }
+    finalized = {row for row in full if row[2] <= wm}
+    assert got == finalized
+    assert got and got < full
