@@ -1112,6 +1112,80 @@ def llm_tfidf_top_term(spark, sf_dir):
     )
 
 
+@query(
+    "llm_unigram_nll",
+    oracle=f"""
+        with tok as (
+            select doc_id, unnest({_TOKS_D}) as w from documents
+        ),
+        cw as (select w, count(*) as cw from tok group by w),
+        tot as (select sum(cw) as n_corpus from cw),
+        scored as (
+            select t.doc_id,
+                   count(*) as n_tok,
+                   sum(cast(round(
+                       -ln(cw / cast(n_corpus as double)) * 1e9
+                   ) as bigint)) as nano
+            from tok t
+            join cw using (w)
+            cross join tot
+            group by t.doc_id
+        )
+        select doc_id,
+               cast(n_tok as bigint) as n_tok,
+               round(nano / n_tok / 1e9, 6) as nll_nats,
+               cast(least(9, floor(nano / n_tok / 1e9)) as int) as ppl_bucket
+        from scored
+    """,
+)
+def llm_unigram_nll(spark, sf_dir):
+    """CCNet-style unigram language-model scoring: each document's
+    mean negative log-likelihood under the corpus's own unigram
+    distribution — the perplexity-proxy quality signal used to bucket
+    web text against a reference distribution (docs full of rare
+    tokens score high; templated/common text scores low).  The bucket
+    column is the coarse filter knob (keep buckets 0-N).
+
+    Determinism: per-token contributions are rounded to integer
+    nano-nats and summed as bigint (the llm_word_entropy policy —
+    order-free, so partitioning/AQE cannot flip the hash); the final
+    mean divides two exact integers in IEEE double, identical in both
+    engines.
+
+    Scale: the unigram table is one map-side-combinable groupBy of the
+    token stream; its grand total joins back as a broadcast one-row
+    frame (never a driver-side collect).  The token→prob join is on
+    the word — at 100 TB the real deployment truncates to a top-V
+    vocabulary + OOV smoothing mass, making the prob table a
+    megabyte-scale broadcast exactly like the idf table above; the
+    full-vocab equi-join here is the same plan with V unbounded."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("w"))
+    cw = tok.groupBy("w").agg(F.count("*").alias("cw"))
+    tot = cw.agg(F.sum("cw").alias("n_corpus"))
+    contrib = F.round(
+        -F.log(F.col("cw") / F.col("n_corpus").cast("double")) * 1e9
+    ).cast("bigint")
+    scored = (
+        tok.join(cw, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(contrib).alias("nano"),
+        )
+    )
+    mean_nll = F.col("nano") / F.col("n_tok") / F.lit(1e9)
+    return scored.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.round(mean_nll, 6).alias("nll_nats"),
+        F.least(F.lit(9).cast("bigint"), F.floor(mean_nll))
+        .cast("int")
+        .alias("ppl_bucket"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.11 #139 — multimodal binary columns
 # ---------------------------------------------------------------------------

@@ -303,3 +303,98 @@ def test_split_pack_shard_conservation(spark, corpus_dir, docs):
         got_n[r.source] = got_n.get(r.source, 0) + r.n_docs
     assert got_tok == want_tok
     assert got_n == want_n
+
+
+# ---------------------------------------------------------------------------
+# bloom pre-filter + unigram NLL (round-6 additions)
+# ---------------------------------------------------------------------------
+
+from sparketl.operators.curation import (  # noqa: E402
+    _BLOOM_K,
+    _BLOOM_M,
+    _BLOOM_WORD_BITS,
+    llm_dedup_bloom_prefilter,
+)
+from sparketl.operators.llm import llm_unigram_nll  # noqa: E402
+
+
+def model_bloom(docs: list[dict]) -> dict[int, tuple[bool, bool]]:
+    """Exact expected (maybe_dup, is_dup) per new-batch doc: known =
+    doc_id % 10 < 8, new batch = doc_id % 4 == 0 (mirrors
+    _EXISTING_PRED / _BLOOM_NEW_PRED)."""
+    sigs = {
+        d["doc_id"]: hashlib.md5(d["text"].encode()).hexdigest()
+        for d in docs
+    }
+    known = {s for i, s in sigs.items() if i % 10 < 8}
+    words: dict[int, int] = {}
+    for s in known:
+        for j in range(_BLOOM_K):
+            p = _h(str(j), s) % _BLOOM_M
+            wi, bit = p // _BLOOM_WORD_BITS, p % _BLOOM_WORD_BITS
+            words[wi] = words.get(wi, 0) | (1 << bit)
+    out = {}
+    for i, s in sigs.items():
+        if i % 4 != 0:
+            continue
+        maybe = all(
+            (
+                words.get(
+                    (_h(str(j), s) % _BLOOM_M) // _BLOOM_WORD_BITS, 0
+                )
+                >> ((_h(str(j), s) % _BLOOM_M) % _BLOOM_WORD_BITS)
+            )
+            & 1
+            for j in range(_BLOOM_K)
+        )
+        out[i] = (maybe, maybe and s in known)
+    return out
+
+
+@settings(max_examples=4, deadline=None, derandomize=True)
+@given(docs=corpus())
+def test_bloom_prefilter_and_nll_match_models(spark, corpus_dir, docs):
+    sf = corpus_dir(docs)
+
+    got = {
+        r.doc_id: (r.maybe_dup, r.is_dup)
+        for r in llm_dedup_bloom_prefilter(spark, sf).collect()
+    }
+    want = model_bloom(docs)
+    assert got == want
+    # Bloom law: NO false negatives — every new doc whose signature is
+    # in the standing corpus must be flagged maybe_dup (and is_dup).
+    sigs = {
+        d["doc_id"]: hashlib.md5(d["text"].encode()).hexdigest()
+        for d in docs
+    }
+    known = {s for i, s in sigs.items() if i % 10 < 8}
+    for i, (maybe, is_dup) in got.items():
+        if sigs[i] in known:
+            assert maybe and is_dup, (i, got[i])
+        if is_dup:
+            assert maybe  # is_dup is defined only inside the maybe set
+
+    # unigram NLL: per-doc mean negative log-likelihood matches an
+    # independent float model to 1e-6 (the engines' exact-int nano-nat
+    # agreement is already proven by the DuckDB hash gate; here the
+    # corpus varies adversarially).
+    import math
+
+    cw: dict[str, int] = {}
+    for d in docs:
+        for w in d["text"].split(" "):
+            cw[w] = cw.get(w, 0) + 1
+    n_corpus = sum(cw.values())
+    rows = llm_unigram_nll(spark, sf).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(d["doc_id"] for d in docs)
+    for r in rows:
+        toks = next(
+            d["text"] for d in docs if d["doc_id"] == r.doc_id
+        ).split(" ")
+        assert r.n_tok == len(toks)
+        want_nll = sum(-math.log(cw[w] / n_corpus) for w in toks) / len(toks)
+        assert abs(r.nll_nats - want_nll) < 1e-6, (r.doc_id, r.nll_nats, want_nll)
+        assert r.ppl_bucket == min(9, int(r.nll_nats)) or abs(
+            r.nll_nats - round(r.nll_nats)
+        ) < 1e-9
