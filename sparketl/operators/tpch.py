@@ -726,27 +726,40 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
     two extra joins over the fact — but every join is equi on
     orderkey and the CTE rows are 16 bytes."""
     load_tables(spark, sf_dir)
+    # Aggregate decorrelation (the classic optimized Q21 plan), fused
+    # to ONE pass: per F-status order, the EXISTS ("some OTHER supplier
+    # on the order") is min(suppkey) <> max(suppkey) over ALL its
+    # lines, and the NOT EXISTS ("no OTHER late supplier") is min =
+    # max over its LATE lines — so one lineitem⋈orders join + one
+    # per-orderkey aggregation with conditional min/max/count replaces
+    # three fact-table consumptions (the fl CTE inlined per correlated
+    # predicate) and never pays a count-distinct expansion.  Restricting
+    # the "other supplier" test to F orders is sound: the final join
+    # keeps F orders only.  Row multiplicity is preserved exactly: the
+    # original counts one row per late LINE of the lone late supplier
+    # => sum(n_late).
     return spark.sql("""
-        with fl as (
-            select l.l_orderkey, l.l_suppkey
+        with agg as (
+            select l.l_orderkey,
+                   min(l.l_suppkey) as smin,
+                   max(l.l_suppkey) as smax,
+                   min(case when l.l_shipdate > o.o_orderdate + interval 90 day
+                            then l.l_suppkey end) as lmin,
+                   max(case when l.l_shipdate > o.o_orderdate + interval 90 day
+                            then l.l_suppkey end) as lmax,
+                   sum(case when l.l_shipdate > o.o_orderdate + interval 90 day
+                            then 1 else 0 end) as n_late
             from lineitem l
             join orders o on o.o_orderkey = l.l_orderkey
             where o.o_orderstatus = 'F'
-              and l.l_shipdate > o.o_orderdate + interval 90 day
+            group by l.l_orderkey
         )
-        select s.s_name, count(*) as numwait
-        from supplier s
-        join fl l1 on s.s_suppkey = l1.l_suppkey
-        where exists (
-            select 1 from lineitem l2
-            where l2.l_orderkey = l1.l_orderkey
-              and l2.l_suppkey <> l1.l_suppkey
-        )
-        and not exists (
-            select 1 from fl l3
-            where l3.l_orderkey = l1.l_orderkey
-              and l3.l_suppkey <> l1.l_suppkey
-        )
+        select s.s_name, cast(sum(a.n_late) as bigint) as numwait
+        from agg a
+        join supplier s on s.s_suppkey = a.lmin
+        where a.n_late > 0
+          and a.lmin = a.lmax
+          and a.smin <> a.smax
         group by s.s_name
         order by numwait desc, s.s_name asc
         limit 10
