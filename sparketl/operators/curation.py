@@ -661,6 +661,88 @@ def llm_dedup_apply(spark, sf_dir):
     )
 
 
+@query(
+    "llm_dedup_survivorship",
+    oracle=f"""
+        with recursive pairs as ({ORACLES["llm_dedup_minhash_lsh"]}),
+        edges as materialized (
+            select doc_a as src, doc_b as dst from pairs
+            union
+            select doc_b, doc_a from pairs
+        ),
+        nodes as (select distinct src as node from edges),
+        walk(node, reach) as (
+            select node, node from nodes
+            union
+            select w.node, e.dst
+            from walk w join edges e on e.src = w.reach
+        ),
+        comp as (
+            select node as doc_id, cast(min(reach) as bigint) as component
+            from walk group by node
+        ),
+        scored as (
+            select c.doc_id, c.component,
+                   cast(len(list_distinct({_TOKS_D})) as bigint) as richness
+            from comp c join documents d on d.doc_id = c.doc_id
+        ),
+        ranked as (
+            select *, row_number() over (
+                partition by component
+                order by richness desc, doc_id asc
+            ) as rk
+            from scored
+        )
+        select component,
+               min(case when rk = 1 then doc_id end) as survivor_id,
+               min(case when rk = 1 then richness end) as survivor_richness,
+               count(*) as n_members
+        from ranked
+        group by component
+    """,
+)
+def llm_dedup_survivorship(spark, sf_dir):
+    """Quality-aware survivor selection: within each near-dup cluster
+    keep the RICHEST member (distinct-token count, doc_id tiebreak)
+    instead of the arbitrary min-id keeper — the policy real curation
+    pipelines use so boilerplate-trimmed or truncated variants lose to
+    the fullest copy.  Emits one row per cluster: survivor, its score,
+    and the cluster size (the drop count is n_members - 1).
+
+    Scale: cluster membership is tiny vs the corpus, so it broadcasts
+    into the corpus scan that computes richness (rows not in any
+    cluster never shuffle); the ranking window partitions by component
+    over member rows only — thousands of small groups, no global
+    funnel.  Changing the policy is a one-line ORDER BY edit (quality
+    model score, length, recency) with the same plan shape.
+    """
+    docs = table(spark, sf_dir, "documents")
+    comp = llm_dedup_components(spark, sf_dir).select("doc_id", "component")
+    richness = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.expr(_TOKS_S))).cast("bigint").alias(
+            "richness"
+        ),
+    )
+    scored = richness.join(F.broadcast(comp), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("richness").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+                "survivor_id"
+            ),
+            F.min(F.when(F.col("rk") == 1, F.col("richness"))).alias(
+                "survivor_richness"
+            ),
+            F.count("*").alias("n_members"),
+        )
+    )
+
+
 #: deterministic split: the standing corpus vs the newly-arrived batch
 _EXISTING_PRED = "doc_id % 10 < 8"
 

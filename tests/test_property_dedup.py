@@ -239,6 +239,8 @@ def test_minhash_lsh_matches_python_model(spark, corpus_dir, docs):
 @settings(max_examples=4, deadline=None, derandomize=True)
 @given(docs=corpus())
 def test_components_match_union_find(spark, corpus_dir, docs):
+    from sparketl.operators.curation import llm_dedup_survivorship
+
     sf = corpus_dir(docs)
     got = {
         (r.doc_id, r.component, r.is_keeper)
@@ -246,6 +248,28 @@ def test_components_match_union_find(spark, corpus_dir, docs):
     }
     want = model_components(model_minhash_pairs(docs))
     assert got == want
+
+    # survivorship: per component, the richest member wins (distinct
+    # token count, min doc_id tiebreak) and membership counts match.
+    richness = {
+        d["doc_id"]: len(set(d["text"].split(" "))) for d in docs
+    }
+    comps: dict[int, list[int]] = {}
+    for doc_id, comp, _ in want:
+        comps.setdefault(comp, []).append(doc_id)
+    want_surv = {
+        comp: (
+            min(members, key=lambda m: (-richness[m], m)),
+            richness[min(members, key=lambda m: (-richness[m], m))],
+            len(members),
+        )
+        for comp, members in comps.items()
+    }
+    got_surv = {
+        r.component: (r.survivor_id, r.survivor_richness, r.n_members)
+        for r in llm_dedup_survivorship(spark, sf).collect()
+    }
+    assert got_surv == want_surv
 
 
 @settings(max_examples=4, deadline=None, derandomize=True)
