@@ -120,6 +120,9 @@ def main() -> None:
         "stream_stateful_sessions",
         "llm_contamination_ngram",
         *DEDUP_TRIO,
+        # survivorship reuses the CC memo the trio just built (memo, not
+        # SQL cache — safe across the post-trio clearCache)
+        "llm_dedup_survivorship",
         "llm_dedup_ngram_dfcap",
         "llm_dedup_ngram_jaccard",
         "sink_bucketed_colocated_join",

@@ -135,7 +135,6 @@ DECORRELATION_CASES = [
     ("tpch_q18_large_orders", "LeftSemi"),       # IN (agg-HAVING subquery)
     ("tpch_q20_nested_in", "LeftSemi"),          # nested IN
     ("tpch_q16_supplier_cnt", "LeftAnti"),       # NOT IN (non-null key)
-    ("tpch_q21_waiting_supplier", "LeftAnti"),   # NOT EXISTS
     ("tpch_q22_dormant_customers", "LeftAnti"),  # NOT EXISTS
 ]
 
@@ -148,6 +147,19 @@ def test_subqueries_decorrelate(q, name, jt):
     plan = plan_str(q(name), mode="simple")
     assert jt in plan, f"{name}: expected {jt} join\n{plan}"
     assert "CartesianProduct" not in plan, name
+
+
+def test_q21_single_pass_aggregate_shape(q):
+    """Q21 is hand-decorrelated (round 6): both correlated predicates
+    collapse into min/max tests inside ONE per-orderkey aggregation, so
+    the plan must contain NO semi/anti join and only the three
+    equi-joins of the fused form (lineitem⋈orders, agg⋈supplier) —
+    never a per-predicate re-consumption of the fact table."""
+    plan = plan_str(q("tpch_q21_waiting_supplier"), mode="simple")
+    assert "LeftAnti" not in plan and "LeftSemi" not in plan, plan
+    assert "CartesianProduct" not in plan
+    # the fact table is scanned exactly once in the fused plan
+    assert plan.count("lineitem.parquet") == 1, plan
 
 
 def test_correlated_scalar_subquery_decorrelates(q):
