@@ -234,3 +234,33 @@ def test_partitioned_sink_read_prunes_partitions(spark):
     assert "PartitionFilters: [" in plan, plan
     pruned = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "o_orderstatus" in pruned, plan
+
+
+def test_bloom_prefilter_plan_shape(q):
+    """The bloom pre-filter's 100-TB claims: the bitmap rides into a
+    BROADCAST hash join (never a shuffle of the batch by word_idx),
+    the documents scans read only (doc_id, text), and the batch/known
+    split predicates are pushed into the parquet scans."""
+    plan = plan_str(q("llm_dedup_bloom_prefilter"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    for read_schema in plan.split("ReadSchema: ")[1:]:
+        cols = read_schema.splitlines()[0]
+        assert cols.count(":") <= 2, cols  # doc_id + text only
+    pushed = [
+        p.split("]", 1)[0] for p in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any(p.strip() for p in pushed), plan
+
+
+def test_unigram_nll_plan_shape(q):
+    """NLL: the corpus-total join must be a broadcast of the one-row
+    aggregate (a nested-loop over a 1-row build side, never an
+    exchange of the token stream for a scalar), and aggregation is
+    partial (map-side combine) before the word shuffle."""
+    plan = plan_str(q("llm_unigram_nll"))
+    assert (
+        "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    ), plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower(), plan
