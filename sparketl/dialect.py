@@ -54,6 +54,7 @@ TRY(a op b), op in + - * /   try_add/subtract/multiply/divide(a, b)
                              (single operator, paren-free operands;
                               other TRY shapes untouched → loud)
 TRY(try_*(...))              try_*(...)                 (already NULL-safe)
+json_size(j, p)              coalesce(json_array_length/object_keys/0)
 truncate(x)                  (sign(x) * floor(abs(x)))  (toward zero, double)
 is_nan(x)                    isnan(x)
 infinity()                   cast('Infinity' as double)
@@ -86,8 +87,8 @@ raises (arrays_zip field naming is only defined for column refs).
 
 Known-unsupported (left untouched so Spark raises — loud, never a
 silent semantic change): TRY(expr) beyond the cast/arithmetic/try_*
-shapes above (use the relational try_expr operator), json_size, Joda
-patterns beyond the JDK-compatible subset.
+shapes above (use the relational try_expr operator), Joda patterns
+beyond the JDK-compatible subset.
 """
 
 from __future__ import annotations
@@ -341,6 +342,23 @@ def _try_fn(args: list[str]) -> str | None:
         if left and right:
             return f"{_TRY_BINOP[op]}({left}, {right})"
     return None
+
+
+def _json_size_fn(args: list[str]) -> str | None:
+    """Presto json_size(json, path): element count of the array or
+    object at path, 0 for a scalar, NULL for a missing path.  Spark
+    composition: json_array_length covers arrays, json_object_keys
+    covers objects (size of the key array), and a NULL-guarded 0
+    covers scalars — evaluated in coalesce order since each helper
+    returns NULL outside its own type."""
+    if len(args) != 2:
+        return None
+    sub = f"get_json_object({args[0]}, {args[1]})"
+    return (
+        f"coalesce(json_array_length({sub}), "
+        f"size(json_object_keys({sub})), "
+        f"case when {sub} is not null then 0 end)"
+    )
 
 
 def _random_fn(args: list[str]) -> str | None:
@@ -600,6 +618,7 @@ def translate(presto_sql: str) -> str:
             lambda a, _op=bop: f"({a[0]} {_op} {a[1]})" if len(a) == 2 else None,
         )
     masked = _rewrite_calls(masked, "random", _random_fn)
+    masked = _rewrite_calls(masked, "json_size", _json_size_fn)
     masked = _rewrite_calls(
         masked, "truncate",
         lambda a: f"(sign({a[0]}) * floor(abs({a[0]})))" if len(a) == 1 else None,

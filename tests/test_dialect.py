@@ -620,3 +620,20 @@ def test_exec_try_and_random(spark):
     assert all(5 <= r.r2 < 8 for r in rows)
     # the full [lo, hi) range is actually reachable
     assert {r.r2 for r in rows} == {5, 6, 7}
+
+
+def test_json_size_rewrite_and_exec(spark):
+    out = translate("select json_size(j, '$.x') as n from t")
+    assert "json_array_length(get_json_object(j, '$.x'))" in out
+    assert "json_object_keys" in out
+    # arity guard: not the Presto form -> untouched, loud
+    assert translate("select json_size(j)") == "select json_size(j)"
+    row = presto_sql(
+        spark,
+        """select json_size('{"a": [1,2,3], "o": {"x": 1, "y": 2},
+                             "s": 7}', '$.a') as arr,
+                  json_size('{"o": {"x": 1, "y": 2}}', '$.o') as obj,
+                  json_size('{"s": 7}', '$.s') as scalar,
+                  json_size('{"s": 7}', '$.missing') as miss""",
+    ).collect()[0]
+    assert (row.arr, row.obj, row.scalar, row.miss) == (3, 2, 0, None)
