@@ -58,3 +58,46 @@ def test_result_is_partition_layout_invariant(spark, scattered_dir, name):
     b = {tuple(r) for r in registry.QUERIES[name](spark, scattered_dir).collect()}
     assert a, name
     assert a == b, f"{name}: result depends on partition layout"
+
+
+EVENT_INVARIANT_QUERIES = [
+    "stream_stateful_sessions",
+    "stream_session_window",
+    "join_asof",
+    "funnel_conversion",
+    "retention_cohort",
+    "path_bigrams",
+]
+
+
+@pytest.fixture(scope="module")
+def scattered_events_dir(tmp_path_factory):
+    """events rewritten as 8 files with rows deterministically
+    scattered — ordering-sensitive operators (sessionization, as-of,
+    paths) must not depend on the single-file scan order."""
+    src = pq.read_table(f"{SF_SMOKE_DIR}/events.parquet")
+    d = tmp_path_factory.mktemp("scatter_ev")
+    ev_dir = d / "events.parquet"
+    ev_dir.mkdir()
+    idx = np.random.RandomState(1).permutation(len(src))
+    for k in range(8):
+        pq.write_table(src.take(idx[k::8]), ev_dir / f"part-{k:03d}.parquet")
+    for name in TABLE_NAMES:
+        if name != "events":
+            os.symlink(
+                f"{SF_SMOKE_DIR}/{name}.parquet", d / f"{name}.parquet"
+            )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EVENT_INVARIANT_QUERIES)
+def test_event_result_is_partition_layout_invariant(
+    spark, scattered_events_dir, name
+):
+    a = {tuple(r) for r in registry.QUERIES[name](spark, SF_SMOKE_DIR).collect()}
+    b = {
+        tuple(r)
+        for r in registry.QUERIES[name](spark, scattered_events_dir).collect()
+    }
+    assert a, name
+    assert a == b, f"{name}: result depends on events partition layout"
