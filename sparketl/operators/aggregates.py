@@ -299,6 +299,77 @@ def agg_map_agg(spark, sf_dir):
 
 
 @query(
+    "agg_map_union",
+    oracle="""
+        with per_order as (
+            select o_orderstatus, o_orderpriority,
+                   cast(round(o_totalprice * 100) as bigint) as cents
+            from orders
+        ),
+        merged as (
+            select o_orderstatus, o_orderpriority, max(cents) as cents
+            from per_order
+            group by o_orderstatus, o_orderpriority
+        )
+        select o_orderstatus,
+               array_to_string(
+                   array_agg(o_orderpriority || ':' || cast(cents as varchar)
+                             order by o_orderpriority), ',') as merged_map
+        from merged
+        group by o_orderstatus
+    """,
+)
+def agg_map_union(spark, sf_dir):
+    """#35/#122-family map_union: merge per-row maps across each group
+    (every order contributes a one-entry map {priority: exact cents};
+    the group's result is the union).  Presto's map_union leaves the
+    winner of colliding keys engine-defined — unacceptable under the
+    hash gate — so the policy is pinned to MAX-wins, the common
+    "latest/largest observation" merge.
+
+    Spark-first shape (and the 100-TB shape): maps never shuffle —
+    entries are exploded to (group, key, value) ROWS, merged by a
+    map-side-combinable max aggregation, and the map is rebuilt only
+    at the end (serialized sorted, since map cells are unhashable in
+    the driver's canonicalizer).  A map-typed UDAF would carry whole
+    maps through the shuffle and cannot partial-aggregate."""
+    o = table(spark, sf_dir, "orders")
+    per_row = o.select(
+        "o_orderstatus",
+        F.create_map(
+            F.col("o_orderpriority"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint"),
+        ).alias("m"),
+    )
+    entries = per_row.select(
+        "o_orderstatus", F.explode("m").alias("key", "value")
+    )
+    merged = entries.groupBy("o_orderstatus", "key").agg(
+        F.max("value").alias("value")
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("key", "value")))
+            ).alias("m")
+        )
+        .select(
+            "o_orderstatus",
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.map_entries("m")),
+                    lambda e: F.concat(
+                        e["key"], F.lit(":"), e["value"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("merged_map"),
+        )
+    )
+
+
+@query(
     "agg_grouping_sets",
     oracle=f"""
         select coalesce(l_returnflag, 'ALL') as rflag,
