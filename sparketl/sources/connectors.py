@@ -150,6 +150,53 @@ def source_orc_roundtrip(spark, sf_dir):
 
 
 @query(
+    "source_text_roundtrip",
+    oracle="""
+        select lang,
+               count(*) as n_docs,
+               cast(sum(length(text)) as bigint) as total_chars
+        from documents
+        group by lang
+    """,
+)
+def source_text_roundtrip(spark, sf_dir):
+    """#2/#3-family raw-text interchange: documents exported as
+    one-record-per-line text (the delivery format of real web-corpus
+    dumps), read back with the line-oriented text source, parsed, and
+    aggregated against the ORIGINAL parquet.  Fields are tab-joined
+    with the free-text payload url-encoded — Spark's ``base64`` emits
+    MIME line breaks (which would corrupt a line-oriented format),
+    while ``url_encode`` is single-line by construction and its decode
+    is exact.
+
+    Scale: text scans split by line ranges exactly like CSV/JSON —
+    thousands of parallel splits at 100 TB; the parse is a narrow map.
+    The encode/decode hop proves payload integrity byte-for-byte (the
+    oracle's char counts come from the un-exported originals)."""
+    docs = table(spark, sf_dir, "documents")
+    path = _scratch_dir(sf_dir, "documents_text")
+    lines = docs.select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.url_encode("text"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    parts = F.split(F.col("value"), "\t")
+    parsed = spark.read.text(path).select(
+        parts.getItem(0).cast("bigint").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+        F.url_decode(parts.getItem(2)).alias("text"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
+
+
+@query(
     "sink_parquet_partitioned",
     oracle="""
         select o_orderstatus, o_orderpriority,
