@@ -422,3 +422,66 @@ def test_bloom_prefilter_and_nll_match_models(spark, corpus_dir, docs):
         assert r.ppl_bucket == min(9, int(r.nll_nats)) or abs(
             r.nll_nats - round(r.nll_nats)
         ) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (lossless-blocking claim) + simhash signatures
+# ---------------------------------------------------------------------------
+
+from sparketl.operators.llm import (  # noqa: E402
+    llm_dedup_ngram_jaccard,
+    llm_dedup_simhash,
+)
+
+
+def model_jaccard_pairs(docs: list[dict]) -> dict[tuple[int, int], float]:
+    """ALL same-lang pairs with rounded shingle-Jaccard >= 0.5 — no
+    blocking, no length filter, no inverted index: the naive ground
+    truth the implementation's length-filter/count-based plan claims
+    to reproduce losslessly."""
+    sh = {
+        d["doc_id"]: (_shingles(d["text"]), d["lang"])
+        for d in docs
+        if len(d["text"].split(" ")) >= 2
+    }
+    out = {}
+    for (a, (sa, la)), (b, (sb, lb)) in itertools.combinations(
+        sorted(sh.items()), 2
+    ):
+        if la != lb or not (sa & sb):
+            continue
+        j = _round6(len(sa & sb) / len(sa | sb))
+        if j >= 0.5:
+            out[(a, b)] = j
+    return out
+
+
+def model_simhash(docs: list[dict]) -> dict[int, int]:
+    out = {}
+    for d in docs:
+        th = [_h("0", t) for t in dict.fromkeys(d["text"].split(" "))]
+        sig = 0
+        for j in range(60):
+            if sum((h >> j) & 1 for h in th) * 2 > len(th):
+                sig |= 1 << j
+        out[d["doc_id"]] = sig
+    return out
+
+
+@settings(max_examples=4, deadline=None, derandomize=True)
+@given(docs=corpus())
+def test_jaccard_and_simhash_match_models(spark, corpus_dir, docs):
+    sf = corpus_dir(docs)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in llm_dedup_ngram_jaccard(spark, sf).collect()
+    }
+    want = model_jaccard_pairs(docs)
+    assert set(got) == set(want)  # blocking + length filter are lossless
+    for k, j in want.items():
+        assert abs(got[k] - j) < 5e-7, (k, got[k], j)
+
+    got_sig = {
+        r.doc_id: r.simhash for r in llm_dedup_simhash(spark, sf).collect()
+    }
+    assert got_sig == model_simhash(docs)
