@@ -369,6 +369,84 @@ def agg_map_union(spark, sf_dir):
     )
 
 
+# engine-portable 60-bit row hash for checksum(): integer-exact fields
+# only (orderkey, linenumber, price CENTS) — double-to-string printing
+# is the one cross-engine formatting trap this avoids.
+_H_CK_S = (
+    "cast(conv(substr(md5(concat_ws('|', cast(l_orderkey as string), "
+    "cast(l_linenumber as string), "
+    "cast(cast(round(l_extendedprice * 100) as bigint) as string))), "
+    "1, 15), 16, 10) as bigint)"
+)
+_H_CK_D = (
+    "(('0x' || substr(md5(l_orderkey::varchar || '|' || "
+    "l_linenumber::varchar || '|' || "
+    "cast(round(l_extendedprice * 100) as bigint)::varchar), 1, 15))::bigint)"
+)
+
+
+@query(
+    "agg_geometric_mean",
+    oracle="""
+        select o_orderpriority,
+               count(*) as n,
+               round(exp(sum(cast(round(ln(o_totalprice) * 1e9) as bigint))
+                         / (count(*) * 1e9)), 6) as geo_mean_price
+        from orders
+        where o_totalprice > 0
+        group by o_orderpriority
+    """,
+)
+def agg_geometric_mean(spark, sf_dir):
+    """Presto geometric_mean(x), composed as exp(avg(ln(x))) — Spark
+    has no native geometric mean, and a naive avg of doubles would be
+    partition-order-sensitive.  Per-row ln contributions round to
+    integer NANO-units and sum as bigint (the exact-cents policy, as
+    in llm_word_entropy), so the mean is order-free and the final
+    exp/round is one IEEE-deterministic scalar step per group.
+
+    Scale: a plain map-side-combinable hash aggregation — identical
+    shuffle profile to sum/avg."""
+    o = table(spark, sf_dir, "orders")
+    nano_ln = F.round(F.log(F.col("o_totalprice")) * 1e9).cast("bigint")
+    return (
+        o.where(F.col("o_totalprice") > 0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.exp(F.sum(nano_ln) / (F.count("*") * F.lit(1e9))), 6
+            ).alias("geo_mean_price"),
+        )
+    )
+
+
+@query(
+    "agg_checksum",
+    oracle=f"""
+        select l_returnflag,
+               count(*) as n,
+               bit_xor({_H_CK_D}) as row_checksum
+        from lineitem
+        group by l_returnflag
+    """,
+)
+def agg_checksum(spark, sf_dir):
+    """Presto checksum(x): an order-insensitive group checksum for
+    result-set comparison.  Composed as bit_xor over the engine-
+    portable 60-bit md5 row hash (XOR is commutative/associative, so
+    any partitioning or AQE re-plan yields the same value — exactly
+    the property Presto's checksum guarantees).
+
+    Scale: map-side-combinable bit_xor aggregation; the shuffle
+    carries one 8-byte accumulator per group per mapper."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.expr(_H_CK_S)).alias("row_checksum"),
+    )
+
+
 @query(
     "agg_grouping_sets",
     oracle=f"""
