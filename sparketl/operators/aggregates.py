@@ -369,6 +369,85 @@ def agg_map_union(spark, sf_dir):
     )
 
 
+@query(
+    "agg_multimap_agg",
+    oracle="""
+        with g as (
+            select o_orderstatus, o_orderpriority,
+                   array_to_string(array_agg(o_orderkey order by o_orderkey),
+                                   ',') as keys
+            from orders
+            where o_orderkey < 500
+            group by o_orderstatus, o_orderpriority
+        )
+        select o_orderstatus,
+               array_to_string(
+                   array_agg(o_orderpriority || ':[' || keys || ']'
+                             order by o_orderpriority), ';') as prio_orders
+        from g
+        group by o_orderstatus
+    """,
+)
+def agg_multimap_agg(spark, sf_dir):
+    """Presto multimap_agg(k, v): map from key to ALL values seen —
+    the one-to-many companion of map_agg.  Spark-first shape: a
+    two-level groupBy (key-level collect with a deterministic sort,
+    then group-level assembly) — the per-key value lists build via
+    map-side-combinable collect_list rather than merging whole maps
+    through the shuffle.  Serialized sorted (map/array cells are
+    unhashable in the driver's canonicalizer)."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    per_key = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.array_join(
+            F.sort_array(F.collect_list("o_orderkey")), ","
+        ).alias("keys")
+    )
+    return per_key.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.concat(
+                        F.col("o_orderpriority"),
+                        F.lit(":["),
+                        F.col("keys"),
+                        F.lit("]"),
+                    )
+                )
+            ),
+            ";",
+        ).alias("prio_orders")
+    )
+
+
+@query(
+    "agg_linear_regression",
+    oracle="""
+        select l_returnflag,
+               cast(regr_count(l_extendedprice, l_quantity) as bigint) as n,
+               round(regr_slope(l_extendedprice, l_quantity), 6) as slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 6)
+                   as intercept
+        from lineitem
+        group by l_returnflag
+    """,
+)
+def agg_linear_regression(spark, sf_dir):
+    """Presto/ANSI regr_slope / regr_intercept / regr_count: one-pass
+    linear-regression moments per group (the same merge-formula moment
+    accumulation as corr/covar in agg_bivariate, which is proven
+    hash-exact across engines on this suite).
+
+    Scale: map-side-combinable moment accumulation — sum/count shuffle
+    profile, no second pass."""
+    li = table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("bigint").alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+    )
+
+
 # engine-portable 60-bit row hash for checksum(): integer-exact fields
 # only (orderkey, linenumber, price CENTS) — double-to-string printing
 # is the one cross-engine formatting trap this avoids.

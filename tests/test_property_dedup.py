@@ -485,3 +485,57 @@ def test_jaccard_and_simhash_match_models(spark, corpus_dir, docs):
         r.doc_id: r.simhash for r in llm_dedup_simhash(spark, sf).collect()
     }
     assert got_sig == model_simhash(docs)
+
+
+def model_dfcap_pairs(docs: list[dict]) -> dict[tuple[int, int], float]:
+    """Expected llm_dedup_ngram_dfcap output: Jaccard over the LOW-DF
+    shingle universe (df <= max(2, ceil(5% of filtered corpus)), df
+    counted per lang over distinct-per-doc shingles).  With the small
+    hypothesis corpora the cap lands at 2, so most intra-cluster
+    shingles are dropped — stressing exactly the empty-capped-set and
+    rare-shingle edge paths the fixture corpus never reaches."""
+    import math
+
+    base = {
+        d["doc_id"]: (_shingles(d["text"]), d["lang"])
+        for d in docs
+        if len(d["text"].split(" ")) >= 2
+    }
+    cap = max(2, math.ceil(0.05 * len(base)))
+    df: dict[tuple[str, str], int] = {}
+    for sh, lang in base.values():
+        for s in sh:
+            df[(lang, s)] = df.get((lang, s), 0) + 1
+    capped = {
+        i: (frozenset(s for s in sh if df[(lang, s)] <= cap), lang)
+        for i, (sh, lang) in base.items()
+    }
+    out = {}
+    for (a, (sa, la)), (b, (sb, lb)) in itertools.combinations(
+        sorted(capped.items()), 2
+    ):
+        if la != lb:
+            continue
+        i = len(sa & sb)
+        if not i:
+            continue
+        j = _round6(i / (len(sa) + len(sb) - i))
+        if j >= 0.5:
+            out[(a, b)] = j
+    return out
+
+
+@settings(max_examples=4, deadline=None, derandomize=True)
+@given(docs=corpus())
+def test_dfcap_matches_python_model(spark, corpus_dir, docs):
+    from sparketl.operators.llm import llm_dedup_ngram_dfcap
+
+    sf = corpus_dir(docs)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in llm_dedup_ngram_dfcap(spark, sf).collect()
+    }
+    want = model_dfcap_pairs(docs)
+    assert set(got) == set(want)
+    for k, j in want.items():
+        assert abs(got[k] - j) < 5e-7, (k, got[k], j)
