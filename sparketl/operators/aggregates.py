@@ -370,6 +370,34 @@ def agg_map_union(spark, sf_dir):
 
 
 @query(
+    "agg_set_agg",
+    oracle="""
+        select l_returnflag,
+               array_to_string(array_agg(distinct l_linestatus
+                                         order by l_linestatus), ',')
+                   as statuses,
+               cast(count(distinct l_linestatus) as bigint) as n_distinct
+        from lineitem
+        group by l_returnflag
+    """,
+)
+def agg_set_agg(spark, sf_dir):
+    """Presto set_agg(x) (= array_agg(DISTINCT x)): the distinct value
+    set per group, emitted sorted so the result is partition-order-
+    free.  collect_set's partial aggregation dedups map-side, so the
+    shuffle carries per-mapper distinct sets, not the raw rows."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("l_linestatus")), ","
+        ).alias("statuses"),
+        F.size(F.collect_set("l_linestatus")).cast("bigint").alias(
+            "n_distinct"
+        ),
+    )
+
+
+@query(
     "agg_multimap_agg",
     oracle="""
         with g as (

@@ -25,5 +25,4 @@ def test_oracle_coverage_is_broad():
     assert rows_only <= {
         "math_random_seeded",
         "sample_bernoulli",
-        "llm_similarity_ann_lsh",
     }, f"unexpected rows-only queries: {rows_only}"
