@@ -118,3 +118,77 @@ def test_brute_force_topk_matches_python_model(spark, emb_dir, vecs):
     }
     want = model_topk(vecs)
     assert got == want
+
+
+def _round6d(x: float) -> float:
+    from tests.test_property_dedup import _round6
+
+    return _round6(x)
+
+
+def model_ivf_search(vecs: dict[int, list[float]]) -> set[tuple]:
+    """Exact expected llm_ivf_search rows: per-label centroids with
+    the double-rounding recipe (round6(round6(sum)/count)), nearest-
+    centroid assignment by left-to-right L2 fold (ties by label), and
+    top-3 cosine within the query's cluster.  With 0.25-grid
+    components every sum is exact in double, so the Python fold
+    reproduces the Spark aggregate bit-for-bit."""
+    labels = {i: i % 3 for i in vecs}
+    by_label: dict[int, list[list[float]]] = {}
+    for i, v in vecs.items():
+        by_label.setdefault(labels[i], []).append(v)
+    cens = {}
+    for lbl, vs in by_label.items():
+        dim = len(vs[0])
+        cen = []
+        for d in range(dim):
+            s = 0.0
+            for v in vs:
+                s += float(v[d])
+            cen.append(_round6d(_round6d(s) / len(vs)))
+        cens[lbl] = cen
+    assigned = {}
+    for i, v in vecs.items():
+        best = None
+        for lbl in sorted(cens):
+            d2 = 0.0
+            for x, c in zip(v, cens[lbl]):
+                d2 += (float(x) - c) * (float(x) - c)
+            if best is None or (d2, lbl) < best:
+                best = (d2, lbl)
+        assigned[i] = best[1]
+    rows = set()
+    for qid, qv in vecs.items():
+        if qid % 25 != 0:
+            continue
+        qn = 0.0
+        for x in qv:
+            qn += float(x) * float(x)
+        scored = []
+        for nid, nv in vecs.items():
+            if nid == qid or assigned[nid] != assigned[qid]:
+                continue
+            dot = 0.0
+            for x, y in zip(qv, nv):
+                dot += float(x) * float(y)
+            n2 = 0.0
+            for x in nv:
+                n2 += float(x) * float(x)
+            scored.append((-_round6d(dot / math.sqrt(qn * n2)), nid))
+        scored.sort()
+        for rk, (negcos, nid) in enumerate(scored[:3], start=1):
+            rows.add((qid, nid, -negcos, rk))
+    return rows
+
+
+@settings(max_examples=4, deadline=None, derandomize=True)
+@given(vecs=embedding_corpus())
+def test_ivf_search_matches_python_model(spark, emb_dir, vecs):
+    from sparketl.operators.llm import llm_ivf_search
+
+    sf = emb_dir(vecs)
+    got = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rnk)
+        for r in llm_ivf_search(spark, sf).collect()
+    }
+    assert got == model_ivf_search(vecs)
