@@ -252,6 +252,84 @@ def cast_try_cast(spark, sf_dir):
 
 
 @query(
+    "num_decimal_exact",
+    oracle="""
+        select l_returnflag,
+               cast(sum(cast(l_extendedprice as decimal(12, 2))) as varchar)
+                   as total_price,
+               cast(sum(cast(l_extendedprice as decimal(12, 2))
+                        * cast(1 - l_discount as decimal(4, 2)))
+                    as varchar) as total_disc_price,
+               cast(max(cast(l_extendedprice as decimal(12, 2))) as varchar)
+                   as max_price
+        from lineitem
+        group by l_returnflag
+    """,
+)
+def num_decimal_exact(spark, sf_dir):
+    """Presto is DECIMAL-centric for money; this pins Spark's decimal
+    arithmetic to it: cast to decimal(12,2), exact decimal sums and a
+    scaled decimal product — no floating point anywhere, so the values
+    are exact by TYPE rather than by the integer-cents policy used
+    elsewhere.  Results serialize to strings because both engines
+    print decimals canonically while the driver's float canonicalizer
+    would re-interpret them.
+
+    Scale: decimal sums partial-aggregate exactly like longs (Spark
+    carries them as unscaled 128-bit values); the map-side combine and
+    shuffle profile is identical to sum(bigint)."""
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).cast("string").alias("total_price"),
+        F.sum(price * disc).cast("string").alias("total_disc_price"),
+        F.max(price).cast("string").alias("max_price"),
+    )
+
+
+@query(
+    "struct_row_access",
+    oracle="""
+        select o_orderkey,
+               o_orderpriority as prio,
+               cast(cast(o_totalprice as decimal(12, 2)) as varchar)
+                   as price,
+               year(o_orderdate) as order_year
+        from orders
+        where o_orderkey < 400
+    """,
+)
+def struct_row_access(spark, sf_dir):
+    """Presto ROW type surface: construct a named row, pass it through
+    a projection, and read fields back out — the shape nested-schema
+    ETL uses constantly.  The oracle flattens directly (field access on
+    a constructed row must be the identity), and the decimal-typed
+    field doubles as a nested-decimal check.
+
+    Scale: struct construction/field access is a zero-cost projection
+    in Tungsten rows — no serialization, no shuffle implication."""
+    o = table(spark, sf_dir, "orders")
+    rowed = o.where(F.col("o_orderkey") < 400).select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+            F.year("o_orderdate").alias("order_year"),
+        ).alias("r"),
+    )
+    return rowed.select(
+        "o_orderkey",
+        F.col("r.prio").alias("prio"),
+        # string-serialized like every decimal in the suite: both
+        # engines print decimal(12,2) canonically, while the driver's
+        # canonicalizer treats bare decimal cells engine-specifically
+        F.col("r.price").cast("string").alias("price"),
+        F.col("r.order_year").alias("order_year"),
+    )
+
+
+@query(
     "try_expr",
     oracle="""
         select l_orderkey, l_linenumber,
