@@ -263,3 +263,61 @@ def arr_zip_pairs(spark, sf_dir):
     return zipped.select(
         "p_partkey", F.col("z.pos").alias("pos"), F.col("z.word").alias("word")
     )
+
+
+@query(
+    "arr_struct_lambda",
+    oracle="""
+        with w as (
+            select p_partkey, unnest(string_split(p_name, ' ')) as word
+            from part where p_partkey <= 200
+        ),
+        f as (
+            select p_partkey, word, len(word) as l
+            from w where len(word) >= 4
+        )
+        select p_partkey,
+               array_to_string(
+                   array_agg(word || ':' || l order by l desc, word asc),
+                   ',') as packed
+        from f
+        group by p_partkey
+    """,
+)
+def arr_struct_lambda(spark, sf_dir):
+    """Presto arrays-of-ROWs surface: build an array of named structs
+    from scalar columns, filter by field, sort with a two-key lambda
+    COMPARATOR (length desc, word asc), and read fields back out —
+    the nested-row manipulation ETL over semi-structured data leans
+    on.  The oracle states the same result relationally (unnest →
+    filter → ordered array_agg), so the struct plumbing is graded on
+    semantics, not syntax.
+
+    Scale: all higher-order functions here are per-row narrow
+    expressions inside codegen — no explode, no shuffle."""
+    part = table(spark, sf_dir, "part")
+    expr = (
+        "array_sort("
+        "  filter(transform(split(p_name, ' '), "
+        "         w -> struct(w as word, length(w) as len)), "
+        "         s -> s.len >= 4), "
+        "  (a, b) -> case when a.len > b.len then -1 "
+        "                 when a.len < b.len then 1 "
+        "                 when a.word < b.word then -1 "
+        "                 when a.word > b.word then 1 else 0 end)"
+    )
+    t = part.where(F.col("p_partkey") <= 200).select(
+        "p_partkey", F.expr(expr).alias("structs")
+    )
+    return t.where(F.size("structs") > 0).select(
+        "p_partkey",
+        F.array_join(
+            F.transform(
+                F.col("structs"),
+                lambda s: F.concat(
+                    s["word"], F.lit(":"), s["len"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("packed"),
+    )
