@@ -54,7 +54,6 @@ TRY(a op b), op in + - * /   try_add/subtract/multiply/divide(a, b)
                              (single operator, paren-free operands;
                               other TRY shapes untouched → loud)
 TRY(try_*(...))              try_*(...)                 (already NULL-safe)
-json_size(j, p)              coalesce(json_array_length/object_keys/0)
 truncate(x)                  (sign(x) * floor(abs(x)))  (toward zero, double)
 is_nan(x)                    isnan(x)
 infinity()                   cast('Infinity' as double)
@@ -87,8 +86,11 @@ raises (arrays_zip field naming is only defined for column refs).
 
 Known-unsupported (left untouched so Spark raises — loud, never a
 silent semantic change): TRY(expr) beyond the cast/arithmetic/try_*
-shapes above (use the relational try_expr operator), Joda patterns
-beyond the JDK-compatible subset.
+shapes above (use the relational try_expr operator), json_size (a
+get_json_object composition cannot distinguish a scalar STRING whose
+text looks like JSON from a real array/object — Presto returns 0 for
+the scalar; verified divergence, so no rewrite), Joda patterns beyond
+the JDK-compatible subset.
 """
 
 from __future__ import annotations
@@ -314,7 +316,15 @@ def _top_level_arith_ops(expr: str) -> list[tuple[int, str]]:
                     and i + 1 < len(expr)
                     and expr[i + 1].isdigit()
                 ):
-                    continue  # exponent sign: 1e-5
+                    # exponent sign (1e-5) — but ONLY when the digits
+                    # before the e start a numeric literal, not an
+                    # identifier tail (c1e-5 is the column c1e minus 5:
+                    # review round 6 caught the precedence rewrite)
+                    k = j - 1
+                    while k >= 0 and (expr[k].isdigit() or expr[k] == "."):
+                        k -= 1
+                    if k < 0 or not (expr[k].isalpha() or expr[k] in "_`"):
+                        continue
             ops.append((i, c))
     return ops
 
@@ -334,7 +344,17 @@ def _try_fn(args: list[str]) -> str | None:
     a = args[0].strip()
     m = re.match(r"(try_[a-z_0-9]+|cast)\s*\(", a, re.IGNORECASE)
     if m and _match_paren(a, m.end() - 1) == len(a) - 1:
-        return "try_" + a if m.group(1).lower() == "cast" else a
+        if m.group(1).lower() != "cast":
+            return a
+        # try_cast only catches the CAST failing; Presto's TRY also
+        # catches errors while evaluating the operand (TRY(cast(1/0 as
+        # int)) is NULL under ANSI).  Rewrite only when the operand is
+        # a paren-free, arithmetic-free simple expression that cannot
+        # itself error — anything else passes through loudly.
+        inner = a[m.end() : len(a) - 1]
+        if "(" not in inner and not _top_level_arith_ops(inner):
+            return "try_" + a
+        return None
     ops = _top_level_arith_ops(a)
     if len(ops) == 1 and "(" not in a:
         i, op = ops[0]
@@ -342,23 +362,6 @@ def _try_fn(args: list[str]) -> str | None:
         if left and right:
             return f"{_TRY_BINOP[op]}({left}, {right})"
     return None
-
-
-def _json_size_fn(args: list[str]) -> str | None:
-    """Presto json_size(json, path): element count of the array or
-    object at path, 0 for a scalar, NULL for a missing path.  Spark
-    composition: json_array_length covers arrays, json_object_keys
-    covers objects (size of the key array), and a NULL-guarded 0
-    covers scalars — evaluated in coalesce order since each helper
-    returns NULL outside its own type."""
-    if len(args) != 2:
-        return None
-    sub = f"get_json_object({args[0]}, {args[1]})"
-    return (
-        f"coalesce(json_array_length({sub}), "
-        f"size(json_object_keys({sub})), "
-        f"case when {sub} is not null then 0 end)"
-    )
 
 
 def _random_fn(args: list[str]) -> str | None:
@@ -618,7 +621,6 @@ def translate(presto_sql: str) -> str:
             lambda a, _op=bop: f"({a[0]} {_op} {a[1]})" if len(a) == 2 else None,
         )
     masked = _rewrite_calls(masked, "random", _random_fn)
-    masked = _rewrite_calls(masked, "json_size", _json_size_fn)
     masked = _rewrite_calls(
         masked, "truncate",
         lambda a: f"(sign({a[0]}) * floor(abs({a[0]})))" if len(a) == 1 else None,

@@ -356,9 +356,11 @@ def agg_map_union(spark, sf_dir):
         )
         .select(
             "o_orderstatus",
+            # map_entries preserves the build order, which is already
+            # sorted — serialize directly, no second sort
             F.array_join(
                 F.transform(
-                    F.sort_array(F.map_entries("m")),
+                    F.map_entries("m"),
                     lambda e: F.concat(
                         e["key"], F.lit(":"), e["value"].cast("string")
                     ),

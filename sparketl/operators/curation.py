@@ -479,7 +479,12 @@ _CC_MAX_ITERS = 50
 #: how llm_dedup_apply (and any future drop-list consumer) shares the
 #: loop instead of re-running pairs+propagation per query.  bench.py
 #: clears this between timed suite passes (clear_cc_memo) so each pass
-#:   still pays the subtree exactly once — shared, not pre-warmed.
+#: still pays the subtree exactly once — shared, not pre-warmed.
+#: Contract (shared with llm._CEN_CACHE and tables._CATALOG_CACHE):
+#: keyed by id(spark) + sf_dir, so sf_dir contents are assumed
+#: immutable for the life of the session, and entries must not be
+#: used across a session stop/recreate (callers that restart Spark
+#: should clear_cc_memo()).
 _CC_MEMO: dict = {}
 
 

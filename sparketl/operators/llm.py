@@ -1398,8 +1398,16 @@ _L2_D = (
 )
 
 #: collected codebook cache for the IVF/PQ family, keyed by
-#: (session id, sf_dir) — see _centroids().
+#: (session id, sf_dir) — see _centroids().  Contract (shared with
+#: curation._CC_MEMO and tables._CATALOG_CACHE): sf_dir contents are
+#: immutable for the life of the session; bench clears it per timed
+#: pass so every pass pays the codebook build exactly once.
 _CEN_CACHE: dict = {}
+
+
+def clear_cen_cache() -> None:
+    """Drop memoized centroid codebooks (bench calls this per pass)."""
+    _CEN_CACHE.clear()
 
 
 def _centroids(spark, sf_dir):

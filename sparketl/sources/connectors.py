@@ -175,13 +175,27 @@ def source_text_roundtrip(spark, sf_dir):
     oracle's char counts come from the un-exported originals)."""
     docs = table(spark, sf_dir, "documents")
     path = _scratch_dir(sf_dir, "documents_text")
+    # concat_ws silently DROPS null fields (shifting every later column
+    # at parse time) — a null anywhere must fail the export loudly
+    # instead of corrupting the file (review round 6).
     lines = docs.select(
-        F.concat_ws(
-            "\t",
-            F.col("doc_id").cast("string"),
-            F.col("lang"),
-            F.url_encode("text"),
-        ).alias("value")
+        F.when(
+            F.col("doc_id").isNull()
+            | F.col("lang").isNull()
+            | F.col("text").isNull(),
+            F.raise_error(
+                F.lit("source_text_roundtrip: null field in line export")
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                "\t",
+                F.col("doc_id").cast("string"),
+                F.col("lang"),
+                F.url_encode("text"),
+            )
+        )
+        .alias("value")
     )
     lines.write.mode("overwrite").text(path)
     parts = F.split(F.col("value"), "\t")

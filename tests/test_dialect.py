@@ -622,18 +622,36 @@ def test_exec_try_and_random(spark):
     assert {r.r2 for r in rows} == {5, 6, 7}
 
 
-def test_json_size_rewrite_and_exec(spark):
-    out = translate("select json_size(j, '$.x') as n from t")
-    assert "json_array_length(get_json_object(j, '$.x'))" in out
-    assert "json_object_keys" in out
-    # arity guard: not the Presto form -> untouched, loud
-    assert translate("select json_size(j)") == "select json_size(j)"
-    row = presto_sql(
-        spark,
-        """select json_size('{"a": [1,2,3], "o": {"x": 1, "y": 2},
-                             "s": 7}', '$.a') as arr,
-                  json_size('{"o": {"x": 1, "y": 2}}', '$.o') as obj,
-                  json_size('{"s": 7}', '$.s') as scalar,
-                  json_size('{"s": 7}', '$.missing') as miss""",
-    ).collect()[0]
-    assert (row.arr, row.obj, row.scalar, row.miss) == (3, 2, 0, None)
+def test_json_size_untouched_loud():
+    # A get_json_object composition CANNOT implement Presto json_size:
+    # it strips quotes from string scalars, so a scalar whose text
+    # looks like an array ('"[1,2]"') would count as one (Presto: 0),
+    # and a JSON null would return NULL (Presto: 0).  Verified
+    # divergence in review round 6 -> json_size stays untouched so
+    # Spark raises on the user's own text.
+    src = "select json_size(j, '$.x') as n from t"
+    assert translate(src) == src
+
+
+def test_try_identifier_ending_in_digit_e_not_exponent():
+    # c1e-5 is the column c1e minus 5, NOT a scientific literal: the
+    # rewrite must see TWO operator candidates (- and /) and pass
+    # through rather than silently reparenthesizing to (c1e-5)/d.
+    src = "select try(c1e-5 / d)"
+    assert "try(" in _norm(translate(src))
+    # real scientific notation still rewrites
+    assert _norm(translate("select try(x * 1e-5)")) == (
+        "select try_multiply(x, 1e-5)"
+    )
+
+
+def test_try_cast_with_errorable_operand_untouched():
+    # Presto TRY catches errors ANYWHERE in its argument; try_cast only
+    # catches the cast.  An operand that can itself error must pass
+    # through loudly instead of narrowing the error scope.
+    assert "try(" in _norm(translate("select try(cast(1/0 as int))"))
+    assert "try(" in _norm(translate("select try(cast(f(x) as int))"))
+    # simple operands still rewrite
+    assert _norm(translate("select try(cast(x as integer))")) == (
+        "select try_cast(x as integer)"
+    )
