@@ -539,3 +539,43 @@ def test_dfcap_matches_python_model(spark, corpus_dir, docs):
     assert set(got) == set(want)
     for k, j in want.items():
         assert abs(got[k] - j) < 5e-7, (k, got[k], j)
+
+
+def model_contamination(docs: list[dict]) -> dict[int, tuple]:
+    """Expected llm_contamination_ngram rows: eval set = doc_id % 97
+    == 0 (doc 0 in these corpora — which the planted near-dup cluster
+    around doc 0 guarantees will contaminate its neighbors), overlap =
+    |sh ∩ eval_vocab| / |sh| with the threshold applied to the RAW
+    ratio and only the rounded ratio emitted."""
+    eval_vocab: set[str] = set()
+    for d in docs:
+        if d["doc_id"] % 97 == 0:
+            eval_vocab |= _shingles(d["text"])
+    out = {}
+    for d in docs:
+        if d["doc_id"] % 97 == 0:
+            continue
+        sh = _shingles(d["text"])
+        n_hit = len(sh & eval_vocab)
+        if not sh or not n_hit:
+            continue
+        if n_hit / len(sh) >= 0.3:
+            out[d["doc_id"]] = (n_hit, len(sh), _round6(n_hit / len(sh)))
+    return out
+
+
+@settings(max_examples=4, deadline=None, derandomize=True)
+@given(docs=corpus())
+def test_contamination_matches_python_model(spark, corpus_dir, docs):
+    from sparketl.operators.curation import llm_contamination_ngram
+
+    sf = corpus_dir(docs)
+    got = {
+        r.doc_id: (r.n_hit, r.n_sh, r.overlap)
+        for r in llm_contamination_ngram(spark, sf).collect()
+    }
+    want = model_contamination(docs)
+    assert set(got) == set(want)
+    for k, (h, n, ov) in want.items():
+        assert got[k][:2] == (h, n)
+        assert abs(got[k][2] - ov) < 5e-7
