@@ -579,3 +579,47 @@ def test_contamination_matches_python_model(spark, corpus_dir, docs):
     for k, (h, n, ov) in want.items():
         assert got[k][:2] == (h, n)
         assert abs(got[k][2] - ov) < 5e-7
+
+
+def model_domain_mix(docs: list[dict]) -> set[tuple[str, int, int]]:
+    """Expected llm_domain_mix rows: per-source quota max(1,
+    floor(200 * n^0.5 / sum(n^0.5))), filled by the deterministic
+    (H(doc_id,'mix'), doc_id) rank prefix."""
+    import math
+
+    by_src: dict[str, list[int]] = {}
+    for d in docs:
+        by_src.setdefault(d["source"], []).append(d["doc_id"])
+    wgts = {s: math.pow(len(ids), 0.5) for s, ids in by_src.items()}
+    wsum = sum(wgts[s] for s in sorted(wgts))
+    rows = set()
+    for s, ids in by_src.items():
+        q = max(1, math.floor(200 * wgts[s] / wsum))
+        ranked = sorted(
+            ids,
+            key=lambda i: (
+                int(hashlib.md5(f"{i}|mix".encode()).hexdigest()[:15], 16),
+                i,
+            ),
+        )
+        for rk, i in enumerate(ranked[:q], start=1):
+            rows.add((s, i, rk))
+    return rows
+
+
+@settings(max_examples=4, deadline=None, derandomize=True)
+@given(docs=corpus())
+def test_domain_mix_matches_python_model(spark, corpus_dir, docs):
+    from sparketl.operators.curation import llm_domain_mix
+
+    sf = corpus_dir(docs)
+    got = {
+        (r.source, r.doc_id, r.rnk)
+        for r in llm_domain_mix(spark, sf).collect()
+    }
+    want = model_domain_mix(docs)
+    assert got == want
+    # conservation: selections are per-source hash-rank prefixes, so a
+    # doc never appears twice and every source is represented.
+    assert len({(s, i) for s, i, _ in got}) == len(got)
+    assert {s for s, _, _ in got} == {d["source"] for d in docs}
