@@ -623,3 +623,41 @@ def test_domain_mix_matches_python_model(spark, corpus_dir, docs):
     # doc never appears twice and every source is represented.
     assert len({(s, i) for s, i, _ in got}) == len(got)
     assert {s for s, _, _ in got} == {d["source"] for d in docs}
+
+
+def model_span_dedup(docs: list[dict]) -> dict[int, tuple[int, int, str]]:
+    """Expected llm_span_dedup rows: 5-token spans, corpus-wide first
+    occurrence by (doc_id, pos), documents reassembled from surviving
+    spans — exact duplicates in the planted clusters suppress every
+    later copy's spans, so text_kept == '' paths are exercised."""
+    import math
+
+    spans_by_doc = {}
+    for d in docs:
+        toks = d["text"].split(" ")
+        spans_by_doc[d["doc_id"]] = [
+            " ".join(toks[p * 5 : min((p + 1) * 5, len(toks))])
+            for p in range(math.ceil(len(toks) / 5))
+        ]
+    first: dict[str, tuple[int, int]] = {}
+    for i in sorted(spans_by_doc):
+        for p, s in enumerate(spans_by_doc[i]):
+            first.setdefault(s, (i, p))
+    out = {}
+    for i, spans in spans_by_doc.items():
+        kept = [(p, s) for p, s in enumerate(spans) if first[s] == (i, p)]
+        out[i] = (len(spans), len(kept), " ".join(s for _, s in kept))
+    return out
+
+
+@settings(max_examples=4, deadline=None, derandomize=True)
+@given(docs=corpus())
+def test_span_dedup_matches_python_model(spark, corpus_dir, docs):
+    from sparketl.operators.curation import llm_span_dedup
+
+    sf = corpus_dir(docs)
+    got = {
+        r.doc_id: (r.n_spans, r.n_kept, r.text_kept)
+        for r in llm_span_dedup(spark, sf).collect()
+    }
+    assert got == model_span_dedup(docs)
