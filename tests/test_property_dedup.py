@@ -661,3 +661,32 @@ def test_span_dedup_matches_python_model(spark, corpus_dir, docs):
         for r in llm_span_dedup(spark, sf).collect()
     }
     assert got == model_span_dedup(docs)
+
+
+@settings(max_examples=4, deadline=None, derandomize=True)
+@given(docs=corpus())
+def test_repetition_signals_match_python_model(spark, corpus_dir, docs):
+    """Gopher-rule repetition fractions: top-word and duplicate-word
+    fractions per doc against a direct Counter model."""
+    from collections import Counter
+
+    from sparketl.operators.curation import llm_quality_repetition
+
+    sf = corpus_dir(docs)
+    got = {
+        r.doc_id: (r.n_tok, r.n_distinct, r.top_word_frac, r.dup_word_frac)
+        for r in llm_quality_repetition(spark, sf).collect()
+    }
+    assert set(got) == {d["doc_id"] for d in docs}
+    for d in docs:
+        c = Counter(d["text"].split(" "))
+        n, k = sum(c.values()), len(c)
+        want = (
+            n,
+            k,
+            _round6(max(c.values()) / n),
+            _round6(1.0 - k / n),
+        )
+        g = got[d["doc_id"]]
+        assert g[:2] == want[:2], (d["doc_id"], g, want)
+        assert abs(g[2] - want[2]) < 5e-7 and abs(g[3] - want[3]) < 5e-7
