@@ -359,7 +359,11 @@ def _try_fn(args: list[str]) -> str | None:
     if len(ops) == 1 and "(" not in a:
         i, op = ops[0]
         left, right = a[:i].strip(), a[i + 1 :].strip()
-        if left and right:
+        # A string-literal operand (masked sentinel) is a TYPE error:
+        # Presto rejects TRY('x' + 1) at analysis time (TRY does not
+        # catch type errors), while Spark's try_add('x', 1) would
+        # return a silent NULL.  Pass through loudly instead.
+        if left and right and not (_SENT_RE.search(left) or _SENT_RE.search(right)):
             return f"{_TRY_BINOP[op]}({left}, {right})"
     return None
 
@@ -368,16 +372,33 @@ def _random_fn(args: list[str]) -> str | None:
     """Presto random(): 0-arg → rand() double; random(n) → uniform
     bigint in [0, n); random(m, n) → uniform bigint in [m, n).  The
     integer forms keep Presto's half-open-range contract via
-    floor(rand()*span); results are BIGINT (Presto returns the
-    argument's integer type — callers needing INT cast explicitly)."""
+    floor(rand()*span) clamped to span-1 with least(): for spans near
+    2^53 double rounding can make floor(rand()*span) == span, which
+    would violate the half-open range.  Exactness caveat: spans above
+    2^53 are not representable in the double multiply, so individual
+    values quantize (uniformity over the full bigint range is NOT
+    guaranteed there — same class of limit as Presto's own
+    double-based implementation).  The bound expressions are inlined
+    more than once (span and clamp both mention them); bounds are
+    normally literals/columns, but a volatile bound expression would
+    be evaluated per mention — callers with volatile bounds should
+    hoist them to a column first.  Results are BIGINT (Presto returns
+    the argument's integer type — callers needing INT cast
+    explicitly)."""
     if len(args) == 0:
         return "rand()"
     if len(args) == 1:
-        return f"cast(floor(rand() * ({args[0]})) as bigint)"
-    if len(args) == 2:
+        n = args[0]
         return (
-            f"(cast(floor(rand() * (({args[1]}) - ({args[0]}))) as bigint) "
-            f"+ ({args[0]}))"
+            f"least(cast(({n}) as bigint) - 1, "
+            f"cast(floor(rand() * ({n})) as bigint))"
+        )
+    if len(args) == 2:
+        m, n = args[0], args[1]
+        span = f"(({n}) - ({m}))"
+        return (
+            f"(least(cast({span} as bigint) - 1, "
+            f"cast(floor(rand() * {span}) as bigint)) + ({m}))"
         )
     return None
 

@@ -425,7 +425,11 @@ def agg_multimap_agg(spark, sf_dir):
     then group-level assembly) — the per-key value lists build via
     map-side-combinable collect_list rather than merging whole maps
     through the shuffle.  Serialized sorted (map/array cells are
-    unhashable in the driver's canonicalizer)."""
+    unhashable in the driver's canonicalizer).  The group-level sort
+    collects (key, payload) STRUCTS and orders on the key field alone
+    — sorting the concatenated 'key:[...]' strings would diverge from
+    the oracle's ORDER BY key whenever one key is a prefix of another
+    (e.g. 'A' vs 'A1': ':' > '1' lexicographically)."""
     o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
     per_key = o.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.array_join(
@@ -434,15 +438,21 @@ def agg_multimap_agg(spark, sf_dir):
     )
     return per_key.groupBy("o_orderstatus").agg(
         F.array_join(
-            F.sort_array(
-                F.collect_list(
-                    F.concat(
-                        F.col("o_orderpriority"),
-                        F.lit(":["),
-                        F.col("keys"),
-                        F.lit("]"),
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("o_orderpriority").alias("k"),
+                            F.concat(
+                                F.col("o_orderpriority"),
+                                F.lit(":["),
+                                F.col("keys"),
+                                F.lit("]"),
+                            ).alias("s"),
+                        )
                     )
-                )
+                ),
+                lambda e: e["s"],
             ),
             ";",
         ).alias("prio_orders")

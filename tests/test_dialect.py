@@ -564,8 +564,16 @@ def test_exec_reduce_and_bitwise_match_duckdb(spark, duck):
 def test_random_rewrites():
     out = translate("select random() as r, random(10) as ri, random(5, 8) as rmn")
     assert "rand() as r" in out
-    assert "cast(floor(rand() * (10)) as bigint) as ri" in out
-    assert "(cast(floor(rand() * ((8) - (5))) as bigint) + (5)) as rmn" in out
+    # half-open [0, n): floor(rand()*n) clamped to n-1 via least() so
+    # double rounding can never emit n itself
+    assert (
+        "least(cast((10) as bigint) - 1, "
+        "cast(floor(rand() * (10)) as bigint)) as ri" in out
+    )
+    assert (
+        "(least(cast(((8) - (5)) as bigint) - 1, "
+        "cast(floor(rand() * ((8) - (5))) as bigint)) + (5)) as rmn" in out
+    )
     # 3+ args: not a Presto form — untouched, loud
     assert translate("select random(a, b, c)") == "select random(a, b, c)"
 
@@ -602,6 +610,11 @@ def test_try_ambiguous_shapes_untouched():
     assert "try(" in _norm(translate("select try(a + b * c)"))
     assert "try(ln(x))" in _norm(translate("select try(ln(x))"))
     assert "try((a + b) / c)" in _norm(translate("select try((a + b) / c)"))
+    # string-literal operand = TYPE error: Presto rejects TRY('x' + 1)
+    # at analysis (TRY does not catch type errors); try_add('x', 1)
+    # would be a silent NULL — must stay untouched.
+    assert "try('x' + 1)" in _norm(translate("select try('x' + 1)"))
+    assert "try(1 - 'x')" in _norm(translate("select try(1 - 'x')"))
 
 
 def test_exec_try_and_random(spark):
