@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Scale-stress the heavy dedup/ANN lane (VERDICT.md r6 next-round #1).
+
+Runs each heavy-lane query against the generated 1x and 10x
+(sf1-equivalent) corpora from gen_scale_corpus.py, recording per query:
+wall seconds (min of N passes), and — from the Spark UI REST API,
+enabled for this session only — per-run shuffle write bytes, shuffle
+read bytes, and memory+disk spill deltas summed over the stages the
+run created.  Growth ratio = wall(x10)/wall(x1); for a near-linear
+operator at 10x data it should sit near or below 10 (below, when fixed
+per-job overhead dominates the x1 wall).  Superlinear entries are the
+bugs this script exists to find.
+
+Output: SCALE_STRESS.json + a markdown table on stdout (pasted into
+SCALING.md).
+
+Usage: python scripts/scale_stress.py [passes]   (default 2)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sparketl import registry, session
+from sparketl.tables import load_tables
+
+HEAVY = [
+    "llm_dedup_exact",
+    "llm_dedup_minhash_lsh",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_ngram_dfcap",
+    "llm_dedup_simhash",
+    "llm_dedup_components",
+    "llm_dedup_apply",
+    "llm_dedup_bloom_prefilter",
+    "llm_dedup_survivorship",
+    "llm_span_dedup",
+    "llm_similarity_ann_lsh",
+    "llm_similarity_ann_multiprobe",
+    "llm_ivf_centroids",
+    "llm_ivf_search",
+    "llm_ivf_search_nprobe",
+    "llm_pq_codes",
+    "llm_pq_adc_search",
+]
+
+
+def api(spark, path: str):
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/{path}") as r:
+        return json.load(r)
+
+
+def stage_totals(spark) -> dict[str, int]:
+    tot = {"shuffle_write": 0, "shuffle_read": 0, "spill": 0, "stages": 0}
+    for st in api(spark, "stages?status=complete"):
+        tot["shuffle_write"] += st.get("shuffleWriteBytes", 0)
+        tot["shuffle_read"] += st.get("shuffleReadBytes", 0)
+        tot["spill"] += st.get("memoryBytesSpilled", 0) + st.get(
+            "diskBytesSpilled", 0
+        )
+        tot["stages"] += 1
+    return tot
+
+
+def mb(b: int) -> float:
+    return round(b / 1e6, 2)
+
+
+def main() -> None:
+    passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    registry.load_all_modules()
+    session.LOCAL_BUILD_CONFS = {
+        **session.LOCAL_BUILD_CONFS,
+        "spark.ui.enabled": "true",
+        "spark.ui.retainedStages": "20000",
+    }
+    spark = session.get_spark("sparketl-scale-stress")
+    spark.sql("select 1").collect()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).collect()
+
+    results: dict[str, dict] = {}
+    for tag in ("x1", "x10"):
+        sf_dir = os.path.join(repo, ".scale", tag)
+        for name in HEAVY:
+            walls = []
+            metrics = None
+            for p in range(passes):
+                spark.catalog.clearCache()
+                before = stage_totals(spark)
+                t0 = time.perf_counter()
+                try:
+                    registry.QUERIES[name](spark, sf_dir).collect()
+                    walls.append(round(time.perf_counter() - t0, 3))
+                except Exception as e:  # noqa: BLE001
+                    print(f"# ERROR {tag} {name}: {e}", file=sys.stderr)
+                    walls.append(-1.0)
+                    break
+                after = stage_totals(spark)
+                if p == 0:
+                    metrics = {
+                        k: after[k] - before[k]
+                        for k in ("shuffle_write", "shuffle_read", "spill", "stages")
+                    }
+            spark.catalog.clearCache()
+            ok = [w for w in walls if w >= 0]
+            results.setdefault(name, {})[tag] = {
+                "wall_sec": min(ok) if ok else -1.0,
+                "walls": walls,
+                **(metrics or {}),
+            }
+            print(
+                f"{tag:4} {name:32} {min(ok) if ok else -1:7.3f}s "
+                f"sw={mb((metrics or {}).get('shuffle_write', 0))}MB "
+                f"spill={mb((metrics or {}).get('spill', 0))}MB",
+                file=sys.stderr,
+            )
+
+    rows = []
+    for name in HEAVY:
+        r1, r10 = results[name]["x1"], results[name]["x10"]
+        ratio = (
+            round(r10["wall_sec"] / r1["wall_sec"], 2)
+            if r1["wall_sec"] > 0 and r10["wall_sec"] > 0
+            else None
+        )
+        results[name]["wall_ratio"] = ratio
+        rows.append(
+            f"| {name} | {r1['wall_sec']:.2f} | {r10['wall_sec']:.2f} | "
+            f"{ratio if ratio is not None else 'ERR'} | "
+            f"{mb(r1['shuffle_write'])} | {mb(r10['shuffle_write'])} | "
+            f"{mb(r10['spill'])} |"
+        )
+
+    out = {
+        "passes": passes,
+        "corpus": {"x1": "docs=5000 emb=2000", "x10": "docs=50000 emb=20000"},
+        "queries": results,
+    }
+    with open(os.path.join(repo, "SCALE_STRESS.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+
+    print("| query | x1 wall s | x10 wall s | ratio | x1 shW MB | x10 shW MB | x10 spill MB |")
+    print("| --- | --- | --- | --- | --- | --- | --- |")
+    for r in rows:
+        print(r)
+
+
+if __name__ == "__main__":
+    main()

@@ -864,24 +864,39 @@ def approx_hll_sketch_merge(spark, sf_dir):
     per-day sketch build is map-side combinable and the stored sketch
     is KBs; any cross-segment union is sketch-merge, never a rescan of
     the fact table.
+
+    Single-scan plan (round-7 fusion, was 3 scans of lineitem): one
+    ``rollup(l_returnflag)`` produces both the per-segment rows and
+    the grand-total row — sketch AND exact distinct — in one
+    aggregation; the grouping-set grand total IS the "merged" exact.
+    The sketch-MERGE demonstration (hll_union_agg of the per-segment
+    sketches) then runs over the 3 post-rollup rows, and Catalyst's
+    ReuseExchange dedupes the rollup exchange across the seg/tot/
+    merged branches, so the fact scan + partial aggregation execute
+    once.  grouping() (not NULL-ness of the key) splits segment rows
+    from the total row, so a NULL group value in data could never be
+    mistaken for the rollup total.
     """
     li = table(spark, sf_dir, "lineitem")
-    seg = li.groupBy("l_returnflag").agg(
+    rolled = li.rollup("l_returnflag").agg(
         F.expr("hll_sketch_agg(l_partkey)").alias("sk"),
-        F.countDistinct("l_partkey").alias("seg_exact"),
+        F.countDistinct("l_partkey").alias("exact"),
+        F.grouping("l_returnflag").alias("is_total"),
+    )
+    seg = rolled.where(F.col("is_total") == 0).select(
+        "l_returnflag",
+        F.col("exact").alias("seg_exact"),
+        F.expr("hll_sketch_estimate(sk)").alias("seg_est"),
+        F.col("sk"),
     )
     merged = seg.agg(
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("union_est")
     )
-    union_exact = li.agg(
-        F.countDistinct("l_partkey").alias("union_exact")
+    union_exact = rolled.where(F.col("is_total") == 1).select(
+        F.col("exact").alias("union_exact")
     )
     return (
-        seg.select(
-            "l_returnflag",
-            "seg_exact",
-            F.expr("hll_sketch_estimate(sk)").alias("seg_est"),
-        )
+        seg.drop("sk")
         .crossJoin(F.broadcast(merged))
         .crossJoin(F.broadcast(union_exact))
         .select(

@@ -829,6 +829,72 @@ def _bloom_pos_d(j: str, sig: str) -> str:
     return f"({_h_duck(str(j), sig)} % {_BLOOM_M})"
 
 
+def bloom_prefilter_frame(
+    docs,
+    m: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+    existing_pred: str = _EXISTING_PRED,
+    new_pred: str = _BLOOM_NEW_PRED,
+):
+    """Parameterized core of ``llm_dedup_bloom_prefilter`` (the declared
+    query binds the module constants; tests sweep m/k to property-check
+    the false-positive-rate envelope).  Returns (doc_id, maybe_dup,
+    is_dup) for the ``new_pred`` batch against an m-bit, k-probe Bloom
+    filter of the ``existing_pred`` corpus signatures.  See the declared
+    query's docstring for the plan and scale rationale."""
+    sigs = docs.select("doc_id", F.md5("text").alias("sig"))
+    known = sigs.where(existing_pred).select("sig").distinct()
+    pos_exprs = [
+        (F.expr(_h_spark(repr(str(j)), "sig")) % m) for j in range(k)
+    ]
+    mask = F.expr(
+        f"shiftleft(cast(1 as bigint), cast(pos % {_BLOOM_WORD_BITS} as int))"
+    )
+    word_idx = F.expr(f"pos div {_BLOOM_WORD_BITS}")
+    # no distinct before the OR-fold: bit_or is idempotent, so
+    # duplicate positions cost nothing and skipping the dedup saves a
+    # whole shuffle of the (large) position stream.
+    bloom = (
+        known.select(F.explode(F.array(*pos_exprs)).alias("pos"))
+        .select(word_idx.alias("word_idx"), mask.alias("mask"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    new_batch = sigs.where(new_pred)
+    probes = new_batch.select(
+        "doc_id", "sig", F.explode(F.array(*pos_exprs)).alias("pos")
+    ).select("doc_id", "sig", word_idx.alias("word_idx"), mask.alias("mask"))
+    flagged = (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            "doc_id",
+            "sig",
+            (
+                F.col("word").isNotNull()
+                & (F.col("word").bitwiseAND(F.col("mask")) != 0)
+            )
+            .cast("int")
+            .alias("hit"),
+        )
+        .groupBy("doc_id", "sig")
+        .agg((F.sum("hit") == k).alias("maybe_dup"))
+    )
+    # verify-join guarded by maybe_dup INSIDE the join condition: the
+    # flagged subtree is consumed once (splitting it into a semi-join
+    # branch + a final stitch would recompute the whole probe pipeline
+    # per branch), known sigs are distinct so at most one match, and
+    # rejected docs fall through as non-dups without a lookup.
+    return flagged.join(
+        known.select(F.col("sig").alias("ksig")),
+        (F.col("sig") == F.col("ksig")) & F.col("maybe_dup"),
+        "left",
+    ).select(
+        "doc_id",
+        "maybe_dup",
+        F.col("ksig").isNotNull().alias("is_dup"),
+    )
+
+
 @query(
     "llm_dedup_bloom_prefilter",
     oracle=f"""
@@ -902,58 +968,10 @@ def llm_dedup_bloom_prefilter(spark, sf_dir):
     the word lookup is a broadcast equi-join on word_idx; the per-doc
     AND-of-k is a count aggregation.  32 payload bits per bigint word
     keep every shift in-range and positive in both engines (DuckDB
-    raises on ``1::bigint << 63``)."""
-    docs = table(spark, sf_dir, "documents")
-    sigs = docs.select("doc_id", F.md5("text").alias("sig"))
-    known = sigs.where(_EXISTING_PRED).select("sig").distinct()
-    pos_exprs = [
-        (F.expr(_h_spark(repr(str(j)), "sig")) % _BLOOM_M)
-        for j in range(_BLOOM_K)
-    ]
-    mask = F.expr(f"shiftleft(cast(1 as bigint), cast(pos % {_BLOOM_WORD_BITS} as int))")
-    word_idx = F.expr(f"pos div {_BLOOM_WORD_BITS}")
-    # no distinct before the OR-fold: bit_or is idempotent, so
-    # duplicate positions cost nothing and skipping the dedup saves a
-    # whole shuffle of the (large) position stream.
-    bloom = (
-        known.select(F.explode(F.array(*pos_exprs)).alias("pos"))
-        .select(word_idx.alias("word_idx"), mask.alias("mask"))
-        .groupBy("word_idx")
-        .agg(F.bit_or("mask").alias("word"))
-    )
-    new_batch = sigs.where(_BLOOM_NEW_PRED)
-    probes = new_batch.select(
-        "doc_id", "sig", F.explode(F.array(*pos_exprs)).alias("pos")
-    ).select("doc_id", "sig", word_idx.alias("word_idx"), mask.alias("mask"))
-    flagged = (
-        probes.join(F.broadcast(bloom), "word_idx", "left")
-        .select(
-            "doc_id",
-            "sig",
-            (
-                F.col("word").isNotNull()
-                & (F.col("word").bitwiseAND(F.col("mask")) != 0)
-            )
-            .cast("int")
-            .alias("hit"),
-        )
-        .groupBy("doc_id", "sig")
-        .agg((F.sum("hit") == _BLOOM_K).alias("maybe_dup"))
-    )
-    # verify-join guarded by maybe_dup INSIDE the join condition: the
-    # flagged subtree is consumed once (splitting it into a semi-join
-    # branch + a final stitch would recompute the whole probe pipeline
-    # per branch), known sigs are distinct so at most one match, and
-    # rejected docs fall through as non-dups without a lookup.
-    return flagged.join(
-        known.select(F.col("sig").alias("ksig")),
-        (F.col("sig") == F.col("ksig")) & F.col("maybe_dup"),
-        "left",
-    ).select(
-        "doc_id",
-        "maybe_dup",
-        F.col("ksig").isNotNull().alias("is_dup"),
-    )
+    raises on ``1::bigint << 63``).  Body lives in
+    :func:`bloom_prefilter_frame` (parameterized m/k so tests can
+    property-check the FP-rate envelope)."""
+    return bloom_prefilter_frame(table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

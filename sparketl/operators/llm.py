@@ -309,6 +309,93 @@ def llm_dedup_simhash(spark, sf_dir):
 # §2.11 north-star — exact n-gram Jaccard near-dup (blocked)
 # ---------------------------------------------------------------------------
 
+#: target joined pair rows per aggregation partition for the inverted-
+#: index Jaccard family; sized so a partition's count hash table stays
+#: well inside executor memory (~1M keys * ~40B).
+_PAIR_ROWS_PER_PART = 1_000_000
+
+
+def _jaccard_pair_counts(spark, e, cand, max_id):
+    """Shared candidate-join + intersection-count core of the exact
+    n-gram Jaccard family (llm_dedup_ngram_jaccard / _dfcap).
+
+    ``e`` is the postings frame (doc_id, lang, n_sh, s); ``cand`` the
+    EXACT candidate-pair volume sum(df*(df-1)/2) over (lang, s)
+    buckets and ``max_id`` the max doc_id, both from the caller's
+    single planning-stats job.  Returns (doc_a, doc_b, ssum, n_inter).
+
+    Round-7 scale fix (measured on the 10x stress corpus, SCALING.md):
+    the naive groupBy(pair).count() plan let AQE size both the join
+    input and the count exchange from INPUT bytes (~100 MB of
+    postings), while the join OUTPUT explodes ~260x — everything
+    funneled through ~32 tasks, spilling 43 GB and running 199 s.
+    Candidate volume is exactly computable BEFORE the join from the
+    df table (the same statistics a CBO would collect), so:
+
+    * the postings are repartitioned by (lang, s) to spread the
+      join's generate+write work (capped at 512 locally; at cluster
+      scale the cap is total cores * 2-3);
+    * the pair stream is repartitioned by pair key to
+      cand/_PAIR_ROWS_PER_PART partitions before counting —
+      explicitly, because AQE can only coalesce DOWN from
+      spark.sql.shuffle.partitions, never split UP past it, and the
+      pair exchange needs ~30x more partitions than any input-sized
+      shuffle at 10x data;
+    * shuffled pair rows are ONE packed bigint (doc_a<<32 | doc_b,
+      taken when max_id < 2^31 — fixture ids are dense from 0; wider
+      id domains fall back to the unpacked (doc_a, doc_b) key) plus
+      ssum = n_sh_a + n_sh_b riding along in the group key, so the
+      J >= 0.5 threshold applies immediately post-count with no
+      per-pair rejoin: 3*n_inter >= ssum is EXACTLY round(J,6) >= 0.5
+      because the closest rational below 1/2 is n/(2n+1) <= 0.4975
+      for set sizes <= 10^5 — rounding cannot bridge the gap.
+
+    Measured x10 (50k docs, 8.96e8 candidate pairs, local[32]):
+    199 s / 43 GB spill -> 67.6 s / zero spill; x1 unchanged within
+    noise.  Wall now tracks candidate volume ~linearly — the honest
+    cost of EXACT all-pairs Jaccard on a near-dup-dense corpus; the
+    subquadratic paths are minhash-LSH and the df-cap (see SCALING.md).
+    """
+    n_parts = max(32, min(4096, int(cand / _PAIR_ROWS_PER_PART) + 1))
+    e = e.repartition(min(n_parts, 512), "lang", "s")
+    pairs = e.alias("a").join(
+        e.alias("b"),
+        (F.col("a.s") == F.col("b.s"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.n_sh") <= 2 * F.col("b.n_sh"))
+        & (F.col("b.n_sh") <= 2 * F.col("a.n_sh")),
+    )
+    ssum = (F.col("a.n_sh") + F.col("b.n_sh")).alias("ssum")
+    if max_id is not None and 0 <= max_id < (1 << 31):
+        pk = pairs.select(
+            (
+                F.shiftleft(F.col("a.doc_id"), 32).bitwiseOR(F.col("b.doc_id"))
+            ).alias("pk"),
+            ssum,
+        ).repartition(n_parts, "pk")
+        return (
+            pk.groupBy("pk", "ssum")
+            .agg(F.count("*").alias("n_inter"))
+            .where(3 * F.col("n_inter") >= F.col("ssum"))
+            .select(
+                F.shiftright("pk", 32).alias("doc_a"),
+                F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("doc_b"),
+                "ssum",
+                "n_inter",
+            )
+        )
+    pk = pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        ssum,
+    ).repartition(n_parts, "doc_a", "doc_b")
+    return (
+        pk.groupBy("doc_a", "doc_b", "ssum")
+        .agg(F.count("*").alias("n_inter"))
+        .where(3 * F.col("n_inter") >= F.col("ssum"))
+    )
+
 
 @query(
     "llm_dedup_ngram_jaccard",
@@ -358,12 +445,15 @@ def llm_dedup_ngram_jaccard(spark, sf_dir):
     the prefix prunes quadratically.
 
     Scale: shuffle volume is sum(df^2) over (lang, shingle) buckets —
-    hot shingles are the skew risk.  At 100 TB add a document-frequency
-    cap on postings (drop shingles present in > f% of the corpus —
-    standard in dedup literature; NOT lossless, so the declared
-    oracle-checked query omits it) and/or AQE skew splitting; pair rows
-    are 4 ints wide, so even the fixture's worst-case ~15M pair rows
-    shuffle in O(100 MB).
+    hot shingles are the skew risk.  Round-7: the pair join/count core
+    moved to :func:`_jaccard_pair_counts`, which sizes BOTH exchanges
+    from the exact candidate volume (one planning-stats job over the
+    df table — the CBO step a 100 TB run would do anyway) and ships
+    packed single-bigint pair keys; see its docstring for the measured
+    199 s -> 67.6 s / 43 GB -> 0 spill fix on the 10x stress corpus.
+    At 100 TB the df-cap variant (llm_dedup_ngram_dfcap) bounds
+    volume against skew; this lossless form stays Θ(sum df^2) by
+    definition of exactness.
     """
     docs = table(spark, sf_dir, "documents")
     d = _parallel(docs.where(F.expr(f"size({_TOKS_S}) >= 2"))).select(
@@ -372,22 +462,21 @@ def llm_dedup_ngram_jaccard(spark, sf_dir):
     e = d.select(
         "doc_id", "lang", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
     )
-    pairs = e.alias("a").join(
-        e.alias("b"),
-        (F.col("a.s") == F.col("b.s"))
-        & (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.col("a.n_sh") <= 2 * F.col("b.n_sh"))
-        & (F.col("b.n_sh") <= 2 * F.col("a.n_sh")),
+    # planning stats: exact candidate volume + doc-id domain, ONE job
+    stats = (
+        e.groupBy("lang", "s")
+        .agg(F.count("*").alias("df"), F.max("doc_id").alias("m"))
+        .agg(
+            F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("cand"),
+            F.max("m").alias("max_id"),
+        )
+        .collect()[0]
     )
-    inter = pairs.groupBy(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.n_sh").alias("na"),
-        F.col("b.n_sh").alias("nb"),
-    ).agg(F.count("*").alias("n_inter"))
+    inter = _jaccard_pair_counts(
+        spark, e, float(stats.cand or 0.0), stats.max_id
+    )
     jacc = F.round(
-        F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+        F.col("n_inter") / (F.col("ssum") - F.col("n_inter")), 6
     )
     return (
         inter.select("doc_a", "doc_b", jacc.alias("jaccard"))
@@ -2159,16 +2248,26 @@ def llm_dedup_ngram_dfcap(spark, sf_dir):
     llm_dedup_ngram_jaccard — posting-join shuffle volume is
     sum(df^2) per shingle, so one boilerplate shingle in 1% of a
     100 TB corpus generates 10^14 pair rows; capping df bounds every
-    posting list, making worst-case volume <= cap^2 * |vocab| —
-    independent of corpus skew.  The cap threshold scales with corpus
-    size (fraction, not constant), so the same query text runs at
-    every SF."""
+    POSTING LIST, so no single shingle can dominate.  Honesty note
+    from the round-7 stress run (SCALING.md): the cap bounds SKEW,
+    not total volume — the cap threshold scales with corpus size, so
+    a corpus whose every shingle sits just below it (the synthetic
+    dense-uniform vocabulary is exactly that worst case) still pays
+    Θ(sum df^2) overall.  Total volume is instead made safe by the
+    shared :func:`_jaccard_pair_counts` core, which sizes both
+    exchanges from the exact candidate count (measured x10: 138.7 s /
+    40 GB spill -> ~70 s / zero spill)."""
     docs = table(spark, sf_dir, "documents")
     d = _parallel(docs.where(F.expr(f"size({_TOKS_S}) >= 2"))).select(
         "doc_id", "lang", F.expr(_SHINGLES_S).alias("sh")
     )
     e0 = d.select("doc_id", "lang", F.explode("sh").alias("s"))
-    tot = d.agg(F.count("*").alias("n_docs"))
+    # planning job 1: corpus size (for the cap) + doc-id domain (for
+    # the packed pair key) — scalar stats, the sanctioned collect
+    nd = d.agg(
+        F.count("*").alias("n_docs"), F.max("doc_id").alias("max_id")
+    ).collect()[0]
+    cap = max(2, -(-5 * int(nd.n_docs) // 100))  # ceil(0.05 * n_docs)
     # kept = the sub-cap shingle vocabulary.  It is vocabulary-sized
     # (not postings-sized), so BROADCAST it and the postings stream is
     # never shuffled for the cap — measured 8-11s -> ~2s at sf0.1 vs
@@ -2177,14 +2276,14 @@ def llm_dedup_ngram_dfcap(spark, sf_dir):
     # hint and the same plan runs as a shuffle semi-join that AQE
     # skew-splits — the downstream pair-join bound is unchanged.
     dfreq = e0.groupBy("lang", "s").agg(F.count("*").alias("df"))
-    kept = (
-        dfreq.join(F.broadcast(tot))
-        .where(
-            F.col("df")
-            <= F.greatest(F.lit(2), F.ceil(F.lit(0.05) * F.col("n_docs")))
-        )
-        .select("lang", "s")
+    # planning job 2: exact capped candidate volume from the df table
+    cand = (
+        dfreq.where(F.col("df") <= cap)
+        .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("c"))
+        .collect()[0]
+        .c
     )
+    kept = dfreq.where(F.col("df") <= cap).select("lang", "s")
     # e is consumed three times (the n_sh aggregate + both self-join
     # sides); without a cache the scan+explode+semi lineage recomputes
     # per consumer.  Measured at sf0.1 steady-state: 2.88s cached vs
@@ -2202,24 +2301,14 @@ def llm_dedup_ngram_dfcap(spark, sf_dir):
     # sized keys+count; at corpus scale this becomes a co-partitioned
     # sort-merge join on doc_id instead)
     n = e.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    en = e.join(F.broadcast(n), "doc_id")
-    pairs = en.alias("a").join(
-        en.alias("b"),
-        (F.col("a.s") == F.col("b.s"))
-        & (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        # lossless length filter over the CAPPED set sizes
-        & (F.col("a.n_sh") <= 2 * F.col("b.n_sh"))
-        & (F.col("b.n_sh") <= 2 * F.col("a.n_sh")),
+    en = e.join(F.broadcast(n), "doc_id").select(
+        "doc_id", "lang", "n_sh", "s"
     )
-    inter = pairs.groupBy(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.n_sh").alias("na"),
-        F.col("b.n_sh").alias("nb"),
-    ).agg(F.count("*").alias("n_inter"))
+    inter = _jaccard_pair_counts(
+        spark, en, float(cand or 0.0), nd.max_id
+    )
     jacc = F.round(
-        F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+        F.col("n_inter") / (F.col("ssum") - F.col("n_inter")), 6
     )
     return (
         inter.select("doc_a", "doc_b", jacc.alias("jaccard"))

@@ -690,3 +690,61 @@ def test_repetition_signals_match_python_model(spark, corpus_dir, docs):
         g = got[d["doc_id"]]
         assert g[:2] == want[:2], (d["doc_id"], g, want)
         assert abs(g[2] - want[2]) < 5e-7 and abs(g[3] - want[3]) < 5e-7
+
+
+def test_bloom_fp_rate_envelope(spark, corpus_dir):
+    """FP-rate envelope sweep over m/n ratios (round-7, VERDICT r6 #8):
+    with a DISJOINT existing/new split (no true duplicates except the
+    planted ones), ``maybe_dup`` among genuinely-new docs is the pure
+    false-positive rate, which must track the standard Bloom bound
+    (1 - exp(-k*n/m))^k — asserted within 2x theory + 3-sigma binomial
+    sampling slack.  Planted exact duplicates check the no-false-
+    negative law at every (m, k).  Runs the production
+    ``bloom_prefilter_frame`` (the declared query's body), not a model.
+    """
+    import math
+
+    from sparketl.operators.curation import bloom_prefilter_frame
+    from sparketl.tables import table as _table
+
+    docs = [
+        {
+            "doc_id": i,
+            "text": f"unique document number {i} payload {i * i}",
+            "lang": "en",
+            "source": "src0",
+        }
+        for i in range(2000)
+    ]
+    # plant exact duplicates: these NEW docs (id % 10 >= 8) copy the
+    # text of a KNOWN doc (id - 8 has id % 10 < 8) -> must be caught.
+    planted = [1908, 1918, 1928, 1938, 1948]
+    for i in planted:
+        docs[i]["text"] = docs[i - 8]["text"]
+    sf = corpus_dir(docs)
+    docs_df = _table(spark, sf, "documents")
+
+    existing_pred = "doc_id % 10 < 8"   # 1600 known
+    new_pred = "doc_id % 10 >= 8"       # 400 new, 5 planted dups
+    n_known, n_new = 1600, 400
+
+    for m, k in [(1 << 13, 3), (1 << 15, 3), (1 << 16, 5), (1 << 17, 7)]:
+        rows = {
+            r.doc_id: r
+            for r in bloom_prefilter_frame(
+                docs_df, m=m, k=k,
+                existing_pred=existing_pred, new_pred=new_pred,
+            ).collect()
+        }
+        assert len(rows) == n_new
+        # no false negatives: every planted dup is flagged AND verified
+        for i in planted:
+            assert rows[i].maybe_dup and rows[i].is_dup, (m, k, i)
+        clean = [r for i, r in rows.items() if i not in planted]
+        # exact verify-join keeps is_dup exact: never true for clean docs
+        assert not any(r.is_dup for r in clean), (m, k)
+        fp = sum(r.maybe_dup for r in clean) / len(clean)
+        theory = (1.0 - math.exp(-k * n_known / m)) ** k
+        sigma = math.sqrt(max(theory * (1.0 - theory), 1e-9) / len(clean))
+        bound = 2.0 * theory + 3.0 * sigma + 2.0 / len(clean)
+        assert fp <= bound, (m, k, fp, theory, bound)

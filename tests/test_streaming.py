@@ -602,3 +602,58 @@ def test_session_window_live_append_multibatch(spark, tmp_path):
     finalized = {row for row in full if row[2] <= wm}
     assert got == finalized
     assert got and got < full
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming face of llm_dedup_incremental (round-7): the new-doc
+    batch lands as TWO micro-batch files, the second REDELIVERING a
+    slice of the first (at-least-once delivery).  Layer 1 (stream-
+    static anti join vs the standing corpus) must reproduce the batch
+    face's signature set exactly; layer 2 (stateful dropDuplicates on
+    the content hash) must emit each surviving hash exactly once even
+    though redeliveries cross the micro-batch boundary."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparketl.operators.curation import llm_dedup_incremental
+    from sparketl.streaming.runner import incremental_dedup_stream
+
+    src = pq.read_table(f"{SF_DIR}/documents.parquet")
+    # _EXISTING_PRED is doc_id % 10 < 8; the new batch is the rest
+    ids = src.column("doc_id").to_pylist()
+    new_tbl = src.filter(pa.array([i % 10 >= 8 for i in ids]))
+    assert len(new_tbl) > 8
+    half = len(new_tbl) // 2
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    now = _time.time()
+    pq.write_table(new_tbl.slice(0, half), d / "000.parquet")
+    # second file: the rest PLUS a redelivered slice of the first
+    redelivered = pa.concat_tables(
+        [new_tbl.slice(half), new_tbl.slice(0, max(1, half // 4))]
+    )
+    pq.write_table(redelivered, d / "001.parquet")
+    os.utime(d / "000.parquet", (now - 200, now - 200))
+    os.utime(d / "001.parquet", (now - 100, now - 100))
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    standing = table(spark, SF_DIR, "documents").where("doc_id % 10 < 8")
+    out = run_available_now(
+        incremental_dedup_stream(stream, standing)
+    ).collect()
+
+    got_md5 = [r.text_md5 for r in out]
+    # layer 2: each hash exactly once despite cross-batch redelivery
+    assert len(got_md5) == len(set(got_md5))
+    # layer 1: same survivor signatures as the batch face
+    want_md5 = {
+        r.text_md5 for r in llm_dedup_incremental(spark, SF_DIR).collect()
+    }
+    assert set(got_md5) == want_md5 and len(want_md5) > 0
