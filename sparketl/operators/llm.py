@@ -1642,11 +1642,15 @@ def llm_ivf_search(spark, sf_dir):
     """
     from pyspark.sql import Window
 
-    # no _parallel here: the codebook argmin is a trivial per-row map
-    # (the literal is the heavy part of the expression, not the data),
-    # so the repartition shuffle would cost more than it parallelizes;
-    # a real corpus scan arrives already split.
-    emb = table(spark, sf_dir, "embeddings")
+    # _parallel IS needed here (round-7 stress-run reversal of the
+    # earlier "trivial per-row map" assumption): the codebook argmin
+    # evaluates the inlined k x 64-literal array per row at ~1 ms/row,
+    # and the single-file fixture scan arrives in 1-2 partitions — at
+    # the 10x corpus the assignment serialized on 2 cores (26-28 s of
+    # a 29 s wall, SCALING.md).  Spreading 20k rows costs a ~2 MB
+    # round-robin shuffle; a real corpus scan arrives already split,
+    # where this repartition is a no-op by cost.
+    emb = _parallel(table(spark, sf_dir, "embeddings"))
     e = emb.select(
         "vec_id",
         "embedding",
@@ -1760,11 +1764,15 @@ def llm_ivf_search_nprobe(spark, sf_dir):
     is still never shuffled for assignment and the candidate join stays
     a cluster-key equi-join.
     """
-    # no _parallel here: the codebook argmin is a trivial per-row map
-    # (the literal is the heavy part of the expression, not the data),
-    # so the repartition shuffle would cost more than it parallelizes;
-    # a real corpus scan arrives already split.
-    emb = table(spark, sf_dir, "embeddings")
+    # _parallel IS needed here (round-7 stress-run reversal of the
+    # earlier "trivial per-row map" assumption): the codebook argmin
+    # evaluates the inlined k x 64-literal array per row at ~1 ms/row,
+    # and the single-file fixture scan arrives in 1-2 partitions — at
+    # the 10x corpus the assignment serialized on 2 cores (26-28 s of
+    # a 29 s wall, SCALING.md).  Spreading 20k rows costs a ~2 MB
+    # round-robin shuffle; a real corpus scan arrives already split,
+    # where this repartition is a no-op by cost.
+    emb = _parallel(table(spark, sf_dir, "embeddings"))
     e = emb.select(
         "vec_id",
         "embedding",
@@ -1871,11 +1879,15 @@ def llm_pq_codes(spark, sf_dir):
     are ordered folds over identical doubles on both engines; code
     ties break by label asc.
     """
-    # no _parallel here: the codebook argmin is a trivial per-row map
-    # (the literal is the heavy part of the expression, not the data),
-    # so the repartition shuffle would cost more than it parallelizes;
-    # a real corpus scan arrives already split.
-    emb = table(spark, sf_dir, "embeddings")
+    # _parallel IS needed here (round-7 stress-run reversal of the
+    # earlier "trivial per-row map" assumption): the codebook argmin
+    # evaluates the inlined k x 64-literal array per row at ~1 ms/row,
+    # and the single-file fixture scan arrives in 1-2 partitions — at
+    # the 10x corpus the assignment serialized on 2 cores (26-28 s of
+    # a 29 s wall, SCALING.md).  Spreading 20k rows costs a ~2 MB
+    # round-robin shuffle; a real corpus scan arrives already split,
+    # where this repartition is a no-op by cost.
+    emb = _parallel(table(spark, sf_dir, "embeddings"))
     sub_l2 = (
         "aggregate(zip_with(slice(embedding, m * 8 + 1, 8), "
         "slice(cn.cvec, m * 8 + 1, 8), "
@@ -2047,14 +2059,39 @@ def llm_pq_adc_search(spark, sf_dir):
             for m in range(8):
                 s += lut[:, m, :][:, pos[:, m]]
             vid = pdf["vec_id"].values.astype(np.int64)
-            out = pd.DataFrame(
+            # batch-local EXACT top-3 per query (round-7 scale fix,
+            # SCALING.md): emitting all |Q| x n scored rows shipped
+            # 16M rows through Arrow into the window sort at the 10x
+            # corpus (24-30 s); any global top-3 row is necessarily in
+            # its batch's top-3, so emit only those and let the final
+            # window merge batch winners.  Exactness under ties: take
+            # the 3rd-smallest score as the cut, keep EVERYTHING at or
+            # below it, and lexsort those few by (score, neighbor_id)
+            # — identical to the window's full tie-break.
+            qi_l, nb_l, sc_l = [], [], []
+            for qrow in range(len(qarr)):
+                srow = s[qrow]
+                self_mask = vid != qarr[qrow]
+                sv, vv = srow[self_mask], vid[self_mask]
+                if len(sv) == 0:
+                    continue
+                k = min(3, len(sv))
+                cut = np.partition(sv, k - 1)[k - 1]
+                m2 = sv <= cut
+                cs, cv = sv[m2], vv[m2]
+                order = np.lexsort((cv, cs))[:k]
+                qi_l.append(np.full(k, qarr[qrow]))
+                nb_l.append(cv[order])
+                sc_l.append(cs[order])
+            if not qi_l:
+                continue
+            yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(qarr, n),
-                    "neighbor_id": np.tile(vid, len(qarr)),
-                    "adc_nano": s.reshape(-1),
+                    "query_id": np.concatenate(qi_l),
+                    "neighbor_id": np.concatenate(nb_l),
+                    "adc_nano": np.concatenate(sc_l),
                 }
             )
-            yield out[out.query_id != out.neighbor_id]
 
     scored = emb.select("vec_id", "embedding").mapInPandas(
         score, "query_id long, neighbor_id long, adc_nano long"
