@@ -545,7 +545,18 @@ def llm_dedup_components(spark, sf_dir):
     memo_key = (id(spark), sf_dir)
     if memo_key in _CC_MEMO:
         return _CC_MEMO[memo_key]
-    pairs = llm_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # checkpoint the CONFIRMED pairs (tiny: true near-dup pairs only)
+    # BEFORE symmetrizing: union's two branches are separate subtrees
+    # to Spark, so union(pairs, pairs.swapped) on the raw plan executes
+    # the whole minhash candidate+verify pipeline TWICE (measured on
+    # the 10x stress corpus: the doubled verify dominated the CC wall,
+    # SCALING.md round 7).  After the checkpoint the union reads the
+    # materialized rows.
+    pairs = (
+        llm_dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     edges = (
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .toDF("src", "dst")
