@@ -878,7 +878,14 @@ def approx_hll_sketch_merge(spark, sf_dir):
     mistaken for the rollup total.
     """
     li = table(spark, sf_dir, "lineitem")
-    rolled = li.rollup("l_returnflag").agg(
+    # pre-distinct the (flag, partkey) pairs: HLL registers are
+    # max-based so duplicates never change a sketch, and countDistinct
+    # inside a rollup plants an Expand — running it over the ~10x
+    # smaller distinct-pair frame instead of raw rows cut the bench
+    # min 2.2 s -> ~1 s (round 7).  One extra narrow shuffle, map-side
+    # combined.
+    pairs = li.select("l_returnflag", "l_partkey").distinct()
+    rolled = pairs.rollup("l_returnflag").agg(
         F.expr("hll_sketch_agg(l_partkey)").alias("sk"),
         F.countDistinct("l_partkey").alias("exact"),
         F.grouping("l_returnflag").alias("is_total"),

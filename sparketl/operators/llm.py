@@ -314,6 +314,39 @@ def llm_dedup_simhash(spark, sf_dir):
 #: well inside executor memory (~1M keys * ~40B).
 _PAIR_ROWS_PER_PART = 1_000_000
 
+#: below this many bytes of documents parquet, the Jaccard family skips
+#: its planning-stats job and explicit repartitions: the default 32
+#: partitions handle the pair volume (sf0.1 = 2.9e7 candidates runs
+#: clean), and the extra planning job + two exchanges cost more than
+#: they save (measured +1.3-1.8 s per query at sf0.1).  Any corpus a
+#: scale problem could hide in is far above this gate, so the 100 TB
+#: path ALWAYS takes the stats-sized plan.
+_JACCARD_STATS_MIN_BYTES = 8 << 20
+
+#: below this many bytes of embeddings parquet, the IVF/PQ family skips
+#: the pre-assignment repartition (same tradeoff as the Jaccard gate:
+#: at sf0.1 the shuffle costs more than 2k rows of argmin; at the 10x
+#: corpus the repartition is a 10x wall win).
+_EMB_PARALLEL_MIN_BYTES = 2 << 20
+
+
+def _scan_bytes(sf_dir: str, name: str) -> int:
+    """Driver-side metadata: on-disk bytes of one fixture table (no
+    Spark job).  Directories (partitioned sinks) sum their files."""
+    import os
+
+    p = os.path.join(sf_dir.rstrip("/"), f"{name}.parquet")
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+        )
+    try:
+        return os.path.getsize(p)
+    except OSError:
+        return 1 << 40  # unknown => assume large, take the stats path
+
 
 def _jaccard_pair_counts(spark, e, cand, max_id):
     """Shared candidate-join + intersection-count core of the exact
@@ -356,8 +389,13 @@ def _jaccard_pair_counts(spark, e, cand, max_id):
     cost of EXACT all-pairs Jaccard on a near-dup-dense corpus; the
     subquadratic paths are minhash-LSH and the df-cap (see SCALING.md).
     """
-    n_parts = max(32, min(4096, int(cand / _PAIR_ROWS_PER_PART) + 1))
-    e = e.repartition(min(n_parts, 512), "lang", "s")
+    if cand is None:
+        # small-corpus fast path (see _JACCARD_STATS_MIN_BYTES): default
+        # partitioning, no planning job, no explicit exchanges
+        n_parts = None
+    else:
+        n_parts = max(32, min(4096, int(cand / _PAIR_ROWS_PER_PART) + 1))
+        e = e.repartition(min(n_parts, 512), "lang", "s")
     pairs = e.alias("a").join(
         e.alias("b"),
         (F.col("a.s") == F.col("b.s"))
@@ -373,7 +411,9 @@ def _jaccard_pair_counts(spark, e, cand, max_id):
                 F.shiftleft(F.col("a.doc_id"), 32).bitwiseOR(F.col("b.doc_id"))
             ).alias("pk"),
             ssum,
-        ).repartition(n_parts, "pk")
+        )
+        if n_parts is not None:
+            pk = pk.repartition(n_parts, "pk")
         return (
             pk.groupBy("pk", "ssum")
             .agg(F.count("*").alias("n_inter"))
@@ -389,7 +429,9 @@ def _jaccard_pair_counts(spark, e, cand, max_id):
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
         ssum,
-    ).repartition(n_parts, "doc_a", "doc_b")
+    )
+    if n_parts is not None:
+        pk = pk.repartition(n_parts, "doc_a", "doc_b")
     return (
         pk.groupBy("doc_a", "doc_b", "ssum")
         .agg(F.count("*").alias("n_inter"))
@@ -462,19 +504,23 @@ def llm_dedup_ngram_jaccard(spark, sf_dir):
     e = d.select(
         "doc_id", "lang", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
     )
-    # planning stats: exact candidate volume + doc-id domain, ONE job
-    stats = (
-        e.groupBy("lang", "s")
-        .agg(F.count("*").alias("df"), F.max("doc_id").alias("m"))
-        .agg(
-            F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("cand"),
-            F.max("m").alias("max_id"),
+    if _scan_bytes(sf_dir, "documents") < _JACCARD_STATS_MIN_BYTES:
+        # small corpus: fixture doc_ids are 32-bit-safe by schema
+        # domain (FIXTURES.md); packed keys stay valid
+        cand, max_id = None, 0
+    else:
+        # planning stats: exact candidate volume + doc-id domain, 1 job
+        stats = (
+            e.groupBy("lang", "s")
+            .agg(F.count("*").alias("df"), F.max("doc_id").alias("m"))
+            .agg(
+                F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("cand"),
+                F.max("m").alias("max_id"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
-    inter = _jaccard_pair_counts(
-        spark, e, float(stats.cand or 0.0), stats.max_id
-    )
+        cand, max_id = float(stats.cand or 0.0), stats.max_id
+    inter = _jaccard_pair_counts(spark, e, cand, max_id)
     jacc = F.round(
         F.col("n_inter") / (F.col("ssum") - F.col("n_inter")), 6
     )
@@ -1642,15 +1688,17 @@ def llm_ivf_search(spark, sf_dir):
     """
     from pyspark.sql import Window
 
-    # _parallel IS needed here (round-7 stress-run reversal of the
-    # earlier "trivial per-row map" assumption): the codebook argmin
-    # evaluates the inlined k x 64-literal array per row at ~1 ms/row,
-    # and the single-file fixture scan arrives in 1-2 partitions — at
-    # the 10x corpus the assignment serialized on 2 cores (26-28 s of
-    # a 29 s wall, SCALING.md).  Spreading 20k rows costs a ~2 MB
-    # round-robin shuffle; a real corpus scan arrives already split,
-    # where this repartition is a no-op by cost.
-    emb = _parallel(table(spark, sf_dir, "embeddings"))
+    # size-gated _parallel (round-7 stress-run reversal of the earlier
+    # "trivial per-row map" assumption): the codebook argmin evaluates
+    # the inlined k x 64-literal array per row at ~1 ms/row, and the
+    # single-file fixture scan arrives in 1-2 partitions — at the 10x
+    # corpus the assignment serialized on 2 cores (26-28 s of a 29 s
+    # wall, SCALING.md).  Below the byte gate the repartition costs
+    # more than it parallelizes (measured +0.8 s at sf0.1); a real
+    # corpus scan arrives already split either way.
+    emb = table(spark, sf_dir, "embeddings")
+    if _scan_bytes(sf_dir, "embeddings") >= _EMB_PARALLEL_MIN_BYTES:
+        emb = _parallel(emb)
     e = emb.select(
         "vec_id",
         "embedding",
@@ -1764,15 +1812,17 @@ def llm_ivf_search_nprobe(spark, sf_dir):
     is still never shuffled for assignment and the candidate join stays
     a cluster-key equi-join.
     """
-    # _parallel IS needed here (round-7 stress-run reversal of the
-    # earlier "trivial per-row map" assumption): the codebook argmin
-    # evaluates the inlined k x 64-literal array per row at ~1 ms/row,
-    # and the single-file fixture scan arrives in 1-2 partitions — at
-    # the 10x corpus the assignment serialized on 2 cores (26-28 s of
-    # a 29 s wall, SCALING.md).  Spreading 20k rows costs a ~2 MB
-    # round-robin shuffle; a real corpus scan arrives already split,
-    # where this repartition is a no-op by cost.
-    emb = _parallel(table(spark, sf_dir, "embeddings"))
+    # size-gated _parallel (round-7 stress-run reversal of the earlier
+    # "trivial per-row map" assumption): the codebook argmin evaluates
+    # the inlined k x 64-literal array per row at ~1 ms/row, and the
+    # single-file fixture scan arrives in 1-2 partitions — at the 10x
+    # corpus the assignment serialized on 2 cores (26-28 s of a 29 s
+    # wall, SCALING.md).  Below the byte gate the repartition costs
+    # more than it parallelizes (measured +0.8 s at sf0.1); a real
+    # corpus scan arrives already split either way.
+    emb = table(spark, sf_dir, "embeddings")
+    if _scan_bytes(sf_dir, "embeddings") >= _EMB_PARALLEL_MIN_BYTES:
+        emb = _parallel(emb)
     e = emb.select(
         "vec_id",
         "embedding",
@@ -1879,15 +1929,17 @@ def llm_pq_codes(spark, sf_dir):
     are ordered folds over identical doubles on both engines; code
     ties break by label asc.
     """
-    # _parallel IS needed here (round-7 stress-run reversal of the
-    # earlier "trivial per-row map" assumption): the codebook argmin
-    # evaluates the inlined k x 64-literal array per row at ~1 ms/row,
-    # and the single-file fixture scan arrives in 1-2 partitions — at
-    # the 10x corpus the assignment serialized on 2 cores (26-28 s of
-    # a 29 s wall, SCALING.md).  Spreading 20k rows costs a ~2 MB
-    # round-robin shuffle; a real corpus scan arrives already split,
-    # where this repartition is a no-op by cost.
-    emb = _parallel(table(spark, sf_dir, "embeddings"))
+    # size-gated _parallel (round-7 stress-run reversal of the earlier
+    # "trivial per-row map" assumption): the codebook argmin evaluates
+    # the inlined k x 64-literal array per row at ~1 ms/row, and the
+    # single-file fixture scan arrives in 1-2 partitions — at the 10x
+    # corpus the assignment serialized on 2 cores (26-28 s of a 29 s
+    # wall, SCALING.md).  Below the byte gate the repartition costs
+    # more than it parallelizes (measured +0.8 s at sf0.1); a real
+    # corpus scan arrives already split either way.
+    emb = table(spark, sf_dir, "embeddings")
+    if _scan_bytes(sf_dir, "embeddings") >= _EMB_PARALLEL_MIN_BYTES:
+        emb = _parallel(emb)
     sub_l2 = (
         "aggregate(zip_with(slice(embedding, m * 8 + 1, 8), "
         "slice(cn.cvec, m * 8 + 1, 8), "
@@ -2305,6 +2357,7 @@ def llm_dedup_ngram_dfcap(spark, sf_dir):
         F.count("*").alias("n_docs"), F.max("doc_id").alias("max_id")
     ).collect()[0]
     cap = max(2, -(-5 * int(nd.n_docs) // 100))  # ceil(0.05 * n_docs)
+    small = _scan_bytes(sf_dir, "documents") < _JACCARD_STATS_MIN_BYTES
     # kept = the sub-cap shingle vocabulary.  It is vocabulary-sized
     # (not postings-sized), so BROADCAST it and the postings stream is
     # never shuffled for the cap — measured 8-11s -> ~2s at sf0.1 vs
@@ -2313,13 +2366,17 @@ def llm_dedup_ngram_dfcap(spark, sf_dir):
     # hint and the same plan runs as a shuffle semi-join that AQE
     # skew-splits — the downstream pair-join bound is unchanged.
     dfreq = e0.groupBy("lang", "s").agg(F.count("*").alias("df"))
-    # planning job 2: exact capped candidate volume from the df table
-    cand = (
-        dfreq.where(F.col("df") <= cap)
-        .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("c"))
-        .collect()[0]
-        .c
-    )
+    if small:
+        cand = None  # fast path: skip planning job 2 + repartitions
+    else:
+        # planning job 2: exact capped candidate volume from df table
+        cand = float(
+            dfreq.where(F.col("df") <= cap)
+            .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("c"))
+            .collect()[0]
+            .c
+            or 0.0
+        )
     kept = dfreq.where(F.col("df") <= cap).select("lang", "s")
     # e is consumed three times (the n_sh aggregate + both self-join
     # sides); without a cache the scan+explode+semi lineage recomputes
@@ -2342,7 +2399,7 @@ def llm_dedup_ngram_dfcap(spark, sf_dir):
         "doc_id", "lang", "n_sh", "s"
     )
     inter = _jaccard_pair_counts(
-        spark, en, float(cand or 0.0), nd.max_id
+        spark, en, cand, nd.max_id
     )
     jacc = F.round(
         F.col("n_inter") / (F.col("ssum") - F.col("n_inter")), 6
