@@ -641,6 +641,17 @@ def translate(presto_sql: str) -> str:
             masked, bname,
             lambda a, _op=bop: f"({a[0]} {_op} {a[1]})" if len(a) == 2 else None,
         )
+    # Presto/ANSI two-arg ltrim/rtrim(string, chars) — Spark's two-arg
+    # form takes (trimStr, string), i.e. REVERSED (verified live:
+    # Spark ltrim('xxabc','x') = '' but ltrim('x','xxabc') = 'abc').
+    # Rewrite to the unambiguous TRIM(LEADING/TRAILING chars FROM s).
+    # One-arg forms agree and pass through.
+    for tname, tdir in (("ltrim", "leading"), ("rtrim", "trailing")):
+        masked = _rewrite_calls(
+            masked, tname,
+            lambda a, _d=tdir: f"trim({_d} {a[1]} from {a[0]})"
+            if len(a) == 2 else None,
+        )
     masked = _rewrite_calls(masked, "random", _random_fn)
     masked = _rewrite_calls(
         masked, "truncate",
