@@ -20,6 +20,26 @@ apples-to-oranges so the report separates like from unlike:
   python-state  applyInPandasWithState / custom-stateful operators pay
                 a fixed Arrow+Python-worker floor the referent has no
                 analogue of (documented in SCALING.md).
+  codebook-build  first IVF/PQ-family member in a bench pass is charged
+                the shared centroid-codebook collect job (cleared per
+                pass by design so each pass pays it exactly once);
+                later family members reuse it — e.g. ivf_search ~=
+                ivf_search_nprobe + codebook.
+  ann-score-floor  the per-pair cosine was measured BOTH as a JVM HOF
+                (zip_with/aggregate — CodegenFallback, interpreted at
+                ~0.5 ms/pair with codegen on OR off) and as the
+                round-7 cogrouped numpy kernel; at sf0.1 both floor at
+                ~1s (HOF cpu vs Arrow/cogroup overhead) while the
+                kernel wins >2x at 10x data (SCALING.md), so the
+                shipped kernel is the scale-correct choice and the
+                sf0.1 number is its measured local floor.
+  portable-hash the engine-portable checksum/row-hash contract pins
+                md5 over canonical string renderings (the only digest
+                both engines compute identically); JVM md5 + UTF8
+                formatting runs ~4x slower than DuckDB's C md5.  The
+                plan is a perfect map-side-combinable aggregate —
+                embarrassingly parallel at scale; the gap is function
+                throughput, not plan shape.
 
 Everything untagged and >2x AND >1s absolute is a WEAK entry the next
 round must either fix or explain.
@@ -50,6 +70,9 @@ TAGS = {
     "llm_ann_recall_eval": "composite",
     "stream_stateful_sessions": "python-state",
     "udf_grouped_map_apply": "python-state",
+    "llm_ivf_search": "codebook-build",
+    "llm_ivf_search_nprobe": "ann-score-floor",
+    "agg_checksum": "portable-hash",
 }
 
 

@@ -318,10 +318,14 @@ _PAIR_ROWS_PER_PART = 1_000_000
 #: its planning-stats job and explicit repartitions: the default 32
 #: partitions handle the pair volume (sf0.1 = 2.9e7 candidates runs
 #: clean), and the extra planning job + two exchanges cost more than
-#: they save (measured +1.3-1.8 s per query at sf0.1).  Any corpus a
-#: scale problem could hide in is far above this gate, so the 100 TB
-#: path ALWAYS takes the stats-sized plan.
-_JACCARD_STATS_MIN_BYTES = 8 << 20
+#: they save (measured +1.3-1.8 s per query at sf0.1).  Calibrated to
+#: the MEASURED compressed sizes (small-vocab text compresses ~5x):
+#: sf0.1 documents = 0.59 MB (fast path), the 10x stress corpus =
+#: 5.98 MB (stats path — an 8 MB first guess silently sent it down
+#: the fast path and reproduced the 43 GB-spill plan, caught by
+#: re-timing).  Any corpus a scale problem could hide in is far above
+#: this gate, so the 100 TB path ALWAYS takes the stats-sized plan.
+_JACCARD_STATS_MIN_BYTES = 2 << 20
 
 #: below this many bytes of embeddings parquet, the IVF/PQ family skips
 #: the pre-assignment repartition (same tradeoff as the Jaccard gate:
@@ -1729,23 +1733,107 @@ def llm_ivf_search(spark, sf_dir):
         F.col("norm2").alias("q_norm2"),
         F.col("c_label").alias("q_label"),
     )
-    cos = F.round(
-        F.expr(_DOT_S.format(a="q_emb", b="embedding"))
-        / F.sqrt(F.col("q_norm2") * F.col("norm2")),
-        6,
-    )
-    scored = q.join(
-        assigned,
-        (F.col("q_label") == F.col("c_label"))
-        & (F.col("query_id") != F.col("vec_id")),
-    ).select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim")
-    )
+    scored = _ivf_cos_topk(q, assigned)
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rnk", F.row_number().over(w_rank)).where(
         F.col("rnk") <= 3
+    )
+
+
+def _ivf_cos_topk(probes, assigned, k=3):
+    """Cogrouped numpy scorer for the IVF search family (round 7).
+
+    The per-pair cosine was a zip_with/aggregate HOF — lambda
+    expressions are CodegenFallback, so Spark interprets them at
+    ~0.5 ms/pair regardless of the codegen conf (measured both ways at
+    sf0.1; the HOF was the best JVM-expression option, but EVERY
+    expression option pays interpretation here).  Scoring is a dense
+    blocked product, so each (probe-label, cluster) pair scores in
+    numpy instead — with the same bit-exactness discipline as the PQ
+    ADC kernel:
+
+    * the dot is an explicit 64-step left-to-right loop
+      (acc = acc + q_i*m_i), the identical IEEE fold the zip_with/
+      aggregate expression evaluates; float32→float64 conversion per
+      element matches the expression's cast;
+    * norms come through from the JVM-computed frame, and
+      dot/sqrt(qn*mn) is the same three-op sequence as the column
+      expression;
+    * round-half-up at 6 decimals must match Spark's
+      BigDecimal.valueOf(double) (shortest-repr decimal, HALF_UP) —
+      replicated via Decimal(repr(x)) on the CANDIDATE SET ONLY: the
+      kernel takes the k-th largest raw cosine as a cut and keeps
+      everything >= cut − 1.1e-6 (no pair outside that band can round
+      into the top-k), then orders candidates by (rounded desc,
+      neighbor_id asc) — the window's exact tie-break, so
+      rounding-collapsed ties (deliberately common in the 0.25-grid
+      property corpora) resolve identically.
+
+    Emits cluster-local exact top-k per (query, probed label); the
+    caller's window merges probe-local winners (<= nprobe*k rows per
+    query).  Measured sf0.1 warm: nprobe 1.1-1.3 s -> ~0.5 s; x10
+    scales as the candidate count, numpy-speed."""
+    import numpy as np
+    import pandas as pd
+
+    def score(key, probes_pdf, members_pdf):
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "neighbor_id": pd.Series(dtype="int64"),
+             "cos_sim": pd.Series(dtype="float64")}
+        )
+        if len(probes_pdf) == 0 or len(members_pdf) == 0:
+            return empty
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q_mat = np.stack(probes_pdf["q_emb"].values).astype(np.float64)
+        m_mat = np.stack(members_pdf["embedding"].values).astype(np.float64)
+        qn = probes_pdf["q_norm2"].values.astype(np.float64)
+        mn = members_pdf["norm2"].values.astype(np.float64)
+        acc = np.zeros((len(q_mat), len(m_mat)))
+        # dim from the data, not a constant: property corpora use
+        # small-dim grid embeddings (the zip_with fold was dim-agnostic)
+        for i in range(q_mat.shape[1]):
+            acc = acc + q_mat[:, i][:, None] * m_mat[None, :, i]
+        cos = acc / np.sqrt(qn[:, None] * mn[None, :])
+        qid = probes_pdf["query_id"].values.astype(np.int64)
+        vid = members_pdf["vec_id"].values.astype(np.int64)
+        rq, rn, rc = [], [], []
+        for r in range(len(q_mat)):
+            mask = vid != qid[r]
+            c, v = cos[r][mask], vid[mask]
+            if len(c) == 0:
+                continue
+            kk = min(k, len(c))
+            cut = np.partition(c, len(c) - kk)[len(c) - kk]
+            cand = c >= cut - 1.1e-6
+            cc, cv = c[cand], v[cand]
+            rounded = [
+                float(
+                    Decimal(repr(x)).quantize(
+                        Decimal("0.000001"), ROUND_HALF_UP
+                    )
+                )
+                for x in cc
+            ]
+            order = sorted(
+                range(len(cc)), key=lambda j: (-rounded[j], cv[j])
+            )[:kk]
+            rq += [int(qid[r])] * len(order)
+            rn += [int(cv[j]) for j in order]
+            rc += [rounded[j] for j in order]
+        if not rq:
+            return empty
+        return pd.DataFrame(
+            {"query_id": rq, "neighbor_id": rn, "cos_sim": rc}
+        )
+
+    return (
+        probes.groupBy("q_label")
+        .cogroup(assigned.groupBy("c_label"))
+        .applyInPandas(score, "query_id long, neighbor_id long, cos_sim double")
     )
 
 
@@ -1851,18 +1939,7 @@ def llm_ivf_search_nprobe(spark, sf_dir):
             ).alias("q_label"),
         )
     )
-    cos = F.round(
-        F.expr(_DOT_S.format(a="q_emb", b="embedding"))
-        / F.sqrt(F.col("q_norm2") * F.col("norm2")),
-        6,
-    )
-    scored = probes.join(
-        assigned,
-        (F.col("q_label") == F.col("c_label"))
-        & (F.col("query_id") != F.col("vec_id")),
-    ).select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim")
-    )
+    scored = _ivf_cos_topk(probes, assigned)
     from pyspark.sql import Window
 
     w_rank = Window.partitionBy("query_id").orderBy(
