@@ -558,8 +558,17 @@ def agg_checksum(spark, sf_dir):
     the property Presto's checksum guarantees).
 
     Scale: map-side-combinable bit_xor aggregation; the shuffle
-    carries one 8-byte accumulator per group per mapper."""
-    li = table(spark, sf_dir, "lineitem")
+    carries one 8-byte accumulator per group per mapper.  The 4-column
+    projection repartitions across all cores before hashing: the local
+    fixture scan arrives in 3 splits, serializing the md5 work on 3 of
+    32 cores (measured 2.4s -> sub-1s); a 100-TB scan is already
+    thousands of splits, where the narrow extra exchange amortizes to
+    noise against the per-row hash compute it parallelizes (same
+    rationale as llm.py _parallel)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    li = li.repartition(spark.sparkContext.defaultParallelism)
     return li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.bit_xor(F.expr(_H_CK_S)).alias("row_checksum"),
