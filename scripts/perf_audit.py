@@ -33,13 +33,10 @@ apples-to-oranges so the report separates like from unlike:
                 kernel wins >2x at 10x data (SCALING.md), so the
                 shipped kernel is the scale-correct choice and the
                 sf0.1 number is its measured local floor.
-  portable-hash the engine-portable checksum/row-hash contract pins
-                md5 over canonical string renderings (the only digest
-                both engines compute identically); JVM md5 + UTF8
-                formatting runs ~4x slower than DuckDB's C md5.  The
-                plan is a perfect map-side-combinable aggregate —
-                embarrassingly parallel at scale; the gap is function
-                throughput, not plan shape.
+(Retired tag: agg_checksum carried "portable-hash" while its md5
+fold serialized on the 3-partition fixture scan; the round-7
+repartition fix brought it under 1s, so it is untagged again and the
+audit re-flags any regression.)
 
 Everything untagged and >2x AND >1s absolute is a WEAK entry the next
 round must either fix or explain.
@@ -72,7 +69,6 @@ TAGS = {
     "udf_grouped_map_apply": "python-state",
     "llm_ivf_search": "codebook-build",
     "llm_ivf_search_nprobe": "ann-score-floor",
-    "agg_checksum": "portable-hash",
 }
 
 

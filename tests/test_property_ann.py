@@ -192,3 +192,104 @@ def test_ivf_search_matches_python_model(spark, emb_dir, vecs):
         for r in llm_ivf_search(spark, sf).collect()
     }
     assert got == model_ivf_search(vecs)
+
+
+def _assign(vecs: dict[int, list[float]]) -> dict[int, int]:
+    """Nearest-centroid assignment shared by the kmeans/semdedup
+    models: per-label double-rounded centroids (labels are i % 3 per
+    emb_dir), left-to-right L2 fold, ties by label asc."""
+    labels = {i: i % 3 for i in vecs}
+    by_label: dict[int, list[list[float]]] = {}
+    for i, v in vecs.items():
+        by_label.setdefault(labels[i], []).append(v)
+    cens = {}
+    for lbl, vs in by_label.items():
+        cens[lbl] = [
+            _round6d(_round6d(sum(float(v[d]) for v in vs)) / len(vs))
+            for d in range(len(vs[0]))
+        ]
+    assigned = {}
+    for i, v in vecs.items():
+        best = None
+        for lbl in sorted(cens):
+            d2 = 0.0
+            for x, c in zip(v, cens[lbl]):
+                d2 += (float(x) - c) * (float(x) - c)
+            if best is None or (d2, lbl) < best:
+                best = (d2, lbl)
+        assigned[i] = best[1]
+    return assigned
+
+
+def model_kmeans_iterate(vecs: dict[int, list[float]]) -> set[tuple]:
+    """Exact expected llm_kmeans_iterate rows (dims capped at 4)."""
+    labels = {i: i % 3 for i in vecs}
+    assigned = _assign(vecs)
+    members: dict[int, list[int]] = {}
+    for i, c in assigned.items():
+        members.setdefault(c, []).append(i)
+    rows = set()
+    for c, ids in members.items():
+        n = len(ids)
+        moved = sum(1 for i in ids if labels[i] != c)
+        dim = len(vecs[ids[0]])
+        for d in range(min(4, dim)):
+            s = 0.0
+            for i in sorted(ids):
+                s += float(vecs[i][d])
+            rows.add((c, d + 1, _round6d(_round6d(s) / n), n, moved))
+    return rows
+
+
+def model_semantic_dedup(vecs: dict[int, list[float]]) -> set[tuple]:
+    """Exact expected llm_semantic_dedup rows: within each assigned
+    cluster, vec b is dropped when a lower-id member has rounded
+    cosine >= 0.35; dup_of = the smallest such witness, -1 if kept."""
+    assigned = _assign(vecs)
+    norms = {
+        i: sum(float(x) * float(x) for x in v) for i, v in vecs.items()
+    }
+    rows = set()
+    for b in vecs:
+        dup_of = -1
+        for a in sorted(vecs):
+            if a >= b or assigned[a] != assigned[b]:
+                continue
+            dot = 0.0
+            for x, y in zip(vecs[a], vecs[b]):
+                dot += float(x) * float(y)
+            cos = _round6d(dot / math.sqrt(norms[a] * norms[b]))
+            if cos >= 0.35:
+                dup_of = a
+                break
+        rows.add((assigned[b], b, dup_of == -1, dup_of))
+    return rows
+
+
+@settings(max_examples=4, deadline=None, derandomize=True)
+@given(vecs=embedding_corpus())
+def test_kmeans_iterate_matches_python_model(spark, emb_dir, vecs):
+    from sparketl.operators.llm import llm_kmeans_iterate
+
+    sf = emb_dir(vecs)
+    got = {
+        (r.cluster, r.dim, r.centroid_val, r.n_vecs, r.n_moved_in)
+        for r in llm_kmeans_iterate(spark, sf).collect()
+    }
+    assert got == model_kmeans_iterate(vecs)
+
+
+@settings(max_examples=4, deadline=None, derandomize=True)
+@given(vecs=embedding_corpus())
+def test_semantic_dedup_matches_python_model(spark, emb_dir, vecs):
+    """Duplicated vectors in the corpus strategy are EXACT semantic
+    dups (cosine 1.0 after rounding), so the drop path is always
+    exercised; near-parallel grid pairs probe the 0.35 boundary."""
+    from sparketl.operators.llm import llm_semantic_dedup
+
+    sf = emb_dir(vecs)
+    got = {
+        (r.cluster, r.vec_id, r.keep, r.dup_of)
+        for r in llm_semantic_dedup(spark, sf).collect()
+    }
+    assert got == model_semantic_dedup(vecs)

@@ -748,3 +748,33 @@ def test_bloom_fp_rate_envelope(spark, corpus_dir):
         sigma = math.sqrt(max(theory * (1.0 - theory), 1e-9) / len(clean))
         bound = 2.0 * theory + 3.0 * sigma + 2.0 / len(clean)
         assert fp <= bound, (m, k, fp, theory, bound)
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier (round 7)
+# ---------------------------------------------------------------------------
+
+
+def model_quality_classifier(docs: list[dict]) -> set[tuple]:
+    """Exact expected llm_quality_classifier rows: per-token 60-bit
+    md5 bucket (salt 'qc'), integer weight b % 41 - 20, bigint sum."""
+    rows = set()
+    for d in docs:
+        toks = d["text"].split(" ")
+        raw = sum((_h("qc", t) % 1024) % 41 - 20 for t in toks)
+        score = _round6(raw / len(toks))
+        rows.add((d["doc_id"], d["source"], len(toks), raw, score, raw > 0))
+    return rows
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(docs=corpus())
+def test_quality_classifier_matches_python_model(spark, corpus_dir, docs):
+    from sparketl.operators.curation import llm_quality_classifier
+
+    sf = corpus_dir(docs)
+    got = {
+        (r.doc_id, r.source, r.n_tokens, r.raw_score, r.score, r.keep)
+        for r in llm_quality_classifier(spark, sf).collect()
+    }
+    assert got == model_quality_classifier(docs)
