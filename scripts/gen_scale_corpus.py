@@ -107,6 +107,17 @@ def main() -> None:
         os.makedirs(d, exist_ok=True)
         pq.write_table(gen_documents(rng, n_docs), os.path.join(d, "documents.parquet"))
         pq.write_table(gen_embeddings(rng, n_emb), os.path.join(d, "embeddings.parquet"))
+        # the catalog loader (sparketl.tables.load_tables) eagerly reads
+        # all ten fixture tables from an sf_dir, so symlink the eight the
+        # stress lane doesn't scale from sf0.1 — regeneration is then
+        # self-contained (round-7 lesson: a corpus without them crashes
+        # the documents-table queries at load, not at run).
+        for name in (
+            "region nation customer supplier part orders lineitem events"
+        ).split():
+            dst = os.path.join(d, f"{name}.parquet")
+            if not os.path.exists(dst):
+                os.symlink(f"/root/testdata/sf0.1/{name}.parquet", dst)
         print(f"{tag}: documents={n_docs} embeddings={n_emb} -> {d}")
 
 

@@ -151,8 +151,9 @@ def main() -> None:
         rows.append(
             f"| {name} | {r1['wall_sec']:.2f} | {r10['wall_sec']:.2f} | "
             f"{ratio if ratio is not None else 'ERR'} | "
-            f"{mb(r1['shuffle_write'])} | {mb(r10['shuffle_write'])} | "
-            f"{mb(r10['spill'])} |"
+            f"{mb(r1.get('shuffle_write', 0))} | "
+            f"{mb(r10.get('shuffle_write', 0))} | "
+            f"{mb(r10.get('spill', 0))} |"
         )
 
     out = {

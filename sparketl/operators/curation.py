@@ -1320,6 +1320,14 @@ def llm_quality_classifier(spark, sf_dir):
     constant (a trained 1024-float vector would inline the same way,
     or broadcast-join at larger vocabulary sizes).  Classifying 100 TB
     is embarrassingly parallel scan throughput."""
+    return quality_score_frame(table(spark, sf_dir, "documents"))
+
+
+def quality_score_frame(docs):
+    """Classifier verdicts for ANY documents frame — batch or
+    streaming (the expression is a stateless narrow map, so the same
+    code is the operator's streaming face via
+    ``streaming.runner.quality_gate_stream``)."""
     w = (
         f"({_h_spark(chr(39) + 'qc' + chr(39), 't')} % {_QC_BUCKETS})"
         f" % {_QC_W_MOD} - {_QC_W_SHIFT}"
@@ -1328,7 +1336,6 @@ def llm_quality_classifier(spark, sf_dir):
         f"aggregate(transform({_TOKS_S}, t -> {w}), "
         f"cast(0 as bigint), (s, x) -> s + x)"
     )
-    docs = table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         "source",

@@ -365,3 +365,19 @@ def running_totals_stream(events_stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def quality_gate_stream(new_docs_stream: DataFrame) -> DataFrame:
+    """Streaming face of ``llm_quality_classifier`` (round 7): score
+    every arriving document with the identical hashed-linear-model
+    expression and keep only positive-score rows — the live ingest
+    quality gate in front of a training-data lake.
+
+    Stateless by construction (a narrow map per micro-batch, no
+    watermark or state store needed), so throughput is scan-bound and
+    the verdict for a document is byte-identical to the batch face —
+    proven by the two-micro-batch parity test in
+    tests/test_streaming.py."""
+    from sparketl.operators.curation import quality_score_frame
+
+    return quality_score_frame(new_docs_stream).where(F.col("keep"))

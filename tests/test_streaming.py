@@ -657,3 +657,47 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
         r.text_md5 for r in llm_dedup_incremental(spark, SF_DIR).collect()
     }
     assert set(got_md5) == want_md5 and len(want_md5) > 0
+
+
+def test_quality_gate_stream_matches_batch(spark, tmp_path):
+    """Streaming face of llm_quality_classifier (round-7): documents
+    land as TWO real micro-batch files; the streamed gate's verdicts
+    must equal the batch face's keep-set exactly (the scorer is a
+    stateless narrow map, so stream == batch is the whole contract —
+    this proves it holds across an actual micro-batch boundary, not
+    just on paper)."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparketl.operators.curation import llm_quality_classifier
+    from sparketl.streaming.runner import quality_gate_stream
+
+    src = pq.read_table(f"{SF_DIR}/documents.parquet")
+    half = len(src) // 2
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    now = _time.time()
+    pq.write_table(src.slice(0, half), d / "000.parquet")
+    pq.write_table(src.slice(half), d / "001.parquet")
+    os.utime(d / "000.parquet", (now - 200, now - 200))
+    os.utime(d / "001.parquet", (now - 100, now - 100))
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = run_available_now(quality_gate_stream(stream)).collect()
+
+    got = {(r.doc_id, r.raw_score, r.score, r.keep) for r in out}
+    want = {
+        (r.doc_id, r.raw_score, r.score, r.keep)
+        for r in llm_quality_classifier(spark, SF_DIR).collect()
+        if r.keep
+    }
+    assert got == want and len(want) > 0
+    # the gate dropped the negative-score docs (non-vacuous filter)
+    assert len(out) < len(src)
