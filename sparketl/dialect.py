@@ -55,6 +55,16 @@ TRY(a op b), op in + - * /   try_add/subtract/multiply/divide(a, b)
                               other TRY shapes untouched → loud)
 TRY(try_*(...))              try_*(...)                 (already NULL-safe)
 truncate(x)                  (sign(x) * floor(abs(x)))  (toward zero, double)
+url_extract_host(u)          parse_url(u, 'HOST')       (+ path/protocol/
+                                                         query/fragment→REF;
+                                                         _parameter(u,k) →
+                                                         parse_url(u,'QUERY',k);
+                                                         _port: no parse_url
+                                                         part → untouched,
+                                                         loud.  url_encode/
+                                                         url_decode are
+                                                         already identical —
+                                                         execution-verified)
 is_nan(x)                    isnan(x)
 infinity()                   cast('Infinity' as double)
 nan()                        cast('NaN' as double)
@@ -652,6 +662,27 @@ def translate(presto_sql: str) -> str:
             lambda a, _d=tdir: f"trim({_d} {a[1]} from {a[0]})"
             if len(a) == 2 else None,
         )
+    # Presto URL accessors → Spark/Hive parse_url parts.  Arity-guarded
+    # like every rewrite; url_extract_port has NO parse_url part
+    # keyword (Hive's parser folds the port into AUTHORITY), so it
+    # stays untouched → Spark raises loudly rather than guessing.
+    for uname, upart in (
+        ("url_extract_host", "HOST"),
+        ("url_extract_path", "PATH"),
+        ("url_extract_protocol", "PROTOCOL"),
+        ("url_extract_query", "QUERY"),
+        ("url_extract_fragment", "REF"),
+    ):
+        masked = _rewrite_calls(
+            masked, uname,
+            lambda a, _p=upart: f"parse_url({a[0]}, '{_p}')"
+            if len(a) == 1 else None,
+        )
+    masked = _rewrite_calls(
+        masked, "url_extract_parameter",
+        lambda a: f"parse_url({a[0]}, 'QUERY', {a[1]})"
+        if len(a) == 2 else None,
+    )
     masked = _rewrite_calls(masked, "random", _random_fn)
     masked = _rewrite_calls(
         masked, "truncate",

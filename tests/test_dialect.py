@@ -668,3 +668,43 @@ def test_try_cast_with_errorable_operand_untouched():
     assert _norm(translate("select try(cast(x as integer))")) == (
         "select try_cast(x as integer)"
     )
+
+
+def test_url_extract_rewrites():
+    out = translate(
+        "select url_extract_host(u) as h, url_extract_path(u) as p, "
+        "url_extract_protocol(u) as pr, url_extract_query(u) as q, "
+        "url_extract_fragment(u) as f, "
+        "url_extract_parameter(u, 'lang') as par from t"
+    )
+    assert "parse_url(u, 'HOST')" in out
+    assert "parse_url(u, 'PATH')" in out
+    assert "parse_url(u, 'PROTOCOL')" in out
+    assert "parse_url(u, 'QUERY')" in out
+    assert "parse_url(u, 'REF')" in out
+    assert "parse_url(u, 'QUERY', 'lang')" in out
+    # no parse_url part exposes the port — stays untouched, loud
+    assert "url_extract_port(u)" in translate(
+        "select url_extract_port(u) from t"
+    )
+
+
+def test_exec_url_extract(spark):
+    row = presto_sql(
+        spark,
+        "select url_extract_host(u) as h, url_extract_path(u) as p, "
+        "url_extract_protocol(u) as pr, url_extract_query(u) as q, "
+        "url_extract_fragment(u) as f, "
+        "url_extract_parameter(u, 'b') as par, "
+        "url_encode('a b&c') as enc, "
+        "url_decode('a+b%26c') as dec "
+        "from (select 'https://api.example.com:443/v1/docs?a=1&b=two#frag' as u)",
+    ).collect()[0]
+    # Presto reference values (url_extract_host excludes the port)
+    assert row.h == "api.example.com"
+    assert row.p == "/v1/docs"
+    assert row.pr == "https"
+    assert row.q == "a=1&b=two"
+    assert row.f == "frag"
+    assert row.par == "two"
+    assert row.enc == "a+b%26c" and row.dec == "a b&c"
