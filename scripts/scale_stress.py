@@ -78,7 +78,12 @@ def mb(b: int) -> float:
 
 
 def main() -> None:
-    passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    # usage: scale_stress.py [passes] [query-name ...] — names restrict
+    # the lane (re-measuring after a fix) and MERGE into the existing
+    # SCALE_STRESS.json instead of replacing it.
+    args = sys.argv[1:]
+    passes = int(args.pop(0)) if args and args[0].isdigit() else 2
+    lane = [n for n in HEAVY if n in args] if args else list(HEAVY)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     registry.load_all_modules()
     session.LOCAL_BUILD_CONFS = {
@@ -95,7 +100,7 @@ def main() -> None:
     results: dict[str, dict] = {}
     for tag in ("x1", "x10"):
         sf_dir = os.path.join(repo, ".scale", tag)
-        for name in HEAVY:
+        for name in lane:
             walls = []
             metrics = None
             for p in range(passes):
@@ -140,7 +145,7 @@ def main() -> None:
             )
 
     rows = []
-    for name in HEAVY:
+    for name in lane:
         r1, r10 = results[name]["x1"], results[name]["x10"]
         ratio = (
             round(r10["wall_sec"] / r1["wall_sec"], 2)
@@ -156,12 +161,17 @@ def main() -> None:
             f"{mb(r10.get('spill', 0))} |"
         )
 
+    path = os.path.join(repo, "SCALE_STRESS.json")
+    merged = results
+    if lane != list(HEAVY) and os.path.exists(path):
+        with open(path) as f:
+            merged = {**json.load(f).get("queries", {}), **results}
     out = {
         "passes": passes,
         "corpus": {"x1": "docs=5000 emb=2000", "x10": "docs=50000 emb=20000"},
-        "queries": results,
+        "queries": merged,
     }
-    with open(os.path.join(repo, "SCALE_STRESS.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
 
     print("| query | x1 wall s | x10 wall s | ratio | x1 shW MB | x10 shW MB | x10 spill MB |")
