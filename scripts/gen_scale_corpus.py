@@ -56,9 +56,24 @@ DOCS_PER_SOURCE = 250
 DUP_FRAC = 0.0016  # 8 / 5000 observed
 
 
-def gen_documents(rng: np.random.Generator, n: int) -> pa.Table:
+def gen_documents(
+    rng: np.random.Generator, n: int, vocab_scale: int = 1
+) -> pa.Table:
+    """``vocab_scale`` grows the vocabulary with the corpus (Heaps-law
+    shape: the x100 tier uses 10x the words).  Holding the 31-word
+    fixture vocabulary FIXED while scaling documents 100x saturates
+    the word-bigram shingle space (31^2 = 961 types for 50M shingle
+    instances), which makes essentially every document an LSH
+    candidate of thousands of others — a corpus pathology that
+    benchmarks quadratic-candidate behavior no real corpus has (the
+    first x100 run filled 79 GB of shuffle spill in the minhash
+    verify join this way).  Real vocabularies grow ~ n^beta; modeling
+    that keeps near-dup density bounded, which is the regime LSH's
+    linearity claim is about."""
     lens = rng.integers(10, 101, size=n)
-    vocab = np.array(VOCAB)
+    vocab = np.array(
+        [f"{w}{i}" if i else w for i in range(vocab_scale) for w in VOCAB]
+    )
     texts = [" ".join(vocab[rng.integers(0, len(vocab), size=k)]) for k in lens]
     # exact duplicates: overwrite a deterministic sample with earlier rows
     n_dup = max(1, int(round(DUP_FRAC * n)))
@@ -100,12 +115,22 @@ def gen_embeddings(rng: np.random.Generator, n: int) -> pa.Table:
 
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_root = sys.argv[1] if len(sys.argv) > 1 else os.path.join(repo, ".scale")
-    for tag, n_docs, n_emb in [("x1", 5_000, 2_000), ("x10", 50_000, 20_000)]:
+    args = [a for a in sys.argv[1:]]
+    # --x100 adds the third decade (500k docs / 200k vecs, ~600 MB) —
+    # opt-in so the default regeneration stays ~60 MB / seconds-fast.
+    tiers = [("x1", 5_000, 2_000, 1), ("x10", 50_000, 20_000, 1)]
+    if "--x100" in args:
+        args.remove("--x100")
+        tiers.append(("x100", 500_000, 200_000, 10))
+    out_root = args[0] if args else os.path.join(repo, ".scale")
+    for tag, n_docs, n_emb, vscale in tiers:
         rng = np.random.default_rng(42)  # same stream both scales: x1 ⊂-like x10
         d = os.path.join(out_root, tag)
         os.makedirs(d, exist_ok=True)
-        pq.write_table(gen_documents(rng, n_docs), os.path.join(d, "documents.parquet"))
+        pq.write_table(
+            gen_documents(rng, n_docs, vscale),
+            os.path.join(d, "documents.parquet"),
+        )
         pq.write_table(gen_embeddings(rng, n_emb), os.path.join(d, "embeddings.parquet"))
         # the catalog loader (sparketl.tables.load_tables) eagerly reads
         # all ten fixture tables from an sf_dir, so symlink the eight the

@@ -53,6 +53,24 @@ HEAVY = [
     "llm_quality_classifier",
 ]
 
+#: the sub-quadratic family — operators whose work grows ~linearly in
+#: corpus size by design (signature/bitmap/narrow-map/broadcast-bounded
+#: plans).  The --x100 tier runs THESE over x10 -> x100 for a second
+#: decade of evidence; the pair-volume-bound family (jaccard/dfcap,
+#: ann buckets, semantic dedup at fixture-fixed k) is excluded because
+#: its growth law is the candidate count, already characterized at x10.
+LINEAR = [
+    "llm_dedup_exact",
+    "llm_dedup_bloom_prefilter",
+    "llm_dedup_simhash",
+    "llm_dedup_minhash_lsh",
+    "llm_span_dedup",
+    "llm_quality_classifier",
+    "llm_ivf_centroids",
+    "llm_kmeans_iterate",
+    "llm_pq_codes",
+]
+
 
 def api(spark, path: str):
     base = spark.sparkContext.uiWebUrl
@@ -82,8 +100,13 @@ def main() -> None:
     # the lane (re-measuring after a fix) and MERGE into the existing
     # SCALE_STRESS.json instead of replacing it.
     args = sys.argv[1:]
+    x100 = "--x100" in args
+    if x100:
+        args.remove("--x100")
     passes = int(args.pop(0)) if args and args[0].isdigit() else 2
-    lane = [n for n in HEAVY if n in args] if args else list(HEAVY)
+    base = LINEAR if x100 else HEAVY
+    lane = [n for n in base if n in args] if args else list(base)
+    tags = ("x10", "x100") if x100 else ("x1", "x10")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     registry.load_all_modules()
     session.LOCAL_BUILD_CONFS = {
@@ -98,7 +121,7 @@ def main() -> None:
     ).collect()
 
     results: dict[str, dict] = {}
-    for tag in ("x1", "x10"):
+    for tag in tags:
         sf_dir = os.path.join(repo, ".scale", tag)
         for name in lane:
             walls = []
@@ -145,14 +168,15 @@ def main() -> None:
             )
 
     rows = []
+    ratio_key = "wall_ratio_x100" if x100 else "wall_ratio"
     for name in lane:
-        r1, r10 = results[name]["x1"], results[name]["x10"]
+        r1, r10 = results[name][tags[0]], results[name][tags[1]]
         ratio = (
             round(r10["wall_sec"] / r1["wall_sec"], 2)
             if r1["wall_sec"] > 0 and r10["wall_sec"] > 0
             else None
         )
-        results[name]["wall_ratio"] = ratio
+        results[name][ratio_key] = ratio
         rows.append(
             f"| {name} | {r1['wall_sec']:.2f} | {r10['wall_sec']:.2f} | "
             f"{ratio if ratio is not None else 'ERR'} | "
@@ -163,18 +187,28 @@ def main() -> None:
 
     path = os.path.join(repo, "SCALE_STRESS.json")
     merged = results
-    if lane != list(HEAVY) and os.path.exists(path):
+    if (x100 or lane != list(HEAVY)) and os.path.exists(path):
         with open(path) as f:
-            merged = {**json.load(f).get("queries", {}), **results}
+            prior = json.load(f).get("queries", {})
+        # deep-merge per query so an x100 pass extends rather than
+        # replaces a query's x1/x10 record
+        merged = dict(prior)
+        for name, rec in results.items():
+            merged[name] = {**prior.get(name, {}), **rec}
     out = {
         "passes": passes,
-        "corpus": {"x1": "docs=5000 emb=2000", "x10": "docs=50000 emb=20000"},
+        "corpus": {
+            "x1": "docs=5000 emb=2000",
+            "x10": "docs=50000 emb=20000",
+            "x100": "docs=500000 emb=200000 (--x100 tier)",
+        },
         "queries": merged,
     }
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
 
-    print("| query | x1 wall s | x10 wall s | ratio | x1 shW MB | x10 shW MB | x10 spill MB |")
+    print(f"| query | {tags[0]} wall s | {tags[1]} wall s | ratio | "
+          f"{tags[0]} shW MB | {tags[1]} shW MB | {tags[1]} spill MB |")
     print("| --- | --- | --- | --- | --- | --- | --- |")
     for r in rows:
         print(r)
