@@ -72,3 +72,84 @@ def sql_presto_dialect(spark, sf_dir):
     """
     load_tables(spark, sf_dir)  # register the named views
     return dialect.sql(spark, _PRESTO_TEXT)
+
+
+_RECURSIVE_TEXT = """
+    with recursive cal(m) as (
+        select cast('1995-01-01' as date)
+        union all
+        select cast(m + interval '1' month as date) from cal
+        where m < cast('1996-12-01' as date)
+    ),
+    rev as (
+        select cast(date_trunc('month', o_orderdate) as date) as m,
+               count(*) as n_orders,
+               round(sum(cast(round(o_totalprice * 100) as bigint))
+                     / cast(100 as double), 2) as revenue
+        from orders
+        where o_orderkey % 97 = 0
+          and month(o_orderdate) <> 3
+          and o_orderdate >= cast('1995-01-01' as timestamp)
+          and o_orderdate < cast('1997-01-01' as timestamp)
+        group by 1
+    )
+    select cast(cal.m as string) as month,
+           coalesce(rev.n_orders, 0) as n_orders,
+           coalesce(rev.revenue, 0.0) as revenue
+    from cal left join rev on rev.m = cal.m
+"""
+
+
+@query(
+    "sql_recursive_gapfill",
+    oracle="""
+        with recursive cal(m) as (
+            select cast('1995-01-01' as date)
+            union all
+            select cast(m + interval '1' month as date) from cal
+            where m < cast('1996-12-01' as date)
+        ),
+        rev as (
+            select cast(date_trunc('month', o_orderdate) as date) as m,
+                   count(*) as n_orders,
+                   round(sum(cast(round(o_totalprice * 100) as bigint))
+                         / cast(100 as double), 2) as revenue
+            from orders
+            where o_orderkey % 97 = 0
+              and month(o_orderdate) <> 3
+              and o_orderdate >= cast('1995-01-01' as timestamp)
+              and o_orderdate < cast('1997-01-01' as timestamp)
+            group by 1
+        )
+        select strftime(cal.m, '%Y-%m-%d') as month,
+               coalesce(rev.n_orders, 0) as n_orders,
+               coalesce(rev.revenue, 0.0) as revenue
+        from cal left join rev on rev.m = cal.m
+    """,
+)
+def sql_recursive_gapfill(spark, sf_dir):
+    """WITH RECURSIVE (Presto/Trino + Spark 4 SQL surface): a
+    recursive monthly calendar gap-filled against a sparse revenue
+    aggregate — the canonical reporting pattern where missing months
+    must appear as zero rows, which no plain GROUP BY can produce.
+    The sparse slice (every 97th order, Marches excluded — the same
+    deterministic-plant idiom as curation._EVAL_PRED) guarantees both
+    zero months AND populated months at every fixture SF, so the fill
+    path is always exercised, never vacuously green.  Dates render as strings on both engines (§5
+    determinism rule; DuckDB DATE reaches pandas as datetime64).
+
+    Spark 4 executes recursive CTEs natively but accepts only UNION
+    ALL recursion (probed live: UNION raises
+    UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) — a monotone-bounded series
+    like this terminates by construction; cyclic closure over an
+    arbitrary graph does NOT fit UNION ALL recursion and stays on the
+    iterative DataFrame loop (llm_dedup_components), which is also
+    the 100-TB-correct shape for it.
+
+    Scale: the recursion generates 24 driver-side rows (a LocalRelation
+    unioned 24 times — metadata, not data); the aggregate is a plain
+    map-side-combinable groupBy; the gap-fill join broadcasts the
+    24-row calendar.  Calendar dimensions at any horizon are
+    metadata-sized, so this plan is scan-bound at 100 TB."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_RECURSIVE_TEXT)

@@ -100,3 +100,16 @@ def test_scalar_oracle_key_nonzero(name, duck_sf):
         f"{name}: key column {col} = {val!r} — scalar oracle is "
         f"vacuously green at {sf}"
     )
+
+
+def test_recursive_gapfill_exercises_both_paths(duck_sf):
+    """sql_recursive_gapfill's contract is the FILL: planted gaps
+    (March excluded) and populated months must both exist at every SF,
+    else the left join is vacuously an inner join."""
+    _, con = duck_sf
+    z, nz = con.execute(
+        "select count(*) filter (n_orders = 0), "
+        "count(*) filter (n_orders > 0) from "
+        f"({registry.ORACLES['sql_recursive_gapfill']}) t"
+    ).fetchone()
+    assert z > 0 and nz > 0
