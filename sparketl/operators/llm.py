@@ -2760,3 +2760,61 @@ def _semdedup_drops(assigned):
     return assigned.groupBy("cluster").applyInPandas(
         drops, "vec_id long, dup_of long"
     )
+
+
+def kmeans_train(spark, sf_dir, iters: int = 5):
+    """Drive Lloyd's algorithm to (at most) ``iters`` iterations —
+    the multi-step consumer of the llm_kmeans_iterate plan, showing
+    the iterative-algorithm pattern end-to-end: each iteration runs
+    ONE distributed job (narrow-map assignment over the literal
+    codebook + posexplode/groupBy recompute) and ships only the
+    k x dim rounded codebook through the driver (the _centroids
+    contract: per-iteration driver traffic is metadata-sized,
+    independent of corpus size).  Stops early when the codebook is
+    unchanged (exact comparison — centroids are rounded at 6, so
+    fixed-point detection is deterministic, no epsilon).
+
+    Returns (codebook, n_iters_run): codebook is the sorted
+    [(cluster, [dim doubles])] list in _centroids' format, directly
+    inlinable by every IVF/PQ consumer."""
+    cens = _centroids(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    if _scan_bytes(sf_dir, "embeddings") >= _EMB_PARALLEL_MIN_BYTES:
+        emb = _parallel(emb)
+    for it in range(1, iters + 1):
+        l2_in = _L2_S.format(a="embedding", b="cn.cvec")
+        assigned = emb.select(
+            "embedding",
+            F.expr(
+                f"array_sort(transform({_cens_expr(cens)}, cn -> "
+                f"struct({l2_in} as d, cn.c_label as l)))[0].l"
+            ).alias("cluster"),
+        )
+        new = (
+            assigned.select(
+                "cluster", F.posexplode("embedding").alias("i0", "v")
+            )
+            .groupBy("cluster", (F.col("i0") + 1).alias("dim"))
+            .agg(
+                F.round(
+                    F.round(F.sum(F.col("v").cast("double")), 6)
+                    / F.count("*"),
+                    6,
+                ).alias("c")
+            )
+            .groupBy(F.col("cluster"))
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, c))), "
+                    "s -> s.c)"
+                ).alias("cvec")
+            )
+        )
+        new_cens = sorted(
+            (int(r.cluster), [float(x) for x in r.cvec])
+            for r in new.collect()
+        )
+        if new_cens == cens:
+            return cens, it - 1
+        cens = new_cens
+    return cens, iters

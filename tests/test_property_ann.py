@@ -293,3 +293,74 @@ def test_semantic_dedup_matches_python_model(spark, emb_dir, vecs):
         for r in llm_semantic_dedup(spark, sf).collect()
     }
     assert got == model_semantic_dedup(vecs)
+
+
+def model_kmeans_train(vecs: dict[int, list[float]], iters: int = 5):
+    """Exact Python Lloyd driver mirroring kmeans_train: label-seeded
+    double-rounded centroids, argmin assignment (ties by cluster asc),
+    rounded recompute, exact fixed-point stop.  Empty clusters vanish
+    (both sides recompute centroids only for clusters with members)."""
+    labels = {i: i % 3 for i in vecs}
+    by: dict[int, list[list[float]]] = {}
+    for i, v in vecs.items():
+        by.setdefault(labels[i], []).append(v)
+    cens = {
+        lbl: [
+            _round6d(_round6d(sum(float(v[d]) for v in vs)) / len(vs))
+            for d in range(len(vs[0]))
+        ]
+        for lbl, vs in by.items()
+    }
+    cur = sorted((lbl, list(c)) for lbl, c in cens.items())
+    for it in range(1, iters + 1):
+        cen_map = dict(cur)
+        members: dict[int, list[int]] = {}
+        for i, v in vecs.items():
+            best = None
+            for lbl in sorted(cen_map):
+                d2 = 0.0
+                for x, c in zip(v, cen_map[lbl]):
+                    d2 += (float(x) - c) * (float(x) - c)
+                if best is None or (d2, lbl) < best:
+                    best = (d2, lbl)
+            members.setdefault(best[1], []).append(i)
+        new = []
+        for lbl, ids in members.items():
+            dim = len(vecs[ids[0]])
+            cen = []
+            for d in range(dim):
+                s = 0.0
+                for i in sorted(ids):
+                    s += float(vecs[i][d])
+                cen.append(_round6d(_round6d(s) / len(ids)))
+            new.append((lbl, cen))
+        new.sort()
+        if new == cur:
+            return cur, it - 1
+        cur = new
+    return cur, iters
+
+
+@settings(max_examples=3, deadline=None, derandomize=True)
+@given(vecs=embedding_corpus())
+def test_kmeans_train_matches_python_model(spark, emb_dir, vecs):
+    from sparketl.operators.llm import kmeans_train
+
+    sf = emb_dir(vecs)
+    got_cb, got_it = kmeans_train(spark, sf, iters=4)
+    want_cb, want_it = model_kmeans_train(vecs, iters=4)
+    assert got_it == want_it
+    assert got_cb == want_cb
+
+
+def test_kmeans_train_fixture_smoke(spark):
+    """On the real fixture: the loop runs, clusters survive (labels
+    are genuine structure per FIXTURES.md), and the returned codebook
+    is in _centroids' format — directly inlinable by IVF consumers."""
+    from sparketl.operators.llm import kmeans_train
+
+    cb, n_it = kmeans_train(spark, SF_SMOKE_DIR, iters=3)
+    assert 1 <= len(cb) <= 10 and 0 <= n_it <= 3
+    dims = {len(vec) for _, vec in cb}
+    assert dims == {64}
+    assert cb == sorted(cb)
