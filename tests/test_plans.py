@@ -264,3 +264,21 @@ def test_unigram_nll_plan_shape(q):
     ), plan
     assert "CartesianProduct" not in plan
     assert "partial" in plan.lower(), plan
+
+
+def test_round7_operator_plan_shapes(q):
+    """The round-7 operators' 100-TB claims must appear in the plans:
+    semantic dedup's verdict join broadcasts the drop list (corpus
+    never shuffles/sorts for the left-outer), kmeans' recompute is a
+    partial (map-side-combined) hash aggregate over a literal-codebook
+    narrow map, and the classifier plan contains no join or window —
+    one round-robin spread plus the scan, nothing else."""
+    p = plan_str(q("llm_semantic_dedup"))
+    assert "BroadcastHashJoin" in p and "LeftOuter" in p, p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p, p
+    p = plan_str(q("llm_kmeans_iterate"))
+    assert "HashAggregate" in p and "partial_" in p, p
+    assert "Join" not in p, p
+    p = plan_str(q("llm_quality_classifier"))
+    assert "Join" not in p and "Window" not in p, p
+    assert "ROUND_ROBIN" in p or "RoundRobin" in p, p
