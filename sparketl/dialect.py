@@ -55,6 +55,24 @@ TRY(a op b), op in + - * /   try_add/subtract/multiply/divide(a, b)
                               other TRY shapes untouched → loud)
 TRY(try_*(...))              try_*(...)                 (already NULL-safe)
 truncate(x)                  (sign(x) * floor(abs(x)))  (toward zero, double)
+any_match(a, f)              exists(a, f)               (+ all_match→forall,
+                                                         none_match→
+                                                         (not exists(...)))
+ngrams(a, n)                 transform(sequence(1, ...), i -> slice(a, i, n))
+                                                        (array<array<T>>;
+                                                         n > |a| → [a]; NB a
+                                                         and n are inlined
+                                                         more than once —
+                                                         same caveat as the
+                                                         random(m,n) bounds)
+repeat(x, n)                 UNTRANSLATED, documented divergence: Presto's
+                             repeat builds an ARRAY while ANSI/Spark/DuckDB
+                             repeat(string, n) concatenates a STRING — same
+                             name, two semantics, syntactically
+                             indistinguishable (repeat('x', 3) is valid in
+                             both readings).  Spark's string semantics win;
+                             Presto pipelines should write array_repeat,
+                             which Spark accepts natively.
 url_extract_host(u)          parse_url(u, 'HOST')       (+ path/protocol/
                                                          query/fragment→REF;
                                                          _parameter(u,k) →
@@ -682,6 +700,30 @@ def translate(presto_sql: str) -> str:
         masked, "url_extract_parameter",
         lambda a: f"parse_url({a[0]}, 'QUERY', {a[1]})"
         if len(a) == 2 else None,
+    )
+    # Presto ngrams(a, n) — Spark has no native ngrams; the sliding
+    # windows compose from sequence + slice (returns array<array<T>>,
+    # Presto's shape; n > cardinality(a) yields [a] in Presto, matched
+    # by the greatest(..., 1) floor on the window count).
+    masked = _rewrite_calls(
+        masked, "ngrams",
+        lambda a: (
+            f"transform(sequence(1, greatest(size({a[0]}) - ({a[1]}) + 1, 1)), "
+            f"i -> slice({a[0]}, i, {a[1]}))"
+        ) if len(a) == 2 else None,
+    )
+    # Presto array-predicate lambdas → Spark HOFs (same lambda syntax).
+    masked = _rewrite_calls(
+        masked, "any_match",
+        lambda a: f"exists({a[0]}, {a[1]})" if len(a) == 2 else None,
+    )
+    masked = _rewrite_calls(
+        masked, "all_match",
+        lambda a: f"forall({a[0]}, {a[1]})" if len(a) == 2 else None,
+    )
+    masked = _rewrite_calls(
+        masked, "none_match",
+        lambda a: f"(not exists({a[0]}, {a[1]}))" if len(a) == 2 else None,
     )
     masked = _rewrite_calls(masked, "random", _random_fn)
     masked = _rewrite_calls(

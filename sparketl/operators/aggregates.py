@@ -930,3 +930,45 @@ def approx_hll_sketch_merge(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+        select o_orderstatus,
+               string_agg(distinct o_orderpriority, '|' order by o_orderpriority)
+                   as priorities,
+               string_agg(cast(o_orderkey as varchar), ',' order by o_orderkey)
+                   as keys_csv,
+               count(*) as n
+        from orders
+        where o_orderkey < 200
+        group by o_orderstatus
+    """,
+)
+def agg_listagg(spark, sf_dir):
+    """SQL:2016 LISTAGG (Presto/Trino ``listagg(x, sep) WITHIN GROUP
+    (ORDER BY ...)``), native in Spark 4 — both the DISTINCT form and
+    the plain ordered form, oracle'd by DuckDB's ``string_agg`` with
+    an ORDER BY modifier.  The in-aggregate ORDER BY makes the result
+    deterministic without a post-sort (§5 determinism rules; the same
+    property the sorted collect_list idiom provides elsewhere).
+
+    Scale: ordered string aggregation cannot partially combine across
+    arbitrary splits without a final per-group merge sort — Spark
+    plans it as a sort-based aggregate per group key; group payloads
+    here are bounded (the declared query caps keys), and unbounded
+    payloads belong in array form (agg_array_agg) rather than a
+    megabyte string cell."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 200)
+    return o.groupBy("o_orderstatus").agg(
+        F.expr(
+            "listagg(distinct o_orderpriority, '|') "
+            "within group (order by o_orderpriority)"
+        ).alias("priorities"),
+        F.expr(
+            "listagg(cast(o_orderkey as string), ',') "
+            "within group (order by o_orderkey)"
+        ).alias("keys_csv"),
+        F.count("*").alias("n"),
+    )

@@ -708,3 +708,37 @@ def test_exec_url_extract(spark):
     assert row.f == "frag"
     assert row.par == "two"
     assert row.enc == "a+b%26c" and row.dec == "a b&c"
+
+
+def test_exec_array_match_rewrites(spark):
+    row = presto_sql(
+        spark,
+        "select any_match(a, x -> x > 2) as anym, "
+        "all_match(a, x -> x > 0) as allm, "
+        "none_match(a, x -> x > 9) as nonem, "
+        "none_match(a, x -> x = 2) as nonef "
+        "from (select array[1, 2, 3] as a)",
+    ).collect()[0]
+    assert row.anym is True and row.allm is True
+    assert row.nonem is True and row.nonef is False
+
+
+def test_exec_ngrams(spark):
+    row = presto_sql(
+        spark,
+        "select ngrams(a, 2) as bi, ngrams(a, 5) as over "
+        "from (select array[1, 2, 3] as a)",
+    ).collect()[0]
+    assert [list(g) for g in row.bi] == [[1, 2], [2, 3]]
+    # n > cardinality: Presto returns the whole array as the one gram
+    assert [list(g) for g in row.over] == [[1, 2, 3]]
+
+
+def test_repeat_untouched_documented_divergence(spark):
+    """repeat's name is claimed by BOTH Presto (array-building) and
+    ANSI/Spark/DuckDB (string-concatenating) with indistinguishable
+    syntax — the translator leaves it alone, so Spark's string
+    semantics win (module docstring table documents the divergence)."""
+    assert "repeat('x', 3)" in translate("select repeat('x', 3)")
+    row = presto_sql(spark, "select repeat('x', 3) as r").collect()[0]
+    assert row.r == "xxx"
