@@ -186,12 +186,15 @@ def main() -> None:
         )
 
     path = os.path.join(repo, "SCALE_STRESS.json")
+    # ALWAYS deep-merge per query into the existing artifact: a plain
+    # full-lane rerun must refresh the x1/x10 records without
+    # discarding previously recorded --x100 tiers (round-7 review —
+    # the old replace-wholesale path made the second-decade evidence
+    # unreproducible after any later full sweep).
     merged = results
-    if (x100 or lane != list(HEAVY)) and os.path.exists(path):
+    if os.path.exists(path):
         with open(path) as f:
             prior = json.load(f).get("queries", {})
-        # deep-merge per query so an x100 pass extends rather than
-        # replaces a query's x1/x10 record
         merged = dict(prior)
         for name, rec in results.items():
             merged[name] = {**prior.get(name, {}), **rec}

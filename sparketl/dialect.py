@@ -705,11 +705,15 @@ def translate(presto_sql: str) -> str:
     # windows compose from sequence + slice (returns array<array<T>>,
     # Presto's shape; n > cardinality(a) yields [a] in Presto, matched
     # by the greatest(..., 1) floor on the window count).
+    # The window-index lambda variable is deliberately obscure
+    # (__ng_i) so it cannot shadow a user lambda variable enclosing
+    # the call — `transform(m, i -> ngrams(i, 2))` must keep the outer
+    # `i` bound to the array, not to the window index.
     masked = _rewrite_calls(
         masked, "ngrams",
         lambda a: (
             f"transform(sequence(1, greatest(size({a[0]}) - ({a[1]}) + 1, 1)), "
-            f"i -> slice({a[0]}, i, {a[1]}))"
+            f"__ng_i -> slice({a[0]}, __ng_i, {a[1]}))"
         ) if len(a) == 2 else None,
     )
     # Presto array-predicate lambdas → Spark HOFs (same lambda syntax).

@@ -558,17 +558,19 @@ def agg_checksum(spark, sf_dir):
     the property Presto's checksum guarantees).
 
     Scale: map-side-combinable bit_xor aggregation; the shuffle
-    carries one 8-byte accumulator per group per mapper.  The 4-column
-    projection repartitions across all cores before hashing: the local
-    fixture scan arrives in 3 splits, serializing the md5 work on 3 of
-    32 cores (measured 2.4s -> sub-1s); a 100-TB scan is already
-    thousands of splits, where the narrow extra exchange amortizes to
-    noise against the per-row hash compute it parallelizes (same
-    rationale as llm.py _parallel)."""
+    carries one 8-byte accumulator per group per mapper.  Banded
+    spread (round-7 review, llm._maybe_parallel): a fixture-small
+    scan arrives in 1-3 splits and the md5 work serializes on 3 of 32
+    cores (measured 2.4s -> sub-1s with the spread); above the byte
+    band a 100-TB scan is already thousands of splits, where the
+    repartition would both shuffle the whole projection AND collapse
+    parallelism down to core count — so it must not run there."""
+    from sparketl.operators.llm import _maybe_parallel
+
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
     )
-    li = li.repartition(spark.sparkContext.defaultParallelism)
+    li = _maybe_parallel(li, sf_dir, "lineitem", lo=0)
     return li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.bit_xor(F.expr(_H_CK_S)).alias("row_checksum"),

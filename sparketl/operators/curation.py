@@ -1319,15 +1319,18 @@ def llm_quality_classifier(spark, sf_dir):
     explode, no shuffle, no Python; the weight table is a compile-time
     constant (a trained 1024-float vector would inline the same way,
     or broadcast-join at larger vocabulary sizes).  Classifying 100 TB
-    is embarrassingly parallel scan throughput.  The _parallel spread
-    below is the usual fixture artifact (llm.py): the single-file scan
-    arrives in 1-2 partitions, serializing ~200 md5 folds per doc on 2
-    of 32 cores — the x10 stress corpus measured 3.1 s serialized vs
-    scan-bound spread; a real corpus scan arrives already split."""
-    from sparketl.operators.llm import _parallel
+    is embarrassingly parallel scan throughput.  The banded spread
+    below is the usual fixture artifact (llm._maybe_parallel): the
+    single-file scan arrives in 1-2 partitions, serializing ~200 md5
+    folds per doc on 2 of 32 cores — the x10 stress corpus measured
+    3.1 s serialized vs scan-bound spread; above the byte band a real
+    corpus scan arrives already split and no repartition runs."""
+    from sparketl.operators.llm import _maybe_parallel
 
     return quality_score_frame(
-        _parallel(table(spark, sf_dir, "documents"))
+        _maybe_parallel(
+            table(spark, sf_dir, "documents"), sf_dir, "documents", lo=0
+        )
     )
 
 

@@ -352,6 +352,46 @@ def _scan_bytes(sf_dir: str, name: str) -> int:
         return 1 << 40  # unknown => assume large, take the stats path
 
 
+#: above this many bytes, a scan arrives in enough native splits
+#: (maxPartitionBytes-sized) that the fixture-artifact repartition is
+#: pure cost: at petabyte scale it would funnel the corpus through one
+#: exchange AND collapse thousands of splits to core count (round-7
+#: review, the agg_checksum finding generalized).
+_PARALLEL_MAX_BYTES = 1 << 30
+
+
+def _maybe_parallel(df, sf_dir: str, name: str = "embeddings", lo=None):
+    """Banded size-gated :func:`_parallel` — THE shared gate for every
+    CPU-dense map over a fixture-small scan (round-7 review: the
+    2-line gate was copy-pasted at five sites; one helper keeps the
+    thresholds and rationale in one place).
+
+    Spread only inside [lo, _PARALLEL_MAX_BYTES): below ``lo`` the
+    exchange costs more than the compute it parallelizes (measured
+    +0.8 s at sf0.1 for the IVF argmin — callers whose downstream is
+    pair-quadratic pass lo=0 because even tiny scans pay there); above
+    the upper bound the scan already arrives in plenty of native
+    splits and the repartition is pure cost."""
+    lo = _EMB_PARALLEL_MIN_BYTES if lo is None else lo
+    if lo <= _scan_bytes(sf_dir, name) < _PARALLEL_MAX_BYTES:
+        return _parallel(df)
+    return df
+
+
+def _assign_expr(cens_lit: str) -> str:
+    """Nearest-centroid assignment over the literal codebook: argmin
+    by squared-L2, ties by label asc (array_sort on (d, label)
+    structs ≡ an orderBy) — the single contract shared by
+    llm_ivf_search, llm_kmeans_iterate, llm_semantic_dedup and
+    kmeans_train, so a tie-break change cannot silently diverge
+    between consumers (round-7 review)."""
+    l2_in = _L2_S.format(a="embedding", b="cn.cvec")
+    return (
+        f"array_sort(transform({cens_lit}, cn -> "
+        f"struct({l2_in} as d, cn.c_label as l)))[0].l"
+    )
+
+
 def _jaccard_pair_counts(spark, e, cand, max_id):
     """Shared candidate-join + intersection-count core of the exact
     n-gram Jaccard family (llm_dedup_ngram_jaccard / _dfcap).
@@ -379,8 +419,10 @@ def _jaccard_pair_counts(spark, e, cand, max_id):
       pair exchange needs ~30x more partitions than any input-sized
       shuffle at 10x data;
     * shuffled pair rows are ONE packed bigint (doc_a<<32 | doc_b,
-      taken when max_id < 2^31 — fixture ids are dense from 0; wider
-      id domains fall back to the unpacked (doc_a, doc_b) key) plus
+      taken only when the caller VERIFIED 0 <= min_id and
+      max_id < 2^31 from its planning stats; callers pass max_id=None
+      for unverified or negative id domains and the unpacked
+      (doc_a, doc_b) key runs instead) plus
       ssum = n_sh_a + n_sh_b riding along in the group key, so the
       J >= 0.5 threshold applies immediately post-count with no
       per-pair rejoin: 3*n_inter >= ssum is EXACTLY round(J,6) >= 0.5
@@ -509,21 +551,35 @@ def llm_dedup_ngram_jaccard(spark, sf_dir):
         "doc_id", "lang", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
     )
     if _scan_bytes(sf_dir, "documents") < _JACCARD_STATS_MIN_BYTES:
-        # small corpus: fixture doc_ids are 32-bit-safe by schema
-        # domain (FIXTURES.md); packed keys stay valid
-        cand, max_id = None, 0
+        # small corpus: no planning job — and therefore no verified
+        # id-domain either, so take the UNPACKED pair key (max_id
+        # None).  Assuming 32-bit-safe ids here would silently merge
+        # distinct pairs on a tiny corpus with snowflake/negative ids
+        # (round-7 review); the packed key saves nothing at this size.
+        cand, max_id = None, None
     else:
-        # planning stats: exact candidate volume + doc-id domain, 1 job
+        # planning stats: exact candidate volume + doc-id domain
+        # (BOTH ends — a small max does not rule out negative ids), 1 job
         stats = (
             e.groupBy("lang", "s")
-            .agg(F.count("*").alias("df"), F.max("doc_id").alias("m"))
+            .agg(
+                F.count("*").alias("df"),
+                F.max("doc_id").alias("m"),
+                F.min("doc_id").alias("mn"),
+            )
             .agg(
                 F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("cand"),
                 F.max("m").alias("max_id"),
+                F.min("mn").alias("min_id"),
             )
             .collect()[0]
         )
-        cand, max_id = float(stats.cand or 0.0), stats.max_id
+        cand = float(stats.cand or 0.0)
+        max_id = (
+            stats.max_id
+            if stats.min_id is not None and stats.min_id >= 0
+            else None
+        )
     inter = _jaccard_pair_counts(spark, e, cand, max_id)
     jacc = F.round(
         F.col("n_inter") / (F.col("ssum") - F.col("n_inter")), 6
@@ -1692,40 +1748,25 @@ def llm_ivf_search(spark, sf_dir):
     """
     from pyspark.sql import Window
 
-    # size-gated _parallel (round-7 stress-run reversal of the earlier
-    # "trivial per-row map" assumption): the codebook argmin evaluates
-    # the inlined k x 64-literal array per row at ~1 ms/row, and the
-    # single-file fixture scan arrives in 1-2 partitions — at the 10x
-    # corpus the assignment serialized on 2 cores (26-28 s of a 29 s
-    # wall, SCALING.md).  Below the byte gate the repartition costs
-    # more than it parallelizes (measured +0.8 s at sf0.1); a real
-    # corpus scan arrives already split either way.
-    emb = table(spark, sf_dir, "embeddings")
-    if _scan_bytes(sf_dir, "embeddings") >= _EMB_PARALLEL_MIN_BYTES:
-        emb = _parallel(emb)
+    # _maybe_parallel: see the helper for the stress-run rationale.
+    emb = _maybe_parallel(table(spark, sf_dir, "embeddings"), sf_dir)
     e = emb.select(
         "vec_id",
         "embedding",
         F.expr(_NORM2_S.format(a="embedding")).alias("norm2"),
     )
     # assignment is a TRUE narrow map: the codebook is a literal, and
-    # each vector picks its nearest centroid with a local argmin over
-    # that constant array — array_sort on (distance, label) structs
-    # gives the same (L2 asc, label asc) tie-break as an orderBy.  The
-    # corpus is never shuffled, and because `assigned` feeds BOTH sides
-    # of the cluster self-join below, the literal also halves the old
-    # per-side centroid-subtree recompute — the exact plan the 100-TB
-    # claim requires.
-    l2_in = _L2_S.format(a="embedding", b="cn.cvec")
+    # each vector picks its nearest centroid with the shared
+    # _assign_expr argmin.  The corpus is never shuffled, and because
+    # `assigned` feeds BOTH sides of the cluster self-join below, the
+    # literal also halves the old per-side centroid-subtree recompute
+    # — the exact plan the 100-TB claim requires.
     cens_lit = _cens_expr(_centroids(spark, sf_dir))
     assigned = e.select(
         "vec_id",
         "embedding",
         "norm2",
-        F.expr(
-            f"array_sort(transform({cens_lit}, cn -> "
-            f"struct({l2_in} as d, cn.c_label as l)))[0].l"
-        ).alias("c_label"),
+        F.expr(_assign_expr(cens_lit)).alias("c_label"),
     )
     q = assigned.where(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -1900,17 +1941,8 @@ def llm_ivf_search_nprobe(spark, sf_dir):
     is still never shuffled for assignment and the candidate join stays
     a cluster-key equi-join.
     """
-    # size-gated _parallel (round-7 stress-run reversal of the earlier
-    # "trivial per-row map" assumption): the codebook argmin evaluates
-    # the inlined k x 64-literal array per row at ~1 ms/row, and the
-    # single-file fixture scan arrives in 1-2 partitions — at the 10x
-    # corpus the assignment serialized on 2 cores (26-28 s of a 29 s
-    # wall, SCALING.md).  Below the byte gate the repartition costs
-    # more than it parallelizes (measured +0.8 s at sf0.1); a real
-    # corpus scan arrives already split either way.
-    emb = table(spark, sf_dir, "embeddings")
-    if _scan_bytes(sf_dir, "embeddings") >= _EMB_PARALLEL_MIN_BYTES:
-        emb = _parallel(emb)
+    # _maybe_parallel: see the helper for the stress-run rationale.
+    emb = _maybe_parallel(table(spark, sf_dir, "embeddings"), sf_dir)
     e = emb.select(
         "vec_id",
         "embedding",
@@ -2006,17 +2038,8 @@ def llm_pq_codes(spark, sf_dir):
     are ordered folds over identical doubles on both engines; code
     ties break by label asc.
     """
-    # size-gated _parallel (round-7 stress-run reversal of the earlier
-    # "trivial per-row map" assumption): the codebook argmin evaluates
-    # the inlined k x 64-literal array per row at ~1 ms/row, and the
-    # single-file fixture scan arrives in 1-2 partitions — at the 10x
-    # corpus the assignment serialized on 2 cores (26-28 s of a 29 s
-    # wall, SCALING.md).  Below the byte gate the repartition costs
-    # more than it parallelizes (measured +0.8 s at sf0.1); a real
-    # corpus scan arrives already split either way.
-    emb = table(spark, sf_dir, "embeddings")
-    if _scan_bytes(sf_dir, "embeddings") >= _EMB_PARALLEL_MIN_BYTES:
-        emb = _parallel(emb)
+    # _maybe_parallel: see the helper for the stress-run rationale.
+    emb = _maybe_parallel(table(spark, sf_dir, "embeddings"), sf_dir)
     sub_l2 = (
         "aggregate(zip_with(slice(embedding, m * 8 + 1, 8), "
         "slice(cn.cvec, m * 8 + 1, 8), "
@@ -2428,10 +2451,13 @@ def llm_dedup_ngram_dfcap(spark, sf_dir):
         "doc_id", "lang", F.expr(_SHINGLES_S).alias("sh")
     )
     e0 = d.select("doc_id", "lang", F.explode("sh").alias("s"))
-    # planning job 1: corpus size (for the cap) + doc-id domain (for
-    # the packed pair key) — scalar stats, the sanctioned collect
+    # planning job 1: corpus size (for the cap) + doc-id domain (BOTH
+    # ends, for the packed pair key — a small max does not rule out
+    # negative ids) — scalar stats, the sanctioned collect
     nd = d.agg(
-        F.count("*").alias("n_docs"), F.max("doc_id").alias("max_id")
+        F.count("*").alias("n_docs"),
+        F.max("doc_id").alias("max_id"),
+        F.min("doc_id").alias("min_id"),
     ).collect()[0]
     cap = max(2, -(-5 * int(nd.n_docs) // 100))  # ceil(0.05 * n_docs)
     small = _scan_bytes(sf_dir, "documents") < _JACCARD_STATS_MIN_BYTES
@@ -2476,7 +2502,10 @@ def llm_dedup_ngram_dfcap(spark, sf_dir):
         "doc_id", "lang", "n_sh", "s"
     )
     inter = _jaccard_pair_counts(
-        spark, en, cand, nd.max_id
+        spark,
+        en,
+        cand,
+        nd.max_id if nd.min_id is not None and nd.min_id >= 0 else None,
     )
     jacc = F.round(
         F.col("n_inter") / (F.col("ssum") - F.col("n_inter")), 6
@@ -2556,18 +2585,12 @@ def llm_kmeans_iterate(spark, sf_dir):
     Lloyd iteration.  Driving k iterations loops this plan with the
     k x 64 result as the next literal codebook: per-iteration driver
     traffic is metadata-sized, exactly like _centroids."""
-    emb = table(spark, sf_dir, "embeddings")
-    if _scan_bytes(sf_dir, "embeddings") >= _EMB_PARALLEL_MIN_BYTES:
-        emb = _parallel(emb)
+    emb = _maybe_parallel(table(spark, sf_dir, "embeddings"), sf_dir)
     cens_lit = _cens_expr(_centroids(spark, sf_dir))
-    l2_in = _L2_S.format(a="embedding", b="cn.cvec")
     assigned = emb.select(
         "label",
         "embedding",
-        F.expr(
-            f"array_sort(transform({cens_lit}, cn -> "
-            f"struct({l2_in} as d, cn.c_label as l)))[0].l"
-        ).alias("cluster"),
+        F.expr(_assign_expr(cens_lit)).alias("cluster"),
     )
     e = assigned.select(
         "cluster",
@@ -2647,15 +2670,14 @@ def llm_semantic_dedup(spark, sf_dir):
     vector (n, not n^2, folds); the drop aggregation is a map-side-
     combinable min per duplicate.  At 100 TB the same plan runs with
     IVF-trained centroids instead of label seeds."""
-    # unconditional _parallel (no byte gate, unlike the IVF searches):
-    # downstream is the per-PAIR cosine fold — superlinear in the
-    # partition's row count — so even the small fixture pays for
+    # lo=0: downstream is the per-PAIR kernel — quadratic in the
+    # partition's row count — so even the smallest fixture pays for
     # spreading (measured 2.3-3.5 s on the 1-2 partition scan vs
-    # 0.7-1.5 s spread, sf0.1), and the pinned assigned frame keeps
-    # the repartition a one-time cost across its three consumers.
-    emb = _parallel(table(spark, sf_dir, "embeddings"))
+    # 0.7-1.5 s spread, sf0.1); the pinned assigned frame keeps the
+    # repartition a one-time cost, and the helper's upper band stops
+    # it at real-corpus scale.
+    emb = _maybe_parallel(table(spark, sf_dir, "embeddings"), sf_dir, lo=0)
     cens_lit = _cens_expr(_centroids(spark, sf_dir))
-    l2_in = _L2_S.format(a="embedding", b="cn.cvec")
     # assigned feeds BOTH self-join sides AND the final output join;
     # the k x 64-literal argmin is the expensive narrow map (SCALING.md
     # IVF finding: ~1 ms/row), so pin it once instead of recomputing
@@ -2665,10 +2687,7 @@ def llm_semantic_dedup(spark, sf_dir):
             "vec_id",
             "embedding",
             F.expr(_NORM2_S.format(a="embedding")).alias("norm2"),
-            F.expr(
-                f"array_sort(transform({cens_lit}, cn -> "
-                f"struct({l2_in} as d, cn.c_label as l)))[0].l"
-            ).alias("cluster"),
+            F.expr(_assign_expr(cens_lit)).alias("cluster"),
         )
     )
     dropped = _semdedup_drops(assigned)
@@ -2776,19 +2795,18 @@ def kmeans_train(spark, sf_dir, iters: int = 5):
 
     Returns (codebook, n_iters_run): codebook is the sorted
     [(cluster, [dim doubles])] list in _centroids' format, directly
-    inlinable by every IVF/PQ consumer."""
-    cens = _centroids(spark, sf_dir)
-    emb = table(spark, sf_dir, "embeddings")
-    if _scan_bytes(sf_dir, "embeddings") >= _EMB_PARALLEL_MIN_BYTES:
-        emb = _parallel(emb)
+    inlinable by every IVF/PQ consumer.  Always a FRESH copy — when
+    the seed is already a fixed point the naive return value would be
+    the _CEN_CACHE-owned list, and a caller mutating it (editing a
+    centroid before re-inlining) would silently corrupt the session
+    codebook every IVF/PQ declared query inlines from (round-7
+    review)."""
+    cens = [(lbl, list(vec)) for lbl, vec in _centroids(spark, sf_dir)]
+    emb = _maybe_parallel(table(spark, sf_dir, "embeddings"), sf_dir)
     for it in range(1, iters + 1):
-        l2_in = _L2_S.format(a="embedding", b="cn.cvec")
         assigned = emb.select(
             "embedding",
-            F.expr(
-                f"array_sort(transform({_cens_expr(cens)}, cn -> "
-                f"struct({l2_in} as d, cn.c_label as l)))[0].l"
-            ).alias("cluster"),
+            F.expr(_assign_expr(_cens_expr(cens))).alias("cluster"),
         )
         new = (
             assigned.select(

@@ -105,23 +105,30 @@ def incremental_dedup_stream(
     1. stream-STATIC left-anti join against the standing corpus's
        signature set — drops arriving docs the corpus already has
        (the batch face's exact semantics, executed per micro-batch);
-    2. stateful ``dropDuplicates`` on the content hash — drops
-       at-least-once REDELIVERIES across micro-batch boundaries,
-       which the batch face never sees because a batch is read once.
+    2. stateful ``dropDuplicates`` on DOC IDENTITY (doc_id + content
+       hash) — drops at-least-once REDELIVERIES of the same document
+       across micro-batch boundaries, which the batch face never sees
+       because a batch is read once.  Keyed on identity, NOT the bare
+       content hash: two DISTINCT new docs sharing text are both kept,
+       exactly as the batch face keeps them (it only anti-joins
+       against the standing corpus) — a bare-hash key would collapse
+       them to an arrival-order-dependent survivor (round-7 review
+       finding; within-batch same-text resolution is a separate
+       declared operator, llm_dedup_exact).
 
     Scale: the static side is the signature table (16-byte sigs, never
-    text); state for layer 2 is one hash per distinct arrived doc — on
-    an unbounded production stream, bound it with
+    text); state for layer 2 is one (doc_id, hash) per distinct
+    arrived doc — on an unbounded production stream, bound it with
     ``withWatermark`` + ``dropDuplicatesWithinWatermark`` over the
     ingest-time column (redeliveries arrive within the delivery-
-    timeout window, so state holds only that window's hashes).
+    timeout window, so state holds only that window's keys).
     """
     sigs = standing_docs.select(F.md5("text").alias("sig")).distinct()
     batch = new_docs_stream.select(
         "doc_id", "lang", F.md5("text").alias("text_md5")
     )
     fresh = batch.join(sigs, batch.text_md5 == sigs.sig, "left_anti")
-    return fresh.dropDuplicates(["text_md5"])
+    return fresh.dropDuplicates(["doc_id", "text_md5"])
 
 
 def stage_events_dir(sf_dir: str, scratch_root: str) -> str:

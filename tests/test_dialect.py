@@ -742,3 +742,14 @@ def test_repeat_untouched_documented_divergence(spark):
     assert "repeat('x', 3)" in translate("select repeat('x', 3)")
     row = presto_sql(spark, "select repeat('x', 3) as r").collect()[0]
     assert row.r == "xxx"
+
+
+def test_exec_ngrams_inside_user_lambda(spark):
+    """Regression (round-7 review): the rewrite's window-index lambda
+    variable must not capture an enclosing user lambda variable."""
+    row = presto_sql(
+        spark,
+        "select transform(m, i -> ngrams(i, 2)) as g "
+        "from (select array[array[1, 2, 3]] as m)",
+    ).collect()[0]
+    assert [[list(x) for x in inner] for inner in row.g] == [[[1, 2], [2, 3]]]

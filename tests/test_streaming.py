@@ -630,9 +630,22 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
     d.mkdir()
     now = _time.time()
     pq.write_table(new_tbl.slice(0, half), d / "000.parquet")
-    # second file: the rest PLUS a redelivered slice of the first
+    # second file: the rest PLUS a redelivered slice of the first PLUS
+    # two DISTINCT planted docs sharing novel text — the batch face
+    # keeps both (it only anti-joins the standing corpus), so the
+    # stream must too (round-7 review: a bare-content-hash dedup key
+    # collapsed them to one arrival-order survivor)
+    planted = pa.table(
+        {
+            "doc_id": pa.array([10_000_001, 10_000_002], pa.int64()),
+            "text": pa.array(["planted twin text"] * 2),
+            "lang": pa.array(["en", "de"]),
+            "source": pa.array(["web", "web"]),
+            "n_chars": pa.array([17, 17], pa.int64()),
+        }
+    )
     redelivered = pa.concat_tables(
-        [new_tbl.slice(half), new_tbl.slice(0, max(1, half // 4))]
+        [new_tbl.slice(half), new_tbl.slice(0, max(1, half // 4)), planted]
     )
     pq.write_table(redelivered, d / "001.parquet")
     os.utime(d / "000.parquet", (now - 200, now - 200))
@@ -649,14 +662,20 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
         incremental_dedup_stream(stream, standing)
     ).collect()
 
-    got_md5 = [r.text_md5 for r in out]
-    # layer 2: each hash exactly once despite cross-batch redelivery
-    assert len(got_md5) == len(set(got_md5))
-    # layer 1: same survivor signatures as the batch face
-    want_md5 = {
-        r.text_md5 for r in llm_dedup_incremental(spark, SF_DIR).collect()
-    }
-    assert set(got_md5) == want_md5 and len(want_md5) > 0
+    got_rows = [(r.doc_id, r.text_md5) for r in out]
+    # layer 2: each DOC exactly once despite cross-batch redelivery
+    assert len(got_rows) == len(set(got_rows))
+    # full row-level parity with the batch face (round-7 review: a
+    # hash-set compare masked the bare-hash dedup collapsing distinct
+    # same-text docs — the batch face keeps both, so must the stream)
+    import hashlib
+
+    twin_md5 = hashlib.md5(b"planted twin text").hexdigest()
+    want_rows = {
+        (r.doc_id, r.text_md5)
+        for r in llm_dedup_incremental(spark, SF_DIR).collect()
+    } | {(10_000_001, twin_md5), (10_000_002, twin_md5)}
+    assert set(got_rows) == want_rows and len(want_rows) > 2
 
 
 def test_quality_gate_stream_matches_batch(spark, tmp_path):
