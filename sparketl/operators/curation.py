@@ -1334,19 +1334,35 @@ def llm_quality_classifier(spark, sf_dir):
     )
 
 
+def _qc_raw_expr() -> str:
+    """The classifier's bigint weight-sum expression (Spark SQL) —
+    shared by quality_score_frame and the v2 pipeline so the scorer
+    cannot diverge between the standalone query, the streaming gate,
+    and the composed pipeline."""
+    w = (
+        f"({_h_spark(chr(39) + 'qc' + chr(39), 't')} % {_QC_BUCKETS})"
+        f" % {_QC_W_MOD} - {_QC_W_SHIFT}"
+    )
+    return (
+        f"aggregate(transform({_TOKS_S}, t -> {w}), "
+        f"cast(0 as bigint), (s, x) -> s + x)"
+    )
+
+
+#: DuckDB twin of :func:`_qc_raw_expr` (kept adjacent for review).
+_QC_RAW_D = (
+    f"cast(list_sum(list_transform({_TOKS_D}, "
+    f"t -> ({_h_duck(chr(39) + 'qc' + chr(39), 't')} % {_QC_BUCKETS})"
+    f" % {_QC_W_MOD} - {_QC_W_SHIFT})) as bigint)"
+)
+
+
 def quality_score_frame(docs):
     """Classifier verdicts for ANY documents frame — batch or
     streaming (the expression is a stateless narrow map, so the same
     code is the operator's streaming face via
     ``streaming.runner.quality_gate_stream``)."""
-    w = (
-        f"({_h_spark(chr(39) + 'qc' + chr(39), 't')} % {_QC_BUCKETS})"
-        f" % {_QC_W_MOD} - {_QC_W_SHIFT}"
-    )
-    raw = (
-        f"aggregate(transform({_TOKS_S}, t -> {w}), "
-        f"cast(0 as bigint), (s, x) -> s + x)"
-    )
+    raw = _qc_raw_expr()
     return docs.select(
         "doc_id",
         "source",
@@ -1356,4 +1372,94 @@ def quality_score_frame(docs):
             F.expr(raw) / F.expr(f"size({_TOKS_S})"), 6
         ).alias("score"),
         (F.expr(raw) > F.lit(0)).alias("keep"),
+    )
+
+
+_QC_QUOTA = 50
+
+
+@query(
+    "llm_curation_pipeline_v2",
+    oracle=f"""
+        with scored as (
+            select doc_id, source, text,
+                   len({_TOKS_D}) as n_tok,
+                   {_QC_RAW_D} as raw,
+                   round({_QC_RAW_D} / len({_TOKS_D}), 6) as score
+            from documents
+        ),
+        kept as (
+            select * from scored where raw > 0
+        ),
+        keepers as (
+            select min(doc_id) as doc_id from kept group by md5(text)
+        ),
+        deduped as (
+            select k.doc_id, k.source, k.n_tok, k.score
+            from kept k join keepers x on k.doc_id = x.doc_id
+        ),
+        ranked as (
+            select *,
+                   row_number() over (
+                       partition by source
+                       order by score desc, doc_id asc) as rnk
+            from deduped
+        )
+        select source,
+               count(*) as n_kept,
+               count(*) filter (rnk <= {_QC_QUOTA}) as n_sel,
+               cast(sum(n_tok) filter (rnk <= {_QC_QUOTA}) as bigint)
+                   as sel_tokens,
+               round(avg(score) filter (rnk <= {_QC_QUOTA}), 6)
+                   as avg_sel_score
+        from ranked
+        group by source
+    """,
+)
+def llm_curation_pipeline_v2(spark, sf_dir):
+    """Curation pipeline, classifier edition: the fastText-shaped
+    scorer (llm_quality_classifier's exact expression via
+    _qc_raw_expr) gates the corpus, exact dedup keeps the lowest-id
+    doc per content hash, and a per-source QUALITY QUOTA selects the
+    top-N docs by model score — quality-ranked selection, the modern
+    replacement for uniform sampling in data-constrained training
+    runs.  Deterministic: score ties break by doc_id.
+
+    Scale: scorer is a narrow map; dedup is one signature groupBy + a
+    semi join back; the quota rank is a per-source window over
+    (source, score, id) triples — never text.  NB unlike
+    llm_sample_stratified this shape gets NO WindowGroupLimit
+    pushdown: the report keeps every ranked row (n_kept counts the
+    whole gate output), so there is no rank filter for Spark to push
+    below the shuffle; a selection-only variant (drop the n_kept
+    column, filter rnk <= N) would get it."""
+    docs = table(spark, sf_dir, "documents")
+    raw = _qc_raw_expr()
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.expr(f"size({_TOKS_S})").alias("n_tok"),
+        F.expr(raw).alias("raw"),
+        F.round(F.expr(raw) / F.expr(f"size({_TOKS_S})"), 6).alias("score"),
+    )
+    kept = scored.where(F.col("raw") > 0)
+    keepers = (
+        kept.groupBy(F.md5("text").alias("sig"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = kept.join(keepers, "doc_id", "left_semi").select(
+        "doc_id", "source", "n_tok", "score"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    ranked = deduped.withColumn("rnk", F.row_number().over(w))
+    sel = F.col("rnk") <= _QC_QUOTA
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.count_if(sel).alias("n_sel"),
+        F.sum(F.when(sel, F.col("n_tok"))).cast("bigint").alias("sel_tokens"),
+        F.round(F.avg(F.when(sel, F.col("score"))), 6).alias("avg_sel_score"),
     )

@@ -65,3 +65,41 @@ def test_compaction_collapses_file_count(spark):
     assert len(frag) == 64
     # sf0.01 slice is far below the 64 MiB target => exactly one file
     assert len(compact) < len(frag) // 8, (len(frag), len(compact))
+
+
+def test_csv_malformed_modes(spark):
+    """The other two CSV parse modes over source_csv_malformed's dirty
+    landing dir: DROPMALFORMED silently drops exactly the three
+    planted bad rows; FAILFAST raises on first corruption."""
+    import pytest as _pytest
+
+    from sparketl.sources.connectors import (
+        NATION_SCHEMA,
+        _scratch_dir,
+        source_csv_malformed,
+    )
+    from sparketl.tables import table
+
+    # materialize the dirty dir (idempotent overwrite)
+    source_csv_malformed(spark, SF_DIR).collect()
+    path = _scratch_dir(SF_DIR, "nation_csv_dirty")
+    n_clean = table(spark, SF_DIR, "nation").count()
+
+    dropped = (
+        spark.read.schema(NATION_SCHEMA)
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    # collect all columns: a bare count() prunes the scan to zero
+    # columns and the CSV parser never sees the malformed cells
+    # (spark.sql.csv.parser.columnPruning) — a real mode-semantics
+    # footgun worth pinning here
+    assert len(dropped.collect()) == n_clean
+
+    with _pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        (
+            spark.read.schema(NATION_SCHEMA)
+            .option("mode", "FAILFAST")
+            .csv(path)
+            .collect()
+        )
