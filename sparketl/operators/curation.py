@@ -1433,23 +1433,35 @@ def llm_curation_pipeline_v2(spark, sf_dir):
     whole gate output), so there is no rank filter for Spark to push
     below the shuffle; a selection-only variant (drop the n_kept
     column, filter rnk <= N) would get it."""
+    from sparketl.operators.llm import _pin
+
     docs = table(spark, sf_dir, "documents")
     raw = _qc_raw_expr()
-    scored = docs.select(
-        "doc_id",
-        "source",
-        "text",
-        F.expr(f"size({_TOKS_S})").alias("n_tok"),
-        F.expr(raw).alias("raw"),
-        F.round(F.expr(raw) / F.expr(f"size({_TOKS_S})"), 6).alias("score"),
+    # the scorer fold is the expensive narrow map and the gated frame
+    # feeds BOTH the keeper aggregation and the semi-join probe side —
+    # pin it once (the _pin bounded-cache contract) so the fold runs
+    # one time, and carry the 16-byte sig instead of text so neither
+    # consumer shuffles document text.  Keepers are distinct-text-
+    # sized; broadcasting them keeps the probe side shuffle-free
+    # (measured 1.3-1.5 s -> ~0.6 s warm at sf0.1).
+    kept = _pin(
+        docs.select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("sig"),
+            F.expr(f"size({_TOKS_S})").alias("n_tok"),
+            F.expr(raw).alias("raw"),
+            F.round(F.expr(raw) / F.expr(f"size({_TOKS_S})"), 6).alias(
+                "score"
+            ),
+        ).where(F.col("raw") > 0)
     )
-    kept = scored.where(F.col("raw") > 0)
     keepers = (
-        kept.groupBy(F.md5("text").alias("sig"))
+        kept.groupBy("sig")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    deduped = kept.join(keepers, "doc_id", "left_semi").select(
+    deduped = kept.join(F.broadcast(keepers), "doc_id", "left_semi").select(
         "doc_id", "source", "n_tok", "score"
     )
     w = Window.partitionBy("source").orderBy(
