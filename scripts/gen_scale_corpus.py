@@ -23,14 +23,33 @@ Fixture recipe replicated (verified against sf0.1 2026-08-14):
     the observed per-label mean-vector norm of ~0.07 (weak but real
     cluster signal — ANN label-agreement stays meaningful).
 
-Deterministic (numpy PCG64 seed=42).  Output is NOT a correctness
-fixture — the DuckDB-oracle gate stays on the driver's read-only
-/root/testdata — it exists solely for scale measurement.
+Round 8 adds ``--rel``: synthesize the RELATIONAL + event tables at
+x1 (sf0.1-equivalent) and x10 (sf1-equivalent) row counts so the
+TPC-H / window / event-time core gets the same measured-scaling
+treatment the dedup/ANN lane got in round 7 (VERDICT.md r7 #1).  The
+recipe was read empirically from /root/testdata/sf0.1 with DuckDB on
+2026-08-14 (key ranges, value domains, date ranges, per-order fan-out
+~4 lineitems, events/user ~66.7, exact granularities: 2-dp money,
+percent-step discount/tax, day-granular dates, globally-monotone
+events.ts) — see gen_relational for the per-column recipe.  Facts are
+written as MULTI-FILE parquet directories above ROWS_PER_FILE rows so
+the file count grows with the corpus exactly as a real lake layout
+does and Spark's scan parallelism is measured honestly (the known
+single-file trap: one 110 MB file arrives as 1 task).
 
-Usage: python scripts/gen_scale_corpus.py [out_root]
-  default out_root: <repo>/.scale  (gitignored; ~60 MB)
+Deterministic (numpy PCG64 seed=42; relational tier seed=43).  Output
+is NOT a correctness fixture — the DuckDB-oracle gate stays on the
+driver's read-only /root/testdata — it exists solely for scale
+measurement (though check.py --sf .scale/x10 grades the scaled corpus
+itself, Spark vs DuckDB on identical files).
+
+Usage: python scripts/gen_scale_corpus.py [--rel] [--x100] [out_root]
+  default out_root: <repo>/.scale  (gitignored; ~60 MB, +~170 MB --rel)
   writes {out_root}/x1/{documents,embeddings}.parquet   (5,000 / 2,000)
          {out_root}/x10/{documents,embeddings}.parquet  (50,000 / 20,000)
+  --rel adds generated customer/supplier/part/orders/lineitem/events
+  at x1=sf0.1 row counts and x10=10x; region/nation are copied from
+  the fixture root (SPARKETL_FIXTURE_ROOT, default /root/testdata/sf0.1).
 """
 
 from __future__ import annotations
@@ -113,17 +132,231 @@ def gen_embeddings(rng: np.random.Generator, n: int) -> pa.Table:
     )
 
 
+#: facts larger than this are split into numbered part files — the
+#: file count then grows ~linearly with the corpus (like a real lake
+#: layout) and Spark's scan parallelism at x10 is real, not an
+#: artifact of one oversized file arriving as a single task.
+ROWS_PER_FILE = 1_000_000
+
+EPOCH = np.datetime64("1970-01-01")
+US = 86_400_000_000  # µs per day
+
+
+def _days(rng: np.random.Generator, n: int, lo: str, hi: str) -> pa.Array:
+    """Uniform day-granular timestamps in [lo, hi] as timestamp[us]."""
+    d0 = (np.datetime64(lo) - EPOCH).astype(np.int64)
+    d1 = (np.datetime64(hi) - EPOCH).astype(np.int64)
+    return pa.array(rng.integers(d0, d1 + 1, size=n) * US, pa.timestamp("us"))
+
+
+def _money(rng: np.random.Generator, n: int, lo: float, hi: float) -> np.ndarray:
+    return np.round(rng.uniform(lo, hi, size=n), 2)
+
+
+def _write(table: pa.Table, path: str) -> None:
+    """Single file below ROWS_PER_FILE, else a directory of part files
+    (Spark reads the directory natively; the DuckDB oracle globs it —
+    sparketl/oracle.py:duckdb_connect)."""
+    if os.path.lexists(path) and os.path.islink(path):
+        os.remove(path)  # replace a stale symlink from a non-rel run
+    if table.num_rows <= ROWS_PER_FILE:
+        if os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
+        pq.write_table(table, path)
+        return
+    if os.path.isfile(path):
+        os.remove(path)
+    os.makedirs(path, exist_ok=True)
+    for i in range(0, table.num_rows, ROWS_PER_FILE):
+        pq.write_table(
+            table.slice(i, ROWS_PER_FILE),
+            os.path.join(path, f"part-{i // ROWS_PER_FILE:04d}.parquet"),
+        )
+
+
+def gen_relational(rng: np.random.Generator, s: int, out: str) -> None:
+    """Synthesize the star-schema + events tables at scale ``s`` (s=1 ==
+    sf0.1 row counts).  Per-column recipe == the fixture's, read
+    empirically (FIXTURES.md + DuckDB audit 2026-08-14):
+
+      customer  15k*s: acctbal U(-1000,10000) 2dp; 5 mktsegments; FK->25 nations
+      supplier   1k*s: same acctbal shape
+      part      20k*s: name adj+noun (8x8), Brand#1..25, 6 types,
+                 size U(1,50), retailprice = 900 + (partkey % 1000)/10
+      orders   150k*s: custkey U(0,15k*s), status F/O/P, totalprice
+                 U(1000,500000) 2dp (independent of lineitems, as in the
+                 fixture), orderdate uniform days 1995-01-01..2001-08-01
+      lineitem 600k*s: orderkey U(0,150k*s) (=> fan-out Poisson(4), some
+                 empty orders — matches observed min 1/max 17/avg 4.08),
+                 linenumber U(1,7) (fixture is NOT sequential-per-order),
+                 quantity integer 1..50 as double, extprice U(900,105000)
+                 2dp, discount {0..10}%, tax {0..8}%, returnflag A/N/R,
+                 linestatus F/O, shipdate uniform days (independent of
+                 orderdate — observed diff range ±2400 days)
+      events   100k*s: ts = sorted uniform µs over 2024-01-01..-30 (ids
+                 assigned post-sort => globally monotone, ~25.9s mean
+                 gap at s=1), user U(0,1500*s) (events/user stays ~66.7,
+                 so per-user session density is scale-invariant),
+                 5 types, value Exponential(50) 2dp (observed mean~std
+                 ~49.9), props = '{"k": <U(0,100)>}'
+
+    Scaling keys 10x on BOTH sides keeps join fan-out and filter
+    selectivity constant — so an x10/x1 wall ratio near 10 means
+    linear work growth, not a changed query shape."""
+    n_cust, n_supp, n_part = 15_000 * s, 1_000 * s, 20_000 * s
+    n_ord, n_li, n_ev = 150_000 * s, 600_000 * s, 100_000 * s
+
+    _write(
+        pa.table(
+            {
+                "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+                "c_name": pa.array(
+                    [f"Customer#{i:09d}" for i in range(n_cust)], pa.string()
+                ),
+                "c_nationkey": pa.array(
+                    rng.integers(0, 25, size=n_cust).astype(np.int32), pa.int32()
+                ),
+                "c_acctbal": pa.array(_money(rng, n_cust, -1000, 10_000)),
+                "c_mktsegment": pa.array(
+                    rng.choice(
+                        ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+                        size=n_cust,
+                    )
+                ),
+            }
+        ),
+        os.path.join(out, "customer.parquet"),
+    )
+    _write(
+        pa.table(
+            {
+                "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
+                "s_name": pa.array(
+                    [f"Supplier#{i:09d}" for i in range(n_supp)], pa.string()
+                ),
+                "s_nationkey": pa.array(
+                    rng.integers(0, 25, size=n_supp).astype(np.int32), pa.int32()
+                ),
+                "s_acctbal": pa.array(_money(rng, n_supp, -1000, 10_000)),
+            }
+        ),
+        os.path.join(out, "supplier.parquet"),
+    )
+    adjs = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
+    nouns = ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
+    pk = np.arange(n_part)
+    _write(
+        pa.table(
+            {
+                "p_partkey": pa.array(pk, pa.int64()),
+                "p_name": pa.array(
+                    [
+                        f"{adjs[a]} {nouns[b]}"
+                        for a, b in zip(
+                            rng.integers(0, 8, size=n_part),
+                            rng.integers(0, 8, size=n_part),
+                        )
+                    ]
+                ),
+                "p_brand": pa.array(
+                    [f"Brand#{i}" for i in rng.integers(1, 26, size=n_part)]
+                ),
+                "p_type": pa.array(
+                    rng.choice(
+                        ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"],
+                        size=n_part,
+                    )
+                ),
+                "p_size": pa.array(
+                    rng.integers(1, 51, size=n_part).astype(np.int32), pa.int32()
+                ),
+                "p_retailprice": pa.array(900.0 + (pk % 1000) / 10.0),
+            }
+        ),
+        os.path.join(out, "part.parquet"),
+    )
+    _write(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+                "o_custkey": pa.array(rng.integers(0, n_cust, size=n_ord), pa.int64()),
+                "o_orderstatus": pa.array(rng.choice(["F", "O", "P"], size=n_ord)),
+                "o_totalprice": pa.array(_money(rng, n_ord, 1000, 500_000)),
+                "o_orderdate": _days(rng, n_ord, "1995-01-01", "2001-08-01"),
+                "o_orderpriority": pa.array(
+                    rng.choice(
+                        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+                        size=n_ord,
+                    )
+                ),
+            }
+        ),
+        os.path.join(out, "orders.parquet"),
+    )
+    _write(
+        pa.table(
+            {
+                "l_orderkey": pa.array(rng.integers(0, n_ord, size=n_li), pa.int64()),
+                "l_partkey": pa.array(rng.integers(0, n_part, size=n_li), pa.int64()),
+                "l_suppkey": pa.array(rng.integers(0, n_supp, size=n_li), pa.int64()),
+                "l_linenumber": pa.array(
+                    rng.integers(1, 8, size=n_li).astype(np.int32), pa.int32()
+                ),
+                "l_quantity": pa.array(rng.integers(1, 51, size=n_li).astype(np.float64)),
+                "l_extendedprice": pa.array(_money(rng, n_li, 900, 105_000)),
+                "l_discount": pa.array(rng.integers(0, 11, size=n_li) / 100.0),
+                "l_tax": pa.array(rng.integers(0, 9, size=n_li) / 100.0),
+                "l_returnflag": pa.array(rng.choice(["A", "N", "R"], size=n_li)),
+                "l_linestatus": pa.array(rng.choice(["F", "O"], size=n_li)),
+                "l_shipdate": _days(rng, n_li, "1995-01-02", "2001-11-04"),
+            }
+        ),
+        os.path.join(out, "lineitem.parquet"),
+    )
+    t0 = (np.datetime64("2024-01-01T00:00:00") - np.datetime64("1970-01-01T00:00:00")).astype(
+        np.int64
+    ) * 1_000_000
+    span = 30 * US
+    ts = np.sort(rng.integers(t0, t0 + span, size=n_ev))
+    _write(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n_ev), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array(rng.integers(0, 1_500 * s, size=n_ev), pa.int64()),
+                "event_type": pa.array(
+                    rng.choice(["click", "error", "purchase", "signup", "view"], size=n_ev)
+                ),
+                "value": pa.array(np.round(rng.exponential(50.0, size=n_ev), 2)),
+                "props": pa.array(
+                    [f'{{"k": {k}}}' for k in rng.integers(0, 101, size=n_ev)]
+                ),
+            }
+        ),
+        os.path.join(out, "events.parquet"),
+    )
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     args = [a for a in sys.argv[1:]]
     # --x100 adds the third decade (500k docs / 200k vecs, ~600 MB) —
     # opt-in so the default regeneration stays ~60 MB / seconds-fast.
-    tiers = [("x1", 5_000, 2_000, 1), ("x10", 50_000, 20_000, 1)]
+    tiers = [("x1", 5_000, 2_000, 1, 1), ("x10", 50_000, 20_000, 1, 10)]
     if "--x100" in args:
         args.remove("--x100")
-        tiers.append(("x100", 500_000, 200_000, 10))
+        tiers.append(("x100", 500_000, 200_000, 10, 0))
+    rel = "--rel" in args
+    if rel:
+        args.remove("--rel")
     out_root = args[0] if args else os.path.join(repo, ".scale")
-    for tag, n_docs, n_emb, vscale in tiers:
+    # fixture root is env-overridable so regeneration works on any
+    # layout (round-7 review: the hardcoded absolute path broke links
+    # elsewhere); these files are only symlink *targets*, never written.
+    fixture_root = os.environ.get("SPARKETL_FIXTURE_ROOT", "/root/testdata/sf0.1")
+    for tag, n_docs, n_emb, vscale, rel_scale in tiers:
         rng = np.random.default_rng(42)  # same stream both scales: x1 ⊂-like x10
         d = os.path.join(out_root, tag)
         os.makedirs(d, exist_ok=True)
@@ -132,18 +365,35 @@ def main() -> None:
             os.path.join(d, "documents.parquet"),
         )
         pq.write_table(gen_embeddings(rng, n_emb), os.path.join(d, "embeddings.parquet"))
+        generated = {"documents", "embeddings"}
+        if rel and rel_scale:
+            # own seed so the documents/embeddings byte-stream (and thus
+            # every round-7 dedup/ANN measurement) is unchanged.
+            gen_relational(np.random.default_rng(43), rel_scale, d)
+            generated |= {
+                "customer", "supplier", "part", "orders", "lineitem", "events",
+            }
         # the catalog loader (sparketl.tables.load_tables) eagerly reads
-        # all ten fixture tables from an sf_dir, so symlink the eight the
-        # stress lane doesn't scale from sf0.1 — regeneration is then
+        # all ten fixture tables from an sf_dir, so symlink whatever this
+        # run didn't scale from the fixture root — regeneration is then
         # self-contained (round-7 lesson: a corpus without them crashes
-        # the documents-table queries at load, not at run).
+        # the documents-table queries at load, not at run).  lexists, not
+        # exists: a broken symlink must be *replaced*, not crash symlink().
         for name in (
             "region nation customer supplier part orders lineitem events"
         ).split():
+            if name in generated:
+                continue
             dst = os.path.join(d, f"{name}.parquet")
-            if not os.path.exists(dst):
-                os.symlink(f"/root/testdata/sf0.1/{name}.parquet", dst)
-        print(f"{tag}: documents={n_docs} embeddings={n_emb} -> {d}")
+            if os.path.islink(dst) or not os.path.lexists(dst):
+                if os.path.lexists(dst):
+                    os.remove(dst)
+                os.symlink(os.path.join(fixture_root, f"{name}.parquet"), dst)
+        print(
+            f"{tag}: documents={n_docs} embeddings={n_emb}"
+            + (f" relational_scale={rel_scale}x" if rel and rel_scale else "")
+            + f" -> {d}"
+        )
 
 
 if __name__ == "__main__":

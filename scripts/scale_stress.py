@@ -71,6 +71,33 @@ LINEAR = [
     "llm_pq_codes",
 ]
 
+#: the relational + event-time core (VERDICT.md r7 #1) — run with
+#: ``--rel`` against a ``gen_scale_corpus.py --rel`` corpus, where
+#: customer/orders/lineitem/events are generated at x1 = sf0.1 row
+#: counts and x10 = sf1 (6M lineitem).  Covers the reference's heart:
+#: TPC-H scan→join→agg shapes, windows, sessionization, funnel/cohort.
+RELATIONAL = [
+    "flagship_q1_pricing_summary",
+    "tpch_q3_shape",
+    "tpch_q5_local_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q13_cust_distribution",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_supplier",
+    "join_asof",
+    "join_skew_salted",
+    "agg_checksum",
+    "agg_cube_rollup",
+    "exact_percentile_median",
+    "sort_global_topn",
+    "win_topk_per_group",
+    "win_sliding_frames",
+    "stream_session_window",
+    "stream_stateful_sessions",
+    "funnel_conversion",
+    "retention_cohort",
+]
+
 
 def api(spark, path: str):
     base = spark.sparkContext.uiWebUrl
@@ -103,9 +130,24 @@ def main() -> None:
     x100 = "--x100" in args
     if x100:
         args.remove("--x100")
+    rel = "--rel" in args
+    if rel:
+        args.remove("--rel")
     passes = int(args.pop(0)) if args and args[0].isdigit() else 2
-    base = LINEAR if x100 else HEAVY
-    lane = [n for n in base if n in args] if args else list(base)
+    base = RELATIONAL if rel else (LINEAR if x100 else HEAVY)
+    if args:
+        # validate every name against the lane — a typo must be an
+        # error, not a silently-empty lane that exits 0 (round-7 review)
+        unknown = [a for a in args if a not in base]
+        if unknown:
+            print(
+                f"error: unknown lane queries {unknown}; lane is {base}",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
+        lane = [n for n in base if n in args]
+    else:
+        lane = list(base)
     tags = ("x10", "x100") if x100 else ("x1", "x10")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     registry.load_all_modules()
@@ -198,6 +240,16 @@ def main() -> None:
         merged = dict(prior)
         for name, rec in results.items():
             merged[name] = {**prior.get(name, {}), **rec}
+    # recompute EVERY cross-tier ratio from the merged tier records —
+    # a stale ratio carried verbatim across a refresh of its input tier
+    # left the artifact internally inconsistent (round-7 review).
+    for rec in merged.values():
+        for rk, lo, hi in (("wall_ratio", "x1", "x10"), ("wall_ratio_x100", "x10", "x100")):
+            a, b = rec.get(lo, {}).get("wall_sec"), rec.get(hi, {}).get("wall_sec")
+            if a and b and a > 0 and b > 0:
+                rec[rk] = round(b / a, 2)
+            elif rk in rec:
+                del rec[rk]
     out = {
         "passes": passes,
         "corpus": {

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import datetime as dt
 import math
+import os
 from dataclasses import dataclass
 
 import duckdb
@@ -49,9 +50,15 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     driver does (``__spark_entry__.py:33-35``)."""
     con = duckdb.connect()
     for name in TABLE_NAMES:
+        path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+        # scale-corpus facts are multi-file directories (a lake layout —
+        # scripts/gen_scale_corpus.py ROWS_PER_FILE); DuckDB needs the
+        # glob form for those, Spark reads the directory natively.
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
             f"create or replace view {name} as "
-            f"select * from read_parquet('{sf_dir.rstrip('/')}/{name}.parquet')"
+            f"select * from read_parquet('{path}')"
         )
     return con
 
