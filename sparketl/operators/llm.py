@@ -392,6 +392,61 @@ def _assign_expr(cens_lit: str) -> str:
     )
 
 
+def _np_assign(df, cens, out_col: str = "cluster"):
+    """Vectorized nearest-centroid assignment (round 8, measured by
+    scripts/k_sweep.py): ``df`` must carry (vec_id, embedding); emits
+    (vec_id, embedding, norm2, <out_col>).
+
+    Why it exists: ``_assign_expr`` is a HOF over the literal codebook
+    — CodegenFallback, interpreted at ~k x 64 element-ops per row —
+    which is fine at the fixture's k=10 but DOMINATES at production
+    k ~ sqrt(n) (measured: k=141 at x10 put llm_ivf_search at 7.4 s
+    vs 1.2 s at k=10, and one Lloyd iteration at ~7 s).  This kernel
+    computes the identical assignment as a blocked numpy product.
+
+    Bit-exactness discipline (the _ivf_cos_topk contract):
+
+    * norm2 is the dim-ascending fold acc = acc + x_i * x_i with
+      float32 -> float64 conversion per element — the same IEEE
+      sequence _NORM2_S evaluates;
+    * squared-L2 to each centroid is the dim-ascending fold
+      acc = acc + (x_i - c_i)^2, identical to _L2_S;
+    * argmin ties break to the SMALLEST label: the centroid matrix is
+      laid out in ascending-label order and np.argmin returns the
+      first minimum — exactly _assign_expr's array_sort((d, l))[0].l.
+
+    scripts/k_sweep.py cross-validates the two paths: at k=10 the HOF
+    and numpy assignments produce checksum-identical frames.
+
+    Scale: one Arrow batch in, one out — a narrow map with no shuffle,
+    ~n*k*d fused multiply-adds in BLAS-speed numpy; the codebook rides
+    into the closure (k x 64 doubles, metadata-sized)."""
+    import numpy as np
+
+    labels = np.array([l for l, _ in sorted(cens)], dtype=np.int64)
+    cmat = np.array([v for _, v in sorted(cens)], dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            e = np.stack(pdf["embedding"].values).astype(np.float64)
+            n2 = np.zeros(len(e))
+            dist = np.zeros((len(e), len(cmat)))
+            for i in range(e.shape[1]):
+                col = e[:, i]
+                n2 = n2 + col * col
+                diff = col[:, None] - cmat[None, :, i]
+                dist = dist + diff * diff
+            out = pdf[["vec_id", "embedding"]].copy()
+            out["norm2"] = n2
+            out[out_col] = labels[np.argmin(dist, axis=1)]
+            yield out
+
+    return df.mapInPandas(
+        assign,
+        f"vec_id long, embedding array<float>, norm2 double, {out_col} int",
+    )
+
+
 def _jaccard_pair_counts(spark, e, cand, max_id):
     """Shared candidate-join + intersection-count core of the exact
     n-gram Jaccard family (llm_dedup_ngram_jaccard / _dfcap).
@@ -1744,30 +1799,39 @@ def llm_ivf_search(spark, sf_dir):
     the corpus.  Search: equi-join on assigned cluster ~ n^2/k scored
     pairs instead of n^2; nprobe>1 (probing the next-nearest clusters
     too) generalizes by keeping rn <= nprobe assignments for the QUERY
-    side only.
+    side only.  k ~ sqrt(n) measured round 8 via scripts/k_sweep.py +
+    ivf_search_frame (SCALING.md 'k ~ sqrt(n)' table).
     """
+    return ivf_search_frame(spark, sf_dir, _centroids(spark, sf_dir))
+
+
+def ivf_search_frame(spark, sf_dir, cens, np_assign: bool = False):
+    """Codebook-parameterized IVF search core (see llm_ivf_search;
+    scripts/k_sweep.py binds kmeans_train codebooks).  ``np_assign``
+    swaps the HOF argmin for :func:`_np_assign` — checksum-identical,
+    the scale path at production k ~ sqrt(n)."""
     from pyspark.sql import Window
 
     # _maybe_parallel: see the helper for the stress-run rationale.
     emb = _maybe_parallel(table(spark, sf_dir, "embeddings"), sf_dir)
-    e = emb.select(
-        "vec_id",
-        "embedding",
-        F.expr(_NORM2_S.format(a="embedding")).alias("norm2"),
-    )
     # assignment is a TRUE narrow map: the codebook is a literal, and
     # each vector picks its nearest centroid with the shared
     # _assign_expr argmin.  The corpus is never shuffled, and because
     # `assigned` feeds BOTH sides of the cluster self-join below, the
     # literal also halves the old per-side centroid-subtree recompute
     # — the exact plan the 100-TB claim requires.
-    cens_lit = _cens_expr(_centroids(spark, sf_dir))
-    assigned = e.select(
-        "vec_id",
-        "embedding",
-        "norm2",
-        F.expr(_assign_expr(cens_lit)).alias("c_label"),
-    )
+    if np_assign:
+        assigned = _np_assign(
+            emb.select("vec_id", "embedding"), cens, out_col="c_label"
+        )
+    else:
+        cens_lit = _cens_expr(cens)
+        assigned = emb.select(
+            "vec_id",
+            "embedding",
+            F.expr(_NORM2_S.format(a="embedding")).alias("norm2"),
+            F.expr(_assign_expr(cens_lit)).alias("c_label"),
+        )
     q = assigned.where(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -2669,7 +2733,20 @@ def llm_semantic_dedup(spark, sf_dir):
     narrow map over the constant codebook; norms are computed once per
     vector (n, not n^2, folds); the drop aggregation is a map-side-
     combinable min per duplicate.  At 100 TB the same plan runs with
-    IVF-trained centroids instead of label seeds."""
+    IVF-trained centroids instead of label seeds — measured round 8:
+    scripts/k_sweep.py trains k ~ sqrt(n) codebooks via
+    kmeans_train(k=...) and re-runs THIS plan (semantic_dedup_frame)
+    at x10; see SCALING.md 'k ~ sqrt(n)' table for the block-cost
+    flattening vs the fixture-fixed k=10 codebook."""
+    return semantic_dedup_frame(spark, sf_dir, _centroids(spark, sf_dir))
+
+
+def semantic_dedup_frame(spark, sf_dir, cens, np_assign: bool = False):
+    """Codebook-parameterized SemDeDup core (the declared query binds
+    the per-label codebook; scripts/k_sweep.py binds kmeans_train
+    codebooks with k ~ sqrt(n) — identical plan either way).
+    ``np_assign`` swaps the HOF argmin for the :func:`_np_assign`
+    kernel — checksum-identical output, the scale path at large k."""
     # lo=0: downstream is the per-PAIR kernel — quadratic in the
     # partition's row count — so even the smallest fixture pays for
     # spreading (measured 2.3-3.5 s on the 1-2 partition scan vs
@@ -2677,19 +2754,22 @@ def llm_semantic_dedup(spark, sf_dir):
     # repartition a one-time cost, and the helper's upper band stops
     # it at real-corpus scale.
     emb = _maybe_parallel(table(spark, sf_dir, "embeddings"), sf_dir, lo=0)
-    cens_lit = _cens_expr(_centroids(spark, sf_dir))
     # assigned feeds BOTH self-join sides AND the final output join;
     # the k x 64-literal argmin is the expensive narrow map (SCALING.md
     # IVF finding: ~1 ms/row), so pin it once instead of recomputing
     # the subtree per consumer (measured 3.3-3.5 s -> ~1 s at sf0.1).
-    assigned = _pin(
-        emb.select(
-            "vec_id",
-            "embedding",
-            F.expr(_NORM2_S.format(a="embedding")).alias("norm2"),
-            F.expr(_assign_expr(cens_lit)).alias("cluster"),
+    if np_assign:
+        assigned = _pin(_np_assign(emb.select("vec_id", "embedding"), cens))
+    else:
+        cens_lit = _cens_expr(cens)
+        assigned = _pin(
+            emb.select(
+                "vec_id",
+                "embedding",
+                F.expr(_NORM2_S.format(a="embedding")).alias("norm2"),
+                F.expr(_assign_expr(cens_lit)).alias("cluster"),
+            )
         )
-    )
     dropped = _semdedup_drops(assigned)
     # the drop list is duplicate-count-sized (hundreds of rows here;
     # at corpus scale it is the semantic-dup fraction, typically a few
@@ -2781,7 +2861,9 @@ def _semdedup_drops(assigned):
     )
 
 
-def kmeans_train(spark, sf_dir, iters: int = 5):
+def kmeans_train(
+    spark, sf_dir, iters: int = 5, k: int | None = None, np_assign: bool = False
+):
     """Drive Lloyd's algorithm to (at most) ``iters`` iterations —
     the multi-step consumer of the llm_kmeans_iterate plan, showing
     the iterative-algorithm pattern end-to-end: each iteration runs
@@ -2800,14 +2882,43 @@ def kmeans_train(spark, sf_dir, iters: int = 5):
     the _CEN_CACHE-owned list, and a caller mutating it (editing a
     centroid before re-inlining) would silently corrupt the session
     codebook every IVF/PQ declared query inlines from (round-7
-    review)."""
-    cens = [(lbl, list(vec)) for lbl, vec in _centroids(spark, sf_dir)]
+    review).
+
+    ``k`` (round 8): when given, seed with the first ``k`` corpus
+    vectors by vec_id (deterministic, rounded at 6 like every
+    codebook) instead of the per-label centroids — the production
+    path where k grows ~ sqrt(n) with the corpus while the codebook
+    stays metadata-sized (k x 64 doubles through the driver per
+    iteration).  Lloyd may empty a cluster; the codebook then simply
+    shrinks, which every argmin consumer handles."""
     emb = _maybe_parallel(table(spark, sf_dir, "embeddings"), sf_dir)
-    for it in range(1, iters + 1):
-        assigned = emb.select(
-            "embedding",
-            F.expr(_assign_expr(_cens_expr(cens))).alias("cluster"),
+    if k is None:
+        cens = [(lbl, list(vec)) for lbl, vec in _centroids(spark, sf_dir)]
+    else:
+        seed = (
+            table(spark, sf_dir, "embeddings")
+            .orderBy("vec_id")
+            .limit(k)
+            .select("embedding")
+            .collect()
         )
+        cens = [
+            (i, [round(float(x), 6) for x in r.embedding])
+            for i, r in enumerate(seed)
+        ]
+    for it in range(1, iters + 1):
+        if np_assign:
+            # the scale path at k ~ sqrt(n): HOF argmin interprets
+            # k x 64 element-ops per row per iteration (measured 21 s
+            # for 3 iterations at k=141/x10; numpy kernel: ~1 s)
+            assigned = _np_assign(
+                emb.select("vec_id", "embedding"), cens
+            ).select("embedding", "cluster")
+        else:
+            assigned = emb.select(
+                "embedding",
+                F.expr(_assign_expr(_cens_expr(cens))).alias("cluster"),
+            )
         new = (
             assigned.select(
                 "cluster", F.posexplode("embedding").alias("i0", "v")
