@@ -1,0 +1,235 @@
+#!/usr/bin/env python
+"""Streaming lane at x10 (VERDICT.md r7 #5).
+
+Replays the scale corpus (gen_scale_corpus.py --rel: events 100k -> 1M
+rows, documents 5k -> 50k) through the Structured Streaming faces as
+a ~10-micro-batch file stream (landing dir split into 10 ordered part
+files, maxFilesPerTrigger=1), measuring per face and tier:
+
+  wall_sec      run-to-completion (Trigger.AvailableNow -> memory sink)
+  in_rows/s     input throughput (sum of numInputRows / wall)
+  batches       micro-batches executed
+  state_rows    stateOperators numRowsTotal at the final progress —
+                the state-store growth story: sessions must be
+                O(users), dedup O(arrived keys), the gate zero
+  state_mb      stateOperators memoryUsedBytes at the final progress
+
+Faces: stateful sessionization (applyInPandasWithState), incremental
+dedup (stream-static anti-join + identity dropDuplicates; standing
+corpus = first half of the tier's documents, stream = all), quality
+gate (stateless classifier), stream-stream interval join (views x
+clicks, watermarked), tumbling window agg (watermark + window).
+
+Results deep-merge into SCALE_STRESS.json under stream_* names; the
+markdown table is pasted into SCALING.md.
+
+Usage: python scripts/stream_stress.py [passes]   (default 2)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from sparketl import session
+from sparketl.streaming.runner import (
+    incremental_dedup_stream,
+    quality_gate_stream,
+    read_events_stream,
+    stateful_sessions_stream,
+)
+from sparketl.tables import load_tables
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_FILES = 10
+
+
+def stage_split(src: str, dst: str, n_files: int = N_FILES) -> int:
+    """Split one parquet file into ``n_files`` ordered row-slices — the
+    micro-batch schedule (row order preserved: the stateful session
+    operator assumes an append-in-order landing zone, like a log
+    shipper producing time-ordered files)."""
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    t = pq.read_table(src)
+    per = (t.num_rows + n_files - 1) // n_files
+    for i in range(0, t.num_rows, per):
+        pq.write_table(
+            t.slice(i, per), os.path.join(dst, f"part-{i // per:03d}.parquet")
+        )
+    return t.num_rows
+
+
+def read_docs_stream(spark, docs_dir: str):
+    schema = spark.read.parquet(docs_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+
+
+def run_measured(stream_df, output_mode: str = "append") -> dict:
+    """run_available_now + progress metrics (state rows/memory come
+    from the engine's own stateOperators telemetry)."""
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    t0 = time.perf_counter()
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = round(time.perf_counter() - t0, 3)
+    progresses = [p for p in q.recentProgress if p is not None]
+    in_rows = sum(int(p.get("numInputRows", 0)) for p in progresses)
+    state_rows = state_mem = 0
+    for p in reversed(progresses):
+        ops = p.get("stateOperators") or []
+        if ops:
+            state_rows = sum(int(o.get("numRowsTotal", 0)) for o in ops)
+            state_mem = sum(int(o.get("memoryUsedBytes", 0)) for o in ops)
+            break
+    out_rows = stream_df.sparkSession.table(name).count()
+    return {
+        "wall_sec": wall,
+        "in_rows": in_rows,
+        "out_rows": out_rows,
+        "batches": sum(1 for p in progresses if int(p.get("numInputRows", 0)) > 0),
+        "state_rows": state_rows,
+        "state_mb": round(state_mem / 1e6, 2),
+    }
+
+
+def faces(spark, ev_dir: str, docs_dir: str, standing):
+    ev = lambda: read_events_stream(spark, ev_dir)  # noqa: E731
+    yield "stream_lane_sessions", lambda: run_measured(
+        stateful_sessions_stream(ev())
+    )
+    yield "stream_lane_incremental_dedup", lambda: run_measured(
+        incremental_dedup_stream(read_docs_stream(spark, docs_dir), standing)
+    )
+    yield "stream_lane_quality_gate", lambda: run_measured(
+        quality_gate_stream(read_docs_stream(spark, docs_dir))
+    )
+
+    def sswj():
+        views = (
+            ev()
+            .where(F.col("event_type") == "view")
+            .select(
+                "user_id",
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "10 minutes")
+        )
+        clicks = (
+            ev()
+            .where(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "10 minutes")
+        )
+        joined = views.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("interval 10 minutes")),
+        )
+        return run_measured(joined)
+
+    yield "stream_lane_stream_stream_join", sswj
+    yield "stream_lane_tumbling_agg", lambda: run_measured(
+        ev()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        ),
+        output_mode="append",
+    )
+
+
+def main() -> None:
+    passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    spark = session.get_spark("sparketl-stream-stress")
+    spark.sql("select 1").collect()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).collect()
+    scratch = os.path.join(REPO, ".scale", "_stream_stage")
+
+    results: dict[str, dict] = {}
+    for tag in ("x1", "x10"):
+        sf_dir = os.path.join(REPO, ".scale", tag)
+        ev_dir = os.path.join(scratch, tag, "events")
+        docs_dir = os.path.join(scratch, tag, "documents")
+        stage_split(os.path.join(sf_dir, "events.parquet"), ev_dir)
+        n_docs = stage_split(os.path.join(sf_dir, "documents.parquet"), docs_dir)
+        docs = load_tables(spark, sf_dir)["documents"]
+        standing = docs.where(F.col("doc_id") < n_docs // 2)
+        for name, run in faces(spark, ev_dir, docs_dir, standing):
+            recs = []
+            for _ in range(passes):
+                spark.catalog.clearCache()
+                recs.append(run())
+            best = min(recs, key=lambda r: r["wall_sec"])
+            best["walls"] = [r["wall_sec"] for r in recs]
+            best["rows_per_sec"] = (
+                round(best["in_rows"] / best["wall_sec"]) if best["wall_sec"] else 0
+            )
+            results.setdefault(name, {})[tag] = best
+            print(
+                f"{tag:4} {name:32} {best['wall_sec']:7.2f}s "
+                f"in={best['in_rows']:7d} out={best['out_rows']:7d} "
+                f"batches={best['batches']:2d} state_rows={best['state_rows']:6d} "
+                f"state_mb={best['state_mb']}",
+                file=sys.stderr,
+            )
+
+    path = os.path.join(REPO, "SCALE_STRESS.json")
+    out = {"passes": passes, "queries": {}}
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+    for name, rec in results.items():
+        merged = {**out["queries"].get(name, {}), **rec}
+        a, b = merged["x1"]["wall_sec"], merged["x10"]["wall_sec"]
+        merged["wall_ratio"] = round(b / a, 2) if a > 0 and b > 0 else None
+        out["queries"][name] = merged
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+
+    print(
+        "| face | x1 s | x10 s | ratio | x10 rows/s | x10 batches "
+        "| x1 state rows | x10 state rows | x10 state MB |"
+    )
+    print("| --- | --- | --- | --- | --- | --- | --- | --- | --- |")
+    for name, rec in results.items():
+        r1, r10 = rec["x1"], rec["x10"]
+        print(
+            f"| {name} | {r1['wall_sec']:.2f} | {r10['wall_sec']:.2f} | "
+            f"{round(r10['wall_sec'] / r1['wall_sec'], 2)} | "
+            f"{r10['rows_per_sec']} | {r10['batches']} | "
+            f"{r1['state_rows']} | {r10['state_rows']} | {r10['state_mb']} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -83,6 +83,19 @@ url_extract_host(u)          parse_url(u, 'HOST')       (+ path/protocol/
                                                          url_decode are
                                                          already identical —
                                                          execution-verified)
+set_agg(x)                   collect_set(x)
+map_agg(k, v)                map_from_entries(collect_list(struct(k, v)))
+                             (entry order unspecified in BOTH dialects —
+                              sort map_entries before rendering; dup keys
+                              raise on Spark where Presto picks one: loud)
+approx_most_frequent(k,v,c)  map_from_entries over approx_top_k(v, k, c)
+                             (both Space-Saving-family; error envelopes
+                              differ — heavy-hitter membership is the
+                              portable contract, counts are estimates)
+bitwise_left_shift(x, n)     shiftleft(x, n)  (+ right → shiftright)
+bit_count(x, 64)             bit_count(x)     (other widths untouched,
+                                               loud — Spark counts the
+                                               value's own width)
 is_nan(x)                    isnan(x)
 infinity()                   cast('Infinity' as double)
 nan()                        cast('NaN' as double)
@@ -160,6 +173,9 @@ _SIMPLE_FN: dict[str, str] = {
     "doy": "dayofyear",
     "week_of_year": "weekofyear",
     "week": "weekofyear",
+    "set_agg": "collect_set",
+    "bitwise_left_shift": "shiftleft",
+    "bitwise_right_shift": "shiftright",
 }
 
 #: zero-argument constant functions
@@ -218,7 +234,21 @@ def _mask(sql: str) -> tuple[str, list[str]]:
 
 
 def _unmask(masked: str, lits: list[str]) -> str:
-    return _SENT_RE.sub(lambda m: lits[int(m.group(1))], masked)
+    """Re-inline string literals, doubling backslashes: Presto string
+    literals are RAW (backslash has no escape meaning — ``'(\\d+)'``
+    is a 5-char regex), while Spark's default parser processes escape
+    sequences and would silently eat the backslash (``(\\d+)`` →
+    ``(d+)``, a literal-d regex — the round-8 native-face sweep caught
+    exactly this on str_regexp).  Doubling preserves the Presto bytes
+    under Spark's escaping parser.  Literals the translator itself
+    injects (e.g. parse_url parts) go into the masked text directly
+    and are not affected."""
+
+    def sub(m: re.Match) -> str:
+        quoted = lits[int(m.group(1))]
+        return "'" + quoted[1:-1].replace("\\", "\\\\") + "'"
+
+    return _SENT_RE.sub(sub, masked)
 
 
 def _match_paren(masked: str, op: int) -> int:
@@ -728,6 +758,40 @@ def translate(presto_sql: str) -> str:
     masked = _rewrite_calls(
         masked, "none_match",
         lambda a: f"(not exists({a[0]}, {a[1]}))" if len(a) == 2 else None,
+    )
+    # Presto aggregate/bit surface (round 8, E2 faces for the
+    # map/array/approx families — tests/test_sql_front_door.py):
+    #   map_agg(k, v) → map_from_entries(collect_list(struct(k, v)));
+    #   entry order is collection order on both engines (unspecified),
+    #   so portable pipelines must sort map_entries before rendering —
+    #   exactly what the declared agg_map_agg face does.  Duplicate
+    #   keys raise under Spark's default mapKeyDedupPolicy where
+    #   Presto keeps an arbitrary value — loud beats silent.
+    masked = _rewrite_calls(
+        masked, "map_agg",
+        lambda a: f"map_from_entries(collect_list(struct({a[0]}, {a[1]})))"
+        if len(a) == 2 else None,
+    )
+    #   approx_most_frequent(k, v, cap) → a map built from Spark's
+    #   approx_top_k sketch (both are Space-Saving-family summaries;
+    #   the translated plan is deterministic on the same data, but the
+    #   two engines' error envelopes differ — membership of true
+    #   heavy hitters is the portable contract, counts are estimates).
+    masked = _rewrite_calls(
+        masked, "approx_most_frequent",
+        lambda a: (
+            f"map_from_entries(transform(approx_top_k({a[1]}, {a[0]}, {a[2]}), "
+            f"__amf -> struct(__amf.item, __amf.count)))"
+        ) if len(a) == 3 else None,
+    )
+    #   bit_count(x, 64) → bit_count(x): Presto's second argument is
+    #   the bit width; Spark counts over the value's own (64-bit for
+    #   bigint) width, so only the 64 form is equivalent — other
+    #   widths pass through untouched and fail loudly.
+    masked = _rewrite_calls(
+        masked, "bit_count",
+        lambda a: f"bit_count({a[0]})"
+        if len(a) == 2 and a[1].strip() == "64" else None,
     )
     masked = _rewrite_calls(masked, "random", _random_fn)
     masked = _rewrite_calls(

@@ -1443,7 +1443,13 @@ def llm_curation_pipeline_v2(spark, sf_dir):
     # one time, and carry the 16-byte sig instead of text so neither
     # consumer shuffles document text.  Keepers are distinct-text-
     # sized; broadcasting them keeps the probe side shuffle-free
-    # (measured 1.3-1.5 s -> ~0.6 s warm at sf0.1).
+    # (measured 1.3-1.5 s -> ~0.6 s warm at sf0.1).  NB at real scale
+    # keepers is NEAR-CORPUS-sized (one 8-byte id per distinct kept
+    # text), so the broadcast is a fixture-scale win only: above the
+    # broadcast budget (~executor-memory/10) drop the F.broadcast hint
+    # and Spark degrades to the same co-partitioned semi-join
+    # llm_dedup_apply uses — the plan stays correct, it just shuffles
+    # ids.  Same hedge as llm_semantic_dedup's dup-list broadcast.
     kept = _pin(
         docs.select(
             "doc_id",

@@ -53,8 +53,16 @@ def test_day_name_family():
 
 
 def test_split_literal_delimiter_regex_escaped():
-    assert translate("select split(s, '.')") == "select split(s, '\\.')"
-    assert translate("select split(s, '||')") == "select split(s, '\\|\\|')"
+    # the regex-escape backslashes are DOUBLED in the emitted literal:
+    # Spark's default parser processes escape sequences inside string
+    # literals, so '\.' would reach the regex engine as '.' (any-char —
+    # the round-8 raw-literal fix); '\\.' reaches it as the intended
+    # escaped dot.
+    assert translate("select split(s, '.')") == "select split(s, '\\\\.')"
+    assert (
+        translate("select split(s, '||')")
+        == "select split(s, '\\\\|\\\\|')"
+    )
 
 
 def test_split_plain_delimiter_unchanged_value():
