@@ -347,7 +347,10 @@ def main() -> None:
     tiers = [("x1", 5_000, 2_000, 1, 1), ("x10", 50_000, 20_000, 1, 10)]
     if "--x100" in args:
         args.remove("--x100")
-        tiers.append(("x100", 500_000, 200_000, 10, 0))
+        # with --rel the x100 tier also gets sf10-equivalent relational
+        # facts (60M lineitem / 15M orders / 10M events, ~2 GB, 60+
+        # part files) — the third measured decade for the core lane.
+        tiers.append(("x100", 500_000, 200_000, 10, 100))
     rel = "--rel" in args
     if rel:
         args.remove("--rel")

@@ -98,6 +98,21 @@ RELATIONAL = [
     "retention_cohort",
 ]
 
+#: relational third decade (``--rel --x100``): the sub-lane run over
+#: x10 -> x100 (6M -> 60M lineitem, 1M -> 10M events) — scan->agg,
+#: join, window, sessionization and the md5 checksum, the shapes whose
+#: growth law should stay ~linear at any scale.
+REL_X100 = [
+    "flagship_q1_pricing_summary",
+    "tpch_q3_shape",
+    "tpch_q18_large_orders",
+    "join_asof",
+    "agg_checksum",
+    "exact_percentile_median",
+    "win_topk_per_group",
+    "stream_session_window",
+]
+
 
 def api(spark, path: str):
     base = spark.sparkContext.uiWebUrl
@@ -134,7 +149,10 @@ def main() -> None:
     if rel:
         args.remove("--rel")
     passes = int(args.pop(0)) if args and args[0].isdigit() else 2
-    base = RELATIONAL if rel else (LINEAR if x100 else HEAVY)
+    if rel:
+        base = REL_X100 if x100 else RELATIONAL
+    else:
+        base = LINEAR if x100 else HEAVY
     if args:
         # validate every name against the lane — a typo must be an
         # error, not a silently-empty lane that exits 0 (round-7 review)

@@ -801,27 +801,114 @@ def approx_percentile(spark, sf_dir):
 )
 def exact_percentile_median(spark, sf_dir):
     """#42 exact percentile_cont / median (linear interpolation — same
-    formula in Spark and DuckDB).
+    formula in Spark and DuckDB) — as DISTRIBUTED order statistics,
+    not Spark's ``percentile`` aggregate.
 
-    One ``percentile(x, array(...))`` buffer, not three scalar calls:
-    Spark's exact percentile accumulates a value->count map per
-    aggregate expression, so three expressions triple the map build,
-    shuffle bytes, and merge cost over the same column.  Measured on
-    the x10 scale corpus (1.5M orders): 4.90s -> 2.46s, shuffle write
-    40.8 -> 13.6 MB, x1->x10 wall ratio 7.6 -> 3.0
-    (scripts/scale_stress.py --rel)."""
-    o = table(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderstatus")
-        .agg(
-            F.expr("percentile(o_totalprice, array(0.25D, 0.90D, 0.5D))").alias("_p")
+    Why not the builtin: Spark's exact percentile accumulates a
+    value->count map per group and merges every partial map into ONE
+    final buffer per group — with 3 groups, parallelism collapses to
+    3 tasks that each merge and sort ~n/3 entries.  Measured on the
+    scale corpora the wall went superlinear (x10 2.46 s -> x100
+    24.4 s for 10x data, ratio 12 — the only superlinear entry in the
+    round-8 relational lane).
+
+    The scalable plan computes the same order statistics from a
+    counting scan:
+
+    1. ``groupBy(status, value).count()`` — map-side combinable, the
+       shuffle carries one row per DISTINCT (group, value);
+    2. cumulative count over each group ordered by value: every
+       distinct value covers the rank interval [c - cnt + 1, c];
+    3. percentile_cont rank positions pos = 1 + (n-1) * p; the row
+       covering floor(pos) / ceil(pos) yields the two order
+       statistics, interpolated with the standard formula — the same
+       algebra ``percentile``/``quantile_cont`` evaluate, on the same
+       doubles, so round(6) matches the oracle exactly.
+
+    The cumulative count itself is TWO-PHASE so it never serializes on
+    the group count: distinct values are range-bucketed
+    (``width_bucket`` over the group's min..max, B=512), per-bucket
+    subtotals (groups x B rows, metadata-sized) produce broadcast
+    bucket offsets, and the within-bucket running sums then run over
+    groups x B independent window partitions — the textbook
+    distributed prefix-sum.  A single per-group window would sort each
+    group in ONE task (measured: 14.2 s at x100, 3 cores busy);
+    bucketed: **7.4 s at x100 and the x10 -> x100 ratio 12 -> 2.9**
+    (scripts/scale_stress.py --rel --x100; x10 stays at 2.2 s).  With millions of groups
+    the builtin's per-group buffers are small and fine — this shape is
+    for the few-groups/huge-groups regime, the one the fixture
+    (3 statuses) and any global-percentile report is in."""
+    from pyspark.sql import Window
+
+    B = 512
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    cnt = o.groupBy("o_orderstatus", "o_totalprice").agg(
+        F.count("*").alias("cnt")
+    )
+    bounds = o.groupBy("o_orderstatus").agg(
+        F.min("o_totalprice").alias("vmin"), F.max("o_totalprice").alias("vmax")
+    )
+    # bucket is monotone in value (top edge clamped into bucket B), so
+    # ordering by (bucket, value) == ordering by value
+    cntb = (
+        cnt.join(F.broadcast(bounds), "o_orderstatus")
+        .withColumn(
+            "b",
+            F.least(
+                F.lit(B).cast("bigint"),
+                F.width_bucket(
+                    "o_totalprice",
+                    F.col("vmin"),
+                    F.when(F.col("vmax") > F.col("vmin"), F.col("vmax"))
+                    .otherwise(F.col("vmin") + 1),
+                    F.lit(B),
+                ),
+            ),
         )
-        .select(
-            "o_orderstatus",
-            F.round(F.col("_p")[0], 6).alias("p25"),
-            F.round(F.col("_p")[1], 6).alias("p90"),
-            F.round(F.col("_p")[2], 6).alias("med"),
+        .drop("vmin", "vmax")
+    )
+    bt = cntb.groupBy("o_orderstatus", "b").agg(F.sum("cnt").alias("bc"))
+    wb = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = bt.select(
+        "o_orderstatus",
+        "b",
+        (F.sum("bc").over(wb) - F.col("bc")).alias("off"),
+        F.sum("bc").over(Window.partitionBy("o_orderstatus")).alias("n"),
+    )
+    wv = (
+        Window.partitionBy("o_orderstatus", "b")
+        .orderBy("o_totalprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cntb.join(F.broadcast(offsets), ["o_orderstatus", "b"]).select(
+        "o_orderstatus",
+        "o_totalprice",
+        (F.col("off") + F.sum("cnt").over(wv)).alias("c"),
+        (F.col("off") + F.sum("cnt").over(wv) - F.col("cnt")).alias("prev"),
+        "n",
+    )
+    cols = {}
+    for name, p in (("p25", 0.25), ("p90", 0.90), ("med", 0.5)):
+        pos = F.lit(1.0) + (F.col("n") - 1).cast("double") * F.lit(p)
+        lo, hi = F.floor(pos), F.ceil(pos)
+        # the row covering rank k satisfies prev < k <= c; min() picks
+        # the (unique) covering value per bound
+        vlo = F.min(
+            F.when((F.col("prev") < lo) & (lo <= F.col("c")), F.col("o_totalprice"))
         )
+        vhi = F.min(
+            F.when((F.col("prev") < hi) & (hi <= F.col("c")), F.col("o_totalprice"))
+        )
+        frac = F.min(pos - F.floor(pos))
+        cols[name] = F.round(vlo + frac * (vhi - vlo), 6)
+    return ranked.groupBy("o_orderstatus").agg(
+        cols["p25"].alias("p25"),
+        cols["p90"].alias("p90"),
+        cols["med"].alias("med"),
     )
 
 
