@@ -664,10 +664,145 @@ def _rewrite_subscripts(masked: str) -> str:
         pos = start + len("try_element_at(")
 
 
+_MR_HEAD = re.compile(
+    r"\bfrom\s+([A-Za-z_][\w.]*)\s+match_recognize\s*\(", re.IGNORECASE
+)
+_MR_PATTERN = re.compile(r"^\(\s*(\w+)\s+(\w+)\s*\*\s+(\w+)\s*\)$")
+_MR_FORBIDDEN = re.compile(
+    r"\b(classifier|match_number|first|last|prev|next|final|running)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_match_recognize(masked: str) -> str:
+    """SQL:2016 / Trino row-pattern matching, RESTRICTED shape:
+
+        FROM t MATCH_RECOGNIZE (
+          PARTITION BY p [, ...]  ORDER BY o [, ...]
+          MEASURES <expr over A./C. columns> AS alias [, ...]
+          [ONE ROW PER MATCH]  [AFTER MATCH SKIP PAST LAST ROW]
+          PATTERN (A B* C)
+          DEFINE A AS pred, B AS pred, C AS pred )
+
+    → windowed Spark SQL.  Why this is sound (and why ONLY this
+    shape): with MUTUALLY EXCLUSIVE row-local defines and the A B* C
+    pattern, greedy matching with SKIP PAST LAST ROW reduces to
+    "A-rows whose next non-B row is C" — a candidate start inside an
+    accepted match would carry the B or C symbol, never A, so
+    non-overlap is automatic and the whole construct becomes two
+    window functions plus an equi self-join on (partition, row
+    number).  The declared query ``row_pattern_funnel`` is this
+    rewrite's output shape, oracle-verified against DuckDB.
+
+    REQUIREMENT the rewrite cannot check: the three DEFINE predicates
+    must be mutually exclusive per row (symbol classification is
+    positional in full MATCH_RECOGNIZE; overlapping defines would
+    need a sequential matcher).  Everything else non-conforming —
+    subquery base, other patterns (A+, alternation, anchors),
+    ALL ROWS PER MATCH, other AFTER MATCH modes, navigation/
+    CLASSIFIER in measures or defines, references to the middle
+    variable — is left untouched so Spark fails loudly on the
+    MATCH_RECOGNIZE keyword rather than silently mis-matching."""
+    m = _MR_HEAD.search(masked)
+    if not m:
+        return masked
+    base = m.group(1)
+    cp = _match_paren(masked, m.end() - 1)
+    block = masked[m.end() : cp]
+
+    # section split on the (fixed-order) MATCH_RECOGNIZE keywords
+    def section(name: str, nxt: list[str]) -> str | None:
+        s = re.search(rf"\b{name}\b", block, re.IGNORECASE)
+        if not s:
+            return None
+        end = len(block)
+        for n in nxt:
+            e = re.search(rf"\b{n}\b", block[s.end() :], re.IGNORECASE)
+            if e:
+                end = min(end, s.end() + e.start())
+        return block[s.end() : end].strip()
+
+    part = section("partition\\s+by", ["order\\s+by"])
+    order = section(
+        "order\\s+by", ["measures", "one\\s+row", "after\\s+match", "pattern"]
+    )
+    meas = section("measures", ["one\\s+row", "after\\s+match", "pattern"])
+    patt = section("pattern", ["define"])
+    defs = section("define", [])
+    if not (part and order and meas and patt and defs):
+        return masked
+    if re.search(r"\ball\s+rows\s+per\s+match\b", block, re.IGNORECASE):
+        return masked
+    am = re.search(r"\bafter\s+match\s+(.*?)\bpattern\b", block, re.IGNORECASE | re.DOTALL)
+    if am and not re.fullmatch(
+        r"skip\s+past\s+last\s+row\s*", am.group(1), re.IGNORECASE
+    ):
+        return masked
+    pm = _MR_PATTERN.match(patt)
+    if not pm:
+        return masked
+    va, vb, vc = pm.groups()
+
+    preds: dict[str, str] = {}
+    for d in _split_args(defs):
+        dm = re.match(r"^(\w+)\s+as\s+(.*)$", d.strip(), re.IGNORECASE | re.DOTALL)
+        if not dm:
+            return masked
+        preds[dm.group(1)] = dm.group(2).strip()
+    if set(preds) != {va, vb, vc}:
+        return masked
+
+    measures = []
+    for item in _split_args(meas):
+        im = re.match(r"^(.*)\s+as\s+(\w+)$", item.strip(), re.IGNORECASE | re.DOTALL)
+        if not im:
+            return masked
+        expr, alias = im.group(1).strip(), im.group(2)
+        if re.fullmatch(r"count\s*\(\s*\*\s*\)", expr, re.IGNORECASE):
+            # rows in the match — consecutive by construction, so it
+            # is exactly the rank span
+            measures.append(
+                f"cast(__mr_e.__mr_rn - __mr_s.__mr_rn + 1 as bigint) as {alias}"
+            )
+            continue
+        if _MR_FORBIDDEN.search(expr) or re.search(
+            rf"\b{vb}\s*\.", expr, re.IGNORECASE
+        ):
+            return masked
+        expr = re.sub(rf"\b{va}\s*\.", "__mr_s.", expr, flags=re.IGNORECASE)
+        expr = re.sub(rf"\b{vc}\s*\.", "__mr_e.", expr, flags=re.IGNORECASE)
+        measures.append(f"{expr} as {alias}")
+    if not measures or _MR_FORBIDDEN.search(defs):
+        return masked
+
+    pcols = [c.strip() for c in _split_args(part)]
+    out_part = ", ".join(f"__mr_s.{c} as {c}" for c in pcols)
+    join_part = " and ".join(f"__mr_s.{c} = __mr_e.{c}" for c in pcols)
+    repl = (
+        "(with __mr_syms as ("
+        f" select *, case when ({preds[va]}) then 'A'"
+        f" when ({preds[vb]}) then 'B'"
+        f" when ({preds[vc]}) then 'C' else '.' end as __mr_sym,"
+        f" row_number() over (partition by {part} order by {order}) as __mr_rn"
+        f" from {base}"
+        "), __mr_nn as ("
+        " select *, min(case when __mr_sym <> 'B' then __mr_rn end)"
+        f" over (partition by {part} order by __mr_rn"
+        " rows between 1 following and unbounded following) as __mr_nnrn"
+        " from __mr_syms)"
+        f" select {out_part}, {', '.join(measures)}"
+        " from __mr_nn __mr_s join __mr_nn __mr_e"
+        f" on {join_part} and __mr_e.__mr_rn = __mr_s.__mr_nnrn"
+        " where __mr_s.__mr_sym = 'A' and __mr_e.__mr_sym = 'C')"
+    )
+    return masked[: m.start()] + "from " + repl + masked[cp + 1 :]
+
+
 def translate(presto_sql: str) -> str:
     """Presto-dialect SQL → Spark SQL (see module docstring table)."""
     masked, lits = _mask(presto_sql)
 
+    masked = _rewrite_match_recognize(masked)
     masked = _rewrite_unnest(masked)
     masked = _rewrite_array_literals(masked)
     masked = _rewrite_calls(masked, "map", _map_ctor)

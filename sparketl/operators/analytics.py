@@ -197,3 +197,102 @@ def path_bigrams(spark, sf_dir):
         )
         .limit(10)
     )
+
+
+@query(
+    "row_pattern_funnel",
+    oracle="""
+        with syms as (
+            select user_id, event_id, ts,
+                   case event_type when 'view' then 'V'
+                                   when 'click' then 'B'
+                                   when 'purchase' then 'P'
+                                   else '.' end as sym,
+                   row_number() over (partition by user_id
+                                      order by ts asc, event_id asc) as rn
+            from events
+        ),
+        nn as (
+            select *,
+                   min(case when sym <> 'B' then rn end)
+                       over (partition by user_id order by rn
+                             rows between 1 following and unbounded following)
+                       as nnrn
+            from syms
+        )
+        select s.user_id,
+               s.event_id                        as start_event_id,
+               e.event_id                        as end_event_id,
+               cast(e.rn - s.rn + 1 as bigint)   as n_rows,
+               epoch_us(e.ts) - epoch_us(s.ts)   as duration_us
+        from nn s
+        join nn e on e.user_id = s.user_id and e.rn = s.nnrn
+        where s.sym = 'V' and e.sym = 'P'
+    """,
+)
+def row_pattern_funnel(spark, sf_dir):
+    """Row-pattern matching, MATCH_RECOGNIZE-shape (SQL:2016 /
+    Trino): ``PATTERN (V B* P)`` over each user's event sequence —
+    a view, any run of clicks, closed by a purchase, on CONSECUTIVE
+    rows, one row per match, AFTER MATCH SKIP PAST LAST ROW.  The
+    syntax face is the genuine Trino MATCH_RECOGNIZE text in
+    sparketl/presto_faces.py, translated by dialect._rewrite_
+    match_recognize into exactly this plan.
+
+    Semantics note (why windows suffice): with MUTUALLY EXCLUSIVE
+    row-local defines and the A B* C shape, regex matching with
+    skip-past-last reduces to "A-rows whose next non-B row is C" —
+    a candidate start inside an accepted match would have to carry
+    the B or C symbol, never A, so non-overlap is automatic and no
+    sequential scan is needed (dialect.py docstring carries the same
+    argument; the restricted rewrite refuses anything it cannot
+    prove).
+
+    Scale: symbol classification is a narrow map; ONE shuffle
+    partitions by user for the row_number/next-non-B windows; the
+    start-to-end self-join is equi on (user_id, rn), the same
+    partitioning the windows just produced, and match output is
+    result-sized.  No per-row Python, no iterative scan — the same
+    100-TB shape as win_topk_per_group."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    syms = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "click", "B")
+        .when(F.col("event_type") == "purchase", "P")
+        .otherwise(".")
+        .alias("sym"),
+        F.row_number().over(w).alias("rn"),
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nn = syms.withColumn(
+        "nnrn",
+        F.min(F.when(F.col("sym") != "B", F.col("rn"))).over(wf),
+    )
+    s, e = nn.alias("s"), nn.alias("e")
+    return (
+        s.join(
+            e,
+            (F.col("s.user_id") == F.col("e.user_id"))
+            & (F.col("e.rn") == F.col("s.nnrn")),
+        )
+        .where((F.col("s.sym") == "V") & (F.col("e.sym") == "P"))
+        .select(
+            F.col("s.user_id").alias("user_id"),
+            F.col("s.event_id").alias("start_event_id"),
+            F.col("e.event_id").alias("end_event_id"),
+            (F.col("e.rn") - F.col("s.rn") + 1).cast("bigint").alias("n_rows"),
+            (F.unix_micros(F.col("e.ts")) - F.unix_micros(F.col("s.ts"))).alias(
+                "duration_us"
+            ),
+        )
+    )

@@ -289,6 +289,27 @@ PRESTO_FACES: dict[str, str] = {
         from orders
         where o_orderkey < 1200
     """,
+    # ---- row-pattern matching (SQL:2016 MATCH_RECOGNIZE) -----------
+    # the genuine Trino syntax, handled by dialect._rewrite_
+    # match_recognize for the restricted A B* C shape (see its
+    # docstring for the soundness argument and refusal list)
+    "row_pattern_funnel": """
+        select user_id, start_event_id, end_event_id, n_rows, duration_us
+        from events match_recognize (
+            partition by user_id
+            order by ts asc, event_id asc
+            measures V.event_id as start_event_id,
+                     P.event_id as end_event_id,
+                     count(*) as n_rows,
+                     date_diff('microsecond', V.ts, P.ts) as duration_us
+            one row per match
+            after match skip past last row
+            pattern (V B* P)
+            define V as event_type = 'view',
+                   B as event_type = 'click',
+                   P as event_type = 'purchase'
+        )
+    """,
     # ---- math (§2.9 #89-98) ----------------------------------------
     "math_rounding": """
         select s_suppkey,

@@ -761,3 +761,46 @@ def test_exec_ngrams_inside_user_lambda(spark):
         "from (select array[array[1, 2, 3]] as m)",
     ).collect()[0]
     assert [[list(x) for x in inner] for inner in row.g] == [[[1, 2], [2, 3]]]
+
+
+# ---------------------------------------------------------------------------
+# round 8: restricted MATCH_RECOGNIZE rewrite
+# ---------------------------------------------------------------------------
+
+_MR_OK = """
+    select user_id, s_id from events match_recognize (
+        partition by user_id order by ts asc
+        measures A.event_id as s_id
+        pattern (A B* C)
+        define A as event_type = 'view', B as event_type = 'click',
+               C as event_type = 'purchase')
+"""
+
+
+def test_match_recognize_restricted_shape_rewrites():
+    out = translate(_MR_OK)
+    assert "match_recognize" not in out.lower()
+    assert "__mr_nnrn" in out and "row_number()" in out
+    assert "__mr_s.event_id as s_id" in out
+
+
+def test_match_recognize_count_star_measure():
+    out = translate(_MR_OK.replace(
+        "A.event_id as s_id", "count(*) as s_id"))
+    assert "__mr_e.__mr_rn - __mr_s.__mr_rn + 1" in out
+
+
+def test_match_recognize_refuses_nonconforming():
+    # every non-conforming shape stays untouched -> Spark fails loudly
+    for bad in (
+        _MR_OK.replace("pattern (A B* C)", "pattern (A B+ C)"),
+        _MR_OK.replace("pattern (A B* C)", "pattern (A | B)"),
+        _MR_OK.replace("measures A.event_id as s_id",
+                       "measures B.event_id as s_id"),
+        _MR_OK.replace("measures A.event_id as s_id",
+                       "measures first(A.event_id) as s_id"),
+        _MR_OK.replace("define A", "all rows per match define A"),
+        _MR_OK.replace("pattern (A B* C)",
+                       "after match skip to next row pattern (A B* C)"),
+    ):
+        assert "match_recognize" in translate(bad).lower(), bad
