@@ -58,6 +58,11 @@ TAGS: dict[str, tuple[str, float, str]] = {
     "llm_ann_recall_eval": (
         "composite", 0.83, "harness runs two declared queries plus referents "
         "to score recall — a multi-query by construction"),
+    "llm_curation_pipeline_v2": (
+        "composite", 0.95, "classifier gate + sig dedup + per-source quota "
+        "report chained: ~5 jobs (scan+fold, cache write, keeper agg, "
+        "semi-join, window+agg) floor at ~0.9s at sf0.1 after the round-8 "
+        "fold-dedup/pin-first/spread fixes; breathes +-0.3s with host load"),
     "stream_stateful_sessions": (
         "python-state", 1.07, "applyInPandasWithState fixed Arrow+worker "
         "dispatch floor, cProfile-measured >=40% (SCALING.md:298-307)"),

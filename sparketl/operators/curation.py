@@ -1435,7 +1435,15 @@ def llm_curation_pipeline_v2(spark, sf_dir):
     column, filter rnk <= N) would get it."""
     from sparketl.operators.llm import _pin
 
-    docs = table(spark, sf_dir, "documents")
+    from sparketl.operators.llm import _maybe_parallel
+
+    # same fixture-artifact spread as llm_quality_classifier: the
+    # single-file documents scan arrives in 1-2 partitions, which
+    # serializes the ~200-md5-fold scorer on 1 core (audit: the whole
+    # pipeline ran as one task)
+    docs = _maybe_parallel(
+        table(spark, sf_dir, "documents"), sf_dir, "documents", lo=0
+    )
     raw = _qc_raw_expr()
     # the scorer fold is the expensive narrow map and the gated frame
     # feeds BOTH the keeper aggregation and the semi-join probe side —
@@ -1450,6 +1458,16 @@ def llm_curation_pipeline_v2(spark, sf_dir):
     # and Spark degrades to the same co-partitioned semi-join
     # llm_dedup_apply uses — the plan stays correct, it just shuffles
     # ids.  Same hedge as llm_semantic_dedup's dup-list broadcast.
+    # Pin BEFORE the gate filter, not after: Catalyst inlines a
+    # referenced alias through filters/projects (verified in the
+    # optimized plan — the fold appeared twice, once in the gate
+    # predicate and once in the score), so any post-scoring operator
+    # chained before the cache boundary re-evaluates the fold per
+    # reference.  Caching the scored frame first makes the fold run
+    # exactly once per row; the gate and the score then read the
+    # cached column.  The pinned frame carries sig/n_tok/raw only
+    # (16-byte sig, two longs — never text), so pinning pre-gate adds
+    # only the rejected rows' scalars to the cache.
     kept = _pin(
         docs.select(
             "doc_id",
@@ -1457,10 +1475,9 @@ def llm_curation_pipeline_v2(spark, sf_dir):
             F.md5("text").alias("sig"),
             F.expr(f"size({_TOKS_S})").alias("n_tok"),
             F.expr(raw).alias("raw"),
-            F.round(F.expr(raw) / F.expr(f"size({_TOKS_S})"), 6).alias(
-                "score"
-            ),
-        ).where(F.col("raw") > 0)
+        )
+    ).where(F.col("raw") > 0).withColumn(
+        "score", F.round(F.col("raw") / F.col("n_tok"), 6)
     )
     keepers = (
         kept.groupBy("sig")
