@@ -30,7 +30,6 @@ Usage: python scripts/k_sweep.py [passes]   (default 2)
 
 from __future__ import annotations
 
-import json
 import math
 import os
 import sys
@@ -63,11 +62,10 @@ def checksum(df) -> tuple[int, int]:
 
 def main() -> None:
     passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    from scripts.stress_common import merge_scale_stress, warm_spark
+
     spark = session.get_spark("sparketl-k-sweep")
-    spark.sql("select 1").collect()
-    spark.range(32).repartition(32).mapInPandas(
-        lambda it: it, schema="id long"
-    ).collect()
+    warm_spark(spark)
 
     # Cross-validation gate: at the declared k=10 codebook the HOF
     # argmin and the _np_assign kernel must produce checksum-identical
@@ -129,18 +127,7 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    path = os.path.join(REPO, "SCALE_STRESS.json")
-    out = {"passes": passes, "queries": {}}
-    if os.path.exists(path):
-        with open(path) as f:
-            out = json.load(f)
-    for name, rec in results.items():
-        merged = {**out["queries"].get(name, {}), **rec}
-        a, b = merged["x1"]["wall_sec"], merged["x10"]["wall_sec"]
-        merged["wall_ratio"] = round(b / a, 2) if a > 0 and b > 0 else None
-        out["queries"][name] = merged
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
+    merge_scale_stress(REPO, results, passes)
 
     print("| query | x1 s | x10 s | ratio | x10 HOF s | x1 k | x10 k | x10 train s |")
     print("| --- | --- | --- | --- | --- | --- | --- | --- |")

@@ -174,11 +174,10 @@ def main() -> None:
         "spark.ui.enabled": "true",
         "spark.ui.retainedStages": "20000",
     }
+    from scripts.stress_common import warm_spark
+
     spark = session.get_spark("sparketl-scale-stress")
-    spark.sql("select 1").collect()
-    spark.range(32).repartition(32).mapInPandas(
-        lambda it: it, schema="id long"
-    ).collect()
+    warm_spark(spark)
 
     results: dict[str, dict] = {}
     for tag in tags:
@@ -245,40 +244,23 @@ def main() -> None:
             f"{mb(r10.get('spill', 0))} |"
         )
 
-    path = os.path.join(repo, "SCALE_STRESS.json")
-    # ALWAYS deep-merge per query into the existing artifact: a plain
-    # full-lane rerun must refresh the x1/x10 records without
-    # discarding previously recorded --x100 tiers (round-7 review —
-    # the old replace-wholesale path made the second-decade evidence
-    # unreproducible after any later full sweep).
-    merged = results
-    if os.path.exists(path):
-        with open(path) as f:
-            prior = json.load(f).get("queries", {})
-        merged = dict(prior)
-        for name, rec in results.items():
-            merged[name] = {**prior.get(name, {}), **rec}
-    # recompute EVERY cross-tier ratio from the merged tier records —
-    # a stale ratio carried verbatim across a refresh of its input tier
-    # left the artifact internally inconsistent (round-7 review).
-    for rec in merged.values():
-        for rk, lo, hi in (("wall_ratio", "x1", "x10"), ("wall_ratio_x100", "x10", "x100")):
-            a, b = rec.get(lo, {}).get("wall_sec"), rec.get(hi, {}).get("wall_sec")
-            if a and b and a > 0 and b > 0:
-                rec[rk] = round(b / a, 2)
-            elif rk in rec:
-                del rec[rk]
-    out = {
-        "passes": passes,
-        "corpus": {
-            "x1": "docs=5000 emb=2000",
-            "x10": "docs=50000 emb=20000",
-            "x100": "docs=500000 emb=200000 (--x100 tier)",
+    # deep-merge into the shared artifact (scripts/stress_common.py —
+    # refreshes tier records, recomputes every cross-tier ratio,
+    # preserves other runs' tiers)
+    from scripts.stress_common import merge_scale_stress
+
+    merge_scale_stress(
+        repo,
+        results,
+        passes,
+        extra={
+            "corpus": {
+                "x1": "docs=5000 emb=2000 (+--rel: sf0.1 facts)",
+                "x10": "docs=50000 emb=20000 (+--rel: sf1 facts)",
+                "x100": "docs=500000 emb=200000 (+--rel: sf10 facts)",
+            }
         },
-        "queries": merged,
-    }
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
+    )
 
     print(f"| query | {tags[0]} wall s | {tags[1]} wall s | ratio | "
           f"{tags[0]} shW MB | {tags[1]} shW MB | {tags[1]} spill MB |")

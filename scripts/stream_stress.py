@@ -28,7 +28,6 @@ Usage: python scripts/stream_stress.py [passes]   (default 2)
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import sys
@@ -168,11 +167,10 @@ def faces(spark, ev_dir: str, docs_dir: str, standing):
 
 def main() -> None:
     passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    from scripts.stress_common import merge_scale_stress, warm_spark
+
     spark = session.get_spark("sparketl-stream-stress")
-    spark.sql("select 1").collect()
-    spark.range(32).repartition(32).mapInPandas(
-        lambda it: it, schema="id long"
-    ).collect()
+    warm_spark(spark)
     scratch = os.path.join(REPO, ".scale", "_stream_stage")
 
     results: dict[str, dict] = {}
@@ -203,18 +201,7 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    path = os.path.join(REPO, "SCALE_STRESS.json")
-    out = {"passes": passes, "queries": {}}
-    if os.path.exists(path):
-        with open(path) as f:
-            out = json.load(f)
-    for name, rec in results.items():
-        merged = {**out["queries"].get(name, {}), **rec}
-        a, b = merged["x1"]["wall_sec"], merged["x10"]["wall_sec"]
-        merged["wall_ratio"] = round(b / a, 2) if a > 0 and b > 0 else None
-        out["queries"][name] = merged
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
+    merge_scale_stress(REPO, results, passes)
 
     print(
         "| face | x1 s | x10 s | ratio | x10 rows/s | x10 batches "

@@ -83,7 +83,11 @@ url_extract_host(u)          parse_url(u, 'HOST')       (+ path/protocol/
                                                          url_decode are
                                                          already identical —
                                                          execution-verified)
-set_agg(x)                   collect_set(x)
+set_agg(x)                   collect_set(x)  (DOCUMENTED DIVERGENCE:
+                              Presto's set keeps one NULL element,
+                              Spark's collect_set — like its
+                              array_agg — drops NULLs; over non-NULL
+                              columns the two agree exactly)
 map_agg(k, v)                map_from_entries(collect_list(struct(k, v)))
                              (entry order unspecified in BOTH dialects —
                               sort map_entries before rendering; dup keys
@@ -92,10 +96,15 @@ approx_most_frequent(k,v,c)  map_from_entries over approx_top_k(v, k, c)
                              (both Space-Saving-family; error envelopes
                               differ — heavy-hitter membership is the
                               portable contract, counts are estimates)
-bitwise_left_shift(x, n)     shiftleft(x, n)  (+ right → shiftright)
-bit_count(x, 64)             bit_count(x)     (other widths untouched,
-                                               loud — Spark counts the
-                                               value's own width)
+bitwise_left_shift(x, n)     shiftleft(x, n)
+bitwise_right_shift(x, n)    shiftrightunsigned(x, n)  (Presto's right
+                              shift is LOGICAL zero-fill; shiftright
+                              would sign-extend.  Residual divergence
+                              both shifts: n >= operand width → Presto
+                              0, JVM wraps n mod width)
+bit_count(x, 64)             bit_count(cast(x as bigint))  (Presto
+                              sign-extends to the stated width; other
+                              widths untouched, loud)
 is_nan(x)                    isnan(x)
 infinity()                   cast('Infinity' as double)
 nan()                        cast('NaN' as double)
@@ -174,8 +183,6 @@ _SIMPLE_FN: dict[str, str] = {
     "week_of_year": "weekofyear",
     "week": "weekofyear",
     "set_agg": "collect_set",
-    "bitwise_left_shift": "shiftleft",
-    "bitwise_right_shift": "shiftright",
 }
 
 #: zero-argument constant functions
@@ -777,7 +784,10 @@ def _rewrite_match_recognize(masked: str) -> str:
 
     pcols = [c.strip() for c in _split_args(part)]
     out_part = ", ".join(f"__mr_s.{c} as {c}" for c in pcols)
-    join_part = " and ".join(f"__mr_s.{c} = __mr_e.{c}" for c in pcols)
+    # null-safe equality: window functions put NULL partition keys in
+    # ONE partition (Trino and Spark agree), so the start/end join
+    # must not drop those matches — plain = would (round-8 review)
+    join_part = " and ".join(f"__mr_s.{c} <=> __mr_e.{c}" for c in pcols)
     repl = (
         "(with __mr_syms as ("
         f" select *, case when ({preds[va]}) then 'A'"
@@ -919,15 +929,33 @@ def translate(presto_sql: str) -> str:
             f"__amf -> struct(__amf.item, __amf.count)))"
         ) if len(a) == 3 else None,
     )
-    #   bit_count(x, 64) → bit_count(x): Presto's second argument is
-    #   the bit width; Spark counts over the value's own (64-bit for
-    #   bigint) width, so only the 64 form is equivalent — other
-    #   widths pass through untouched and fail loudly.
+    #   bit_count(x, 64) → bit_count(cast(x as bigint)): Presto's
+    #   second argument is the bit width and Presto sign-extends the
+    #   value to it, so the cast is REQUIRED — bare bit_count over an
+    #   INT column holding -1 would count 32 bits where Presto's
+    #   64-form counts 64 (round-8 review).  Other widths pass
+    #   through untouched and fail loudly.
     masked = _rewrite_calls(
         masked, "bit_count",
-        lambda a: f"bit_count({a[0]})"
+        lambda a: f"bit_count(cast({a[0]} as bigint))"
         if len(a) == 2 and a[1].strip() == "64" else None,
     )
+    #   bitwise shifts: Presto's bitwise_right_shift is LOGICAL
+    #   (zero-fill) — Spark's shiftright sign-extends, so the rewrite
+    #   targets shiftrightunsigned (round-8 review caught the silent
+    #   negative-input divergence); left shifts agree bit-for-bit.
+    #   Residual documented divergence: for shift >= the value's bit
+    #   width Presto returns 0 while Spark wraps the shift amount mod
+    #   the width — inherent to the JVM operators, not maskable
+    #   without knowing the operand type.
+    for sname, sfn in (
+        ("bitwise_left_shift", "shiftleft"),
+        ("bitwise_right_shift", "shiftrightunsigned"),
+    ):
+        masked = _rewrite_calls(
+            masked, sname,
+            lambda a, _f=sfn: f"{_f}({a[0]}, {a[1]})" if len(a) == 2 else None,
+        )
     masked = _rewrite_calls(masked, "random", _random_fn)
     masked = _rewrite_calls(
         masked, "truncate",

@@ -838,78 +838,93 @@ def exact_percentile_median(spark, sf_dir):
     the builtin's per-group buffers are small and fine — this shape is
     for the few-groups/huge-groups regime, the one the fixture
     (3 statuses) and any global-percentile report is in."""
+    o = table(spark, sf_dir, "orders")
+    return distributed_percentiles(
+        o, "o_orderstatus", "o_totalprice",
+        [("p25", 0.25), ("p90", 0.90), ("med", 0.5)],
+    )
+
+
+def distributed_percentiles(df, group_col, val_col, ps, buckets: int = 512):
+    """Reusable core of exact_percentile_median: exact
+    percentile_cont over ``df`` grouped by ``group_col``, computed as
+    distributed order statistics (see the declared query's docstring
+    for the plan and its measured x100 numbers).  ``ps`` is a list of
+    (alias, fraction).  NULL values are ignored per percentile
+    semantics; a group whose values are all NULL still surfaces with
+    NULL percentiles (group-key restore join — round-8 review).
+    Differential-tested against Spark's builtin ``percentile`` incl.
+    the all-NULL-group case in tests/test_distributed_percentile.py."""
     from pyspark.sql import Window
 
-    B = 512
-    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
-    cnt = o.groupBy("o_orderstatus", "o_totalprice").agg(
-        F.count("*").alias("cnt")
+    df_all = df
+    df = df.where(F.col(val_col).isNotNull())
+    cnt = df.groupBy(group_col, val_col).agg(F.count("*").alias("cnt"))
+    bounds = df.groupBy(group_col).agg(
+        F.min(val_col).alias("vmin"), F.max(val_col).alias("vmax")
     )
-    bounds = o.groupBy("o_orderstatus").agg(
-        F.min("o_totalprice").alias("vmin"), F.max("o_totalprice").alias("vmax")
-    )
-    # bucket is monotone in value (top edge clamped into bucket B), so
-    # ordering by (bucket, value) == ordering by value
+    # bucket is monotone in value (top edge clamped into the last
+    # bucket), so ordering by (bucket, value) == ordering by value
     cntb = (
-        cnt.join(F.broadcast(bounds), "o_orderstatus")
+        cnt.join(F.broadcast(bounds), group_col)
         .withColumn(
             "b",
             F.least(
-                F.lit(B).cast("bigint"),
+                F.lit(buckets).cast("bigint"),
                 F.width_bucket(
-                    "o_totalprice",
+                    val_col,
                     F.col("vmin"),
                     F.when(F.col("vmax") > F.col("vmin"), F.col("vmax"))
                     .otherwise(F.col("vmin") + 1),
-                    F.lit(B),
+                    F.lit(buckets),
                 ),
             ),
         )
         .drop("vmin", "vmax")
     )
-    bt = cntb.groupBy("o_orderstatus", "b").agg(F.sum("cnt").alias("bc"))
+    bt = cntb.groupBy(group_col, "b").agg(F.sum("cnt").alias("bc"))
     wb = (
-        Window.partitionBy("o_orderstatus")
+        Window.partitionBy(group_col)
         .orderBy("b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offsets = bt.select(
-        "o_orderstatus",
+        group_col,
         "b",
         (F.sum("bc").over(wb) - F.col("bc")).alias("off"),
-        F.sum("bc").over(Window.partitionBy("o_orderstatus")).alias("n"),
+        F.sum("bc").over(Window.partitionBy(group_col)).alias("n"),
     )
     wv = (
-        Window.partitionBy("o_orderstatus", "b")
-        .orderBy("o_totalprice")
+        Window.partitionBy(group_col, "b")
+        .orderBy(val_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ranked = cntb.join(F.broadcast(offsets), ["o_orderstatus", "b"]).select(
-        "o_orderstatus",
-        "o_totalprice",
+    ranked = cntb.join(F.broadcast(offsets), [group_col, "b"]).select(
+        group_col,
+        val_col,
         (F.col("off") + F.sum("cnt").over(wv)).alias("c"),
         (F.col("off") + F.sum("cnt").over(wv) - F.col("cnt")).alias("prev"),
         "n",
     )
-    cols = {}
-    for name, p in (("p25", 0.25), ("p90", 0.90), ("med", 0.5)):
+    aggs = []
+    for name, p in ps:
         pos = F.lit(1.0) + (F.col("n") - 1).cast("double") * F.lit(p)
         lo, hi = F.floor(pos), F.ceil(pos)
         # the row covering rank k satisfies prev < k <= c; min() picks
         # the (unique) covering value per bound
         vlo = F.min(
-            F.when((F.col("prev") < lo) & (lo <= F.col("c")), F.col("o_totalprice"))
+            F.when((F.col("prev") < lo) & (lo <= F.col("c")), F.col(val_col))
         )
         vhi = F.min(
-            F.when((F.col("prev") < hi) & (hi <= F.col("c")), F.col("o_totalprice"))
+            F.when((F.col("prev") < hi) & (hi <= F.col("c")), F.col(val_col))
         )
         frac = F.min(pos - F.floor(pos))
-        cols[name] = F.round(vlo + frac * (vhi - vlo), 6)
-    return ranked.groupBy("o_orderstatus").agg(
-        cols["p25"].alias("p25"),
-        cols["p90"].alias("p90"),
-        cols["med"].alias("med"),
-    )
+        aggs.append(F.round(vlo + frac * (vhi - vlo), 6).alias(name))
+    pct = ranked.groupBy(group_col).agg(*aggs)
+    # group-key restore (groups-count-sized, broadcastable): a group
+    # whose every value is NULL has no ranked rows, but must surface
+    # with NULL percentiles like the builtin would emit it
+    return df_all.select(group_col).distinct().join(pct, group_col, "left")
 
 
 @query(

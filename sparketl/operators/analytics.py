@@ -226,7 +226,10 @@ def path_bigrams(spark, sf_dir):
                cast(e.rn - s.rn + 1 as bigint)   as n_rows,
                epoch_us(e.ts) - epoch_us(s.ts)   as duration_us
         from nn s
-        join nn e on e.user_id = s.user_id and e.rn = s.nnrn
+        -- null-safe: a NULL user_id still forms one window partition
+        -- in both engines; plain = would drop its matches
+        join nn e on e.user_id is not distinct from s.user_id
+                 and e.rn = s.nnrn
         where s.sym = 'V' and e.sym = 'P'
     """,
 )
@@ -282,7 +285,9 @@ def row_pattern_funnel(spark, sf_dir):
     return (
         s.join(
             e,
-            (F.col("s.user_id") == F.col("e.user_id"))
+            # eqNullSafe: NULL partition keys form one window
+            # partition in both engines; = would drop their matches
+            F.col("s.user_id").eqNullSafe(F.col("e.user_id"))
             & (F.col("e.rn") == F.col("s.nnrn")),
         )
         .where((F.col("s.sym") == "V") & (F.col("e.sym") == "P"))

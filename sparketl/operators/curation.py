@@ -1433,9 +1433,7 @@ def llm_curation_pipeline_v2(spark, sf_dir):
     whole gate output), so there is no rank filter for Spark to push
     below the shuffle; a selection-only variant (drop the n_kept
     column, filter rnk <= N) would get it."""
-    from sparketl.operators.llm import _pin
-
-    from sparketl.operators.llm import _maybe_parallel
+    from sparketl.operators.llm import _maybe_parallel, _pin
 
     # same fixture-artifact spread as llm_quality_classifier: the
     # single-file documents scan arrives in 1-2 partitions, which

@@ -804,3 +804,35 @@ def test_match_recognize_refuses_nonconforming():
                        "after match skip to next row pattern (A B* C)"),
     ):
         assert "match_recognize" in translate(bad).lower(), bad
+
+
+def test_bitwise_right_shift_is_logical_zero_fill():
+    # Presto's bitwise_right_shift is a LOGICAL shift — shiftright
+    # would sign-extend (round-8 review)
+    assert "shiftrightunsigned(x, 1)" in translate(
+        "select bitwise_right_shift(x, 1)"
+    )
+    assert "shiftleft(x, 2)" in translate("select bitwise_left_shift(x, 2)")
+
+
+def test_bit_count_64_casts_to_bigint():
+    # Presto sign-extends the value to the stated width; counting an
+    # INT column's own 32 bits would diverge on negatives
+    assert _norm(translate("select bit_count(x, 64)")) == (
+        "select bit_count(cast(x as bigint))"
+    )
+    # other widths untouched (loud)
+    assert "bit_count(x, 32)" in translate("select bit_count(x, 32)")
+
+
+def test_exec_right_shift_negative_matches_presto(spark):
+    # -8 >> 1 logical on 64 bits = 2^63 - 4
+    row = presto_sql(
+        spark,
+        "select bitwise_right_shift(cast(-8 as bigint), 1) as v",
+    ).collect()[0]
+    assert row.v == 9223372036854775804
+
+
+def test_match_recognize_join_is_null_safe():
+    assert "<=>" in translate(_MR_OK)
