@@ -23,7 +23,10 @@ clicks, watermarked), tumbling window agg (watermark + window).
 Results deep-merge into SCALE_STRESS.json under stream_* names; the
 markdown table is pasted into SCALING.md.
 
-Usage: python scripts/stream_stress.py [passes]   (default 2)
+Usage: python scripts/stream_stress.py [--x100] [passes]
+  default 2 passes (1 with --x100); --x100 runs the x10 -> x100 tiers
+  (events 1M -> 10M, documents 50k -> 500k) for the streaming lane's
+  third decade — requires gen_scale_corpus.py --rel --x100.
 """
 
 from __future__ import annotations
@@ -166,7 +169,12 @@ def faces(spark, ev_dir: str, docs_dir: str, standing):
 
 
 def main() -> None:
-    passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    args = sys.argv[1:]
+    x100 = "--x100" in args
+    if x100:
+        args.remove("--x100")
+    passes = int(args[0]) if args else (1 if x100 else 2)
+    tiers = ("x10", "x100") if x100 else ("x1", "x10")
     from scripts.stress_common import merge_scale_stress, warm_spark
 
     spark = session.get_spark("sparketl-stream-stress")
@@ -174,7 +182,7 @@ def main() -> None:
     scratch = os.path.join(REPO, ".scale", "_stream_stage")
 
     results: dict[str, dict] = {}
-    for tag in ("x1", "x10"):
+    for tag in tiers:
         sf_dir = os.path.join(REPO, ".scale", tag)
         ev_dir = os.path.join(scratch, tag, "events")
         docs_dir = os.path.join(scratch, tag, "documents")
@@ -203,13 +211,14 @@ def main() -> None:
 
     merge_scale_stress(REPO, results, passes)
 
+    lo, hi = tiers
     print(
-        "| face | x1 s | x10 s | ratio | x10 rows/s | x10 batches "
-        "| x1 state rows | x10 state rows | x10 state MB |"
+        f"| face | {lo} s | {hi} s | ratio | {hi} rows/s | {hi} batches "
+        f"| {lo} state rows | {hi} state rows | {hi} state MB |"
     )
     print("| --- | --- | --- | --- | --- | --- | --- | --- | --- |")
     for name, rec in results.items():
-        r1, r10 = rec["x1"], rec["x10"]
+        r1, r10 = rec[lo], rec[hi]
         print(
             f"| {name} | {r1['wall_sec']:.2f} | {r10['wall_sec']:.2f} | "
             f"{round(r10['wall_sec'] / r1['wall_sec'], 2)} | "
