@@ -1,0 +1,79 @@
+"""Property differential for the restricted MATCH_RECOGNIZE rewrite
+(round 8): the windowed formulation must equal REAL regex matching.
+
+The rewrite's soundness argument (dialect._rewrite_match_recognize
+docstring) claims that for PATTERN (A B* C) with mutually-exclusive
+row-local defines, greedy matching with AFTER MATCH SKIP PAST LAST ROW
+reduces to "A-rows whose next non-B row is C".  This test checks that
+claim against the authoritative model — Python's backtracking regex
+engine running ``finditer("VB*P")`` over the symbol string — on
+hypothesis-generated multi-partition event sequences (including
+no-match symbols, adjacent V/P, empty B-runs, trailing open runs).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis unavailable", allow_module_level=True)
+
+from sparketl import dialect
+
+_MR_SQL = """
+    select user_id, s_pos, e_pos, n
+    from mr_prop_events match_recognize (
+        partition by user_id
+        order by pos asc
+        measures V.pos as s_pos, P.pos as e_pos, count(*) as n
+        one row per match
+        after match skip past last row
+        pattern (V B* P)
+        define V as sym = 'V', B as sym = 'B', P as sym = 'P'
+    )
+"""
+
+# 'X' is a no-match symbol ('.'-classified); sequences mix all four
+seqs = st.lists(
+    st.lists(st.sampled_from("VBPX"), min_size=0, max_size=30),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _model(symbols: list[str]):
+    s = "".join(symbols)
+    return [
+        (m.start(), m.end() - 1, m.end() - m.start())
+        for m in re.finditer("VB*P", s)
+    ]
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(users=seqs)
+def test_match_recognize_equals_regex_engine(spark, users):
+    rows = [
+        (u, pos, sym)
+        for u, symbols in enumerate(users)
+        for pos, sym in enumerate(symbols)
+    ]
+    if not rows:
+        rows = [(0, 0, "X")]
+    spark.createDataFrame(
+        rows, "user_id long, pos long, sym string"
+    ).createOrReplaceTempView("mr_prop_events")
+    got = sorted(
+        (r.user_id, r.s_pos, r.e_pos, r.n)
+        for r in dialect.sql(spark, _MR_SQL).collect()
+    )
+    want = sorted(
+        (u, s, e, n)
+        for u, symbols in enumerate(users)
+        for s, e, n in _model(symbols)
+    )
+    assert got == want
