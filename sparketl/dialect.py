@@ -674,7 +674,7 @@ def _rewrite_subscripts(masked: str) -> str:
 _MR_HEAD = re.compile(
     r"\bfrom\s+([A-Za-z_][\w.]*)\s+match_recognize\s*\(", re.IGNORECASE
 )
-_MR_PATTERN = re.compile(r"^\(\s*(\w+)\s+(\w+)\s*\*\s+(\w+)\s*\)$")
+_MR_PATTERN = re.compile(r"^\(\s*(\w+)\s+(?:(\w+)\s*([*+])\s+)?(\w+)\s*\)$")
 _MR_FORBIDDEN = re.compile(
     r"\b(classifier|match_number|first|last|prev|next|final|running)\s*\(",
     re.IGNORECASE,
@@ -688,18 +688,24 @@ def _rewrite_match_recognize(masked: str) -> str:
           PARTITION BY p [, ...]  ORDER BY o [, ...]
           MEASURES <expr over A./C. columns> AS alias [, ...]
           [ONE ROW PER MATCH]  [AFTER MATCH SKIP PAST LAST ROW]
-          PATTERN (A B* C)
+          PATTERN (A B* C)   -- also (A B+ C) and the 2-var (A C)
           DEFINE A AS pred, B AS pred, C AS pred )
 
-    → windowed Spark SQL.  Why this is sound (and why ONLY this
-    shape): with MUTUALLY EXCLUSIVE row-local defines and the A B* C
+    → windowed Spark SQL.  Why this is sound (and why ONLY these
+    shapes): with MUTUALLY EXCLUSIVE row-local defines and the A B* C
     pattern, greedy matching with SKIP PAST LAST ROW reduces to
     "A-rows whose next non-B row is C" — a candidate start inside an
     accepted match would carry the B or C symbol, never A, so
     non-overlap is automatic and the whole construct becomes two
     window functions plus an equi self-join on (partition, row
-    number).  The declared query ``row_pattern_funnel`` is this
-    rewrite's output shape, oracle-verified against DuckDB.
+    number).  B+ adds only a >= 1 interior-row predicate; with no B
+    variable (A C) "next non-B" degenerates to row adjacency — the
+    same machinery, same proof.  The declared query
+    ``row_pattern_funnel`` is this rewrite's output shape,
+    oracle-verified against DuckDB, and
+    tests/test_property_match_recognize.py differential-tests all
+    three quantifier shapes against Python's regex engine on
+    hypothesis-generated sequences.
 
     REQUIREMENT the rewrite cannot check: the three DEFINE predicates
     must be mutually exclusive per row (symbol classification is
@@ -748,7 +754,7 @@ def _rewrite_match_recognize(masked: str) -> str:
     pm = _MR_PATTERN.match(patt)
     if not pm:
         return masked
-    va, vb, vc = pm.groups()
+    va, vb, quant, vc = pm.groups()
 
     preds: dict[str, str] = {}
     for d in _split_args(defs):
@@ -756,7 +762,7 @@ def _rewrite_match_recognize(masked: str) -> str:
         if not dm:
             return masked
         preds[dm.group(1)] = dm.group(2).strip()
-    if set(preds) != {va, vb, vc}:
+    if set(preds) != ({va, vb, vc} if vb else {va, vc}):
         return masked
 
     measures = []
@@ -772,8 +778,8 @@ def _rewrite_match_recognize(masked: str) -> str:
                 f"cast(__mr_e.__mr_rn - __mr_s.__mr_rn + 1 as bigint) as {alias}"
             )
             continue
-        if _MR_FORBIDDEN.search(expr) or re.search(
-            rf"\b{vb}\s*\.", expr, re.IGNORECASE
+        if _MR_FORBIDDEN.search(expr) or (
+            vb and re.search(rf"\b{vb}\s*\.", expr, re.IGNORECASE)
         ):
             return masked
         expr = re.sub(rf"\b{va}\s*\.", "__mr_s.", expr, flags=re.IGNORECASE)
@@ -791,8 +797,8 @@ def _rewrite_match_recognize(masked: str) -> str:
     repl = (
         "(with __mr_syms as ("
         f" select *, case when ({preds[va]}) then 'A'"
-        f" when ({preds[vb]}) then 'B'"
-        f" when ({preds[vc]}) then 'C' else '.' end as __mr_sym,"
+        + (f" when ({preds[vb]}) then 'B'" if vb else "")
+        + f" when ({preds[vc]}) then 'C' else '.' end as __mr_sym,"
         f" row_number() over (partition by {part} order by {order}) as __mr_rn"
         f" from {base}"
         "), __mr_nn as ("
@@ -803,7 +809,12 @@ def _rewrite_match_recognize(masked: str) -> str:
         f" select {out_part}, {', '.join(measures)}"
         " from __mr_nn __mr_s join __mr_nn __mr_e"
         f" on {join_part} and __mr_e.__mr_rn = __mr_s.__mr_nnrn"
-        " where __mr_s.__mr_sym = 'A' and __mr_e.__mr_sym = 'C')"
+        " where __mr_s.__mr_sym = 'A' and __mr_e.__mr_sym = 'C'"
+        # B+ differs from B* only by requiring >= 1 interior row; with
+        # no B variable (pattern A C) the first non-B row IS the next
+        # row, so the same machinery matches adjacency unchanged
+        + (" and __mr_e.__mr_rn > __mr_s.__mr_rn + 1" if quant == "+" else "")
+        + ")"
     )
     return masked[: m.start()] + "from " + repl + masked[cp + 1 :]
 

@@ -793,7 +793,8 @@ def test_match_recognize_count_star_measure():
 def test_match_recognize_refuses_nonconforming():
     # every non-conforming shape stays untouched -> Spark fails loudly
     for bad in (
-        _MR_OK.replace("pattern (A B* C)", "pattern (A B+ C)"),
+        _MR_OK.replace("pattern (A B* C)", "pattern (A B* C D)"),
+        _MR_OK.replace("pattern (A B* C)", "pattern (A* B)"),
         _MR_OK.replace("pattern (A B* C)", "pattern (A | B)"),
         _MR_OK.replace("measures A.event_id as s_id",
                        "measures B.event_id as s_id"),

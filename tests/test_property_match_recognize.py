@@ -25,18 +25,29 @@ except ImportError:  # pragma: no cover
 
 from sparketl import dialect
 
-_MR_SQL = """
-    select user_id, s_pos, e_pos, n
-    from mr_prop_events match_recognize (
-        partition by user_id
-        order by pos asc
-        measures V.pos as s_pos, P.pos as e_pos, count(*) as n
-        one row per match
-        after match skip past last row
-        pattern (V B* P)
-        define V as sym = 'V', B as sym = 'B', P as sym = 'P'
-    )
-"""
+def _mr_sql(pattern: str, defines: str) -> str:
+    return f"""
+        select user_id, s_pos, e_pos, n
+        from mr_prop_events match_recognize (
+            partition by user_id
+            order by pos asc
+            measures V.pos as s_pos, P.pos as e_pos, count(*) as n
+            one row per match
+            after match skip past last row
+            pattern ({pattern})
+            define {defines}
+        )
+    """
+
+
+_THREE_VAR = "V as sym = 'V', B as sym = 'B', P as sym = 'P'"
+#: (MR pattern, regex model, DEFINE clause) — the three supported
+#: quantifier shapes
+SHAPES = [
+    ("V B* P", "VB*P", _THREE_VAR),
+    ("V B+ P", "VB+P", _THREE_VAR),
+    ("V P", "VP", "V as sym = 'V', P as sym = 'P'"),
+]
 
 # 'X' is a no-match symbol ('.'-classified); sequences mix all four
 seqs = st.lists(
@@ -46,17 +57,18 @@ seqs = st.lists(
 )
 
 
-def _model(symbols: list[str]):
+def _model(symbols: list[str], regex: str):
     s = "".join(symbols)
     return [
         (m.start(), m.end() - 1, m.end() - m.start())
-        for m in re.finditer("VB*P", s)
+        for m in re.finditer(regex, s)
     ]
 
 
-@settings(max_examples=20, deadline=None, derandomize=True)
+@pytest.mark.parametrize("pattern,regex,defines", SHAPES)
+@settings(max_examples=12, deadline=None, derandomize=True)
 @given(users=seqs)
-def test_match_recognize_equals_regex_engine(spark, users):
+def test_match_recognize_equals_regex_engine(spark, pattern, regex, defines, users):
     rows = [
         (u, pos, sym)
         for u, symbols in enumerate(users)
@@ -69,11 +81,11 @@ def test_match_recognize_equals_regex_engine(spark, users):
     ).createOrReplaceTempView("mr_prop_events")
     got = sorted(
         (r.user_id, r.s_pos, r.e_pos, r.n)
-        for r in dialect.sql(spark, _MR_SQL).collect()
+        for r in dialect.sql(spark, _mr_sql(pattern, defines)).collect()
     )
     want = sorted(
         (u, s, e, n)
         for u, symbols in enumerate(users)
-        for s, e, n in _model(symbols)
+        for s, e, n in _model(symbols, regex)
     )
     assert got == want
