@@ -105,6 +105,7 @@ PARITY_QUERIES = [
     "sink_partition_overwrite_dynamic",
     "sort_global_topn",
     "source_csv",
+    "source_csv_malformed",
     "source_jsonlines",
     "source_orc_roundtrip",
     "source_text_roundtrip",
