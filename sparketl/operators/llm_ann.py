@@ -319,7 +319,7 @@ def llm_similarity_ann_lsh(spark, sf_dir):
         .withColumn(
             "bucket",
             F.expr(
-                "aggregate(transform(sequence(0, 7), p -> if("
+                f"aggregate(transform(sequence(0, {n_planes - 1}), p -> if("
                 + _DOT_S.format(a="element_at(planes, p + 1)", b="embedding")
                 + " > 0, shiftleft(1, p), 0)), 0, (s, x) -> s + x)"
             ),
@@ -1259,11 +1259,27 @@ def llm_similarity_ann_multiprobe(spark, sf_dir):
     brute force, and the knob (planes, probe radius) tunes
     recall/cost independently of corpus size.  Deterministic
     (sign-of-exact-double-dot buckets), so hash-graded like the
-    single-probe query."""
+    single-probe query.
+
+    The 8-plane bucketing is the fixture-scale operating point; the
+    production knob is planes ~ log2(n / target-occupancy), keeping
+    bucket occupancy (and so per-query candidate volume) constant as
+    the corpus grows — measured by scripts/k_sweep.py's planes sweep
+    via :func:`multiprobe_frame` (SCALING.md 'planes ~ log n' row:
+    the x1->x10 wall ratio flattens 8.4 -> 3.5 at occupancy-
+    preserving plane counts — the residual is the query side's
+    (planes+1)-way probe fan-out, which grows with log n by design)."""
+    return multiprobe_frame(spark, sf_dir)
+
+
+def multiprobe_frame(spark, sf_dir, n_planes: int = 8):
+    """Plane-count-parameterized multiprobe core (the declared query
+    binds the fixture's 8 planes; scripts/k_sweep.py binds
+    occupancy-preserving log2(n/8) planes — identical plan)."""
     from pyspark.sql import Window
 
     emb = table(spark, sf_dir, "embeddings")
-    planes = _hyperplanes()
+    planes = _hyperplanes(n_planes)
     plane_lit = F.array(*[F.array(*[F.lit(v) for v in p]) for p in planes])
     e = (
         emb.select(
@@ -1275,7 +1291,7 @@ def llm_similarity_ann_multiprobe(spark, sf_dir):
         .withColumn(
             "bucket",
             F.expr(
-                "aggregate(transform(sequence(0, 7), p -> if("
+                f"aggregate(transform(sequence(0, {n_planes - 1}), p -> if("
                 + _DOT_S.format(a="element_at(planes, p + 1)", b="embedding")
                 + " > 0, shiftleft(1, p), 0)), 0, (s, x) -> s + x)"
             ),
@@ -1292,7 +1308,7 @@ def llm_similarity_ann_multiprobe(spark, sf_dir):
             F.explode(
                 F.expr(
                     "array(bucket, "
-                    + ", ".join(f"bucket ^ {1 << b}" for b in range(8))
+                    + ", ".join(f"bucket ^ {1 << b}" for b in range(n_planes))
                     + ")"
                 )
             ).alias("probe_bucket"),
