@@ -319,7 +319,7 @@ def llm_similarity_ann_lsh(spark, sf_dir):
         .withColumn(
             "bucket",
             F.expr(
-                f"aggregate(transform(sequence(0, {n_planes - 1}), p -> if("
+                "aggregate(transform(sequence(0, 7), p -> if("
                 + _DOT_S.format(a="element_at(planes, p + 1)", b="embedding")
                 + " > 0, shiftleft(1, p), 0)), 0, (s, x) -> s + x)"
             ),
