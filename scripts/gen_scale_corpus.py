@@ -339,6 +339,35 @@ def gen_relational(rng: np.random.Generator, s: int, out: str) -> None:
     )
 
 
+def gen_skewed_events(rng: np.random.Generator, n: int, out: str) -> None:
+    """events with a deliberately HOT key: user 0 owns 25% of all
+    rows, the rest spread uniformly over n/100 users — the hot-key
+    regime the fixtures (uniform keys) never produce, used by
+    scripts/skew_stress.py to measure shuffle-join skew mitigation
+    (plain vs AQE skew-join vs manual salt) on real data."""
+    hot = rng.random(n) < 0.25
+    users = rng.integers(1, max(2, n // 100), size=n)
+    users[hot] = 0
+    t0 = (
+        np.datetime64("2024-01-01T00:00:00") - np.datetime64("1970-01-01T00:00:00")
+    ).astype(np.int64) * 1_000_000
+    ts = np.sort(rng.integers(t0, t0 + 30 * US, size=n))
+    _write(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array(users, pa.int64()),
+                "event_type": pa.array(
+                    rng.choice(["click", "error", "purchase", "signup", "view"], size=n)
+                ),
+                "value": pa.array(np.round(rng.exponential(50.0, size=n), 2)),
+            }
+        ),
+        os.path.join(out, "events.parquet"),
+    )
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     args = [a for a in sys.argv[1:]]
@@ -354,7 +383,17 @@ def main() -> None:
     rel = "--rel" in args
     if rel:
         args.remove("--rel")
+    skew = "--skew" in args
+    if skew:
+        args.remove("--skew")
     out_root = args[0] if args else os.path.join(repo, ".scale")
+    if skew:
+        # standalone tier: 10M-row events with a hot key (25% on user
+        # 0) — consumed directly by scripts/skew_stress.py, no catalog
+        d = os.path.join(out_root, "skew")
+        os.makedirs(d, exist_ok=True)
+        gen_skewed_events(np.random.default_rng(44), 10_000_000, d)
+        print(f"skew: events=10000000 (hot user 0 = 25%) -> {d}")
     # fixture root is env-overridable so regeneration works on any
     # layout (round-7 review: the hardcoded absolute path broke links
     # elsewhere); these files are only symlink *targets*, never written.
