@@ -123,7 +123,10 @@ def stream_session_window(spark, sf_dir):
     scale, and byte-identical semantics to the oracle.  Spark's native
     session_window(ts, '30 minutes') produces the same sessions (same
     start/count set) and is what the streaming runner uses; the island
-    form is used here because session_window emits no ordinal id."""
+    form is used here because session_window emits no ordinal id.
+    Hot-key note: a user owning millions of events serializes this
+    plan's per-user sort into one task — :func:`sessionize_chunked`
+    is the measured two-phase mitigation (SCALING.md 'window skew')."""
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events")

@@ -420,7 +420,14 @@ def join_skew_salted(spark, sf_dir):
     salt is invisible in the result — the oracle is the plain join.
     AQE's skew-join split covers this automatically for shuffle joins;
     the explicit operator exists for engines-off scenarios and for
-    deliberate key+salt bucketing of persistent tables."""
+    deliberate key+salt bucketing of persistent tables.
+
+    Measured on real skew (round 8, scripts/skew_stress.py — one key
+    owning 25% of 10M rows): AQE skew-join cuts the hot task 2.4x and
+    wall 1.7x for zero code change, while this manual pattern halves
+    the hot task but pays dim-replication + bigger sorts, netting
+    slower at that scale — the mitigation of last resort, not the
+    default (SCALING.md 'hot-key skew')."""
     n_salts = 8
     c = table(spark, sf_dir, "customer").withColumn(
         "salt", F.pmod(F.col("c_custkey"), F.lit(n_salts))
