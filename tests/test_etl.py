@@ -8,14 +8,28 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from sparketl import registry
-from sparketl.tables import table
+from sparketl.tables import TABLE_NAMES, table
 
-from .conftest import SF_DIR
+from .conftest import SF_DIR, SF_SMOKE_DIR
+
+
+def _events_fixture_dir(d: str, events_df) -> str:
+    """Build a complete sf_dir in ``d``: the synthetic events table is
+    written for real, the other nine fixtures symlinked from sf0.001 so
+    ``load_tables``'s eager ten-table read succeeds."""
+    for name in TABLE_NAMES:
+        if name != "events":
+            os.symlink(
+                f"{SF_SMOKE_DIR}/{name}.parquet", os.path.join(d, f"{name}.parquet")
+            )
+    events_df.write.parquet(os.path.join(d, "events.parquet"))
+    return d
 
 
 def _plan(df, mode: str = "simple") -> str:
@@ -115,11 +129,10 @@ def test_scd2_tie_handling(spark):
     ]
     df = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
     df = df.withColumn("value", F.lit(0.0)).withColumn("props", F.lit("{}"))
-    import os
     import tempfile
 
     with tempfile.TemporaryDirectory() as d:
-        df.write.parquet(os.path.join(d, "events.parquet"))
+        _events_fixture_dir(d, df)
         out = {
             r["change_id"]: r.asDict()
             for r in registry.QUERIES["etl_scd2_dimension"](spark, d).collect()
@@ -138,7 +151,6 @@ def test_range_interval_brute_force(spark):
     """Interval RANGE frame vs a pure-Python recompute on a frame with
     deliberate ts ties — RANGE peers (tied timestamps) must all carry
     the full peer-group sum, which ROWS frames would get wrong."""
-    import os
     import tempfile
     from datetime import datetime, timedelta
 
@@ -160,7 +172,7 @@ def test_range_interval_brute_force(spark):
         )
     df = spark.createDataFrame(rows)
     with tempfile.TemporaryDirectory() as d:
-        df.write.parquet(os.path.join(d, "events.parquet"))
+        _events_fixture_dir(d, df)
         got = {
             (r["event_id"]): (r["sum_1h"], r["n_1h"])
             for r in registry.QUERIES["win_range_interval"](spark, d).collect()
