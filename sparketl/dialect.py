@@ -789,6 +789,13 @@ def _rewrite_match_recognize(masked: str) -> str:
         return masked
 
     pcols = [c.strip() for c in _split_args(part)]
+    # PARTITION BY entries must be bare column identifiers: the rewrite
+    # re-emits each as `__mr_s.<c> as <c>` and a join key, which is
+    # invalid SQL for an expression key like date_trunc('day', ts).
+    # Refuse (leave MATCH_RECOGNIZE untouched → loud Spark parse fail)
+    # rather than emit confusingly-broken generated text.
+    if any(not re.fullmatch(r"\w+", c) for c in pcols):
+        return masked
     out_part = ", ".join(f"__mr_s.{c} as {c}" for c in pcols)
     # null-safe equality: window functions put NULL partition keys in
     # ONE partition (Trino and Spark agree), so the start/end join
@@ -922,7 +929,10 @@ def translate(presto_sql: str) -> str:
     #   so portable pipelines must sort map_entries before rendering —
     #   exactly what the declared agg_map_agg face does.  Duplicate
     #   keys raise under Spark's default mapKeyDedupPolicy where
-    #   Presto keeps an arbitrary value — loud beats silent.
+    #   Presto keeps an arbitrary value — loud beats silent.  NULL
+    #   keys diverge the same way: Presto map_agg SKIPS NULL-key rows,
+    #   the Spark form raises NULL_MAP_KEY — also loud; callers who
+    #   need Presto skip semantics filter `k IS NOT NULL` first.
     masked = _rewrite_calls(
         masked, "map_agg",
         lambda a: f"map_from_entries(collect_list(struct({a[0]}, {a[1]})))"
@@ -992,5 +1002,20 @@ def translate(presto_sql: str) -> str:
 
 
 def sql(spark: SparkSession, presto_sql: str) -> DataFrame:
-    """Run Presto-dialect SQL against the current Spark catalog."""
+    """Run Presto-dialect SQL against the current Spark catalog.
+
+    Requires the default ``spark.sql.parser.escapedStringLiterals=false``:
+    ``_unmask``'s backslash doubling compensates for Spark's escaping
+    parser, so under Hive-compat raw literals it would CORRUPT every
+    backslash-bearing literal (``'\\d'`` → literal ``'\\\\d'``).  Checked
+    here, loudly, rather than silently mistranslating."""
+    if (
+        spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        == "true"
+    ):
+        raise ValueError(
+            "dialect.sql() requires spark.sql.parser.escapedStringLiterals="
+            "false (the Spark default): the translator doubles backslashes "
+            "to preserve Presto raw-literal bytes under the escaping parser"
+        )
     return spark.sql(translate(presto_sql))

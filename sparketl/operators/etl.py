@@ -28,7 +28,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from sparketl.registry import query
-from sparketl.sources.connectors import _scratch_dir
+from sparketl.sources.connectors import _partition_overwrite_dynamic, _scratch_dir
 from sparketl.tables import table
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
@@ -88,10 +88,13 @@ def sink_merge_upsert(spark, sf_dir):
     partition "affected" at sf0.1 — at production granularity
     (e.g. daily date partitions × bounded-key feeds) pruning bites;
     the plan, not the fixture, is the claim."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     orders = table(spark, sf_dir, "orders")
     path = _scratch_dir(sf_dir, "merge_target")
     key = F.col("o_orderkey")
+    # Snapshot write stays under the static (session-default) mode so it
+    # truly truncates a stale scratch dir; only the merge rewrite below
+    # needs dynamic overwrite, scoped so the setting can't leak into
+    # later partitioned overwrites in a shared session.
     (
         orders.where(F.col("o_orderstatus") == "F")
         .write.mode("overwrite")
@@ -118,7 +121,10 @@ def sink_merge_upsert(spark, sf_dir):
         .unionByName(ins.select(*target.columns))
         .localCheckpoint(eager=True)
     )
-    rewrite.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    with _partition_overwrite_dynamic(spark):
+        rewrite.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+            path
+        )
     merged = spark.read.parquet(path)
     return merged.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_rows"),

@@ -803,6 +803,10 @@ def test_match_recognize_refuses_nonconforming():
         _MR_OK.replace("define A", "all rows per match define A"),
         _MR_OK.replace("pattern (A B* C)",
                        "after match skip to next row pattern (A B* C)"),
+        # expression PARTITION BY key: the rewrite would emit invalid
+        # `__mr_s.date_trunc(...) as date_trunc(...)` — must refuse
+        _MR_OK.replace("partition by user_id",
+                       "partition by date_trunc('day', ts)"),
     ):
         assert "match_recognize" in translate(bad).lower(), bad
 
@@ -837,3 +841,19 @@ def test_exec_right_shift_negative_matches_presto(spark):
 
 def test_match_recognize_join_is_null_safe():
     assert "<=>" in translate(_MR_OK)
+
+
+def test_sql_requires_default_escaped_string_literals(spark):
+    # _unmask doubles backslashes assuming Spark's escaping parser;
+    # under Hive-compat raw literals the doubling would CORRUPT every
+    # backslash-bearing literal — the front door must refuse loudly.
+    key = "spark.sql.parser.escapedStringLiterals"
+    prev = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        with pytest.raises(ValueError, match="escapedStringLiterals"):
+            presto_sql(spark, "select 1 as v")
+    finally:
+        spark.conf.set(key, prev)
+    # and with the default restored the same statement runs
+    assert presto_sql(spark, "select 1 as v").collect()[0].v == 1

@@ -89,6 +89,18 @@ def test_merge_upsert_row_semantics(spark):
     assert untouched.count() == src_untouched.count()
 
 
+def test_merge_upsert_does_not_leak_overwrite_mode(spark):
+    """partitionOverwriteMode=dynamic must be scoped to the merge
+    rewrite write — leaking it session-wide would silently change
+    every later partitioned mode('overwrite') sink's semantics
+    (a stale partition absent from new data would survive)."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    assert prev.lower() == "static"
+    registry.QUERIES["sink_merge_upsert"](spark, SF_DIR).collect()
+    assert spark.conf.get(key, "static").lower() == "static"
+
+
 def test_merge_upsert_broadcasts_change_feed(spark):
     """The docstring's scale claim: both the affected-partition semi-
     join and the rewrite anti-join broadcast the change-feed side —
