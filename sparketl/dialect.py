@@ -674,7 +674,29 @@ def _rewrite_subscripts(masked: str) -> str:
 _MR_HEAD = re.compile(
     r"\bfrom\s+([A-Za-z_][\w.]*)\s+match_recognize\s*\(", re.IGNORECASE
 )
-_MR_PATTERN = re.compile(r"^\(\s*(\w+)\s+(?:(\w+)\s*([*+])\s+)?(\w+)\s*\)$")
+_MR_PATTERN = re.compile(
+    r"^\(\s*(\w+)"  # start variable
+    # middle: bare var or parenthesized alternation (B|C|...)
+    r"(?:\s+(\w+|\(\s*\w+(?:\s*\|\s*\w+)+\s*\))"
+    # quantifier: * + {m} {m,} {m,n}
+    r"\s*([*+]|\{\s*\d+\s*(?:,\s*\d*\s*)?\}))?"
+    r"\s+(\w+)\s*\)$"
+)
+
+
+def _mr_quant_bounds(quant: str) -> tuple[int, int | None]:
+    """Interior-row-count bounds (lo, hi) for a middle quantifier:
+    ``*`` → (0, None), ``+`` → (1, None), ``{m}`` → (m, m),
+    ``{m,}`` → (m, None), ``{m,n}`` → (m, n)."""
+    if quant == "*":
+        return 0, None
+    if quant == "+":
+        return 1, None
+    body = quant.strip()[1:-1].replace(" ", "")
+    if "," not in body:
+        return int(body), int(body)
+    lo, hi = body.split(",", 1)
+    return int(lo), (int(hi) if hi else None)
 _MR_FORBIDDEN = re.compile(
     r"\b(classifier|match_number|first|last|prev|next|final|running)\s*\(",
     re.IGNORECASE,
@@ -688,34 +710,46 @@ def _rewrite_match_recognize(masked: str) -> str:
           PARTITION BY p [, ...]  ORDER BY o [, ...]
           MEASURES <expr over A./C. columns> AS alias [, ...]
           [ONE ROW PER MATCH]  [AFTER MATCH SKIP PAST LAST ROW]
-          PATTERN (A B* C)   -- also (A B+ C) and the 2-var (A C)
-          DEFINE A AS pred, B AS pred, C AS pred )
+          PATTERN (A M C)    -- M = B* | B+ | B{m} | B{m,} | B{m,n}
+                             --   | (B1|B2|...) with the same
+                             --   quantifiers, or absent (A C)
+          DEFINE A AS pred, B.. AS pred, C AS pred )
 
     → windowed Spark SQL.  Why this is sound (and why ONLY these
-    shapes): with MUTUALLY EXCLUSIVE row-local defines and the A B* C
-    pattern, greedy matching with SKIP PAST LAST ROW reduces to
-    "A-rows whose next non-B row is C" — a candidate start inside an
-    accepted match would carry the B or C symbol, never A, so
-    non-overlap is automatic and the whole construct becomes two
-    window functions plus an equi self-join on (partition, row
-    number).  B+ adds only a >= 1 interior-row predicate; with no B
-    variable (A C) "next non-B" degenerates to row adjacency — the
-    same machinery, same proof.  The declared query
-    ``row_pattern_funnel`` is this rewrite's output shape,
-    oracle-verified against DuckDB, and
-    tests/test_property_match_recognize.py differential-tests all
-    three quantifier shapes against Python's regex engine on
-    hypothesis-generated sequences.
+    shapes): with MUTUALLY EXCLUSIVE row-local defines, DISTINCT
+    pattern variables, and a start / middle-set / end pattern, greedy
+    matching with SKIP PAST LAST ROW reduces to "start-rows whose
+    next non-middle row is the end symbol" — a candidate start inside
+    an accepted match would carry a middle or end symbol, never the
+    start symbol, so non-overlap is automatic and the whole construct
+    becomes two window functions plus an equi self-join on
+    (partition, row number).  Quantifiers add only a predicate on the
+    interior-row count (rank span - 1): ``+`` → >=1, ``{m,n}`` →
+    BETWEEN — a middle run longer than n cannot match a shorter
+    prefix either, because the row after n middles still carries a
+    middle symbol, so the next-non-middle row remains the only
+    candidate end.  Alternation ``(B1|B2)*`` changes only the symbol
+    classification and the not-in set: which middle symbol each
+    interior row carries is irrelevant to the machinery.  With no
+    middle variable (A C), "next non-middle" degenerates to row
+    adjacency — same proof.  The declared queries
+    ``row_pattern_funnel`` (B*) and ``row_pattern_funnel_alt``
+    (alternation) are this rewrite's output shape, oracle-verified
+    against DuckDB, and tests/test_property_match_recognize.py
+    differential-tests every accepted quantifier/alternation shape
+    against Python's regex engine on hypothesis-generated sequences.
 
-    REQUIREMENT the rewrite cannot check: the three DEFINE predicates
-    must be mutually exclusive per row (symbol classification is
+    REQUIREMENT the rewrite cannot check: the DEFINE predicates must
+    be mutually exclusive per row (symbol classification is
     positional in full MATCH_RECOGNIZE; overlapping defines would
     need a sequential matcher).  Everything else non-conforming —
-    subquery base, other patterns (A+, alternation, anchors),
-    ALL ROWS PER MATCH, other AFTER MATCH modes, navigation/
-    CLASSIFIER in measures or defines, references to the middle
-    variable — is left untouched so Spark fails loudly on the
-    MATCH_RECOGNIZE keyword rather than silently mis-matching."""
+    subquery base, repeated variables (A B* A would silently empty,
+    so it refuses), expression PARTITION BY keys, other patterns
+    (A+, anchors, nested groups), ALL ROWS PER MATCH, other AFTER
+    MATCH modes, navigation/CLASSIFIER in measures or defines,
+    references to middle variables in measures — is left untouched so
+    Spark fails loudly on the MATCH_RECOGNIZE keyword rather than
+    silently mis-matching."""
     m = _MR_HEAD.search(masked)
     if not m:
         return masked
@@ -755,6 +789,22 @@ def _rewrite_match_recognize(masked: str) -> str:
     if not pm:
         return masked
     va, vb, quant, vc = pm.groups()
+    if vb is None:
+        middles: list[str] = []
+    elif vb.startswith("("):
+        middles = [v.strip() for v in vb.strip()[1:-1].split("|")]
+    else:
+        middles = [vb]
+    names = [va, *middles, vc]
+    # Distinct pattern variables REQUIRED: with va == vc (A B* A) the
+    # first-match case classification would never emit the end symbol
+    # and the rewrite would silently return empty where Trino matches.
+    # Refuse → loud Spark parse failure instead (round-9 fix).
+    if len(set(names)) != len(names):
+        return masked
+    lo, hi = _mr_quant_bounds(quant) if quant else (0, 0)
+    if hi is not None and hi < lo:  # degenerate {m,n} with n<m: refuse
+        return masked
 
     preds: dict[str, str] = {}
     for d in _split_args(defs):
@@ -762,7 +812,7 @@ def _rewrite_match_recognize(masked: str) -> str:
         if not dm:
             return masked
         preds[dm.group(1)] = dm.group(2).strip()
-    if set(preds) != ({va, vb, vc} if vb else {va, vc}):
+    if set(preds) != set(names):
         return masked
 
     measures = []
@@ -778,8 +828,8 @@ def _rewrite_match_recognize(masked: str) -> str:
                 f"cast(__mr_e.__mr_rn - __mr_s.__mr_rn + 1 as bigint) as {alias}"
             )
             continue
-        if _MR_FORBIDDEN.search(expr) or (
-            vb and re.search(rf"\b{vb}\s*\.", expr, re.IGNORECASE)
+        if _MR_FORBIDDEN.search(expr) or any(
+            re.search(rf"\b{mv}\s*\.", expr, re.IGNORECASE) for mv in middles
         ):
             return masked
         expr = re.sub(rf"\b{va}\s*\.", "__mr_s.", expr, flags=re.IGNORECASE)
@@ -801,26 +851,46 @@ def _rewrite_match_recognize(masked: str) -> str:
     # ONE partition (Trino and Spark agree), so the start/end join
     # must not drop those matches — plain = would (round-8 review)
     join_part = " and ".join(f"__mr_s.{c} <=> __mr_e.{c}" for c in pcols)
+    # symbol = the pattern variable's own name; '.' sentinel can't
+    # collide (variables are \w+)
+    sym_case = f"case when ({preds[va]}) then '{va}'"
+    for mv in middles:
+        sym_case += f" when ({preds[mv]}) then '{mv}'"
+    sym_case += f" when ({preds[vc]}) then '{vc}' else '.' end"
+    if middles:
+        mid_set = ", ".join(f"'{mv}'" for mv in middles)
+        not_middle = f"__mr_sym not in ({mid_set})"
+    else:
+        # no middle variable (pattern A C): the first non-middle row IS
+        # the next row, so the machinery matches adjacency unchanged
+        not_middle = "true"
+    # interior rows (all middle-symbol by construction) = rank span - 1;
+    # the quantifier bounds that count: B* >=0, B+ >=1, B{m[,n]} exact/
+    # range.  A middle run longer than `hi` cannot match a SHORTER
+    # prefix either — the row after `hi` middles would still carry a
+    # middle symbol, never the end symbol — so the next-non-middle row
+    # remains the ONLY candidate end and the bound is a pure predicate.
+    interior = "__mr_e.__mr_rn - __mr_s.__mr_rn - 1"
+    bound = ""
+    if lo > 0:
+        bound += f" and {interior} >= {lo}"
+    if hi is not None and middles:
+        bound += f" and {interior} <= {hi}"
     repl = (
         "(with __mr_syms as ("
-        f" select *, case when ({preds[va]}) then 'A'"
-        + (f" when ({preds[vb]}) then 'B'" if vb else "")
-        + f" when ({preds[vc]}) then 'C' else '.' end as __mr_sym,"
+        f" select *, {sym_case} as __mr_sym,"
         f" row_number() over (partition by {part} order by {order}) as __mr_rn"
         f" from {base}"
         "), __mr_nn as ("
-        " select *, min(case when __mr_sym <> 'B' then __mr_rn end)"
+        f" select *, min(case when {not_middle} then __mr_rn end)"
         f" over (partition by {part} order by __mr_rn"
         " rows between 1 following and unbounded following) as __mr_nnrn"
         " from __mr_syms)"
         f" select {out_part}, {', '.join(measures)}"
         " from __mr_nn __mr_s join __mr_nn __mr_e"
         f" on {join_part} and __mr_e.__mr_rn = __mr_s.__mr_nnrn"
-        " where __mr_s.__mr_sym = 'A' and __mr_e.__mr_sym = 'C'"
-        # B+ differs from B* only by requiring >= 1 interior row; with
-        # no B variable (pattern A C) the first non-B row IS the next
-        # row, so the same machinery matches adjacency unchanged
-        + (" and __mr_e.__mr_rn > __mr_s.__mr_rn + 1" if quant == "+" else "")
+        f" where __mr_s.__mr_sym = '{va}' and __mr_e.__mr_sym = '{vc}'"
+        + bound
         + ")"
     )
     return masked[: m.start()] + "from " + repl + masked[cp + 1 :]

@@ -57,3 +57,44 @@ def test_stale_tag_trips_back_to_weak():
 def test_tag_registry_shape():
     for name, (tag, rec_s, rationale) in perf_audit.TAGS.items():
         assert tag and rec_s > 0 and len(rationale) > 10, name
+
+
+def test_input_gaps_flag_registry_artifact_drift():
+    # a declared query absent from bench, and an oracle-graded query
+    # whose baseline referent is missing/null, must both be reported
+    # (VERDICT r8 What's-missing #2: silently-unaudited queries)
+    declared = {"a", "b", "c", "rows_only"}
+    oracled = {"a", "b", "c"}
+    bench = {"a": 1.0, "b": 1.0, "rows_only": 0.2}  # c missing
+    base = {"a": 0.5, "b": None, "rows_only": None}  # b null, c absent
+    bench_gap, base_gap = perf_audit.input_gaps(declared, oracled, bench, base)
+    assert bench_gap == ["c"]
+    assert base_gap == ["b", "c"]
+
+
+def test_input_gaps_rows_only_exempt_from_baseline_only():
+    declared = {"rows_only"}
+    bench_gap, base_gap = perf_audit.input_gaps(declared, set(), {}, {})
+    assert bench_gap == ["rows_only"]  # still must be benched
+    assert base_gap == []  # but needs no referent
+
+
+def test_live_artifacts_cover_live_registry():
+    # HEAD-state gate: the committed artifacts must cover every
+    # declared query so the audit never silently skips one.
+    import json
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from sparketl import registry
+
+    registry.load_all_modules()
+    with open(os.path.join(repo, "BENCH_SEQ.json")) as f:
+        bench = json.load(f)["queries"]
+    with open(os.path.join(repo, "BASELINE_PERQUERY.json")) as f:
+        base = json.load(f)["queries"]
+    bench_gap, base_gap = perf_audit.input_gaps(
+        set(registry.QUERIES), set(registry.ORACLES), bench, base
+    )
+    assert bench_gap == [] and base_gap == [], (bench_gap, base_gap)

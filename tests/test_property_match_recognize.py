@@ -41,17 +41,26 @@ def _mr_sql(pattern: str, defines: str) -> str:
 
 
 _THREE_VAR = "V as sym = 'V', B as sym = 'B', P as sym = 'P'"
-#: (MR pattern, regex model, DEFINE clause) — the three supported
-#: quantifier shapes
+_FOUR_VAR = "V as sym = 'V', B as sym = 'B', C as sym = 'C', P as sym = 'P'"
+#: (MR pattern, regex model, DEFINE clause) — every accepted
+#: quantifier/alternation shape (round 9 widened the middle to
+#: alternation and bounded quantifiers)
 SHAPES = [
     ("V B* P", "VB*P", _THREE_VAR),
     ("V B+ P", "VB+P", _THREE_VAR),
     ("V P", "VP", "V as sym = 'V', P as sym = 'P'"),
+    ("V (B|C)* P", "V[BC]*P", _FOUR_VAR),
+    ("V (B|C)+ P", "V[BC]+P", _FOUR_VAR),
+    ("V B{2,4} P", "VB{2,4}P", _THREE_VAR),
+    ("V B{2} P", "VB{2}P", _THREE_VAR),
+    ("V B{1,} P", "VB{1,}P", _THREE_VAR),
+    ("V (B|C){1,3} P", "V[BC]{1,3}P", _FOUR_VAR),
 ]
 
-# 'X' is a no-match symbol ('.'-classified); sequences mix all four
+# 'X' is a no-match symbol ('.'-classified); 'C' is '.'-classified
+# too under the three-var defines, an alternation symbol under four
 seqs = st.lists(
-    st.lists(st.sampled_from("VBPX"), min_size=0, max_size=30),
+    st.lists(st.sampled_from("VBPXC"), min_size=0, max_size=30),
     min_size=1,
     max_size=4,
 )
