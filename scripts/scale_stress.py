@@ -96,6 +96,12 @@ RELATIONAL = [
     "stream_stateful_sessions",
     "funnel_conversion",
     "retention_cohort",
+    # round 9 (VERDICT r8 #6): grouping-sets, a set-op, and the two
+    # newest window/ETL shapes join the measured lane
+    "agg_grouping_sets",
+    "set_except_all",
+    "win_range_interval",
+    "etl_scd2_dimension",
 ]
 
 #: relational third decade (``--rel --x100``): the sub-lane run over

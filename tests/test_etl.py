@@ -199,3 +199,81 @@ def test_range_interval_brute_force(spark):
         assert got[eid] == (want_sum, want_n), (eid, got[eid], want_sum, want_n)
     # the tie pair (events 1 and 2) must have IDENTICAL frames
     assert got[1] == got[2]
+
+
+def _table_state(spark, path):
+    return sorted(
+        tuple(r) for r in spark.read.parquet(path).collect()
+    )
+
+
+def test_merge_apply_idempotent_fixed_point(spark, tmp_path):
+    """Applying the SAME change feed twice must be a fixed point —
+    the nightly rerun after a half-failed orchestration.  The feed is
+    pinned (localCheckpoint) before the first apply so both applies
+    carry identical absolute values."""
+    from sparketl.operators.etl import build_merge_feed, merge_apply
+
+    orders = table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "merge_target")
+    (
+        orders.where(F.col("o_orderstatus") == "F")
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(path)
+    )
+    target = spark.read.parquet(path)
+    n_snapshot = target.count()  # before the files are rewritten
+    feed = build_merge_feed(target, orders).localCheckpoint(eager=True)
+
+    merge_apply(spark, path, feed, "o_orderkey", "o_orderpriority")
+    s1 = _table_state(spark, path)
+    merge_apply(spark, path, feed, "o_orderkey", "o_orderpriority")
+    s2 = _table_state(spark, path)
+    assert s1 == s2
+    # and the state is genuinely merged, not the original snapshot
+    assert len(s1) != n_snapshot
+
+
+def test_merge_apply_second_batch_applies_on_top(spark, tmp_path):
+    """A second, DIFFERENT feed batch applies incrementally: batch-2
+    ops land on the batch-1 result (update of an inserted row, delete
+    of an updated row), proving per-batch semantics compose."""
+    from sparketl.operators.etl import merge_apply
+
+    rows = [
+        (1, "F", 10.0, "1-URGENT"),
+        (2, "F", 20.0, "1-URGENT"),
+        (3, "F", 30.0, "2-HIGH"),
+    ]
+    schema = "o_orderkey long, o_orderstatus string, o_totalprice double, o_orderpriority string"
+    path = str(tmp_path / "t")
+    spark.createDataFrame(rows, schema).write.partitionBy(
+        "o_orderpriority"
+    ).parquet(path)
+
+    feed1 = spark.createDataFrame(
+        [
+            (2, "F", 99.0, "1-URGENT", "U"),  # reprice 2
+            (4, "O", 40.0, "3-MEDIUM", "I"),  # insert 4
+        ],
+        schema + ", __op string",
+    )
+    merge_apply(spark, path, feed1, "o_orderkey", "o_orderpriority")
+    feed2 = spark.createDataFrame(
+        [
+            (2, "F", 0.0, "1-URGENT", "D"),   # delete the repriced row
+            (4, "O", 44.0, "3-MEDIUM", "U"),  # reprice the inserted row
+        ],
+        schema + ", __op string",
+    )
+    merge_apply(spark, path, feed2, "o_orderkey", "o_orderpriority")
+    got = {
+        r.o_orderkey: (r.o_totalprice, r.o_orderpriority)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        1: (10.0, "1-URGENT"),
+        3: (30.0, "2-HIGH"),
+        4: (44.0, "3-MEDIUM"),
+    }

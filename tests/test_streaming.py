@@ -720,3 +720,88 @@ def test_quality_gate_stream_matches_batch(spark, tmp_path):
     assert got == want and len(want) > 0
     # the gate dropped the negative-score docs (non-vacuous filter)
     assert len(out) < len(src)
+
+
+def test_bounded_dedup_stream_state_plateaus_under_watermark(spark, tmp_path):
+    """incremental_dedup_stream_bounded (round 9): three live
+    micro-batches — batch 1 redelivers a slice of batch 0 (must be
+    dropped: its keys are still inside the watermark window), batch 2
+    arrives 2h later so the event-time watermark passes batch 0's
+    ingest_ts + delay and Spark EVICTS those keys.  Asserts BOTH the
+    exactly-once output and the state-row PLATEAU: total state after
+    batch 2 is ~batch-1+batch-2 keys, strictly below the all-arrived-
+    identities count the unbounded twin would hold."""
+    import json as _json
+    import time as _time
+    import uuid as _uuid
+
+    import pandas as pd
+
+    from sparketl.streaming.runner import incremental_dedup_stream_bounded
+
+    t0 = pd.Timestamp("2024-03-01 00:00:00")
+    n = 20
+
+    def mk(ids, ts):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "text": [f"bounded dedup doc {i}" for i in ids],
+                "lang": ["en"] * len(ids),
+                # [us] precision: Spark reads parquet timestamp_ns as
+                # bigint, not TIMESTAMP
+                "ingest_ts": pd.Series([ts] * len(ids)).astype("datetime64[us]"),
+            }
+        )
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    now = _time.time()
+    b0 = mk(range(n), t0)
+    # batch 1: n fresh docs + a redelivery of 5 batch-0 docs (same
+    # doc_id AND same text => same dedup key, later ingest_ts)
+    b1 = pd.concat([mk(range(n, 2 * n), t0 + pd.Timedelta("2h")),
+                    mk(range(5), t0 + pd.Timedelta("2h"))])
+    b2 = mk([9999], t0 + pd.Timedelta("4h"))
+    for i, b in enumerate((b0, b1, b2)):
+        p = d / f"{i:03d}.parquet"
+        b.to_parquet(p, index=False)
+        os.utime(p, (now - 300 + i * 100, now - 300 + i * 100))
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    standing = spark.createDataFrame(
+        [(10**9, "standing corpus text", "en")], "doc_id long, text string, lang string"
+    )
+    name = f"bounded_{_uuid.uuid4().hex[:8]}"
+    q = (
+        incremental_dedup_stream_bounded(stream, standing, delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).collect()
+
+    # exactly-once: the 5 redelivered docs appear once; 2n+1 rows total
+    ids = sorted(r.doc_id for r in out)
+    assert ids == sorted(list(range(2 * n)) + [9999])
+
+    # state plateau: the dedup operator's total state rows at the last
+    # trigger must be far below all-arrived identities (2n+1) — batch-0
+    # keys were evicted when the watermark passed t0 + delay
+    totals = []
+    for p in q.recentProgress:
+        prog = _json.loads(p.json) if hasattr(p, "json") else p
+        for op in prog.get("stateOperators", []):
+            if "dedupe" in op.get("operatorName", "").lower():
+                totals.append(op["numRowsTotal"])
+    assert totals, "no dedupe state operator in progress"
+    assert max(totals[:2]) >= n  # state grew while inside the window
+    assert totals[-1] <= n + 2, totals  # batch-0 keys evicted
