@@ -108,6 +108,9 @@ bit_count(x, 64)             bit_count(cast(x as bigint))  (Presto
 is_nan(x)                    isnan(x)
 infinity()                   cast('Infinity' as double)
 nan()                        cast('NaN' as double)
+codepoint(c)                 ascii(c)                   (Spark takes the
+                                                         FIRST char of any
+                                                         string — superset)
 "ident"                      `ident`                    (Spark double-quote
                                                          is a string literal)
 varchar (bare, in casts)     string                     (Spark VARCHAR needs
@@ -183,6 +186,10 @@ _SIMPLE_FN: dict[str, str] = {
     "week_of_year": "weekofyear",
     "week": "weekofyear",
     "set_agg": "collect_set",
+    # Presto codepoint(c) requires EXACTLY one char and returns its
+    # code point; Spark ascii(s) takes the FIRST char of any string —
+    # a superset that agrees on every input Presto accepts
+    "codepoint": "ascii",
 }
 
 #: zero-argument constant functions

@@ -332,6 +332,231 @@ PRESTO_FACES: dict[str, str] = {
         from part
         where p_partkey <= 500
     """,
+    # ================= round 9 (VERDICT r8 #7): 25 -> 43 faces =======
+    # ---- TRY / CAST (§2.9 #13-14) -----------------------------------
+    "try_expr": """
+        select l_orderkey, l_linenumber,
+               round(try(l_extendedprice / l_discount), 6) as price_per_disc,
+               try(l_tax + 1) as tax1
+        from lineitem
+        where l_orderkey < 300
+    """,
+    # Presto cast(double as integer) ROUNDS half-even where Spark/ANSI
+    # truncates toward zero — this face runs on Spark so it matches the
+    # E1 face; a real Presto cluster diverges on the .5+ fraction
+    # (documented §2.9; the declared query's oracle pins truncation)
+    "cast_try_cast": """
+        select p_partkey,
+               cast(p_size as bigint) as size_l,
+               cast(p_size as varchar) as size_s,
+               cast(p_retailprice as integer) as price_i,
+               try_cast(p_brand as integer) as brand_i,
+               try_cast(substr(p_brand, 7) as integer) as brand_num
+        from part
+        where p_partkey < 500
+    """,
+    # ---- approx family (§2.9 #40) -----------------------------------
+    "approx_count_distinct": """
+        select count(distinct l_partkey) as exact_nd,
+               abs(approx_distinct(l_partkey) - count(distinct l_partkey))
+                   <= 0.05 * count(distinct l_partkey) as hll_within_5pct
+        from lineitem
+    """,
+    # Presto's approx_set/merge/cardinality HLL workflow has no
+    # string-rewritable Spark twin (cardinality is array-length here),
+    # so the face states the same contract via approx_distinct per
+    # segment + globally; exact columns match bit-for-bit, the ±5%
+    # booleans are true under both engines' sketches
+    "approx_hll_sketch_merge": """
+        with seg as (
+            select l_returnflag,
+                   count(distinct l_partkey) as seg_exact,
+                   approx_distinct(l_partkey) as seg_est
+            from lineitem
+            group by l_returnflag
+        ),
+        tot as (
+            select count(distinct l_partkey) as union_exact,
+                   approx_distinct(l_partkey) as union_est
+            from lineitem
+        )
+        select s.l_returnflag, s.seg_exact, t.union_exact,
+               abs(s.seg_est - s.seg_exact) <= 0.05 * s.seg_exact
+                   as seg_within_5pct,
+               abs(t.union_est - t.union_exact) <= 0.05 * t.union_exact
+                   as union_within_5pct
+        from seg s cross join tot t
+    """,
+    # ---- second MATCH_RECOGNIZE variant: alternation middle ---------
+    # (reversed (E|B) vs the declared query's (B|E) — same matches,
+    # different text through the widened round-9 rewrite)
+    "row_pattern_funnel_alt": """
+        select user_id, start_event_id, end_event_id, n_rows
+        from events match_recognize (
+            partition by user_id
+            order by ts asc, event_id asc
+            measures V.event_id as start_event_id,
+                     P.event_id as end_event_id,
+                     count(*) as n_rows
+            one row per match
+            after match skip past last row
+            pattern (V (E|B)* P)
+            define V as event_type = 'view',
+                   E as event_type = 'error',
+                   B as event_type = 'click',
+                   P as event_type = 'purchase'
+        )
+    """,
+    # ---- maps (§2.9 #117-122) ---------------------------------------
+    "map_build_access": f"""
+        select doc_id,
+               array_join(array_sort(map_keys({_M})), ',')   as keys_sorted,
+               array_join(array_sort(map_values({_M})), ',') as vals_sorted,
+               element_at({_M}, 'n_chars')                   as chars_val,
+               element_at({_M}, 'missing')                   as missing_val
+        from documents
+        where doc_id < 150
+    """,
+    "map_transform_filter": f"""
+        select doc_id,
+               array_join(array_sort(transform(
+                   map_entries(transform_values({_M}, (k, v) -> v * 2)),
+                   e -> e.key || '=' || cast(e.value as varchar))), ',')
+                   as doubled,
+               array_join(array_sort(transform(
+                   map_entries(map_filter({_M}, (k, v) -> v > 200)),
+                   e -> e.key || '=' || cast(e.value as varchar))), ',')
+                   as big_entries,
+               array_join(array_sort(map_keys(map_concat({_M},
+                   MAP(ARRAY['extra'], ARRAY[cast(1 as bigint)])))), ',')
+                   as all_keys
+        from documents
+        where doc_id < 120
+    """,
+    # ---- predicates / conditionals (§2.9 #11-12) --------------------
+    "pred_null_safe": """
+        select s_suppkey,
+               nullif(s_acctbal, 0) is null as bal_zero_or_null,
+               nullif(s_name, s_name) is not distinct from
+                   nullif(upper(s_name), upper(s_name)) as nullsafe_eq,
+               coalesce(nullif(s_nationkey, 0), -1) as natkey_or_default
+        from supplier
+    """,
+    "cond_case_coalesce": """
+        select o_orderkey,
+               case when o_totalprice > 150000 then 'large'
+                    when o_totalprice > 50000 then 'medium'
+                    else 'small' end as bucket,
+               if(o_orderstatus = 'O', 'open', 'settled') as state,
+               coalesce(nullif(o_orderpriority, '5-LOW'), 'LOW') as prio
+        from orders
+        where o_orderkey < 1000
+    """,
+    # ---- strings (§2.9 #61-77) --------------------------------------
+    # ANSI trim(leading/trailing x from s) — the one spelling Presto
+    # and Spark share (bare 2-arg ltrim/rtrim have REVERSED argument
+    # order between the engines: a silent-corruption trap)
+    "str_basic": """
+        select p_partkey,
+               p_brand || ' ' || p_name        as brand_name,
+               length(p_name)                  as name_len,
+               upper(p_name)                   as name_up,
+               lower(p_type)                   as type_lo,
+               substr(p_name, 1, 4)            as name_head,
+               substr(p_name, 3)               as name_tail,
+               trim(' ' || p_name || '  ')     as name_trim,
+               trim(leading 'x' from 'xx' || p_name)  as name_ltrim,
+               trim(trailing 'y' from p_name || 'yy') as name_rtrim,
+               replace(p_name, ' ', '_')       as name_us,
+               reverse(p_brand)                as brand_rev,
+               lpad(cast(p_size as varchar), 4, '0') as size_pad,
+               rpad(p_brand, 12, '.')          as brand_pad,
+               repeat(p_brand, 2)              as brand_twice
+        from part
+        where p_partkey < 400
+    """,
+    "str_codepoints": """
+        select r_regionkey,
+               codepoint(substr(r_name, 1, 1))          as first_cp,
+               chr(codepoint(substr(r_name, 1, 1)) + 1) as next_chr,
+               translate(r_name, 'AEI', 'aei')          as translated
+        from region
+    """,
+    # ---- datetimes (§2.9 #83-85, #88) -------------------------------
+    "dt_unixtime": """
+        select o_orderkey,
+               cast(to_unixtime(cast(o_orderdate as timestamp)) as bigint)
+                   as epoch_sec,
+               format_datetime(from_unixtime(
+                   to_unixtime(cast(o_orderdate as timestamp)) + 43200),
+                   'yyyy-MM-dd HH:mm:ss') as noon_after
+        from orders
+        where o_orderkey < 800
+    """,
+    "dt_parse_format": """
+        select o_orderkey,
+               format_datetime(o_orderdate, 'yyyy/MM')  as ym,
+               format_datetime(o_orderdate, 'yyyy-MM-dd HH:mm:ss') as full_str,
+               format_datetime(parse_datetime(
+                   format_datetime(o_orderdate, 'dd|MM|yyyy'), 'dd|MM|yyyy'),
+                   'yyyy-MM-dd') as roundtrip_date,
+               format_datetime(cast('1997-06-15' as timestamp), 'yyyy-MM-dd')
+                   as fixed_date
+        from orders
+        where o_orderkey < 600
+    """,
+    # ---- math (§2.9 #89-98) -----------------------------------------
+    "math_exp_log": """
+        select p_partkey,
+               round(power(p_size, 2), 6)        as size_sq,
+               round(sqrt(p_retailprice), 6)     as price_sqrt,
+               round(cbrt(p_retailprice), 6)     as price_cbrt,
+               round(exp(p_size / 100.0), 6)     as size_exp,
+               round(ln(p_retailprice), 6)       as price_ln,
+               round(log2(p_retailprice), 6)     as price_log2,
+               round(log10(p_retailprice), 6)    as price_log10,
+               round(log(2, p_size), 6)          as size_log2
+        from part
+        where p_partkey < 600 and p_size > 0
+    """,
+    "math_trig": """
+        select s_suppkey,
+               round(sin(s_acctbal / 1000), 6)            as sin_v,
+               round(cos(s_acctbal / 1000), 6)            as cos_v,
+               round(tan(s_nationkey / 10.0), 6)          as tan_v,
+               round(asin(s_nationkey / 100.0), 6)        as asin_v,
+               round(acos(s_nationkey / 100.0), 6)        as acos_v,
+               round(atan(s_acctbal / 1000), 6)           as atan_v,
+               round(atan2(s_acctbal, 1000.0), 6)         as atan2_v
+        from supplier
+    """,
+    "math_nan_inf": """
+        select r_regionkey,
+               is_nan(nan())                         as is_nan_true,
+               is_nan(cast(r_regionkey as double))   as is_nan_false,
+               infinity() > 1e308                    as inf_big,
+               -infinity() < -1e308                  as neg_inf_small
+        from region
+    """,
+    "math_mod_sign": """
+        select o_orderkey,
+               mod(o_orderkey, 7)                      as mod7,
+               mod(o_orderkey - 100000, 13)            as mod13_shifted,
+               cast(sign(o_totalprice - 200000) as integer) as price_sign,
+               greatest(o_totalprice, 150000.0)        as at_least_150k,
+               least(cast(o_orderkey as double), 500.0) as at_most_500
+        from orders
+        where o_orderkey < 1000
+    """,
+    # ---- UNNEST WITH ORDINALITY (§2.9 #111/#116) --------------------
+    # the genuine Presto idiom for positional explode; the E1 face
+    # builds the same rows via arrays_zip(sequence, words)
+    "arr_zip_pairs": """
+        select p_partkey, cast(pos as integer) as pos, word
+        from part
+        cross join unnest(split(p_name, ' ')) with ordinality as t(word, pos)
+        where p_partkey <= 200
+    """,
 }
 
 #: non-default compare modes (see module docstring).
