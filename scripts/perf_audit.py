@@ -80,6 +80,12 @@ TAGS: dict[str, tuple[str, float, str]] = {
         "portable-hash", 1.10, "engine-portable md5 row digest: JVM md5+UTF8 "
         "formatting vs DuckDB C md5 on a map-side-combinable fold; "
         "repartition fix already took 2.4s->1.1s (r7)"),
+    "etl_scd2_dimension": (
+        "result-volume", 1.11, "full dimension-history dump: 80k-row "
+        "collect dominates the wall (warm recompute is 0.5s; plan is the "
+        "test-asserted single-exchange dual-window, tests/test_etl.py; "
+        "x10 measured 3.73s ratio 3.8 zero-spill, SCALING.md r9 table) — "
+        "DuckDB materializes the same rows in-process"),
 }
 
 
