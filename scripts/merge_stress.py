@@ -34,27 +34,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from sparketl import registry, session
+from sparketl import session
 from sparketl.operators.etl import build_merge_feed, merge_apply
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _feed2(target, orders):
-    """Second, different batch built over the MERGED table."""
-    key = F.col("o_orderkey")
-    dele = target.where(key % 41 == 0).withColumn("__op", F.lit("D"))
-    upd = (
-        target.where((key % 41 != 0) & (key % 17 == 0))
-        .withColumn("o_totalprice", F.col("o_totalprice") + 55)
-        .withColumn("__op", F.lit("U"))
+    """Second, different batch built over the MERGED table — the same
+    feed shape with other moduli (no duplicated D/U/I logic)."""
+    return build_merge_feed(
+        target, orders, d_mod=41, u_mod=17, bump=55, i_mod=19
     )
-    ins = (
-        orders.where((F.col("o_orderstatus") == "O") & (key % 19 == 0))
-        .select(*target.columns)
-        .withColumn("__op", F.lit("I"))
-    )
-    return dele.unionByName(upd).unionByName(ins)
 
 
 def main() -> None:
@@ -62,7 +53,6 @@ def main() -> None:
     tier = args[0] if args else "x10"
     passes = int(args[1]) if len(args) > 1 else 2
     sf_dir = os.path.join(REPO, ".scale", tier)
-    registry.load_all_modules()
     from scripts.stress_common import merge_scale_stress, warm_spark
 
     spark = session.get_spark("sparketl-merge-stress")

@@ -129,19 +129,23 @@ def input_gaps(
     oracled: set[str],
     bench: dict[str, float],
     base: dict[str, float | None],
-) -> tuple[list[str], list[str]]:
+) -> tuple[list[str], list[str], list[str]]:
     """Pure gap core (unit-tested): declared queries missing from the
-    bench artifact, and oracle-graded queries missing a (non-null)
-    baseline referent.  A declared query absent from either input was
-    previously SILENTLY unaudited (VERDICT r8 What's-missing #2) — the
-    audit must fail on registry/artifact drift, not skip it.
+    bench artifact, oracle-graded queries missing a (non-null)
+    baseline referent, and ORPHANED artifact entries for queries no
+    longer in the registry.  A declared query absent from either input
+    was previously SILENTLY unaudited (VERDICT r8 What's-missing #2);
+    an orphan (deleted/renamed query left in a stale artifact) would
+    keep being graded — it can trip WEAK or inflate the comparable
+    count for a query that no longer exists (round-9 review).
     Rows-only queries (no oracle) are exempt from the baseline check
     only; they still must appear in the bench artifact."""
     bench_gap = sorted(declared - set(bench))
     base_gap = sorted(
         q for q in declared & oracled if base.get(q) is None
     )
-    return bench_gap, base_gap
+    orphans = sorted((set(bench) | set(base)) - declared)
+    return bench_gap, base_gap, orphans
 
 
 def main() -> int:
@@ -156,10 +160,10 @@ def main() -> int:
     from sparketl import registry
 
     registry.load_all_modules()
-    bench_gap, base_gap = input_gaps(
+    bench_gap, base_gap, orphans = input_gaps(
         set(registry.QUERIES), set(registry.ORACLES), bench, base
     )
-    if bench_gap or base_gap:
+    if bench_gap or base_gap or orphans:
         if bench_gap:
             print(f"MISSING from BENCH_SEQ.json ({len(bench_gap)}):")
             for q in bench_gap:
@@ -167,6 +171,10 @@ def main() -> int:
         if base_gap:
             print(f"MISSING referent in BASELINE_PERQUERY.json ({len(base_gap)}):")
             for q in base_gap:
+                print(f"  {q}")
+        if orphans:
+            print(f"ORPHANED artifact entries not in the registry ({len(orphans)}):")
+            for q in orphans:
                 print(f"  {q}")
         print(
             "Registry/artifact drift — refresh with "

@@ -814,12 +814,17 @@ def _rewrite_match_recognize(masked: str) -> str:
         return masked
 
     preds: dict[str, str] = {}
+    n_defs = 0
     for d in _split_args(defs):
         dm = re.match(r"^(\w+)\s+as\s+(.*)$", d.strip(), re.IGNORECASE | re.DOTALL)
         if not dm:
             return masked
         preds[dm.group(1)] = dm.group(2).strip()
-    if set(preds) != set(names):
+        n_defs += 1
+    # duplicate DEFINE entries (dict last-one-wins) would silently
+    # discard the first predicate where Trino rejects the query —
+    # refuse, same as repeated pattern variables (round-9 review)
+    if n_defs != len(preds) or set(preds) != set(names):
         return masked
 
     measures = []

@@ -56,7 +56,19 @@ def merge_apply(spark, path: str, feed, key_col: str, part_col: str) -> None:
     partitions anti-joined to feed keys, unioned with the upserts;
     dynamic partition overwrite writes back only them.  Per-batch cost
     is O(feed + touched partitions), independent of how many feeds
-    were applied before — measured two-batch walls in SCALING.md."""
+    were applied before — measured two-batch walls in SCALING.md.
+
+    EMPTIED-partition guard (round-9 review): dynamic overwrite only
+    replaces partitions the rewrite WRITES — a partition whose every
+    row is deleted produces zero rewrite rows, so dynamic mode would
+    silently leave its old files (and the deleted rows) in place.
+    Both partition lists are driver-sized (distinct partition values,
+    already the broadcast side), so the guard is two tiny collects;
+    when a partition empties, the apply falls back to ONE static
+    full-table overwrite (correct truncation) — the rare purge-shape
+    pays a full rewrite, the nightly-upsert shape keeps the pruned
+    fast path.  tests/test_etl.py::test_merge_apply_delete_empties_
+    partition pins both the row loss and the fixed point."""
     target = spark.read.parquet(path)
     keys = feed.select(key_col).distinct()
     upserts = feed.where(F.col("__op").isin("U", "I")).drop("__op")
@@ -72,26 +84,42 @@ def merge_apply(spark, path: str, feed, key_col: str, part_col: str) -> None:
         .unionByName(upserts.select(*target.columns))
         .localCheckpoint(eager=True)
     )
-    with _partition_overwrite_dynamic(spark):
-        rewrite.write.mode("overwrite").partitionBy(part_col).parquet(path)
+    affected_vals = {r[0] for r in affected.collect()}
+    surviving_vals = {r[0] for r in rewrite.select(part_col).distinct().collect()}
+    emptied = affected_vals - surviving_vals
+    if emptied:
+        full = (
+            target.join(F.broadcast(keys), key_col, "left_anti")
+            .unionByName(upserts.select(*target.columns))
+            .localCheckpoint(eager=True)
+        )
+        full.write.mode("overwrite").partitionBy(part_col).parquet(path)
+    else:
+        with _partition_overwrite_dynamic(spark):
+            rewrite.write.mode("overwrite").partitionBy(part_col).parquet(path)
 
 
-def build_merge_feed(target, orders):
-    """The declared query's deterministic change feed, as MERGE ops:
-    DELETE (key%31==0), UPDATE (else key%7==0, price+100 — an absolute
-    new value, so re-applying assigns the same bytes), INSERT ('O'
-    orders with key%13==0).  Disjoint predicates (D evaluated first)
-    give one op per key, mirrored exactly in the oracle's WHERE/CASE
-    order."""
+def build_merge_feed(
+    target, orders, d_mod: int = 31, u_mod: int = 7,
+    bump: float = 100, i_mod: int = 13,
+):
+    """A deterministic key-arithmetic change feed, as MERGE ops:
+    DELETE (key%d_mod==0), UPDATE (else key%u_mod==0, price+bump — an
+    absolute new value, so re-applying assigns the same bytes), INSERT
+    ('O' orders with key%i_mod==0).  Disjoint predicates (D evaluated
+    first) give one op per key; the defaults are the declared query's
+    feed, mirrored exactly in its oracle's WHERE/CASE order; other
+    moduli give scripts/merge_stress.py its second batch without
+    duplicating the feed shape."""
     key = F.col("o_orderkey")
-    dele = target.where(key % 31 == 0).withColumn("__op", F.lit("D"))
+    dele = target.where(key % d_mod == 0).withColumn("__op", F.lit("D"))
     upd = (
-        target.where((key % 31 != 0) & (key % 7 == 0))
-        .withColumn("o_totalprice", F.col("o_totalprice") + 100)
+        target.where((key % d_mod != 0) & (key % u_mod == 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") + bump)
         .withColumn("__op", F.lit("U"))
     )
     ins = (
-        orders.where((F.col("o_orderstatus") == "O") & (key % 13 == 0))
+        orders.where((F.col("o_orderstatus") == "O") & (key % i_mod == 0))
         .select(*target.columns)
         .withColumn("__op", F.lit("I"))
     )

@@ -334,6 +334,13 @@ PRESTO_FACES: dict[str, str] = {
     """,
     # ================= round 9 (VERDICT r8 #7): 25 -> 43 faces =======
     # ---- TRY / CAST (§2.9 #13-14) -----------------------------------
+    # DIVERGENCE: on a real Presto cluster DOUBLE division by zero is
+    # IEEE Infinity (TRY never fires), so l_discount = 0 rows carry
+    # price_per_disc = Infinity there; the translated try_divide gives
+    # NULL — Spark division has no Infinity-producing path to preserve.
+    # Same class as the cast-rounding note below: the face matches the
+    # E1 face (both run on Spark); pipelines moving engines must
+    # nullif the divisor explicitly to pin one semantics.
     "try_expr": """
         select l_orderkey, l_linenumber,
                round(try(l_extendedprice / l_discount), 6) as price_per_disc,
@@ -471,7 +478,7 @@ PRESTO_FACES: dict[str, str] = {
                reverse(p_brand)                as brand_rev,
                lpad(cast(p_size as varchar), 4, '0') as size_pad,
                rpad(p_brand, 12, '.')          as brand_pad,
-               repeat(p_brand, 2)              as brand_twice
+               p_brand || p_brand              as brand_twice
         from part
         where p_partkey < 400
     """,

@@ -807,6 +807,15 @@ def test_match_recognize_refuses_nonconforming():
         # `__mr_s.date_trunc(...) as date_trunc(...)` — must refuse
         _MR_OK.replace("partition by user_id",
                        "partition by date_trunc('day', ts)"),
+        # repeated pattern variable: first-match classification would
+        # silently return empty where Trino matches — must refuse
+        _MR_OK.replace("pattern (A B* C)", "pattern (A B* A)")
+              .replace(", C as event_type = 'purchase'", ""),
+        # duplicate DEFINE entry: dict last-one-wins would silently
+        # drop the first predicate where Trino rejects — must refuse
+        _MR_OK.replace("define A as event_type = 'view',",
+                       "define A as event_type = 'signup',"
+                       " A as event_type = 'view',"),
     ):
         assert "match_recognize" in translate(bad).lower(), bad
 

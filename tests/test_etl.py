@@ -277,3 +277,36 @@ def test_merge_apply_second_batch_applies_on_top(spark, tmp_path):
         3: (30.0, "2-HIGH"),
         4: (44.0, "3-MEDIUM"),
     }
+
+
+def test_merge_apply_delete_empties_partition(spark, tmp_path):
+    """A feed that deletes EVERY row of a partition must really remove
+    those rows: dynamic overwrite never touches a partition the
+    rewrite writes zero rows for, so merge_apply falls back to a
+    static full overwrite when a partition empties (round-9 review —
+    the deletes were silently dropped before)."""
+    from sparketl.operators.etl import merge_apply
+
+    rows = [
+        (1, "F", 10.0, "1-URGENT"),
+        (2, "F", 20.0, "1-URGENT"),
+        (3, "F", 30.0, "2-HIGH"),
+    ]
+    schema = "o_orderkey long, o_orderstatus string, o_totalprice double, o_orderpriority string"
+    path = str(tmp_path / "t")
+    spark.createDataFrame(rows, schema).write.partitionBy(
+        "o_orderpriority"
+    ).parquet(path)
+    feed = spark.createDataFrame(
+        [(1, "F", 0.0, "1-URGENT", "D"), (2, "F", 0.0, "1-URGENT", "D")],
+        schema + ", __op string",
+    )
+    merge_apply(spark, path, feed, "o_orderkey", "o_orderpriority")
+    got = {(r.o_orderkey, r.o_orderpriority)
+           for r in spark.read.parquet(path).collect()}
+    assert got == {(3, "2-HIGH")}
+    # and re-applying the purge is still a fixed point
+    merge_apply(spark, path, feed, "o_orderkey", "o_orderpriority")
+    got2 = {(r.o_orderkey, r.o_orderpriority)
+            for r in spark.read.parquet(path).collect()}
+    assert got2 == got

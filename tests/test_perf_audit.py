@@ -67,16 +67,32 @@ def test_input_gaps_flag_registry_artifact_drift():
     oracled = {"a", "b", "c"}
     bench = {"a": 1.0, "b": 1.0, "rows_only": 0.2}  # c missing
     base = {"a": 0.5, "b": None, "rows_only": None}  # b null, c absent
-    bench_gap, base_gap = perf_audit.input_gaps(declared, oracled, bench, base)
+    bench_gap, base_gap, orphans = perf_audit.input_gaps(
+        declared, oracled, bench, base
+    )
     assert bench_gap == ["c"]
     assert base_gap == ["b", "c"]
+    assert orphans == []
 
 
 def test_input_gaps_rows_only_exempt_from_baseline_only():
     declared = {"rows_only"}
-    bench_gap, base_gap = perf_audit.input_gaps(declared, set(), {}, {})
+    bench_gap, base_gap, orphans = perf_audit.input_gaps(
+        declared, set(), {}, {}
+    )
     assert bench_gap == ["rows_only"]  # still must be benched
     assert base_gap == []  # but needs no referent
+    assert orphans == []
+
+
+def test_input_gaps_flag_orphaned_artifact_entries():
+    # a deleted/renamed query left behind in either artifact must be
+    # flagged — it would otherwise keep being graded (round-9 review)
+    declared = {"a"}
+    bench = {"a": 1.0, "ghost_bench": 2.0}
+    base = {"a": 0.5, "ghost_base": 0.2}
+    _, _, orphans = perf_audit.input_gaps(declared, {"a"}, bench, base)
+    assert orphans == ["ghost_base", "ghost_bench"]
 
 
 def test_live_artifacts_cover_live_registry():
@@ -94,7 +110,9 @@ def test_live_artifacts_cover_live_registry():
         bench = json.load(f)["queries"]
     with open(os.path.join(repo, "BASELINE_PERQUERY.json")) as f:
         base = json.load(f)["queries"]
-    bench_gap, base_gap = perf_audit.input_gaps(
+    bench_gap, base_gap, orphans = perf_audit.input_gaps(
         set(registry.QUERIES), set(registry.ORACLES), bench, base
     )
-    assert bench_gap == [] and base_gap == [], (bench_gap, base_gap)
+    assert bench_gap == [] and base_gap == [] and orphans == [], (
+        bench_gap, base_gap, orphans
+    )
