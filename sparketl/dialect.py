@@ -716,7 +716,8 @@ def _rewrite_match_recognize(masked: str) -> str:
         FROM t MATCH_RECOGNIZE (
           PARTITION BY p [, ...]  ORDER BY o [, ...]
           MEASURES <expr over A./C. columns> AS alias [, ...]
-          [ONE ROW PER MATCH]  [AFTER MATCH SKIP PAST LAST ROW]
+          [ONE ROW PER MATCH | ALL ROWS PER MATCH]
+          [AFTER MATCH SKIP PAST LAST ROW]
           PATTERN (A M C)    -- M = B* | B+ | B{m} | B{m,} | B{m,n}
                              --   | (B1|B2|...) with the same
                              --   quantifiers, or absent (A C)
@@ -746,17 +747,30 @@ def _rewrite_match_recognize(masked: str) -> str:
     differential-tests every accepted quantifier/alternation shape
     against Python's regex engine on hypothesis-generated sequences.
 
+    ALL ROWS PER MATCH (round 9): one output row per MATCHED input
+    row, built by joining base rows into the non-overlapping match
+    spans (equi on partition keys + rank-range filter).  Measures
+    follow Trino's default RUNNING semantics: A-measures are match
+    constants (A is matched from row one), count(*) is the running
+    prefix length, and C-measures are NULL until the end row — sound
+    only for NULL-STRICT expressions, so NULL-tolerant constructs
+    (coalesce/case/is null/...) over C refs refuse, as do var-free
+    measures (universal-variable semantics not modeled) and the
+    SHOW/OMIT EMPTY MATCHES / WITH UNMATCHED ROWS modifiers.
+    Divergence: ``select *`` over an ALL ROWS face also exposes the
+    __mr_* helper columns; named projections are unaffected.
+
     REQUIREMENT the rewrite cannot check: the DEFINE predicates must
     be mutually exclusive per row (symbol classification is
     positional in full MATCH_RECOGNIZE; overlapping defines would
     need a sequential matcher).  Everything else non-conforming —
     subquery base, repeated variables (A B* A would silently empty,
-    so it refuses), expression PARTITION BY keys, other patterns
-    (A+, anchors, nested groups), ALL ROWS PER MATCH, other AFTER
-    MATCH modes, navigation/CLASSIFIER in measures or defines,
-    references to middle variables in measures — is left untouched so
-    Spark fails loudly on the MATCH_RECOGNIZE keyword rather than
-    silently mis-matching."""
+    so it refuses), duplicate DEFINEs, expression PARTITION BY keys,
+    other patterns (A+, anchors, nested groups), other AFTER MATCH
+    modes, navigation/CLASSIFIER in measures or defines, references
+    to middle variables in measures — is left untouched so Spark
+    fails loudly on the MATCH_RECOGNIZE keyword rather than silently
+    mis-matching."""
     m = _MR_HEAD.search(masked)
     if not m:
         return masked
@@ -778,15 +792,30 @@ def _rewrite_match_recognize(masked: str) -> str:
 
     part = section("partition\\s+by", ["order\\s+by"])
     order = section(
-        "order\\s+by", ["measures", "one\\s+row", "after\\s+match", "pattern"]
+        "order\\s+by",
+        ["measures", "one\\s+row", "all\\s+rows", "after\\s+match", "pattern"],
     )
-    meas = section("measures", ["one\\s+row", "after\\s+match", "pattern"])
+    meas = section(
+        "measures", ["one\\s+row", "all\\s+rows", "after\\s+match", "pattern"]
+    )
     patt = section("pattern", ["define"])
     defs = section("define", [])
     if not (part and order and meas and patt and defs):
         return masked
-    if re.search(r"\ball\s+rows\s+per\s+match\b", block, re.IGNORECASE):
-        return masked
+    all_rows = False
+    ar = re.search(
+        r"\ball\s+rows\s+per\s+match\b(.*?)(?=\bafter\s+match\b|\bpattern\b)",
+        block,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if ar:
+        # bare ALL ROWS PER MATCH only: the SHOW/OMIT EMPTY MATCHES and
+        # WITH UNMATCHED ROWS modifiers change which rows appear —
+        # refuse them (our patterns cannot produce empty matches, so
+        # bare = one output row per matched input row)
+        if ar.group(1).strip():
+            return masked
+        all_rows = True
     am = re.search(r"\bafter\s+match\s+(.*?)\bpattern\b", block, re.IGNORECASE | re.DOTALL)
     if am and not re.fullmatch(
         r"skip\s+past\s+last\s+row\s*", am.group(1), re.IGNORECASE
@@ -827,7 +856,7 @@ def _rewrite_match_recognize(masked: str) -> str:
     if n_defs != len(preds) or set(preds) != set(names):
         return masked
 
-    measures = []
+    parsed: list[tuple[str, str, str | None]] = []  # (alias, kind, final)
     for item in _split_args(meas):
         im = re.match(r"^(.*)\s+as\s+(\w+)$", item.strip(), re.IGNORECASE | re.DOTALL)
         if not im:
@@ -835,20 +864,50 @@ def _rewrite_match_recognize(masked: str) -> str:
         expr, alias = im.group(1).strip(), im.group(2)
         if re.fullmatch(r"count\s*\(\s*\*\s*\)", expr, re.IGNORECASE):
             # rows in the match — consecutive by construction, so it
-            # is exactly the rank span
-            measures.append(
-                f"cast(__mr_e.__mr_rn - __mr_s.__mr_rn + 1 as bigint) as {alias}"
-            )
+            # is exactly the rank span (ONE ROW) / the running prefix
+            # length (ALL ROWS)
+            parsed.append((alias, "count", None))
             continue
         if _MR_FORBIDDEN.search(expr) or any(
             re.search(rf"\b{mv}\s*\.", expr, re.IGNORECASE) for mv in middles
         ):
             return masked
-        expr = re.sub(rf"\b{va}\s*\.", "__mr_s.", expr, flags=re.IGNORECASE)
-        expr = re.sub(rf"\b{vc}\s*\.", "__mr_e.", expr, flags=re.IGNORECASE)
-        measures.append(f"{expr} as {alias}")
-    if not measures or _MR_FORBIDDEN.search(defs):
+        has_c = bool(re.search(rf"\b{vc}\s*\.", expr, re.IGNORECASE))
+        has_a = bool(re.search(rf"\b{va}\s*\.", expr, re.IGNORECASE))
+        fexpr = re.sub(rf"\b{va}\s*\.", "__mr_s.", expr, flags=re.IGNORECASE)
+        fexpr = re.sub(rf"\b{vc}\s*\.", "__mr_e.", fexpr, flags=re.IGNORECASE)
+        kind = "c" if has_c else ("a" if has_a else "other")
+        parsed.append((alias, kind, fexpr))
+    if not parsed or _MR_FORBIDDEN.search(defs):
         return masked
+    if all_rows:
+        # RUNNING semantics per row: A-measures are constants (A is
+        # matched from row 1), C-measures are NULL until the final row
+        # — equivalent to gating the FINAL value to the end row ONLY
+        # for NULL-STRICT expressions, so refuse NULL-tolerant
+        # constructs (coalesce(C.x, 0) RUNNING would be 0, not NULL)
+        # and var-free measures (universal-variable semantics not
+        # modeled).
+        for _alias, kind, fexpr in parsed:
+            if kind == "other":
+                return masked
+            if kind == "c" and (
+                re.search(
+                    r"\b(coalesce|ifnull|nvl2?|if|isnull|isnotnull)\s*\(",
+                    fexpr,
+                    re.IGNORECASE,
+                )
+                or re.search(r"\bcase\b|\bis\s+(not\s+)?null\b", fexpr, re.IGNORECASE)
+            ):
+                return masked
+    measures = []
+    for alias, kind, fexpr in parsed:
+        if kind == "count":
+            measures.append(
+                f"cast(__mr_e.__mr_rn - __mr_s.__mr_rn + 1 as bigint) as {alias}"
+            )
+        else:
+            measures.append(f"{fexpr} as {alias}")
 
     pcols = [c.strip() for c in _split_args(part)]
     # PARTITION BY entries must be bare column identifiers: the rewrite
@@ -888,8 +947,8 @@ def _rewrite_match_recognize(masked: str) -> str:
         bound += f" and {interior} >= {lo}"
     if hi is not None and middles:
         bound += f" and {interior} <= {hi}"
-    repl = (
-        "(with __mr_syms as ("
+    ctes = (
+        "with __mr_syms as ("
         f" select *, {sym_case} as __mr_sym,"
         f" row_number() over (partition by {part} order by {order}) as __mr_rn"
         f" from {base}"
@@ -898,12 +957,66 @@ def _rewrite_match_recognize(masked: str) -> str:
         f" over (partition by {part} order by __mr_rn"
         " rows between 1 following and unbounded following) as __mr_nnrn"
         " from __mr_syms)"
-        f" select {out_part}, {', '.join(measures)}"
-        " from __mr_nn __mr_s join __mr_nn __mr_e"
+    )
+    match_where = (
+        f" where __mr_s.__mr_sym = '{va}' and __mr_e.__mr_sym = '{vc}'" + bound
+    )
+    if not all_rows:
+        repl = (
+            "(" + ctes
+            + f" select {out_part}, {', '.join(measures)}"
+            " from __mr_nn __mr_s join __mr_nn __mr_e"
+            f" on {join_part} and __mr_e.__mr_rn = __mr_s.__mr_nnrn"
+            + match_where
+            + ")"
+        )
+        return masked[: m.start()] + "from " + repl + masked[cp + 1 :]
+    # ALL ROWS PER MATCH: materialize the match table (renamed
+    # partition keys so base column names stay unambiguous), then join
+    # every base row whose rank falls inside a match span.  The join is
+    # equi on the partition keys with the rank-range as a join filter —
+    # matches are non-overlapping, so each row lands in at most one.
+    # Per-row measures: A-measures are the match constants, C-measures
+    # gate the final value to the end row, count(*) is the running
+    # prefix length.  Divergence (documented): `select *` over this
+    # face also exposes the __mr_sym/__mr_rn/__mr_nnrn helper columns;
+    # named projections are unaffected.
+    m_part = ", ".join(f"__mr_s.{c} as __mr_p_{c}" for c in pcols)
+    finals = ", ".join(
+        f"{fexpr} as __mr_f{i}"
+        for i, (_a, kind, fexpr) in enumerate(parsed)
+        if kind != "count"
+    )
+    row_meas = []
+    for i, (alias, kind, _f) in enumerate(parsed):
+        if kind == "count":
+            row_meas.append(
+                "cast(__mr_r.__mr_rn - __mr_m.__mr_srn + 1 as bigint)"
+                f" as {alias}"
+            )
+        elif kind == "a":
+            row_meas.append(f"__mr_m.__mr_f{i} as {alias}")
+        else:  # "c": NULL until the end row (RUNNING semantics)
+            row_meas.append(
+                "case when __mr_r.__mr_rn = __mr_m.__mr_ern"
+                f" then __mr_m.__mr_f{i} end as {alias}"
+            )
+    row_join = " and ".join(f"__mr_r.{c} <=> __mr_m.__mr_p_{c}" for c in pcols)
+    repl = (
+        "(" + ctes
+        + ", __mr_m as ("
+        f" select {m_part}, __mr_s.__mr_rn as __mr_srn,"
+        " __mr_e.__mr_rn as __mr_ern"
+        + (", " + finals if finals else "")
+        + " from __mr_nn __mr_s join __mr_nn __mr_e"
         f" on {join_part} and __mr_e.__mr_rn = __mr_s.__mr_nnrn"
-        f" where __mr_s.__mr_sym = '{va}' and __mr_e.__mr_sym = '{vc}'"
-        + bound
+        + match_where
         + ")"
+        f" select __mr_r.*, {', '.join(row_meas)}"
+        " from __mr_nn __mr_r join __mr_m"
+        f" on {row_join}"
+        " and __mr_r.__mr_rn between __mr_m.__mr_srn and __mr_m.__mr_ern"
+        ")"
     )
     return masked[: m.start()] + "from " + repl + masked[cp + 1 :]
 

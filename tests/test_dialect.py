@@ -852,6 +852,38 @@ def test_match_recognize_join_is_null_safe():
     assert "<=>" in translate(_MR_OK)
 
 
+_MR_AR = _MR_OK.replace(
+    "measures A.event_id as s_id",
+    "measures A.event_id as s_id, C.event_id as e_id, count(*) as n"
+    " all rows per match"
+).replace("select user_id, s_id", "select user_id, event_id, s_id, e_id, n")
+
+
+def test_match_recognize_all_rows_rewrites():
+    out = translate(_MR_AR)
+    assert "match_recognize" not in out.lower()
+    # match table + row join + running-count + end-row gating
+    assert "__mr_m" in out and "between __mr_m.__mr_srn and __mr_m.__mr_ern" in out
+    assert "__mr_r.__mr_rn - __mr_m.__mr_srn + 1" in out
+    assert "case when __mr_r.__mr_rn = __mr_m.__mr_ern" in out
+
+
+def test_match_recognize_all_rows_refusals():
+    for bad in (
+        # modifiers change which rows appear — refuse
+        _MR_AR.replace("all rows per match",
+                       "all rows per match with unmatched rows"),
+        _MR_AR.replace("all rows per match",
+                       "all rows per match omit empty matches"),
+        # NULL-tolerant construct over the end variable: RUNNING
+        # coalesce(C.x, 0) is 0 before the end row, not NULL — refuse
+        _MR_AR.replace("C.event_id as e_id", "coalesce(C.event_id, 0) as e_id"),
+        # var-free measure (universal variable) — refuse
+        _MR_AR.replace("A.event_id as s_id", "event_id as s_id"),
+    ):
+        assert "match_recognize" in translate(bad).lower(), bad
+
+
 def test_sql_requires_default_escaped_string_literals(spark):
     # _unmask doubles backslashes assuming Spark's escaping parser;
     # under Hive-compat raw literals the doubling would CORRUPT every

@@ -98,3 +98,55 @@ def test_match_recognize_equals_regex_engine(spark, pattern, regex, defines, use
         for s, e, n in _model(symbols, regex)
     )
     assert got == want
+
+
+_AR_SHAPES = [
+    ("V B* P", "VB*P", _THREE_VAR),
+    ("V (B|C)+ P", "V[BC]+P", _FOUR_VAR),
+    ("V B{2,4} P", "VB{2,4}P", _THREE_VAR),
+]
+
+
+@pytest.mark.parametrize("pattern,regex,defines", _AR_SHAPES)
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(users=seqs)
+def test_all_rows_per_match_equals_regex_engine(
+    spark, pattern, regex, defines, users
+):
+    """ALL ROWS PER MATCH (round 9): one output row per matched input
+    row with RUNNING measures — V.pos constant, P.pos NULL until the
+    end row, count(*) the running prefix length — against the regex
+    engine's match spans."""
+    rows = [
+        (u, pos, sym)
+        for u, symbols in enumerate(users)
+        for pos, sym in enumerate(symbols)
+    ]
+    if not rows:
+        rows = [(0, 0, "X")]
+    spark.createDataFrame(
+        rows, "user_id long, pos long, sym string"
+    ).createOrReplaceTempView("mr_prop_events")
+    sql = f"""
+        select user_id, pos, s_pos, e_pos, n
+        from mr_prop_events match_recognize (
+            partition by user_id
+            order by pos asc
+            measures V.pos as s_pos, P.pos as e_pos, count(*) as n
+            all rows per match
+            after match skip past last row
+            pattern ({pattern})
+            define {defines}
+        )
+    """
+    got = sorted(
+        (r.user_id, r.pos, r.s_pos, r.e_pos, r.n)
+        for r in dialect.sql(spark, sql).collect()
+    )
+    want = sorted(
+        (u, i, s, e if i == e else None, i - s + 1)
+        for u, symbols in enumerate(users)
+        for s, e, _n in _model(symbols, regex)
+        for i in range(s, e + 1)
+    )
+    assert got == want
