@@ -117,6 +117,9 @@ REL_X100 = [
     "exact_percentile_median",
     "win_topk_per_group",
     "stream_session_window",
+    # round 9: the new lane shapes ride the third decade too
+    "agg_grouping_sets",
+    "etl_scd2_dimension",
 ]
 
 
