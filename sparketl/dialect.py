@@ -708,6 +708,11 @@ _MR_FORBIDDEN = re.compile(
     r"\b(classifier|match_number|first|last|prev|next|final|running)\s*\(",
     re.IGNORECASE,
 )
+#: supported navigation shape: bare FIRST/LAST/PREV/NEXT over one
+#: var.col (no offsets, no nesting) — anything else stays forbidden
+_MR_NAV = re.compile(
+    r"\b(first|last|prev|next)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)", re.IGNORECASE
+)
 
 
 def _rewrite_match_recognize(masked: str) -> str:
@@ -856,7 +861,10 @@ def _rewrite_match_recognize(masked: str) -> str:
     if n_defs != len(preds) or set(preds) != set(names):
         return masked
 
+    interior = "__mr_e.__mr_rn - __mr_s.__mr_rn - 1"
+    nav_used: set[str] = set()
     parsed: list[tuple[str, str, str | None]] = []  # (alias, kind, final)
+    nav_in_measure: list[bool] = []
     for item in _split_args(meas):
         im = re.match(r"^(.*)\s+as\s+(\w+)$", item.strip(), re.IGNORECASE | re.DOTALL)
         if not im:
@@ -867,17 +875,82 @@ def _rewrite_match_recognize(masked: str) -> str:
             # is exactly the rank span (ONE ROW) / the running prefix
             # length (ALL ROWS)
             parsed.append((alias, "count", None))
+            nav_in_measure.append(False)
             continue
-        if _MR_FORBIDDEN.search(expr) or any(
-            re.search(rf"\b{mv}\s*\.", expr, re.IGNORECASE) for mv in middles
+        if re.fullmatch(r"classifier\s*\(\s*\)", expr, re.IGNORECASE):
+            # ONE ROW: the classifier of the last match row is the end
+            # symbol, a constant; ALL ROWS: the per-row symbol column
+            parsed.append((alias, "classifier", None))
+            nav_in_measure.append(False)
+            continue
+        # navigation (round 9): FIRST/LAST/PREV/NEXT over a single
+        # var.col — middles are contiguous between start and end, so
+        # FIRST(B.x)/LAST(B.x) are the rows at rank srn+1 / ern-1
+        # (NULL when the match has no interior rows), and PREV/NEXT of
+        # the start/end var navigate PHYSICAL neighbors (srn-1 /
+        # ern+1; NULL off the partition edge), exactly Trino's FINAL
+        # semantics for single-occurrence variables.  Each distinct
+        # position becomes one (partition, rank) equi left-join.
+        nav_bad = False
+
+        def _nav(mm: re.Match) -> str:
+            nonlocal nav_bad
+            fn, var, col = mm.group(1).lower(), mm.group(2), mm.group(3)
+            if var == va:
+                if fn in ("first", "last"):
+                    return f"__mr_s.{col}"
+                if fn == "prev":
+                    nav_used.add("np")
+                    return f"__mr_np.{col}"
+                nav_used.add("nf")  # next(A.x): the row after the start
+                return f"__mr_nf.{col}"
+            if var == vc:
+                if fn in ("first", "last"):
+                    return f"__mr_e.{col}"
+                if fn == "next":
+                    nav_used.add("nx")
+                    return f"__mr_nx.{col}"
+                nav_used.add("nl")  # prev(C.x): the row before the end
+                return f"__mr_nl.{col}"
+            if (
+                var in middles
+                and fn in ("first", "last")
+                and len(middles) == 1
+            ):
+                # single middle var only: with alternation (B|C)* the
+                # row at srn+1 may be mapped to the OTHER middle var,
+                # while Trino's FIRST(B.x) means the first B row —
+                # not a fixed offset, so alternation refuses
+                key = "nf" if fn == "first" else "nl"
+                nav_used.add(key)
+                return (
+                    f"(case when {interior} >= 1"
+                    f" then __mr_{key}.{col} end)"
+                )
+            # prev/next of a middle var navigates from an ambiguous
+            # occurrence; first/last of an alternation middle is not a
+            # fixed offset — refuse
+            nav_bad = True
+            return mm.group(0)
+
+        expr2 = _MR_NAV.sub(_nav, expr)
+        if nav_bad:
+            return masked
+        had_nav = expr2 != expr
+        if _MR_FORBIDDEN.search(expr2) or any(
+            re.search(rf"\b{mv}\s*\.", expr2, re.IGNORECASE) for mv in middles
         ):
             return masked
-        has_c = bool(re.search(rf"\b{vc}\s*\.", expr, re.IGNORECASE))
-        has_a = bool(re.search(rf"\b{va}\s*\.", expr, re.IGNORECASE))
-        fexpr = re.sub(rf"\b{va}\s*\.", "__mr_s.", expr, flags=re.IGNORECASE)
+        has_c = bool(re.search(rf"\b{vc}\s*\.", expr2, re.IGNORECASE))
+        has_a = bool(re.search(rf"\b{va}\s*\.", expr2, re.IGNORECASE))
+        fexpr = re.sub(rf"\b{va}\s*\.", "__mr_s.", expr2, flags=re.IGNORECASE)
         fexpr = re.sub(rf"\b{vc}\s*\.", "__mr_e.", fexpr, flags=re.IGNORECASE)
-        kind = "c" if has_c else ("a" if has_a else "other")
+        if had_nav:
+            kind = "nav"
+        else:
+            kind = "c" if has_c else ("a" if has_a else "other")
         parsed.append((alias, kind, fexpr))
+        nav_in_measure.append(had_nav)
     if not parsed or _MR_FORBIDDEN.search(defs):
         return masked
     if all_rows:
@@ -888,6 +961,10 @@ def _rewrite_match_recognize(masked: str) -> str:
         # constructs (coalesce(C.x, 0) RUNNING would be 0, not NULL)
         # and var-free measures (universal-variable semantics not
         # modeled).
+        if any(nav_in_measure):
+            # RUNNING navigation (FIRST/LAST evolving as rows arrive)
+            # is not modeled — refuse in ALL ROWS mode
+            return masked
         for _alias, kind, fexpr in parsed:
             if kind == "other":
                 return masked
@@ -906,6 +983,8 @@ def _rewrite_match_recognize(masked: str) -> str:
             measures.append(
                 f"cast(__mr_e.__mr_rn - __mr_s.__mr_rn + 1 as bigint) as {alias}"
             )
+        elif kind == "classifier":
+            measures.append(f"'{vc}' as {alias}")
         else:
             measures.append(f"{fexpr} as {alias}")
 
@@ -962,11 +1041,34 @@ def _rewrite_match_recognize(masked: str) -> str:
         f" where __mr_s.__mr_sym = '{va}' and __mr_e.__mr_sym = '{vc}'" + bound
     )
     if not all_rows:
+        # navigation joins: one (partition, rank) equi left-join per
+        # distinct navigated position, anchored to the start (nf/np)
+        # or end (nl/nx) row
+        def _peq(a: str, b: str) -> str:
+            return " and ".join(f"{a}.{c} <=> {b}.{c}" for c in pcols)
+
+        nav_sql = {
+            "nf": (" left join __mr_nn __mr_nf on "
+                   f"{_peq('__mr_nf', '__mr_s')}"
+                   " and __mr_nf.__mr_rn = __mr_s.__mr_rn + 1"),
+            "nl": (" left join __mr_nn __mr_nl on "
+                   f"{_peq('__mr_nl', '__mr_e')}"
+                   " and __mr_nl.__mr_rn = __mr_e.__mr_rn - 1"),
+            "np": (" left join __mr_nn __mr_np on "
+                   f"{_peq('__mr_np', '__mr_s')}"
+                   " and __mr_np.__mr_rn = __mr_s.__mr_rn - 1"),
+            "nx": (" left join __mr_nn __mr_nx on "
+                   f"{_peq('__mr_nx', '__mr_e')}"
+                   " and __mr_nx.__mr_rn = __mr_e.__mr_rn + 1"),
+        }
+        nav_joins = "".join(nav_sql[k] for k in ("nf", "nl", "np", "nx")
+                            if k in nav_used)
         repl = (
             "(" + ctes
             + f" select {out_part}, {', '.join(measures)}"
             " from __mr_nn __mr_s join __mr_nn __mr_e"
             f" on {join_part} and __mr_e.__mr_rn = __mr_s.__mr_nnrn"
+            + nav_joins
             + match_where
             + ")"
         )
@@ -985,7 +1087,7 @@ def _rewrite_match_recognize(masked: str) -> str:
     finals = ", ".join(
         f"{fexpr} as __mr_f{i}"
         for i, (_a, kind, fexpr) in enumerate(parsed)
-        if kind != "count"
+        if kind not in ("count", "classifier")
     )
     row_meas = []
     for i, (alias, kind, _f) in enumerate(parsed):
@@ -994,6 +1096,9 @@ def _rewrite_match_recognize(masked: str) -> str:
                 "cast(__mr_r.__mr_rn - __mr_m.__mr_srn + 1 as bigint)"
                 f" as {alias}"
             )
+        elif kind == "classifier":
+            # ALL ROWS: the per-row matched symbol
+            row_meas.append(f"__mr_r.__mr_sym as {alias}")
         elif kind == "a":
             row_meas.append(f"__mr_m.__mr_f{i} as {alias}")
         else:  # "c": NULL until the end row (RUNNING semantics)

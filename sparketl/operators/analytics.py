@@ -464,3 +464,102 @@ def row_pattern_funnel_rows(spark, sf_dir):
 
     load_tables(spark, sf_dir)  # register the named views
     return dialect.sql(spark, _MR_ROWS_TEXT)
+
+
+_MR_NAV_TEXT = """
+    select user_id, start_event_id, first_click_id, last_click_id,
+           prev_type, next_type, n_rows
+    from events match_recognize (
+        partition by user_id
+        order by ts asc, event_id asc
+        measures V.event_id as start_event_id,
+                 first(B.event_id) as first_click_id,
+                 last(B.event_id) as last_click_id,
+                 prev(V.event_type) as prev_type,
+                 next(P.event_type) as next_type,
+                 count(*) as n_rows
+        one row per match
+        after match skip past last row
+        pattern (V B* P)
+        define V as event_type = 'view',
+               B as event_type = 'click',
+               P as event_type = 'purchase'
+    )
+"""
+
+
+@query(
+    "row_pattern_funnel_nav",
+    oracle="""
+        with syms as (
+            select user_id, event_id, event_type,
+                   case event_type when 'view' then 'V'
+                                   when 'click' then 'B'
+                                   when 'purchase' then 'P'
+                                   else '.' end as sym,
+                   row_number() over (partition by user_id
+                                      order by ts asc, event_id asc) as rn
+            from events
+        ),
+        nn as (
+            select *,
+                   min(case when sym <> 'B' then rn end)
+                       over (partition by user_id order by rn
+                             rows between 1 following and unbounded following)
+                       as nnrn
+            from syms
+        ),
+        m as (
+            select s.user_id as uid, s.rn as srn, e.rn as ern,
+                   s.event_id as s_eid
+            from nn s
+            join nn e on e.user_id is not distinct from s.user_id
+                     and e.rn = s.nnrn
+            where s.sym = 'V' and e.sym = 'P'
+        )
+        select m.uid                                    as user_id,
+               m.s_eid                                  as start_event_id,
+               case when m.ern - m.srn - 1 >= 1
+                    then fb.event_id end                as first_click_id,
+               case when m.ern - m.srn - 1 >= 1
+                    then lb.event_id end                as last_click_id,
+               pv.event_type                            as prev_type,
+               nx.event_type                            as next_type,
+               cast(m.ern - m.srn + 1 as bigint)        as n_rows
+        from m
+        left join nn fb on fb.user_id is not distinct from m.uid
+                       and fb.rn = m.srn + 1
+        left join nn lb on lb.user_id is not distinct from m.uid
+                       and lb.rn = m.ern - 1
+        left join nn pv on pv.user_id is not distinct from m.uid
+                       and pv.rn = m.srn - 1
+        left join nn nx on nx.user_id is not distinct from m.uid
+                       and nx.rn = m.ern + 1
+    """,
+)
+def row_pattern_funnel_nav(spark, sf_dir):
+    """Row-pattern NAVIGATION (round 9): FIRST/LAST over the click run
+    (NULL when the funnel closes with no clicks), PREV/NEXT physical
+    neighbors of the start/end rows (what the user did just before
+    entering and just after converting; NULL off the partition edge),
+    CLASSIFIER-free one-row output.  Genuine Trino text through
+    ``dialect.sql``; DuckDB states the same positions independently
+    via span arithmetic + four rank-offset left joins.
+
+    Soundness: the middle run is CONTIGUOUS between start and end, so
+    for a SINGLE middle variable FIRST/LAST are the rows at rank
+    srn+1 / ern-1 gated on a non-empty interior; alternation middles
+    refuse (the offset row may be the other variable's).  PREV/NEXT
+    navigate physical rows, matching Trino FINAL semantics for
+    single-occurrence variables.  Property-differentialed against
+    Python's regex engine (tests/test_property_match_recognize.py).
+
+    Scale: same single user_id shuffle as row_pattern_funnel; each
+    navigation position is one (partition, rank) equi left-join on
+    the partitioning the windows produced — match-table-sized, never
+    a second scan of the events table."""
+    from sparketl import dialect
+    from sparketl.tables import load_tables
+
+    load_tables(spark, sf_dir)  # register the named views
+    return dialect.sql(spark, _MR_NAV_TEXT)

@@ -798,8 +798,10 @@ def test_match_recognize_refuses_nonconforming():
         _MR_OK.replace("pattern (A B* C)", "pattern (A | B)"),
         _MR_OK.replace("measures A.event_id as s_id",
                        "measures B.event_id as s_id"),
+        # round 9: first(A.x) is now SUPPORTED navigation (constant for
+        # a single-occurrence var); match_number stays forbidden
         _MR_OK.replace("measures A.event_id as s_id",
-                       "measures first(A.event_id) as s_id"),
+                       "measures match_number() as s_id"),
         _MR_OK.replace("define A", "all rows per match define A"),
         _MR_OK.replace("pattern (A B* C)",
                        "after match skip to next row pattern (A B* C)"),
@@ -880,6 +882,36 @@ def test_match_recognize_all_rows_refusals():
         _MR_AR.replace("C.event_id as e_id", "coalesce(C.event_id, 0) as e_id"),
         # var-free measure (universal variable) — refuse
         _MR_AR.replace("A.event_id as s_id", "event_id as s_id"),
+    ):
+        assert "match_recognize" in translate(bad).lower(), bad
+
+
+def test_match_recognize_navigation_rewrites():
+    out = translate(_MR_OK.replace(
+        "measures A.event_id as s_id",
+        "measures first(B.event_id) as s_id, prev(A.ts) as before_ts,"
+        " next(C.ts) as after_ts, classifier() as cls",
+    ))
+    assert "match_recognize" not in out.lower()
+    assert "__mr_nf" in out and "__mr_np" in out and "__mr_nx" in out
+    # middle-run FIRST gates on a non-empty interior
+    assert "__mr_e.__mr_rn - __mr_s.__mr_rn - 1 >= 1" in out
+    # ONE ROW classifier is the end symbol constant
+    assert "'C' as cls" in out
+
+
+def test_match_recognize_navigation_refusals():
+    for bad in (
+        # offsets unsupported
+        _MR_OK.replace("A.event_id as s_id", "first(B.event_id, 2) as s_id"),
+        # prev/next of a middle var: ambiguous occurrence
+        _MR_OK.replace("A.event_id as s_id", "prev(B.event_id) as s_id"),
+        # FIRST over an ALTERNATION middle: srn+1 may be the other
+        # variable's row, not Trino's first-B
+        _MR_OK.replace("pattern (A B* C)", "pattern (A (B|D)* C)")
+              .replace("B as event_type = 'click',",
+                       "B as event_type = 'click', D as event_type = 'err',")
+              .replace("A.event_id as s_id", "first(B.event_id) as s_id"),
     ):
         assert "match_recognize" in translate(bad).lower(), bad
 

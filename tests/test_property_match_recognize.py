@@ -150,3 +150,62 @@ def test_all_rows_per_match_equals_regex_engine(
         for i in range(s, e + 1)
     )
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "pattern,regex,defines",
+    [("V B* P", "VB*P", _THREE_VAR), ("V B{1,3} P", "VB{1,3}P", _THREE_VAR)],
+)
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(users=seqs)
+def test_navigation_measures_equal_regex_engine(
+    spark, pattern, regex, defines, users
+):
+    """FIRST/LAST of the (single) middle run (NULL when empty),
+    PREV/NEXT physical neighbors of the start/end rows (NULL off the
+    partition edge), CLASSIFIER() — against positions derived from
+    the regex engine's match spans.  FIRST/LAST over an ALTERNATION
+    middle refuses (the fixed srn+1 offset could be the other
+    variable's row — tested in test_dialect.py)."""
+    rows = [
+        (u, pos, sym)
+        for u, symbols in enumerate(users)
+        for pos, sym in enumerate(symbols)
+    ]
+    if not rows:
+        rows = [(0, 0, "X")]
+    spark.createDataFrame(
+        rows, "user_id long, pos long, sym string"
+    ).createOrReplaceTempView("mr_prop_events")
+    sql = f"""
+        select user_id, s_pos, fb, lb, pv, nx, cls
+        from mr_prop_events match_recognize (
+            partition by user_id
+            order by pos asc
+            measures V.pos as s_pos, first(B.pos) as fb, last(B.pos) as lb,
+                     prev(V.pos) as pv, next(P.pos) as nx,
+                     classifier() as cls
+            one row per match
+            after match skip past last row
+            pattern ({pattern})
+            define {defines}
+        )
+    """
+    got = sorted(
+        (r.user_id, r.s_pos, r.fb, r.lb, r.pv, r.nx, r.cls)
+        for r in dialect.sql(spark, sql).collect()
+    )
+    want = sorted(
+        (
+            u,
+            s,
+            s + 1 if e - s - 1 >= 1 else None,
+            e - 1 if e - s - 1 >= 1 else None,
+            s - 1 if s - 1 >= 0 else None,
+            e + 1 if e + 1 < len(symbols) else None,
+            "P",
+        )
+        for u, symbols in enumerate(users)
+        for s, e, _n in _model(symbols, regex)
+    )
+    assert got == want
