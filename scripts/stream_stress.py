@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from sparketl import session
 from sparketl.streaming.runner import (
     incremental_dedup_stream,
+    incremental_dedup_stream_bounded,
     quality_gate_stream,
     read_events_stream,
     stateful_sessions_stream,
@@ -67,6 +68,32 @@ def stage_split(src: str, dst: str, n_files: int = N_FILES) -> int:
     for i in range(0, t.num_rows, per):
         pq.write_table(
             t.slice(i, per), os.path.join(dst, f"part-{i // per:03d}.parquet")
+        )
+    return t.num_rows
+
+
+def stage_split_ingest_ts(src: str, dst: str, n_files: int = N_FILES) -> int:
+    """stage_split + a synthetic ``ingest_ts`` column: slice i arrives
+    at T0 + i hours, so with a 10-minute watermark every micro-batch
+    advances event time far past the previous batch's keys — the
+    bounded dedup face must EVICT them (state ~ one batch's keys, not
+    all arrived keys)."""
+    import pyarrow as pa
+
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    t = pq.read_table(src)
+    per = (t.num_rows + n_files - 1) // n_files
+    base_us = 1_700_000_000_000_000  # fixed epoch; only spacing matters
+    for i in range(0, t.num_rows, per):
+        s = t.slice(i, per)
+        ts = pa.array(
+            [base_us + (i // per) * 3_600_000_000] * s.num_rows,
+            pa.timestamp("us"),
+        )
+        pq.write_table(
+            s.append_column("ingest_ts", ts),
+            os.path.join(dst, f"part-{i // per:03d}.parquet"),
         )
     return t.num_rows
 
@@ -114,13 +141,21 @@ def run_measured(stream_df, output_mode: str = "append") -> dict:
     }
 
 
-def faces(spark, ev_dir: str, docs_dir: str, standing):
+def faces(spark, ev_dir: str, docs_dir: str, docs_ts_dir: str, standing):
     ev = lambda: read_events_stream(spark, ev_dir)  # noqa: E731
     yield "stream_lane_sessions", lambda: run_measured(
         stateful_sessions_stream(ev())
     )
     yield "stream_lane_incremental_dedup", lambda: run_measured(
         incremental_dedup_stream(read_docs_stream(spark, docs_dir), standing)
+    )
+    # the watermark-BOUNDED twin (round 9): batches arrive 1h apart
+    # with a 10-minute delay, so state must hold ~one batch's keys
+    # where the unbounded face above holds ALL arrived keys
+    yield "stream_lane_bounded_dedup", lambda: run_measured(
+        incremental_dedup_stream_bounded(
+            read_docs_stream(spark, docs_ts_dir), standing, delay="10 minutes"
+        )
     )
     yield "stream_lane_quality_gate", lambda: run_measured(
         quality_gate_stream(read_docs_stream(spark, docs_dir))
@@ -188,9 +223,13 @@ def main() -> None:
         docs_dir = os.path.join(scratch, tag, "documents")
         stage_split(os.path.join(sf_dir, "events.parquet"), ev_dir)
         n_docs = stage_split(os.path.join(sf_dir, "documents.parquet"), docs_dir)
+        docs_ts_dir = os.path.join(scratch, tag, "documents_ts")
+        stage_split_ingest_ts(
+            os.path.join(sf_dir, "documents.parquet"), docs_ts_dir
+        )
         docs = load_tables(spark, sf_dir)["documents"]
         standing = docs.where(F.col("doc_id") < n_docs // 2)
-        for name, run in faces(spark, ev_dir, docs_dir, standing):
+        for name, run in faces(spark, ev_dir, docs_dir, docs_ts_dir, standing):
             recs = []
             for _ in range(passes):
                 spark.catalog.clearCache()
