@@ -144,6 +144,19 @@ get_json_object composition cannot distinguish a scalar STRING whose
 text looks like JSON from a real array/object — Presto returns 0 for
 the scalar; verified divergence, so no rewrite), Joda patterns beyond
 the JDK-compatible subset.
+
+DOCUMENTED SILENT DIVERGENCE — integer ``/``: Presto's ``/`` on two
+integer operands TRUNCATES (bigint/bigint → bigint, ``7/2 = 3``)
+while Spark's ``/`` always returns DOUBLE (``7/2 = 3.5``); Spark's
+truncating form is the ``div`` operator, which Presto does not have.
+A text-level translator cannot see operand types, so ``/`` is left
+untouched and integer-division pipelines get double results —
+discovered live via the recursive-CTE forest join (``c_custkey / 10 =
+parent`` matches only exact multiples under double semantics).  The
+portable spelling both engines agree on is
+``cast(floor(x / 10.0) as bigint)`` (used by the
+``cte_recursive_hierarchy`` native face); Presto pipelines relying on
+integer ``/`` must adopt it (or Spark's ``div``) when migrating.
 """
 
 from __future__ import annotations

@@ -564,6 +564,72 @@ PRESTO_FACES: dict[str, str] = {
         cross join unnest(split(p_name, ' ')) with ordinality as t(word, pos)
         where p_partkey <= 200
     """,
+    # ---- round-9 query-shape ops (§2 #150-#152) ---------------------
+    # WITH RECURSIVE is SQL:1999 text both engines accept verbatim;
+    # the parent key uses the PORTABLE integer-division spelling
+    # cast(floor(x / 10.0)) because Presto's integer `/` truncates
+    # where Spark's returns double (the documented silent divergence
+    # in dialect.py — discovered via exactly this join)
+    "cte_recursive_hierarchy": """
+        with recursive tree(custkey, root, depth, acctbal) as (
+            select c_custkey, c_custkey, 0, c_acctbal
+            from customer where c_custkey < 10
+            union all
+            select c.c_custkey, t.root, t.depth + 1, c.c_acctbal
+            from customer c
+            join tree t
+              on cast(floor(c.c_custkey / 10.0) as bigint) = t.custkey
+            where c.c_custkey >= 10
+        )
+        select depth,
+               count(*)               as n_nodes,
+               count(distinct root)   as n_roots,
+               round(sum(acctbal), 6) as bal_sum
+        from tree
+        group by depth
+        order by depth
+    """,
+    # the conditional-aggregation idiom a Presto user writes for a
+    # pivot (Presto has no PIVOT keyword) — proves Spark's native
+    # pivot face computes exactly this
+    "reshape_pivot": """
+        select format_datetime(ts, 'yyyy-MM-dd')                as day,
+               count(*) filter (where event_type = 'view')      as n_view,
+               count(*) filter (where event_type = 'click')     as n_click,
+               count(*) filter (where event_type = 'purchase')  as n_purchase,
+               count(*) filter (where event_type = 'signup')    as n_signup,
+               count(*) filter (where event_type = 'error')     as n_error
+        from events
+        group by format_datetime(ts, 'yyyy-MM-dd')
+        order by day
+    """,
+    # the sequence() + UNNEST + outer-join spine — genuine Presto
+    # gap-fill text, with the interval-stepped date sequence
+    "ts_gap_fill": """
+        with b as (
+            select min(cast(ts as date)) as d0, max(cast(ts as date)) as d1
+            from events
+        ),
+        u as (select distinct user_id from events),
+        s as (
+            select u.user_id, d.day
+            from u
+            cross join b
+            cross join unnest(sequence(b.d0, b.d1, interval '1' day))
+                as d(day)
+        ),
+        c as (
+            select user_id, cast(ts as date) as day, count(*) as n
+            from events
+            group by user_id, cast(ts as date)
+        )
+        select s.user_id,
+               format_datetime(cast(s.day as timestamp), 'yyyy-MM-dd') as day,
+               coalesce(c.n, 0) as n_events
+        from s
+        left join c on s.user_id = c.user_id and s.day = c.day
+        order by 1, 2
+    """,
 }
 
 #: non-default compare modes (see module docstring).

@@ -57,6 +57,7 @@ def load_all_modules() -> None:
         llm,
         multimodal,
         relational,
+        reshape,
         tpch,
         udfs,
         windows,
