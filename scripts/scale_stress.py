@@ -102,6 +102,12 @@ RELATIONAL = [
     "set_except_all",
     "win_range_interval",
     "etl_scd2_dimension",
+    # round 9 late: the query-shape additions (#150-#152) — recursion
+    # depth grows a level at x10 (5-digit custkeys), gap-fill spine is
+    # |users| x |days|, pivot is the two-level counter aggregate
+    "cte_recursive_hierarchy",
+    "reshape_pivot",
+    "ts_gap_fill",
 ]
 
 #: relational third decade (``--rel --x100``): the sub-lane run over

@@ -584,7 +584,8 @@ PRESTO_FACES: dict[str, str] = {
         select depth,
                count(*)               as n_nodes,
                count(distinct root)   as n_roots,
-               round(sum(acctbal), 6) as bal_sum
+               sum(cast(round(acctbal * 100) as bigint))
+                   / cast(100 as double) as bal_sum
         from tree
         group by depth
         order by depth

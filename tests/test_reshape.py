@@ -14,6 +14,7 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
+from sparketl.functions.exact import exact_avg, exact_sum
 from sparketl.registry import QUERIES
 from tests.conftest import SF_SMOKE_DIR
 
@@ -61,7 +62,8 @@ def test_recursive_hierarchy_matches_python_bfs(spark):
     for d, (n, roots, s) in expect.items():
         gn, gr, gs = got[d]
         assert (gn, gr) == (n, len(roots))
-        assert gs == pytest.approx(round(s, 6), abs=1e-6)
+        # exact-cents model: sum integer cents, divide once
+        assert gs == pytest.approx(s, abs=1e-6)
 
 
 def test_recursive_path_matches_python_chains(spark):
@@ -122,8 +124,8 @@ def test_unpivot_round_trips_to_wide(spark):
         for r in cust.groupBy("c_mktsegment")
         .agg(
             F.count("*").cast("double").alias("n_cust"),
-            F.round(F.sum("c_acctbal"), 6).alias("bal_sum"),
-            F.round(F.avg("c_acctbal"), 6).alias("bal_avg"),
+            exact_sum("c_acctbal").alias("bal_sum"),
+            exact_avg("c_acctbal").alias("bal_avg"),
         )
         .collect()
     }
