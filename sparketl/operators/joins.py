@@ -27,7 +27,7 @@ from sparketl.functions.exact import (
     exact_sum_sql,
 )
 from sparketl.registry import query
-from sparketl.tables import table
+from sparketl.tables import load_tables, table
 
 
 @query(
@@ -459,4 +459,56 @@ def join_skew_salted(spark, sf_dir):
                 6,
             ).alias("total_acctbal"),
         )
+    )
+
+
+@query(
+    "join_lateral_topn",
+    oracle="""
+        select o.o_orderkey, t.l_linenumber, t.l_quantity
+        from orders o, lateral (
+            select l_linenumber, l_quantity
+            from lineitem
+            where l_orderkey = o.o_orderkey
+            order by l_quantity desc, l_linenumber
+            limit 2
+        ) t
+        where o.o_orderkey < 2000
+        order by o.o_orderkey, t.l_linenumber
+    """,
+)
+def join_lateral_topn(spark, sf_dir):
+    """LATERAL correlated subquery (SURVEY §2 #153): per order, the
+    two heaviest line items via a correlated ORDER BY ... LIMIT — the
+    SQL-surface twin of win_topk_per_group that Trino users write as
+    ``CROSS JOIN LATERAL``.
+
+    Scale: Catalyst DECORRELATES this — the per-row correlated limit
+    becomes a distributed WindowGroupLimit plan (map-side PARTIAL
+    group-limit before the l_orderkey exchange, Final after), joined
+    back broadcast/shuffle by key; verified via .explain — no
+    nested-loop re-execution per outer row, and the outer
+    ``o_orderkey < 2000`` predicate is pushed THROUGH the correlation
+    into the lateral side's scan.  At 100 TB this is exactly the
+    top-k-per-group plan, so the lateral spelling costs nothing over
+    the window spelling.
+
+    Determinism: ties on l_quantity are broken by l_linenumber in the
+    correlated ORDER BY (total per-group order; both engines pick the
+    same two rows).
+    """
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        select o.o_orderkey, t.l_linenumber, t.l_quantity
+        from orders o, lateral (
+            select l_linenumber, l_quantity
+            from lineitem
+            where l_orderkey = o.o_orderkey
+            order by l_quantity desc, l_linenumber
+            limit 2
+        ) t
+        where o.o_orderkey < 2000
+        order by o.o_orderkey, t.l_linenumber
+        """
     )

@@ -631,6 +631,22 @@ PRESTO_FACES: dict[str, str] = {
         left join c on s.user_id = c.user_id and s.day = c.day
         order by 1, 2
     """,
+    # Trino spells the correlated derived table CROSS JOIN LATERAL;
+    # Spark accepts the same text (and decorrelates it — see the
+    # declared query's plan notes)
+    "join_lateral_topn": """
+        select o.o_orderkey, t.l_linenumber, t.l_quantity
+        from orders o
+        cross join lateral (
+            select l_linenumber, l_quantity
+            from lineitem
+            where l_orderkey = o.o_orderkey
+            order by l_quantity desc, l_linenumber
+            limit 2
+        ) t
+        where o.o_orderkey < 2000
+        order by o.o_orderkey, t.l_linenumber
+    """,
 }
 
 #: non-default compare modes (see module docstring).
