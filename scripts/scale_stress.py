@@ -126,6 +126,10 @@ REL_X100 = [
     # round 9: the new lane shapes ride the third decade too
     "agg_grouping_sets",
     "etl_scd2_dimension",
+    # round 9 late: recursion gains another depth level at x100
+    # (6-digit custkeys); gap-fill spine reaches 4.5M cells
+    "cte_recursive_hierarchy",
+    "ts_gap_fill",
 ]
 
 

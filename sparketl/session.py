@@ -35,6 +35,13 @@ SESSION_CONFS: dict[str, str] = {
     # match local core count; AQE coalesces small shuffles back down.
     # At cluster scale this would be ~2-3x total executor cores.
     "spark.sql.shuffle.partitions": "32",
+    # WITH RECURSIVE (§2 #150): Spark's safety valve caps TOTAL rows
+    # accumulated across recursion levels at 1M by default —
+    # RECURSION_ROW_LIMIT_EXCEEDED on the 1.5M-node x100 forest (and
+    # any production-sized hierarchy).  Raised to 1e9 here; the level
+    # limit (default 100) stays — depth is the true runaway guard for
+    # the O(log n)-deep hierarchies this engine declares.
+    "spark.sql.cteRecursionRowLimit": "1000000000",
 }
 
 #: Builder-time confs for sessions WE create (tests / bench).  At 100 TB
