@@ -262,11 +262,27 @@ def join_theta_nonequi(spark, sf_dir):
     per-nation customer count (~1.8M rows at sf0.1), so the query
     returns per-nation PAIR COUNTS — the theta join still materializes
     every pair in the join itself, but the driver-side result stays
-    25-row-bounded at any scale."""
+    25-row-bounded at any scale.
+
+    The probe side goes through the shared fixture-parallelism gate:
+    a single-file customer scan arrives as ONE partition, so the
+    broadcast-join's quadratic pair expansion (~1.8M rows at sf0.1)
+    would run in a single task (measured: the whole query serializes
+    at ~1.0s with every stage 1-task).  Spreading the probe rows lets
+    each task expand its share of pairs and partially aggregate
+    map-side; at 100 TB the scan is already thousands of splits and
+    the gate switches itself off (_PARALLEL_MAX_BYTES)."""
+    from sparketl.operators.llm_common import _maybe_parallel
+
     c = table(spark, sf_dir, "customer")
-    a = c.select(
-        F.col("c_nationkey").alias("nk1"),
-        F.col("c_acctbal").alias("bal1"),
+    a = _maybe_parallel(
+        c.select(
+            F.col("c_nationkey").alias("nk1"),
+            F.col("c_acctbal").alias("bal1"),
+        ),
+        sf_dir,
+        "customer",
+        lo=0,
     )
     b = c.select(
         F.col("c_nationkey").alias("nk2"),
@@ -469,7 +485,7 @@ def join_skew_salted(spark, sf_dir):
         from orders o, lateral (
             select l_linenumber, l_quantity
             from lineitem
-            where l_orderkey = o.o_orderkey
+            where l_orderkey = o.o_orderkey and l_orderkey < 2000
             order by l_quantity desc, l_linenumber
             limit 2
         ) t
@@ -486,12 +502,21 @@ def join_lateral_topn(spark, sf_dir):
     Scale: Catalyst DECORRELATES this — the per-row correlated limit
     becomes a distributed WindowGroupLimit plan (map-side PARTIAL
     group-limit before the l_orderkey exchange, Final after), joined
-    back broadcast/shuffle by key; verified via .explain — no
-    nested-loop re-execution per outer row, and the outer
-    ``o_orderkey < 2000`` predicate is pushed THROUGH the correlation
-    into the lateral side's scan.  At 100 TB this is exactly the
-    top-k-per-group plan, so the lateral spelling costs nothing over
-    the window spelling.
+    back by key; verified via .explain — no nested-loop re-execution
+    per outer row.  At 100 TB this is exactly the top-k-per-group
+    plan, so the lateral spelling costs nothing over the window
+    spelling.
+
+    Pushdown caveat (measured, the reason the predicate appears TWICE
+    in the text): Catalyst infers ``l_orderkey < 2000`` from the join
+    but lands it ABOVE the group-limit — the pure-lateral spelling
+    sorts/shuffles ALL lineitem keys before the filter cuts them
+    (1.0s at sf0.1; scan shows no PushedFilters).  Spelling the
+    selective outer predicate inside the lateral body reaches the
+    parquet scan (PushedFilters: LessThan(l_orderkey,2000)) and
+    halves the wall to ~0.5s — at 100 TB the difference is scanning
+    the whole fact table vs the selected keys, so the manual-pushdown
+    spelling is the production form this engine prescribes.
 
     Determinism: ties on l_quantity are broken by l_linenumber in the
     correlated ORDER BY (total per-group order; both engines pick the
@@ -504,7 +529,7 @@ def join_lateral_topn(spark, sf_dir):
         from orders o, lateral (
             select l_linenumber, l_quantity
             from lineitem
-            where l_orderkey = o.o_orderkey
+            where l_orderkey = o.o_orderkey and l_orderkey < 2000
             order by l_quantity desc, l_linenumber
             limit 2
         ) t
