@@ -321,3 +321,66 @@ def arr_struct_lambda(spark, sf_dir):
             ",",
         ).alias("packed"),
     )
+
+
+@query(
+    "arr_ngrams",
+    oracle="""
+        select doc_id,
+               array_to_string(
+                   [array_to_string(w[i : i + 1], ' ')
+                    for i in range(1, len(w))], ',')     as bigrams,
+               array_to_string(
+                   [array_to_string(w[i : i + 2], ' ')
+                    for i in range(1, len(w) - 1)], ',') as trigrams,
+               cast(len(w) - 1 as int)                   as n_bigrams
+        from (
+            select doc_id, string_split(text, ' ')[1:8] as w
+            from documents
+            where doc_id < 300
+        )
+    """,
+)
+def arr_ngrams(spark, sf_dir):
+    """#156 Presto ``ngrams(array, n)`` — sliding n-element windows
+    over an array, here word bi/trigrams of p_name (the shingling
+    primitive the MinHash dedup family builds on, exposed as the
+    engine-level array function Presto users call directly).  Spark
+    has no ngrams builtin: composed as ``transform(sequence(1,
+    size(w)-n+1), i -> slice(w, i, n))`` — a per-row narrow
+    expression.  DuckDB oracle composes the same windows with a list
+    comprehension over end-exclusive ``range`` (bounds differ by one
+    from Spark's inclusive ``sequence`` — spelled explicitly on both
+    sides so the off-by-one is reviewable, the round-4 lesson on
+    silent bound divergence).
+
+    Grams are flattened to joined strings (gram words by ' ', grams
+    by ',') so the hash compares scalar text, not nested-list
+    encodings.  The window is the first 8 tokens of each document
+    (every fixture doc has >= 10, so size(w) = 8 and the
+    descending-``sequence`` footgun — sequence(1,0) = [1,0], slice
+    start 0 — can't fire; the fixture's 2-word p_name DID fire it,
+    which is why this runs on documents); the WHERE bounds the
+    driver collect.
+
+    Scale: pure codegen-side per-row expression — no explode, no
+    shuffle; the gram count per row is size-bounded, so output width
+    is O(words per name), independent of row count."""
+    docs = table(spark, sf_dir, "documents")
+    w = F.slice(F.split(F.col("text"), " "), 1, 8)
+    grams = lambda n: F.array_join(  # noqa: E731
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+        ",",
+    )
+    return (
+        docs.where(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            grams(2).alias("bigrams"),
+            grams(3).alias("trigrams"),
+            (F.size(w) - 1).cast("int").alias("n_bigrams"),
+        )
+    )

@@ -374,3 +374,130 @@ def win_range_interval(spark, sf_dir):
         ).alias("sum_1h"),
         F.expr(f"count(*) over ({frame})").alias("n_1h"),
     )
+
+
+@query(
+    "win_locf_fill",
+    oracle="""
+        select user_id, event_id,
+               last_value(obs ignore nulls) over (
+                   partition by user_id order by ts, event_id
+                   rows between unbounded preceding and current row) as locf_value,
+               last_value(obs ignore nulls) over (
+                   partition by user_id order by ts, event_id
+                   rows between unbounded preceding and 1 preceding)  as prev_obs,
+               first_value(obs ignore nulls) over (
+                   partition by user_id order by ts, event_id
+                   rows between current row and unbounded following)  as nocb_value
+        from (
+            select user_id, event_id, ts,
+                   case when event_type = 'purchase' then value end as obs
+            from events
+        )
+    """,
+)
+def win_locf_fill(spark, sf_dir):
+    """#154 IGNORE NULLS window navigation — LOCF forward fill (and
+    its two siblings) over a sparsely-observed measure: treating
+    `value` as observed only on purchase events, carry the last
+    observation forward per user (`last_value IGNORE NULLS`, the
+    Presto LOCF idiom every feature-engineering pipeline uses),
+    expose the strictly-previous observation (the `lag ... IGNORE
+    NULLS` face, spelled as the same navigator over an
+    end-at-1-preceding frame so both engines agree on frame
+    semantics), and the next-observation backfill (NOCB,
+    `first_value IGNORE NULLS` over the suffix frame).
+
+    Determinism: ts ties are broken by event_id (unique), so the
+    navigator picks the same physical row on both engines; the value
+    is CARRIED, never summed — bit-identical parquet doubles need no
+    cents folding.
+
+    Scale: one shuffle on user_id + one sort, then three navigators
+    over the same ordered pass (Spark evaluates same-spec window
+    functions in a single WindowExec); state per partition is one
+    scalar per navigator (the running last-seen observation), not
+    the frame — the same O(1) law as the running agg at #50."""
+    ev = table(spark, sf_dir, "events")
+    obs = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("obs"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return obs.select(
+        "user_id",
+        "event_id",
+        F.last("obs", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("locf_value"),
+        F.last("obs", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_obs"),
+        F.first("obs", ignorenulls=True)
+        .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        .alias("nocb_value"),
+    )
+
+
+@query(
+    "win_frame_exclude",
+    oracle="""
+        select user_id, event_id,
+               sum(cents) over (
+                   partition by user_id order by ts, event_id
+                   rows between 3 preceding and 3 following
+                   exclude current row) / cast(100 as double) as neighbor_sum,
+               count(*) over (
+                   partition by user_id order by ts, event_id
+                   rows between 3 preceding and 3 following
+                   exclude current row) as n_neighbors
+        from (
+            select user_id, event_id, ts,
+                   cast(round(value * 100) as bigint) as cents
+            from events
+        )
+    """,
+)
+def win_frame_exclude(spark, sf_dir):
+    """#155 window frame EXCLUDE (SQL:2011, Trino/DuckDB `EXCLUDE
+    CURRENT ROW`): each event's ±3-row neighborhood sum WITHOUT
+    itself — the leave-one-out local baseline anomaly detectors
+    compute.  Spark's frame grammar has no EXCLUDE clause, so the
+    engine composes it exactly: full-frame aggregate minus the
+    current row's contribution (sum − cents; count − 1).  For
+    EXCLUDE GROUP/TIES the same subtraction runs against a
+    peer-frame aggregate (RANGE over the ORDER BY key); only
+    EXCLUDE NO OTHERS (the default) is a no-op — divergence
+    documented here rather than hidden.
+
+    Determinism: the summed measure folds to integer cents BEFORE
+    the window (subtraction is then exact — the x10 lesson from the
+    recursion money sums), and ts ties carry the event_id tiebreak
+    so ROWS frames align across engines.
+
+    Scale: one shuffle + sort on user_id, streaming 7-row frame
+    buffer; the subtraction is a per-row scalar — no second window
+    pass, so EXCLUDE costs nothing over the plain sliding frame."""
+    ev = table(spark, sf_dir, "events")
+    cents = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    return cents.select(
+        "user_id",
+        "event_id",
+        (
+            (F.sum("cents").over(w) - F.col("cents"))
+            / F.lit(100).cast("double")
+        ).alias("neighbor_sum"),
+        (F.count("*").over(w) - F.lit(1)).cast("bigint").alias("n_neighbors"),
+    )

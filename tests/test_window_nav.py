@@ -1,0 +1,165 @@
+"""Unit tests for the round-9 window-navigation / rollup operators
+(SURVEY §2 #154-#157): LOCF/NOCB vs a pure-Python carry model, frame
+EXCLUDE vs a brute-force neighborhood loop, ngram overlap/counting
+laws, and the rollup cascade's associativity law.
+
+The oracle gate already proves hash-equality vs DuckDB at sf0.01;
+these tests pin the semantics against INDEPENDENT models so a
+same-bug-both-engines spelling slip can't hide.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from sparketl.registry import QUERIES
+from tests.conftest import SF_SMOKE_DIR
+
+
+def _event_rows():
+    con = duckdb.connect()
+    rows = con.execute(
+        "select user_id, event_id, ts, event_type, value from "
+        f"read_parquet('{SF_SMOKE_DIR}/events.parquet') "
+        "order by user_id, ts, event_id"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _python_locf(rows):
+    """Per user ordered by (ts, event_id): carry the last purchase
+    value forward (LOCF), remember the strictly-previous observation,
+    and backfill the next observation (NOCB) — plain dict walk."""
+    out = {}
+    by_user: dict = {}
+    for u, e, ts, et, v in rows:
+        by_user.setdefault(u, []).append((e, et, v))
+    for u, evs in by_user.items():
+        carried = None
+        locf, prev = {}, {}
+        for e, et, v in evs:
+            prev[e] = carried
+            if et == "purchase":
+                carried = v
+            locf[e] = carried
+        nxt = None
+        nocb = {}
+        for e, et, v in reversed(evs):
+            if et == "purchase":
+                nxt = v
+            nocb[e] = nxt
+        for e, _, _ in evs:
+            out[(u, e)] = (locf[e], prev[e], nocb[e])
+    return out
+
+
+def test_locf_matches_python_carry_model(spark):
+    model = _python_locf(_event_rows())
+    got = {
+        (r.user_id, r.event_id): (r.locf_value, r.prev_obs, r.nocb_value)
+        for r in QUERIES["win_locf_fill"](spark, SF_SMOKE_DIR).collect()
+    }
+    assert got == model
+
+
+def test_locf_null_before_first_observation(spark):
+    """Rows before a user's first purchase must be NULL in locf_value
+    (no default, no zero) and the first purchase row must carry its
+    OWN value (frame includes current row) while prev_obs excludes it."""
+    rows = QUERIES["win_locf_fill"](spark, SF_SMOKE_DIR).collect()
+    ev = _event_rows()
+    first_purchase = {}
+    for u, e, ts, et, v in ev:  # ordered
+        if et == "purchase" and u not in first_purchase:
+            first_purchase[u] = (e, v)
+    by_key = {(r.user_id, r.event_id): r for r in rows}
+    order = {}
+    for u, e, ts, et, v in ev:
+        order.setdefault(u, []).append(e)
+    for u, (fe, fv) in first_purchase.items():
+        for e in order[u]:
+            r = by_key[(u, e)]
+            if e == fe:
+                assert r.locf_value == fv and r.prev_obs is None
+                break
+            assert r.locf_value is None and r.prev_obs is None
+
+
+def _python_exclude(rows):
+    out = {}
+    by_user: dict = {}
+    for u, e, ts, et, v in rows:
+        by_user.setdefault(u, []).append((e, int(round(v * 100))))
+    for u, evs in by_user.items():
+        for i, (e, _) in enumerate(evs):
+            lo, hi = max(0, i - 3), min(len(evs), i + 4)
+            neigh = [c for j, (_, c) in enumerate(evs[lo:hi], lo) if j != i]
+            out[(u, e)] = (sum(neigh) / 100.0, len(neigh))
+    return out
+
+
+def test_frame_exclude_matches_brute_force(spark):
+    model = _python_exclude(_event_rows())
+    got = {
+        (r.user_id, r.event_id): (r.neighbor_sum, r.n_neighbors)
+        for r in QUERIES["win_frame_exclude"](spark, SF_SMOKE_DIR).collect()
+    }
+    assert got == model
+
+
+def test_ngrams_overlap_and_counting_laws(spark):
+    """Adjacent bigrams overlap by one word, trigram k = bigram k - 1,
+    and merging bigram heads + the last bigram reconstructs the
+    original 8-token window exactly (the melt-back identity)."""
+    rows = QUERIES["arr_ngrams"](spark, SF_SMOKE_DIR).collect()
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            "select doc_id, text from "
+            f"read_parquet('{SF_SMOKE_DIR}/documents.parquet') "
+            "where doc_id < 300"
+        ).fetchall()
+    )
+    con.close()
+    assert len(rows) == len(texts) > 0
+    for r in rows:
+        bi = [g.split(" ") for g in r.bigrams.split(",")]
+        tri = [g.split(" ") for g in r.trigrams.split(",")]
+        assert r.n_bigrams == len(bi) == 7 and len(tri) == 6
+        assert all(len(g) == 2 for g in bi) and all(len(g) == 3 for g in tri)
+        for a, b in zip(bi, bi[1:]):
+            assert a[1] == b[0]
+        rebuilt = [g[0] for g in bi] + [bi[-1][1]]
+        assert rebuilt == texts[r.doc_id].split(" ")[:8]
+
+
+def test_rollup_cascade_day_equals_direct_aggregation(spark):
+    """Associativity law: the day rows (re-aggregated FROM hourly
+    partials) must equal a direct day aggregation over raw events —
+    exact, because the carriers are count + integer cents."""
+    rows = QUERIES["ts_rollup_cascade"](spark, SF_SMOKE_DIR).collect()
+    con = duckdb.connect()
+    direct = {
+        b: (n, s)
+        for b, n, s in con.execute(
+            "select strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),"
+            " count(*), sum(cast(round(value * 100) as bigint)) from "
+            f"read_parquet('{SF_SMOKE_DIR}/events.parquet') group by 1"
+        ).fetchall()
+    }
+    con.close()
+    day_rows = [r for r in rows if r.resolution == "day"]
+    assert {r.bucket for r in day_rows} == set(direct)
+    for r in day_rows:
+        n, cents = direct[r.bucket]
+        assert r.n_events == n
+        assert r.value_sum == cents / 100.0
+    # conservation: hour-level totals equal day-level totals exactly
+    hour_rows = [r for r in rows if r.resolution == "hour"]
+    assert sum(r.n_events for r in hour_rows) == sum(
+        r.n_events for r in day_rows
+    )
+    assert round(sum(r.value_sum for r in hour_rows), 2) == round(
+        sum(r.value_sum for r in day_rows), 2
+    )
