@@ -108,6 +108,12 @@ RELATIONAL = [
     "cte_recursive_hierarchy",
     "reshape_pivot",
     "ts_gap_fill",
+    # round 9 final: window navigation (#154-#155) and the rollup
+    # cascade (#157) — per-user ordered passes over events and the
+    # two-level partial aggregation
+    "win_locf_fill",
+    "win_frame_exclude",
+    "ts_rollup_cascade",
 ]
 
 #: relational third decade (``--rel --x100``): the sub-lane run over

@@ -647,6 +647,28 @@ PRESTO_FACES: dict[str, str] = {
         where o.o_orderkey < 2000
         order by o.o_orderkey, t.l_linenumber
     """,
+    # Trino window navigation with IGNORE NULLS (§2 #154) — the
+    # postfix `navigator(x) IGNORE NULLS OVER ...` spelling a Trino
+    # user types runs NATIVELY on Spark 4 (frame exclusion at #155
+    # does NOT: Spark has no EXCLUDE grammar — that divergence is
+    # documented at the declared query, not papered over here).
+    "win_locf_fill": """
+        select user_id, event_id,
+               last_value(obs) ignore nulls over (
+                   partition by user_id order by ts, event_id
+                   rows between unbounded preceding and current row) as locf_value,
+               last_value(obs) ignore nulls over (
+                   partition by user_id order by ts, event_id
+                   rows between unbounded preceding and 1 preceding)  as prev_obs,
+               first_value(obs) ignore nulls over (
+                   partition by user_id order by ts, event_id
+                   rows between current row and unbounded following)  as nocb_value
+        from (
+            select user_id, event_id, ts,
+                   case when event_type = 'purchase' then value end as obs
+            from events
+        )
+    """,
 }
 
 #: non-default compare modes (see module docstring).
