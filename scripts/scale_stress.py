@@ -136,6 +136,10 @@ REL_X100 = [
     # (6-digit custkeys); gap-fill spine reaches 4.5M cells
     "cte_recursive_hierarchy",
     "ts_gap_fill",
+    # round 9 final: the LOCF window pass at 10M events and the rollup
+    # cascade's flatness claim get a third decade
+    "win_locf_fill",
+    "ts_rollup_cascade",
 ]
 
 

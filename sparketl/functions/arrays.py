@@ -343,9 +343,10 @@ def arr_struct_lambda(spark, sf_dir):
 )
 def arr_ngrams(spark, sf_dir):
     """#156 Presto ``ngrams(array, n)`` — sliding n-element windows
-    over an array, here word bi/trigrams of p_name (the shingling
-    primitive the MinHash dedup family builds on, exposed as the
-    engine-level array function Presto users call directly).  Spark
+    over an array, here word bi/trigrams of each document's leading
+    tokens (the shingling primitive the MinHash dedup family builds
+    on, exposed as the engine-level array function Presto users call
+    directly).  Spark
     has no ngrams builtin: composed as ``transform(sequence(1,
     size(w)-n+1), i -> slice(w, i, n))`` — a per-row narrow
     expression.  DuckDB oracle composes the same windows with a list
@@ -365,9 +366,17 @@ def arr_ngrams(spark, sf_dir):
 
     Scale: pure codegen-side per-row expression — no explode, no
     shuffle; the gram count per row is size-bounded, so output width
-    is O(words per name), independent of row count."""
+    is O(window tokens), independent of row count.  The token window
+    is PROJECTED once and the lambdas reference the column — an
+    expression inlined into transform() re-evaluates per sequence
+    element (the llm_common shingle lesson: ~15 full text splits per
+    row here; hoisting is the codebase idiom)."""
     docs = table(spark, sf_dir, "documents")
-    w = F.slice(F.split(F.col("text"), " "), 1, 8)
+    win = docs.where(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.slice(F.split(F.col("text"), " "), 1, 8).alias("w"),
+    )
+    w = F.col("w")
     grams = lambda n: F.array_join(  # noqa: E731
         F.transform(
             F.sequence(F.lit(1), F.size(w) - (n - 1)),
@@ -375,12 +384,9 @@ def arr_ngrams(spark, sf_dir):
         ),
         ",",
     )
-    return (
-        docs.where(F.col("doc_id") < 300)
-        .select(
-            "doc_id",
-            grams(2).alias("bigrams"),
-            grams(3).alias("trigrams"),
-            (F.size(w) - 1).cast("int").alias("n_bigrams"),
-        )
+    return win.select(
+        "doc_id",
+        grams(2).alias("bigrams"),
+        grams(3).alias("trigrams"),
+        (F.size(w) - 1).cast("int").alias("n_bigrams"),
     )

@@ -472,6 +472,16 @@ def win_frame_exclude(spark, sf_dir):
     EXCLUDE NO OTHERS (the default) is a no-op — divergence
     documented here rather than hidden.
 
+    The naive subtraction is NOT exact at two edges (review-caught):
+    a frame whose neighbors contribute no non-null measure must
+    yield NULL (SQL sum over the empty/all-null excluded frame),
+    where sum−cents yields 0; and a NULL current-row measure must
+    subtract NOTHING (sum skips it), where cents-as-NULL would
+    poison the difference.  Composition below handles both: count
+    the non-null neighbor measures explicitly and gate the
+    subtraction (coalesced) on it — now value-equal to the native
+    clause on every input, not just null-free fixtures.
+
     Determinism: the summed measure folds to integer cents BEFORE
     the window (subtraction is then exact — the x10 lesson from the
     recursion money sums), and ts ties carry the event_id tiebreak
@@ -492,12 +502,15 @@ def win_frame_exclude(spark, sf_dir):
         .orderBy("ts", "event_id")
         .rowsBetween(-3, 3)
     )
+    self_vals = F.when(F.col("cents").isNotNull(), 1).otherwise(0)
+    n_vals = F.count("cents").over(w) - self_vals
     return cents.select(
         "user_id",
         "event_id",
-        (
-            (F.sum("cents").over(w) - F.col("cents"))
-            / F.lit(100).cast("double")
+        F.when(
+            n_vals > 0,
+            (F.sum("cents").over(w) - F.coalesce(F.col("cents"), F.lit(0)))
+            / F.lit(100).cast("double"),
         ).alias("neighbor_sum"),
         (F.count("*").over(w) - F.lit(1)).cast("bigint").alias("n_neighbors"),
     )

@@ -16,7 +16,7 @@ from __future__ import annotations
 import pytest
 
 try:
-    from hypothesis import given, settings
+    from hypothesis import assume, given, settings
     from hypothesis import strategies as st
 except ImportError:  # pragma: no cover
     pytest.skip("hypothesis unavailable", allow_module_level=True)
@@ -65,15 +65,14 @@ def _python_closure(nodes: dict) -> dict:
 @settings(max_examples=20, deadline=None, derandomize=True)
 @given(nodes=nodes_st)
 def test_recursion_matches_python_closure(spark, nodes):
-    if not _acyclic(nodes):
-        return
+    # assume (not return): a filtered cyclic draw must not count as a
+    # passing example or the effective example count silently shrinks
+    assume(_acyclic(nodes))
     rows = [(k, p) for k, p in nodes.items()]
     spark.createDataFrame(rows, "node int, parent int").createOrReplaceTempView(
         "prop_forest"
     )
-    got = {
-        r.node: (r.root, r.depth)
-        for r in spark.sql(
+    collected = spark.sql(
             """
             with recursive cl(node, root, depth) as (
                 select node, node, 0 from prop_forest where parent is null
@@ -83,6 +82,10 @@ def test_recursion_matches_python_closure(spark, nodes):
             )
             select node, root, depth from cl
             """
-        ).collect()
-    }
-    assert got == _python_closure(nodes)
+    ).collect()
+    model = _python_closure(nodes)
+    # row-count check BEFORE dict-ification: a frontier-join bug that
+    # emits a node twice would otherwise be collapsed and masked
+    assert len(collected) == len(model)
+    got = {r.node: (r.root, r.depth) for r in collected}
+    assert got == model

@@ -86,16 +86,29 @@ def test_locf_null_before_first_observation(spark):
             assert r.locf_value is None and r.prev_obs is None
 
 
+def _cents(v: float) -> int:
+    """Half-away-from-zero, matching Spark F.round and DuckDB round —
+    Python's built-in round() is banker's (half-to-even) and would
+    diverge on exact .5 cent boundaries."""
+    import math
+
+    return int(math.copysign(math.floor(abs(v * 100) + 0.5), v))
+
+
 def _python_exclude(rows):
     out = {}
     by_user: dict = {}
     for u, e, ts, et, v in rows:
-        by_user.setdefault(u, []).append((e, int(round(v * 100))))
+        by_user.setdefault(u, []).append((e, _cents(v)))
     for u, evs in by_user.items():
         for i, (e, _) in enumerate(evs):
             lo, hi = max(0, i - 3), min(len(evs), i + 4)
             neigh = [c for j, (_, c) in enumerate(evs[lo:hi], lo) if j != i]
-            out[(u, e)] = (sum(neigh) / 100.0, len(neigh))
+            # empty excluded frame => SQL sum is NULL, not 0
+            out[(u, e)] = (
+                sum(neigh) / 100.0 if neigh else None,
+                len(neigh),
+            )
     return out
 
 
@@ -163,3 +176,47 @@ def test_rollup_cascade_day_equals_direct_aggregation(spark):
     assert round(sum(r.value_sum for r in hour_rows), 2) == round(
         sum(r.value_sum for r in day_rows), 2
     )
+
+
+def test_frame_exclude_empty_frame_is_null(spark):
+    """The review-caught edge: a user with exactly ONE event has an
+    empty excluded frame — native EXCLUDE CURRENT ROW yields NULL
+    (sum over no rows), which the naive sum-minus-current composition
+    renders as 0.0.  Pin the NULL on a live singleton corpus, plus a
+    NULL current-row measure (subtracts nothing; neighbors' sum
+    survives)."""
+    import tempfile
+
+    from pyspark.sql import Row, functions as F
+
+    from sparketl.registry import QUERIES
+    from tests.test_etl import _events_fixture_dir
+
+    rows = [
+        # user 1: singleton -> empty excluded frame
+        Row(event_id=1, ts="2024-01-01 10:00:00", user_id=1,
+            event_type="view", value=7.0),
+        # user 2: three events, middle one has NULL value
+        Row(event_id=2, ts="2024-01-01 10:00:00", user_id=2,
+            event_type="view", value=1.0),
+        Row(event_id=3, ts="2024-01-01 10:30:00", user_id=2,
+            event_type="view", value=None),
+        Row(event_id=4, ts="2024-01-01 11:00:00", user_id=2,
+            event_type="view", value=2.0),
+    ]
+    df = (
+        spark.createDataFrame(rows)
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withColumn("props", F.lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _events_fixture_dir(d, df)
+        got = {
+            r.event_id: (r.neighbor_sum, r.n_neighbors)
+            for r in QUERIES["win_frame_exclude"](spark, d).collect()
+        }
+    assert got[1] == (None, 0)          # empty excluded frame -> NULL
+    assert got[2] == (2.0, 2)           # NULL neighbor contributes nothing
+    assert got[3] == (3.0, 2)           # NULL current row subtracts nothing
+    assert got[4] == (1.0, 2)
