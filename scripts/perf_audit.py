@@ -30,6 +30,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: the >2x ratio is structural, not a plan bug (full prose versions in
 #: the r7 module docstring / SCALING.md).
 TAGS: dict[str, tuple[str, float, str]] = {
+    "flagship_q1_pricing_summary": (
+        "suite-context", 1.04, "isolated warm floor is 0.6-0.9s (measured r9, "
+        "6 passes, same confs); the suite number rides 221 queries of JIT/GC "
+        "context — the sf0.1 ratio is fixed-overhead-dominated, and the plan "
+        "is the one the x10/x100 lane measured sublinear"),
     "sink_parquet_partitioned": (
         "side-effect", 0.55, "writes+re-reads parquet; referent only reads"),
     "sink_partition_overwrite_dynamic": (

@@ -390,3 +390,54 @@ def arr_ngrams(spark, sf_dir):
         grams(3).alias("trigrams"),
         (F.size(w) - 1).cast("int").alias("n_bigrams"),
     )
+
+
+@query(
+    "arr_match_predicates",
+    oracle="""
+        select doc_id,
+               len(list_filter(w, x -> length(x) > 6)) > 0      as any_long,
+               len(list_filter(w, x -> length(x) >= 2)) = len(w) as all_ge2,
+               len(list_filter(w, x -> length(x) > 15)) = 0      as none_huge,
+               cast(len(list_filter(w, x -> length(x) > 6)) as bigint) as n_long
+        from (
+            select doc_id, string_split(text, ' ') as w
+            from documents
+            where doc_id < 400
+        )
+    """,
+)
+def arr_match_predicates(spark, sf_dir):
+    """#158 Presto quantified array predicates — ``any_match`` /
+    ``all_match`` / ``none_match(arr, lambda)``: does any / every / no
+    token satisfy the predicate.  Spark spells them ``exists`` and
+    ``forall`` (none = NOT exists); all three short-circuit per row.
+    DuckDB 1.0 has none of the quantifiers, so the oracle states each
+    as a ``list_filter`` cardinality identity (any = filtered > 0,
+    all = filtered = len, none = filtered = 0) — the definitional
+    form, immune to quantifier-semantics drift; the filtered COUNT
+    ships as a fourth column so the booleans can't pass vacuously.
+
+    NULL caveat (documented, not exercised: fixture tokens are
+    non-null): SQL quantifiers are three-valued — any_match over
+    (false, NULL) is NULL, not false; Spark's exists/forall and
+    Presto agree, the cardinality spelling does NOT (a NULL
+    predicate row just drops from the filter), so the oracle twin is
+    value-equal only on non-null predicate inputs like these.
+
+    Scale: per-row short-circuit scan inside codegen — no explode,
+    no shuffle, output one row per input row."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.where(F.col("doc_id") < 400).select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+    w = F.col("w")
+    return t.select(
+        "doc_id",
+        F.exists(w, lambda x: F.length(x) > 6).alias("any_long"),
+        F.forall(w, lambda x: F.length(x) >= 2).alias("all_ge2"),
+        (~F.exists(w, lambda x: F.length(x) > 15)).alias("none_huge"),
+        F.size(F.filter(w, lambda x: F.length(x) > 6))
+        .cast("bigint")
+        .alias("n_long"),
+    )

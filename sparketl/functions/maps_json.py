@@ -177,3 +177,76 @@ def json_parse_format(spark, sf_dir):
             "obj_keys"
         ),
     )
+
+
+@query(
+    "map_zip_with",
+    oracle="""
+        select doc_id,
+               array_to_string(
+                   list_sort([k || ':' ||
+                              (map_extract(m1, k)[1] * map_extract(m2, k)[1])
+                              for k in map_keys(m1)]),
+                   ',') as weighted
+        from (
+            select doc_id,
+                   MAP {'chars': n_chars,
+                        'tokens': cast(len(string_split(text, ' ')) as bigint)} as m1,
+                   MAP {'chars': cast(2 as bigint),
+                        'tokens': cast(3 as bigint)} as m2
+            from documents
+            where doc_id < 400
+        )
+    """,
+)
+def map_zip_with(spark, sf_dir):
+    """#159 Presto/Trino ``map_zip_with(m1, m2, (k, v1, v2) -> ...)``
+    — key-aligned merge of two maps through a lambda, here a
+    per-document stats map weighted by a constant weights map.  Spark
+    has the SAME builtin (``F.map_zip_with``); DuckDB 1.0 does not,
+    so the oracle composes the definition: iterate m1's keys,
+    multiply the extracted values.  Both maps here share identical
+    key sets; for the missing-key case Presto/Spark pass NULL for
+    the absent side's value (lambda sees v2 = NULL) while the
+    oracle's m1-keyed iteration would DROP keys present only in m2 —
+    the composition is the equal-keys contract, stated rather than
+    papered over.
+
+    The zipped map ships as sorted ``k:v`` strings joined by ',' —
+    map iteration order is engine-private on both sides, so the hash
+    compares a canonical scalar, never raw map encodings (the
+    maps-family convention).
+
+    Scale: per-row narrow expression over bounded-size maps — no
+    explode, no shuffle; at 100 TB this is a pure map-stage column."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.where(F.col("doc_id") < 400).select(
+        "doc_id",
+        F.create_map(
+            F.lit("chars"),
+            F.col("n_chars"),
+            F.lit("tokens"),
+            F.size(F.split(F.col("text"), " ")).cast("bigint"),
+        ).alias("m1"),
+        F.create_map(
+            F.lit("chars"),
+            F.lit(2).cast("bigint"),
+            F.lit("tokens"),
+            F.lit(3).cast("bigint"),
+        ).alias("m2"),
+    )
+    zipped = F.map_zip_with("m1", "m2", lambda k, v1, v2: v1 * v2)
+    return t.select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(zipped),
+                    lambda e: F.concat(
+                        e["key"], F.lit(":"), e["value"].cast("string")
+                    ),
+                )
+            ),
+            ",",
+        ).alias("weighted"),
+    )

@@ -652,6 +652,36 @@ PRESTO_FACES: dict[str, str] = {
     # user types runs NATIVELY on Spark 4 (frame exclusion at #155
     # does NOT: Spark has no EXCLUDE grammar — that divergence is
     # documented at the declared query, not papered over here).
+    # Presto quantified array predicates (§2 #158) — any/all/none_match
+    # go through the translator's exists/forall rewrites (dialect.py)
+    "arr_match_predicates": """
+        select doc_id,
+               any_match(split(text, ' '), x -> length(x) > 6)   as any_long,
+               all_match(split(text, ' '), x -> length(x) >= 2)  as all_ge2,
+               none_match(split(text, ' '), x -> length(x) > 15) as none_huge,
+               cast(cardinality(filter(split(text, ' '), x -> length(x) > 6))
+                    as bigint)                                   as n_long
+        from documents
+        where doc_id < 400
+    """,
+    # Trino map_zip_with (§2 #159) — same builtin name on Spark; the
+    # MAP(ARRAY, ARRAY) constructor goes through the translator
+    "map_zip_with": """
+        select doc_id,
+               array_join(
+                   array_sort(transform(
+                       map_entries(map_zip_with(
+                           MAP(ARRAY['chars', 'tokens'],
+                               ARRAY[n_chars,
+                                     cast(cardinality(split(text, ' ')) as bigint)]),
+                           MAP(ARRAY['chars', 'tokens'],
+                               ARRAY[cast(2 as bigint), cast(3 as bigint)]),
+                           (k, v1, v2) -> v1 * v2)),
+                       e -> concat(e.key, ':', cast(e.value as varchar)))),
+                   ',') as weighted
+        from documents
+        where doc_id < 400
+    """,
     "win_locf_fill": """
         select user_id, event_id,
                last_value(obs) ignore nulls over (

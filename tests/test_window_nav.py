@@ -220,3 +220,52 @@ def test_frame_exclude_empty_frame_is_null(spark):
     assert got[2] == (2.0, 2)           # NULL neighbor contributes nothing
     assert got[3] == (3.0, 2)           # NULL current row subtracts nothing
     assert got[4] == (1.0, 2)
+
+
+def test_match_predicates_against_python_model(spark):
+    """#158 quantifiers recomputed in plain Python from the raw text —
+    the n_long count anchors the booleans so they can't pass
+    vacuously (all-False corpora would still hash-match)."""
+    rows = QUERIES["arr_match_predicates"](spark, SF_SMOKE_DIR).collect()
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            "select doc_id, text from "
+            f"read_parquet('{SF_SMOKE_DIR}/documents.parquet') "
+            "where doc_id < 400"
+        ).fetchall()
+    )
+    con.close()
+    assert len(rows) == len(texts) > 0
+    seen_true = seen_false = False
+    for r in rows:
+        w = texts[r.doc_id].split(" ")
+        longs = [x for x in w if len(x) > 6]
+        assert r.any_long == (len(longs) > 0)
+        assert r.all_ge2 == all(len(x) >= 2 for x in w)
+        assert r.none_huge == (not any(len(x) > 15 for x in w))
+        assert r.n_long == len(longs)
+        seen_true |= r.any_long
+        seen_false |= not r.any_long
+    assert seen_true  # corpus exercises both branches
+    assert seen_false
+
+
+def test_map_zip_with_against_python_model(spark):
+    """#159 key-aligned merge recomputed in Python: chars*2 and
+    tokens*3 from the raw document row."""
+    rows = QUERIES["map_zip_with"](spark, SF_SMOKE_DIR).collect()
+    con = duckdb.connect()
+    docs = {
+        d: (nc, t)
+        for d, nc, t in con.execute(
+            "select doc_id, n_chars, len(string_split(text, ' ')) from "
+            f"read_parquet('{SF_SMOKE_DIR}/documents.parquet') "
+            "where doc_id < 400"
+        ).fetchall()
+    }
+    con.close()
+    assert len(rows) == len(docs) > 0
+    for r in rows:
+        nc, nt = docs[r.doc_id]
+        assert r.weighted == f"chars:{nc * 2},tokens:{nt * 3}"
