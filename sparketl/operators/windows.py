@@ -514,3 +514,64 @@ def win_frame_exclude(spark, sf_dir):
         ).alias("neighbor_sum"),
         (F.count("*").over(w) - F.lit(1)).cast("bigint").alias("n_neighbors"),
     )
+
+
+@query(
+    "win_groups_frame",
+    oracle="""
+        select user_id, event_id,
+               cast(sum(cents) over (
+                   partition by user_id order by grp
+                   range between 1 preceding and 1 following) as bigint)
+                   as adj_group_sum,
+               cast(grp as bigint) as grp
+        from (
+            select user_id, event_id,
+                   cast(round(value * 100) as bigint) as cents,
+                   dense_rank() over (
+                       partition by user_id
+                       order by date_trunc('hour', ts)) as grp
+            from events
+        )
+    """,
+)
+def win_groups_frame(spark, sf_dir):
+    """#160 SQL:2011 GROUPS frame mode (Trino ``GROUPS BETWEEN 1
+    PRECEDING AND 1 FOLLOWING``) — the frame counts PEER GROUPS (rows
+    tied on the ORDER BY key), not rows or key distance: each event's
+    sum over its own hour-group plus the adjacent (by position, not
+    by time — quiet hours collapse) hour-groups per user.
+
+    Neither Spark nor DuckDB implements GROUPS, so both sides run the
+    DEFINITIONAL composition: ``dense_rank()`` over the order key
+    numbers each peer group consecutively, and a RANGE frame of ±1 on
+    that rank IS the ±1-groups frame (group-position distance ≡
+    dense-rank distance, no gaps by construction).  Same-bug-both-
+    engines risk is covered by the pure-Python brute-force model in
+    tests/test_window_nav.py, which builds peer groups from raw rows
+    without SQL.  The measure folds to integer cents (exact.py
+    policy).
+
+    Scale: both windows share (partitionBy, orderBy) so Catalyst
+    plans ONE exchange + ONE sort feeding two Window operators
+    (plan-asserted in tests); the RANGE-on-rank frame buffers only
+    the three adjacent groups."""
+    ev = table(spark, sf_dir, "events")
+    wg = Window.partitionBy("user_id").orderBy(F.date_trunc("hour", "ts"))
+    ranked = ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.dense_rank().over(wg).alias("grp"),
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("grp")
+        .rangeBetween(-1, 1)
+    )
+    return ranked.select(
+        "user_id",
+        "event_id",
+        F.sum("cents").over(wf).alias("adj_group_sum"),
+        F.col("grp").cast("bigint").alias("grp"),
+    )

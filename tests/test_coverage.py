@@ -1,4 +1,4 @@
-"""SURVEY.md §2 contract enforcement: all 159 inventory ops map to
+"""SURVEY.md §2 contract enforcement: all 160 inventory ops map to
 registered queries, and the flagship + entry contract shape holds."""
 
 from __future__ import annotations
@@ -8,7 +8,7 @@ from sparketl.coverage import OP_COVERAGE
 
 
 def test_every_inventory_op_covered():
-    assert sorted(OP_COVERAGE) == list(range(1, 160))
+    assert sorted(OP_COVERAGE) == list(range(1, 161))
     missing = {
         op: qs
         for op, qs in OP_COVERAGE.items()

@@ -269,3 +269,45 @@ def test_map_zip_with_against_python_model(spark):
     for r in rows:
         nc, nt = docs[r.doc_id]
         assert r.weighted == f"chars:{nc * 2},tokens:{nt * 3}"
+
+
+def test_groups_frame_matches_brute_force(spark):
+    """#160 GROUPS ±1 frame recomputed in plain Python: peer groups
+    built from raw rows by (user, hour) without SQL — covers the
+    same-bug risk of both engines running the dense_rank+RANGE
+    composition."""
+    got = {
+        (r.user_id, r.event_id): (r.adj_group_sum, r.grp)
+        for r in QUERIES["win_groups_frame"](spark, SF_SMOKE_DIR).collect()
+    }
+    by_user: dict = {}
+    for u, e, ts, et, v in _event_rows():
+        hour = ts.replace(minute=0, second=0, microsecond=0)
+        by_user.setdefault(u, {}).setdefault(hour, []).append((e, _cents(v)))
+    model = {}
+    for u, groups in by_user.items():
+        hours = sorted(groups)
+        sums = [sum(c for _, c in groups[h]) for h in hours]
+        for gi, h in enumerate(hours):
+            lo, hi = max(0, gi - 1), min(len(hours), gi + 2)
+            s = sum(sums[lo:hi])
+            for e, _ in groups[h]:
+                model[(u, e)] = (s, gi + 1)
+    assert got == model
+
+
+def test_groups_frame_single_exchange(spark):
+    """The dense_rank and frame windows share (partitionBy, orderBy
+    prefix) — but grp is computed BEFORE the second sort key exists,
+    so assert the realistic bound: exactly one exchange on user_id
+    (no second shuffle), at most two sorts."""
+    import contextlib
+    import io
+
+    df = QUERIES["win_groups_frame"](spark, SF_SMOKE_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") >= 2, plan
