@@ -114,6 +114,7 @@ RELATIONAL = [
     "win_locf_fill",
     "win_frame_exclude",
     "ts_rollup_cascade",
+    "win_groups_frame",
 ]
 
 #: relational third decade (``--rel --x100``): the sub-lane run over

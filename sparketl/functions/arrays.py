@@ -398,7 +398,7 @@ def arr_ngrams(spark, sf_dir):
         select doc_id,
                len(list_filter(w, x -> length(x) > 6)) > 0      as any_long,
                len(list_filter(w, x -> length(x) >= 2)) = len(w) as all_ge2,
-               len(list_filter(w, x -> length(x) > 15)) = 0      as none_huge,
+               len(list_filter(w, x -> length(x) > 7)) = 0      as none_huge,
                cast(len(list_filter(w, x -> length(x) > 6)) as bigint) as n_long
         from (
             select doc_id, string_split(text, ' ') as w
@@ -416,7 +416,12 @@ def arr_match_predicates(spark, sf_dir):
     as a ``list_filter`` cardinality identity (any = filtered > 0,
     all = filtered = len, none = filtered = 0) — the definitional
     form, immune to quantifier-semantics drift; the filtered COUNT
-    ships as a fourth column so the booleans can't pass vacuously.
+    ships as a fourth column anchoring any_long, and the thresholds
+    are chosen from the measured token-length distribution (max 8)
+    so every boolean column takes BOTH values over the corpus —
+    branch coverage asserted in tests (review-caught: an early >15
+    threshold made none_match constant-True, a gate a broken
+    quantifier rewrite could pass).
 
     NULL caveat (documented, not exercised: fixture tokens are
     non-null): SQL quantifiers are three-valued — any_match over
@@ -436,7 +441,7 @@ def arr_match_predicates(spark, sf_dir):
         "doc_id",
         F.exists(w, lambda x: F.length(x) > 6).alias("any_long"),
         F.forall(w, lambda x: F.length(x) >= 2).alias("all_ge2"),
-        (~F.exists(w, lambda x: F.length(x) > 15)).alias("none_huge"),
+        (~F.exists(w, lambda x: F.length(x) > 7)).alias("none_huge"),
         F.size(F.filter(w, lambda x: F.length(x) > 6))
         .cast("bigint")
         .alias("n_long"),

@@ -552,10 +552,12 @@ def win_groups_frame(spark, sf_dir):
     without SQL.  The measure folds to integer cents (exact.py
     policy).
 
-    Scale: both windows share (partitionBy, orderBy) so Catalyst
-    plans ONE exchange + ONE sort feeding two Window operators
-    (plan-asserted in tests); the RANGE-on-rank frame buffers only
-    the three adjacent groups."""
+    Scale: both windows share partitionBy(user_id) so Catalyst plans
+    ONE exchange (plan-asserted in tests, with the sort count bounded
+    at two — the orderBy keys differ: hour(ts) for the rank, grp for
+    the frame, so the second window re-sorts within the partition but
+    never re-shuffles); the RANGE-on-rank frame buffers only the
+    three adjacent groups."""
     ev = table(spark, sf_dir, "events")
     wg = Window.partitionBy("user_id").orderBy(F.date_trunc("hour", "ts"))
     ranked = ev.select(

@@ -658,7 +658,7 @@ PRESTO_FACES: dict[str, str] = {
         select doc_id,
                any_match(split(text, ' '), x -> length(x) > 6)   as any_long,
                all_match(split(text, ' '), x -> length(x) >= 2)  as all_ge2,
-               none_match(split(text, ' '), x -> length(x) > 15) as none_huge,
+               none_match(split(text, ' '), x -> length(x) > 7) as none_huge,
                cast(cardinality(filter(split(text, ' '), x -> length(x) > 6))
                     as bigint)                                   as n_long
         from documents

@@ -237,18 +237,22 @@ def test_match_predicates_against_python_model(spark):
     )
     con.close()
     assert len(rows) == len(texts) > 0
-    seen_true = seen_false = False
+    seen_true = seen_false = none_true = none_false = False
     for r in rows:
         w = texts[r.doc_id].split(" ")
         longs = [x for x in w if len(x) > 6]
         assert r.any_long == (len(longs) > 0)
         assert r.all_ge2 == all(len(x) >= 2 for x in w)
-        assert r.none_huge == (not any(len(x) > 15 for x in w))
+        assert r.none_huge == (not any(len(x) > 7 for x in w))
         assert r.n_long == len(longs)
         seen_true |= r.any_long
         seen_false |= not r.any_long
-    assert seen_true  # corpus exercises both branches
+        none_true = none_true or r.none_huge
+        none_false = none_false or not r.none_huge
+    assert seen_true  # corpus exercises both branches of any_long
     assert seen_false
+    assert none_true  # ... and of none_huge (review-caught: the
+    assert none_false  # original >15 threshold was constant-True)
 
 
 def test_map_zip_with_against_python_model(spark):
@@ -311,3 +315,4 @@ def test_groups_frame_single_exchange(spark):
     plan = buf.getvalue()
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Window") >= 2, plan
+    assert plan.count("Sort") <= 2, plan
