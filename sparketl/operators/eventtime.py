@@ -565,3 +565,46 @@ def sessionize_chunked(ev, gap_min: int = 30, chunk: str = "day"):
         F.max("e").alias("session_end"),
         F.sum("n").alias("n_events"),
     ).drop("chain")
+
+
+@query(
+    "stream_locf_fill",
+    oracle="""
+        select user_id, event_id,
+               last_value(obs ignore nulls) over (
+                   partition by user_id order by ts, event_id
+                   rows between unbounded preceding and current row) as locf_value
+        from (
+            select user_id, event_id, ts,
+                   case when event_type = 'purchase' then value end as obs
+            from events
+        )
+    """,
+)
+def stream_locf_fill(spark, sf_dir):
+    """#154 streaming face — stateful LOCF forward fill, batch face:
+    the same vectorized carry core (streaming.runner.locf_pandas_bucket)
+    that runs under applyInPandasWithState in runner.locf_stream —
+    one code path, two runtimes, mirroring the #133 sessionization
+    contract.  win_locf_fill is the declarative window spelling of
+    the SAME semantics; this face exists because a 24/7 feature
+    pipeline forward-fills on the stream, where the state is ONE
+    scalar per user (LOCF_STATE_SCHEMA: last_obs + has_obs flag) —
+    the smallest possible stateful operator, O(users) store vs the
+    batch window's per-partition sort.
+
+    Scale: batch face buckets users pmod(defaultParallelism) exactly
+    as stream_stateful_sessions does (per-user groups pay one
+    Arrow round trip each — measured ~15s at sf0.1 in the #133 work);
+    the grouped ffill inside the bucket is a single C-speed pass.
+    Cross-batch carry correctness is proven by the time-split
+    multibatch test (tests/test_streaming.py), not asserted."""
+    from sparketl.streaming.runner import LOCF_OUT_SCHEMA, locf_pandas_bucket
+
+    ev = table(spark, sf_dir, "events")
+    n_buckets = spark.sparkContext.defaultParallelism
+    return (
+        ev.select("user_id", "event_id", "ts", "event_type", "value")
+        .groupBy(F.pmod(F.col("user_id"), F.lit(n_buckets)).alias("bucket"))
+        .applyInPandas(lambda pdf: locf_pandas_bucket(pdf), schema=LOCF_OUT_SCHEMA)
+    )

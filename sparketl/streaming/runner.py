@@ -422,3 +422,109 @@ def quality_gate_stream(new_docs_stream: DataFrame) -> DataFrame:
     from sparketl.operators.curation import quality_score_frame
 
     return quality_score_frame(new_docs_stream).where(F.col("keep"))
+
+
+# ---------------------------------------------------------------------------
+# §2 #154 streaming face — stateful LOCF forward fill
+# ---------------------------------------------------------------------------
+
+LOCF_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("locf_value", T.DoubleType()),
+    ]
+)
+
+#: per-user carry: the last observed measure + a has-observation flag
+#: (a separate flag instead of a NULL sentinel — state round-trips
+#: through Arrow, and "no observation yet" must survive exactly).
+LOCF_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_obs", T.DoubleType()),
+        T.StructField("has_obs", T.BooleanType()),
+    ]
+)
+
+
+def _locf_frame(pdf: pd.DataFrame, carry: float | None) -> tuple[pd.DataFrame, float | None]:
+    """Shared LOCF core (batch + streaming): sort one user's rows by
+    (ts, event_id), forward-fill the purchase-observed measure seeded
+    with the cross-batch carry, return (emission frame, new carry).
+
+    NaN→NULL discipline: pandas ffill leaves leading NaN for rows
+    before the first observation; a float64 NaN crosses Arrow as a
+    NaN *value*, not a SQL NULL, so the column is rebuilt as objects
+    with real ``None`` before it leaves Python."""
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    obs = pdf["value"].where(pdf["event_type"].eq("purchase"))
+    filled = obs.ffill()
+    if carry is not None:
+        filled = filled.fillna(carry)
+    seen = obs.dropna()
+    new_carry = float(seen.iloc[-1]) if len(seen) else carry
+    out = pd.DataFrame(
+        {
+            "user_id": pdf["user_id"].astype("int64"),
+            "event_id": pdf["event_id"].astype("int64"),
+            "locf_value": filled.astype(object).where(filled.notna(), None),
+        }
+    )
+    return out, new_carry
+
+
+def locf_pandas_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized LOCF for a BUCKET of users (the batch applyInPandas
+    body, same bucketing rationale as sessionize_pandas_bucket): one
+    sort + a grouped ffill instead of a Python call per user."""
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    obs = pdf["value"].where(pdf["event_type"].eq("purchase"))
+    filled = obs.groupby(pdf["user_id"], sort=False).ffill()
+    return pd.DataFrame(
+        {
+            "user_id": pdf["user_id"].astype("int64"),
+            "event_id": pdf["event_id"].astype("int64"),
+            "locf_value": filled.astype(object).where(filled.notna(), None),
+        }
+    )
+
+
+def _locf_stateful(key, pdf_iter, state: GroupState):
+    """#154 applyInPandasWithState body: per-user state is ONE scalar
+    (+flag) — the smallest possible streaming state, O(users) total
+    and O(1) per key, vs the batch window's per-partition sort.
+
+    Ordering contract: rows are sorted (ts, event_id) within each
+    micro-batch and the carry hands the last observation across
+    batches — exact LOCF when batches arrive in per-key event-time
+    order (the time-split test proves cross-batch equality with the
+    batch window); an observation arriving a full batch late is
+    applied from its batch onward, never retroactively (same
+    append-mode contract as every streaming ffill)."""
+    if state.exists:
+        last_obs, has_obs = state.get
+        carry: float | None = last_obs if has_obs else None
+    else:
+        carry = None
+    for pdf in pdf_iter:
+        out, carry = _locf_frame(pdf, carry)
+        yield out
+    if carry is not None:
+        state.update((float(carry), True))
+
+
+def locf_stream(events_stream: DataFrame) -> DataFrame:
+    """#154 streaming face: stateful forward fill via
+    applyInPandasWithState (NoTimeout for AvailableNow runs — a 24/7
+    deployment uses ProcessingTimeTimeout to evict idle users)."""
+    return (
+        events_stream.select("user_id", "event_id", "ts", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _locf_stateful,
+            outputStructType=LOCF_OUT_SCHEMA,
+            stateStructType=LOCF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
