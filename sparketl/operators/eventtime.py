@@ -583,10 +583,12 @@ def sessionize_chunked(ev, gap_min: int = 30, chunk: str = "day"):
 )
 def stream_locf_fill(spark, sf_dir):
     """#154 streaming face — stateful LOCF forward fill, batch face:
-    the same vectorized carry core (streaming.runner.locf_pandas_bucket)
-    that runs under applyInPandasWithState in runner.locf_stream —
-    one code path, two runtimes, mirroring the #133 sessionization
-    contract.  win_locf_fill is the declarative window spelling of
+    both runtimes go through the SAME observation mask and emission
+    builder (streaming.runner._locf_obs / _locf_emit); the only fork
+    is grouped-vectorized ffill here vs per-user ffill under
+    applyInPandasWithState in runner.locf_stream, and the
+    stream≡batch tests pin the fork equal — mirroring the #133
+    sessionization contract.  win_locf_fill is the declarative window spelling of
     the SAME semantics; this face exists because a 24/7 feature
     pipeline forward-fills on the stream, where the state is ONE
     scalar per user (LOCF_STATE_SCHEMA: last_obs + has_obs flag) —
@@ -606,5 +608,5 @@ def stream_locf_fill(spark, sf_dir):
     return (
         ev.select("user_id", "event_id", "ts", "event_type", "value")
         .groupBy(F.pmod(F.col("user_id"), F.lit(n_buckets)).alias("bucket"))
-        .applyInPandas(lambda pdf: locf_pandas_bucket(pdf), schema=LOCF_OUT_SCHEMA)
+        .applyInPandas(locf_pandas_bucket, schema=LOCF_OUT_SCHEMA)
     )

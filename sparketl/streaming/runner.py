@@ -447,39 +447,26 @@ LOCF_STATE_SCHEMA = T.StructType(
 )
 
 
-def _locf_frame(pdf: pd.DataFrame, carry: float | None) -> tuple[pd.DataFrame, float | None]:
-    """Shared LOCF core (batch + streaming): sort one user's rows by
-    (ts, event_id), forward-fill the purchase-observed measure seeded
-    with the cross-batch carry, return (emission frame, new carry).
+def _locf_obs(pdf: pd.DataFrame) -> pd.Series:
+    """THE shared observation mask (every LOCF face goes through this
+    one line, so the observed-measure definition can't drift between
+    runtimes): the measure is observed on purchase rows only.
 
-    NaN→NULL discipline: pandas ffill leaves leading NaN for rows
-    before the first observation; a float64 NaN crosses Arrow as a
-    NaN *value*, not a SQL NULL, so the column is rebuilt as objects
-    with real ``None`` before it leaves Python."""
-    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-    obs = pdf["value"].where(pdf["event_type"].eq("purchase"))
-    filled = obs.ffill()
-    if carry is not None:
-        filled = filled.fillna(carry)
-    seen = obs.dropna()
-    new_carry = float(seen.iloc[-1]) if len(seen) else carry
-    out = pd.DataFrame(
-        {
-            "user_id": pdf["user_id"].astype("int64"),
-            "event_id": pdf["event_id"].astype("int64"),
-            "locf_value": filled.astype(object).where(filled.notna(), None),
-        }
-    )
-    return out, new_carry
+    NaN caveat (documented, not exercised — no fixture carries NaN in
+    ``value``): a NaN-VALUED purchase is treated as 'no observation'
+    here (pandas ffill skips NaN), while Spark's ``last_value IGNORE
+    NULLS`` and the DuckDB oracle would carry NaN as an observed
+    non-NULL value.  If the generator ever emits NaN measures the
+    mask must distinguish NaN-as-value first."""
+    return pdf["value"].where(pdf["event_type"].eq("purchase"))
 
 
-def locf_pandas_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized LOCF for a BUCKET of users (the batch applyInPandas
-    body, same bucketing rationale as sessionize_pandas_bucket): one
-    sort + a grouped ffill instead of a Python call per user."""
-    pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-    obs = pdf["value"].where(pdf["event_type"].eq("purchase"))
-    filled = obs.groupby(pdf["user_id"], sort=False).ffill()
+def _locf_emit(pdf: pd.DataFrame, filled: pd.Series) -> pd.DataFrame:
+    """THE shared emission builder.  NaN→NULL discipline: pandas
+    ffill leaves leading NaN for rows before the first observation; a
+    float64 NaN crosses Arrow as a NaN *value*, not a SQL NULL, so
+    the column is rebuilt as objects with real ``None`` before it
+    leaves Python."""
     return pd.DataFrame(
         {
             "user_id": pdf["user_id"].astype("int64"),
@@ -489,26 +476,56 @@ def locf_pandas_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _locf_frame(pdf: pd.DataFrame, carry: float | None) -> tuple[pd.DataFrame, float | None]:
+    """Per-user LOCF over ONE (already complete) micro-batch group:
+    sort by (ts, event_id), forward-fill the shared observation mask
+    seeded with the cross-batch carry, return (emission, new carry)."""
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    obs = _locf_obs(pdf)
+    filled = obs.ffill()
+    if carry is not None:
+        filled = filled.fillna(carry)
+    seen = obs.dropna()
+    new_carry = float(seen.iloc[-1]) if len(seen) else carry
+    return _locf_emit(pdf, filled), new_carry
+
+
+def locf_pandas_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized LOCF for a BUCKET of users (the batch applyInPandas
+    body, same bucketing rationale as sessionize_pandas_bucket): one
+    sort + a grouped ffill instead of a Python call per user.  Shares
+    the observation mask and emission builder with the streaming
+    path; the grouped-vs-plain ffill difference is the only fork, and
+    the stream≡batch tests pin the two equal."""
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    filled = _locf_obs(pdf).groupby(pdf["user_id"], sort=False).ffill()
+    return _locf_emit(pdf, filled)
+
+
 def _locf_stateful(key, pdf_iter, state: GroupState):
     """#154 applyInPandasWithState body: per-user state is ONE scalar
     (+flag) — the smallest possible streaming state, O(users) total
     and O(1) per key, vs the batch window's per-partition sort.
 
-    Ordering contract: rows are sorted (ts, event_id) within each
-    micro-batch and the carry hands the last observation across
-    batches — exact LOCF when batches arrive in per-key event-time
-    order (the time-split test proves cross-batch equality with the
-    batch window); an observation arriving a full batch late is
-    applied from its batch onward, never retroactively (same
-    append-mode contract as every streaming ffill)."""
+    Ordering contract: the WHOLE micro-batch group is concatenated
+    before the (ts, event_id) sort — pdf_iter yields the group in
+    Arrow chunks (maxRecordsPerBatch, default 10k rows) in arbitrary
+    order, and sorting chunks independently would fill a row from a
+    later-chunk observation (review-caught; same pattern as
+    _sessionize_stateful).  The carry hands the last observation
+    across batches — exact LOCF when batches arrive in per-key
+    event-time order (the time-split test proves cross-batch
+    equality with the batch window); an observation arriving a full
+    batch late is applied from its batch onward, never retroactively
+    (same append-mode contract as every streaming ffill)."""
     if state.exists:
         last_obs, has_obs = state.get
         carry: float | None = last_obs if has_obs else None
     else:
         carry = None
-    for pdf in pdf_iter:
-        out, carry = _locf_frame(pdf, carry)
-        yield out
+    pdf = pd.concat(list(pdf_iter), ignore_index=True)
+    out, carry = _locf_frame(pdf, carry)
+    yield out
     if carry is not None:
         state.update((float(carry), True))
 

@@ -814,14 +814,15 @@ def test_locf_stream_matches_batch_window(spark, events_dir):
     from sparketl.registry import QUERIES
 
     stream = read_events_stream(spark, events_dir)
-    got = {
-        (r.user_id, r.event_id): r.locf_value
-        for r in run_available_now(locf_stream(stream), output_mode="append").collect()
-    }
+    collected = run_available_now(locf_stream(stream), output_mode="append").collect()
+    got = {(r.user_id, r.event_id): r.locf_value for r in collected}
     want = {
         (r.user_id, r.event_id): r.locf_value
         for r in QUERIES["win_locf_fill"](spark, SF_DIR).collect()
     }
+    # row-count BEFORE dict-ification: append mode must emit each
+    # event exactly once — duplicates would collapse silently
+    assert len(collected) == len(want)
     assert got == want and len(got) > 0
 
 
@@ -841,46 +842,76 @@ def test_locf_multibatch_carry_matches_batch(spark, tmp_path):
     from sparketl.registry import QUERIES
 
     src = pq.read_table(f"{SF_DIR}/events.parquet")
-    src = src.take(pc.sort_indices(src.column("ts")))
+    src = src.take(
+        pc.sort_indices(
+            src, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+    )
     n, third = len(src), len(src) // 3
     d = tmp_path / "locf_mb"
     d.mkdir()
     now = _time.time()
-    for i, (lo, hi) in enumerate([(0, third), (third, 2 * third), (2 * third, n)]):
+    slices = [(0, third), (third, 2 * third), (2 * third, n)]
+    for i, (lo, hi) in enumerate(slices):
         f = d / f"00{i}.parquet"
         pq.write_table(src.slice(lo, hi - lo), f)
         os.utime(f, (now - 300 + i * 100, now - 300 + i * 100))
 
     stream = read_events_stream(spark, str(d))
-    got = {
-        (r.user_id, r.event_id): r.locf_value
-        for r in run_available_now(locf_stream(stream), output_mode="append").collect()
-    }
+    collected = run_available_now(locf_stream(stream), output_mode="append").collect()
+    got = {(r.user_id, r.event_id): r.locf_value for r in collected}
     want_rows = QUERIES["win_locf_fill"](spark, SF_DIR).collect()
     want = {(r.user_id, r.event_id): r.locf_value for r in want_rows}
+    assert len(collected) == len(want)  # exactly-once append emission
     assert got == want and len(got) > 0
 
-    # the split genuinely exercises the cross-batch carry: some user
-    # has an observed (purchase) event in an earlier third and a
-    # filled (non-null locf, no purchase yet in its own third) event
-    # in a later third
-    import duckdb
+    # the split genuinely exercises the cross-batch carry — EXACT
+    # guard over the same slice boundaries the files used: simulate
+    # batch-LOCAL fill (no carry) per user per slice; a row that is
+    # None batch-locally but non-null in the full result was filled
+    # FROM THE STATE, i.e. the carry was consulted
+    batch_of = {}
+    for i, (lo, hi) in enumerate(slices):
+        for j in range(lo, hi):
+            batch_of[
+                (src.column("user_id")[j].as_py(), src.column("event_id")[j].as_py())
+            ] = i
+    local_seen: dict = {}
+    carried_rows = 0
+    for j in range(n):
+        u = src.column("user_id")[j].as_py()
+        e = src.column("event_id")[j].as_py()
+        b = batch_of[(u, e)]
+        if src.column("event_type")[j].as_py() == "purchase":
+            local_seen[(u, b)] = True
+        elif (u, b) not in local_seen and want[(u, e)] is not None:
+            carried_rows += 1
+    assert carried_rows > 0
 
-    con = duckdb.connect()
-    carried = con.execute(
-        f"""
-        with thirds as (
-            select user_id, event_type, ts,
-                   ntile(3) over (order by ts) as third
-            from read_parquet('{SF_DIR}/events.parquet')
-        )
-        select count(*) from (
-            select user_id
-            from thirds group by user_id
-            having min(third) filter (where event_type = 'purchase')
-                   < max(third)
-        ) t
-        """
-    ).fetchone()[0]
-    con.close()
-    assert carried > 0
+
+def test_locf_stream_multichunk_groups(spark, events_dir):
+    """The review-caught chunk bug, pinned live: with
+    arrow.maxRecordsPerBatch=50 a ~99-event user arrives in pdf_iter
+    as 2+ chunks in arbitrary order — sorting chunks independently
+    (the original body) fills rows from later-chunk observations.
+    The concat-whole-group body must still equal the batch window."""
+    from sparketl.registry import QUERIES
+    from sparketl.streaming.runner import locf_stream
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "50")
+    try:
+        stream = read_events_stream(spark, events_dir)
+        collected = run_available_now(
+            locf_stream(stream), output_mode="append"
+        ).collect()
+    finally:
+        spark.conf.set(key, prev)
+    got = {(r.user_id, r.event_id): r.locf_value for r in collected}
+    want = {
+        (r.user_id, r.event_id): r.locf_value
+        for r in QUERIES["win_locf_fill"](spark, SF_DIR).collect()
+    }
+    assert len(collected) == len(want)
+    assert got == want and len(got) > 0
