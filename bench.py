@@ -281,9 +281,23 @@ def main() -> None:
     # pushed the JSON line past that buffer, so the driver recorded NO
     # bench metric.  Emit a compact line with a curated headline subset
     # and suite-level aggregates instead.
+    # Guard (r9 verdict "what's wrong" #1): the committed BENCH_LOCAL.json
+    # is defined at sf0.1 — an env-leftover SPARK_GRAFT_SF_DIR once made a
+    # builder commit an sf0.001 run under the sf0.1 headline.  A non-sf0.1
+    # run now writes a side artifact instead of overwriting the committed
+    # one.
+    local_name = (
+        "BENCH_LOCAL.json" if sf_val == 0.1 else f"BENCH_LOCAL_sf{sf_val}.json"
+    )
+    if local_name != "BENCH_LOCAL.json":
+        print(
+            f"# bench: sf={sf_val} != 0.1 — writing {local_name}, "
+            "leaving committed BENCH_LOCAL.json untouched",
+            file=sys.stderr,
+        )
     try:
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), local_name),
             "w",
         ) as f:
             json.dump(

@@ -115,6 +115,11 @@ RELATIONAL = [
     "win_frame_exclude",
     "ts_rollup_cascade",
     "win_groups_frame",
+    # round 10 (VERDICT r9 #2/#5): the graded EXCLUDE GROUP/TIES pair
+    # and the widened GROUPS bounds — same per-user ordered pass
+    "win_frame_exclude_group",
+    "win_frame_exclude_ties",
+    "win_groups_frame_bounds",
 ]
 
 #: relational third decade (``--rel --x100``): the sub-lane run over

@@ -577,3 +577,222 @@ def win_groups_frame(spark, sf_dir):
         F.sum("cents").over(wf).alias("adj_group_sum"),
         F.col("grp").cast("bigint").alias("grp"),
     )
+
+
+def _exclude_base(spark, sf_dir):
+    """Shared base for the EXCLUDE GROUP/TIES pair: hour-bucket epoch
+    seconds as the RANGE order key (peers = same hour, so peer groups
+    are non-trivial), and a purchase-only measure so the NULL gates
+    are exercised by the fixture itself, not only by edge tests."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("bigint"),
+        ).alias("obs_cents"),
+    )
+
+
+_EXCLUDE_ORACLE_BASE = """
+        from (
+            select user_id, event_id,
+                   cast(epoch(date_trunc('hour', ts)) as bigint) as h,
+                   case when event_type = 'purchase'
+                        then cast(round(value * 100) as bigint) end
+                       as obs_cents
+            from events
+        )
+"""
+
+
+@query(
+    "win_frame_exclude_group",
+    oracle="""
+        select user_id, event_id,
+               sum(obs_cents) over (
+                   partition by user_id order by h
+                   range between 7200 preceding and 7200 following
+                   exclude group) / cast(100 as double) as excl_group_sum,
+               count(*) over (
+                   partition by user_id order by h
+                   range between 7200 preceding and 7200 following
+                   exclude group) as n_rest
+"""
+    + _EXCLUDE_ORACLE_BASE,
+)
+def win_frame_exclude_group(spark, sf_dir):
+    """#155 SQL:2011 frame ``EXCLUDE GROUP`` (graded, r9 verdict #2):
+    each event's purchase sum over its ±2-hour RANGE neighborhood
+    EXCLUDING the current row AND all its peers (rows in the same
+    hour bucket) — the "everything around my bucket" baseline.
+
+    Spark's frame grammar has no EXCLUDE clause; the composition is
+    the #155 subtraction run against a PEER-FRAME aggregate instead
+    of the current row: full RANGE frame minus the RANGE(0,0) frame
+    (exactly the peer group, because RANGE peers tie on the order
+    key).  Both windows share (partitionBy, orderBy), so Catalyst
+    plans ONE exchange + ONE sort + ONE WindowExec evaluating both
+    frames (plan-asserted in tests/test_window_nav.py).
+
+    NULL gates (the #155 review lessons, applied to the group case):
+    the remaining frame's non-null measure count gates the
+    subtraction — when every non-null observation in the frame sits
+    inside the excluded peer group, SQL yields NULL where naive
+    subtraction yields 0; and a NULL-heavy peer group must subtract
+    only its non-null sum (coalesce).  DuckDB grades with its NATIVE
+    ``EXCLUDE GROUP`` clause, so the composition is checked against
+    an independent implementation, not a re-spelling of itself.
+
+    Scale: one shuffle + sort on user_id; both frames stream within
+    the sorted partition (a ±2h bounded buffer), and the subtraction
+    is a per-row scalar — EXCLUDE GROUP costs nothing over the plain
+    sliding frame."""
+    base = _exclude_base(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("h")
+    wf = w.rangeBetween(-7200, 7200)
+    wp = w.rangeBetween(0, 0)
+    n_vals = F.count("obs_cents").over(wf) - F.count("obs_cents").over(wp)
+    return base.select(
+        "user_id",
+        "event_id",
+        F.when(
+            n_vals > 0,
+            (
+                F.sum("obs_cents").over(wf)
+                - F.coalesce(F.sum("obs_cents").over(wp), F.lit(0))
+            )
+            / F.lit(100).cast("double"),
+        ).alias("excl_group_sum"),
+        (F.count("*").over(wf) - F.count("*").over(wp))
+        .cast("bigint")
+        .alias("n_rest"),
+    )
+
+
+@query(
+    "win_frame_exclude_ties",
+    oracle="""
+        select user_id, event_id,
+               sum(obs_cents) over (
+                   partition by user_id order by h
+                   range between 7200 preceding and 7200 following
+                   exclude ties) / cast(100 as double) as excl_ties_sum,
+               count(*) over (
+                   partition by user_id order by h
+                   range between 7200 preceding and 7200 following
+                   exclude ties) as n_rest
+"""
+    + _EXCLUDE_ORACLE_BASE,
+)
+def win_frame_exclude_ties(spark, sf_dir):
+    """#155 SQL:2011 frame ``EXCLUDE TIES`` (graded, r9 verdict #2):
+    like EXCLUDE GROUP but the current row itself STAYS in the frame
+    — peers are excluded, self is kept ("my value against the other
+    buckets").
+
+    Composition: the GROUP subtraction plus the current row added
+    back — full-frame sum − peer-group sum + coalesce(self, 0), with
+    the NULL gate counting the remaining non-null measures
+    (count(full) − count(peers) + self-is-not-null): when the
+    current row is the frame's only non-null observation the result
+    is its own value (gate = 1 > 0), and when self is NULL and all
+    other observations are peers the result is NULL, exactly the
+    native semantics.  Same single (exchange, sort, WindowExec)
+    plan as the GROUP face; DuckDB grades with native ``EXCLUDE
+    TIES``."""
+    base = _exclude_base(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("h")
+    wf = w.rangeBetween(-7200, 7200)
+    wp = w.rangeBetween(0, 0)
+    self_notnull = F.when(F.col("obs_cents").isNotNull(), 1).otherwise(0)
+    n_vals = (
+        F.count("obs_cents").over(wf)
+        - F.count("obs_cents").over(wp)
+        + self_notnull
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        F.when(
+            n_vals > 0,
+            (
+                F.sum("obs_cents").over(wf)
+                - F.coalesce(F.sum("obs_cents").over(wp), F.lit(0))
+                + F.coalesce(F.col("obs_cents"), F.lit(0))
+            )
+            / F.lit(100).cast("double"),
+        ).alias("excl_ties_sum"),
+        (F.count("*").over(wf) - F.count("*").over(wp) + F.lit(1))
+        .cast("bigint")
+        .alias("n_rest"),
+    )
+
+
+@query(
+    "win_groups_frame_bounds",
+    oracle="""
+        select user_id, event_id,
+               cast(sum(cents) over (
+                   partition by user_id order by grp
+                   range between 2 preceding and 2 following) as bigint)
+                   as wide_group_sum,
+               cast(sum(cents) over (
+                   partition by user_id order by grp
+                   range between unbounded preceding and current row)
+                   as bigint) as run_group_sum,
+               cast(grp as bigint) as grp
+        from (
+            select user_id, event_id,
+                   cast(round(value * 100) as bigint) as cents,
+                   dense_rank() over (
+                       partition by user_id
+                       order by date_trunc('hour', ts)) as grp
+            from events
+        )
+    """,
+)
+def win_groups_frame_bounds(spark, sf_dir):
+    """#160 GROUPS frame mode, widened bounds (r9 verdict #5): the
+    n>1 shape ``GROUPS BETWEEN 2 PRECEDING AND 2 FOLLOWING`` and the
+    running shape ``GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+    ROW`` — which in GROUPS (as in RANGE) mode closes the frame at
+    the end of the current PEER GROUP, so every row of a group sees
+    the same running sum.
+
+    Same definitional composition as #160's ±1 face: dense_rank()
+    numbers peer groups consecutively, so group-position distance ≡
+    rank distance and RANGE ±2 on the rank IS the ±2-groups frame;
+    the running bound maps to RANGE UNBOUNDED PRECEDING..CURRENT ROW
+    on the rank, whose peers-inclusive CURRENT ROW is exactly the
+    GROUPS semantics (both close at the current group's end).
+    Neither engine parses GROUPS, so DuckDB runs the same
+    composition; the same-bug risk is covered by the pure-Python
+    brute force over raw (user, hour) groups in
+    tests/test_window_nav.py, now asserting BOTH bounds.
+
+    Scale: identical to #160 — one exchange on user_id, two sorts
+    (hour(ts) for the rank, grp for the frames), and the two frame
+    aggregates share one WindowExec since their (partition, order)
+    match; the running frame is O(1) state, the ±2 frame buffers
+    five adjacent groups."""
+    ev = table(spark, sf_dir, "events")
+    wg = Window.partitionBy("user_id").orderBy(F.date_trunc("hour", "ts"))
+    ranked = ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.dense_rank().over(wg).alias("grp"),
+    )
+    w = Window.partitionBy("user_id").orderBy("grp")
+    return ranked.select(
+        "user_id",
+        "event_id",
+        F.sum("cents").over(w.rangeBetween(-2, 2)).alias("wide_group_sum"),
+        F.sum("cents")
+        .over(w.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_group_sum"),
+        F.col("grp").cast("bigint").alias("grp"),
+    )

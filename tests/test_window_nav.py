@@ -316,3 +316,157 @@ def test_groups_frame_single_exchange(spark):
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Window") >= 2, plan
     assert plan.count("Sort") <= 2, plan
+
+
+def _python_exclude_group_ties(rows):
+    """Brute-force EXCLUDE GROUP / EXCLUDE TIES over raw rows: hour
+    buckets built with datetime arithmetic (no SQL), frame = hours
+    within +-2h, peers = same hour, obs = purchase cents or None."""
+    from datetime import timedelta
+
+    out = {}
+    by_user: dict = {}
+    for u, e, ts, et, v in rows:
+        hour = ts.replace(minute=0, second=0, microsecond=0)
+        obs = _cents(v) if et == "purchase" else None
+        by_user.setdefault(u, []).append((e, hour, obs))
+    two_h = timedelta(hours=2)
+    for u, evs in by_user.items():
+        for e, h, obs in evs:
+            frame = [(h2, o2) for _, h2, o2 in evs if abs(h2 - h) <= two_h]
+            rest = [(h2, o2) for h2, o2 in frame if h2 != h]
+            rest_vals = [o for _, o in rest if o is not None]
+            grp = (
+                sum(rest_vals) / 100.0 if rest_vals else None,
+                len(rest),
+            )
+            kept_vals = rest_vals + ([obs] if obs is not None else [])
+            ties = (
+                sum(kept_vals) / 100.0 if kept_vals else None,
+                len(rest) + 1,
+            )
+            out[(u, e)] = (grp, ties)
+    return out
+
+
+def test_frame_exclude_group_ties_brute_force(spark):
+    """#155 EXCLUDE GROUP/TIES vs a pure-Python neighborhood loop —
+    independent of both the Spark composition and DuckDB's native
+    clause (which already grades them at the oracle gate)."""
+    model = _python_exclude_group_ties(_event_rows())
+    got_g = {
+        (r.user_id, r.event_id): (r.excl_group_sum, r.n_rest)
+        for r in QUERIES["win_frame_exclude_group"](
+            spark, SF_SMOKE_DIR
+        ).collect()
+    }
+    got_t = {
+        (r.user_id, r.event_id): (r.excl_ties_sum, r.n_rest)
+        for r in QUERIES["win_frame_exclude_ties"](
+            spark, SF_SMOKE_DIR
+        ).collect()
+    }
+    assert len(got_g) == len(model) > 0
+    assert got_g == {k: g for k, (g, _) in model.items()}
+    assert got_t == {k: t for k, (_, t) in model.items()}
+    # the fixture must exercise BOTH null-gate branches, or the test
+    # is vacuous (the r9 none_match lesson)
+    assert any(g[0] is None for g in got_g.values())
+    assert any(g[0] is not None for g in got_g.values())
+
+
+def test_frame_exclude_group_null_edges(spark):
+    """Pinned edges the composition must get right: (a) a frame whose
+    only non-null observation is inside the excluded peer group ->
+    GROUP yields NULL, TIES yields the self value; (b) a NULL self
+    among non-null neighbors -> GROUP sums the neighbors, TIES the
+    same (self adds nothing); (c) a singleton user -> GROUP NULL/0
+    rows, TIES keeps self."""
+    import tempfile
+
+    from pyspark.sql import Row, functions as F
+
+    from tests.test_etl import _events_fixture_dir
+
+    rows = [
+        # user 1: lone purchase -> (a) and (c)
+        Row(event_id=1, ts="2024-01-01 10:00:00", user_id=1,
+            event_type="purchase", value=5.0),
+        # user 2: purchase at 10:00 and a view (NULL obs) peer at
+        # 10:30, plus a purchase neighbor hour at 11:00
+        Row(event_id=2, ts="2024-01-01 10:00:00", user_id=2,
+            event_type="purchase", value=1.0),
+        Row(event_id=3, ts="2024-01-01 10:30:00", user_id=2,
+            event_type="view", value=9.0),
+        Row(event_id=4, ts="2024-01-01 11:00:00", user_id=2,
+            event_type="purchase", value=2.0),
+    ]
+    df = (
+        spark.createDataFrame(rows)
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withColumn("props", F.lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _events_fixture_dir(d, df)
+        g = {
+            r.event_id: (r.excl_group_sum, r.n_rest)
+            for r in QUERIES["win_frame_exclude_group"](spark, d).collect()
+        }
+        t = {
+            r.event_id: (r.excl_ties_sum, r.n_rest)
+            for r in QUERIES["win_frame_exclude_ties"](spark, d).collect()
+        }
+    assert g[1] == (None, 0)   # singleton: empty rest-frame -> NULL
+    assert t[1] == (5.0, 1)    # ties keeps self
+    assert g[2] == (2.0, 1)    # NULL peer excluded with the group
+    assert t[2] == (3.0, 2)    # self 1.0 + neighbor 2.0
+    # 10:30 truncates INTO the 10:00 bucket: events 2+3 are peers
+    assert g[3] == (2.0, 1)    # both 10:00 peers out, 11:00 stays
+    assert t[3] == (2.0, 2)    # NULL self adds nothing over GROUP
+    assert g[4] == (1.0, 2)    # 10:00 purchase only (NULL view adds 0)
+    assert t[4] == (3.0, 3)
+
+
+def test_frame_exclude_single_window_exec(spark):
+    """Both EXCLUDE frames share (partitionBy, orderBy): Catalyst must
+    plan ONE exchange, ONE sort, ONE WindowExec evaluating the full
+    and peer frames together — EXCLUDE costs nothing over the plain
+    sliding frame (the docstring's scale claim, asserted)."""
+    for name in ("win_frame_exclude_group", "win_frame_exclude_ties"):
+        df = QUERIES[name](spark, SF_SMOKE_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, (name, plan)
+        assert plan.count("Sort") == 1, (name, plan)
+        assert plan.count("Window") == 1, (name, plan)
+
+
+def test_groups_frame_bounds_brute_force(spark):
+    """#160 widened bounds vs plain Python: +-2 groups and the
+    running UNBOUNDED PRECEDING..CURRENT ROW frame, whose GROUPS
+    semantics close at the END of the current peer group — every row
+    of a group must see the same running sum (asserted explicitly,
+    since that is where a rows-mode slip would hide)."""
+    got = {
+        (r.user_id, r.event_id): (r.wide_group_sum, r.run_group_sum, r.grp)
+        for r in QUERIES["win_groups_frame_bounds"](
+            spark, SF_SMOKE_DIR
+        ).collect()
+    }
+    by_user: dict = {}
+    for u, e, ts, et, v in _event_rows():
+        hour = ts.replace(minute=0, second=0, microsecond=0)
+        by_user.setdefault(u, {}).setdefault(hour, []).append((e, _cents(v)))
+    model = {}
+    for u, groups in by_user.items():
+        hours = sorted(groups)
+        sums = [sum(c for _, c in groups[h]) for h in hours]
+        prefix = 0
+        for gi, h in enumerate(hours):
+            lo, hi = max(0, gi - 2), min(len(hours), gi + 3)
+            wide = sum(sums[lo:hi])
+            prefix += sums[gi]
+            for e, _ in groups[h]:
+                model[(u, e)] = (wide, prefix, gi + 1)
+    assert got == model
+    assert len(got) > 0
