@@ -377,9 +377,14 @@ def arr_ngrams(spark, sf_dir):
         F.slice(F.split(F.col("text"), " "), 1, 8).alias("w"),
     )
     w = F.col("w")
+    # greatest(.., 1) floor matches the dialect ngrams rewrite (ADVICE
+    # r9): a window shorter than n must yield [w] — without the floor,
+    # sequence(1, <=0) DESCENDS ([1, 0]) and slice(w, 0, n) errors.
+    # The fixture's >=10-token docs never fire it (asserted in tests);
+    # the floor makes the operator total, not fixture-dependent.
     grams = lambda n: F.array_join(  # noqa: E731
         F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
             lambda i: F.array_join(F.slice(w, i, n), " "),
         ),
         ",",

@@ -196,3 +196,53 @@ def dt_to_date(spark, sf_dir):
             "yyyy-MM-dd",
         ).alias("month_anchor"),
     )
+
+
+@query(
+    "dt_timezone_iso",
+    oracle="""
+        select event_id,
+               strftime(timezone('America/Los_Angeles',
+                        cast(ts as timestamp) AT TIME ZONE 'UTC'),
+                        '%Y-%m-%d %H:%M:%S') as la_wall,
+               strftime(cast(timezone('Asia/Tokyo', cast(ts as timestamp))
+                             as timestamp),
+                        '%Y-%m-%d %H:%M:%S') as tokyo_instant,
+               strftime(cast(ts as timestamp),
+                        '%Y-%m-%dT%H:%M:%S.%g') as iso_ts
+        from events
+        where event_id < 4000
+    """,
+)
+def dt_timezone_iso(spark, sf_dir):
+    """#86 extension (r9 verdict #1): the Presto time-zone / ISO 8601
+    family under the UTC-pinned session — ``AT TIME ZONE`` (instant
+    kept, wall clock moved: from_utc_timestamp), ``with_timezone``
+    (wall clock declared to be zone-local, instant moved:
+    to_utc_timestamp), and ``to_iso8601`` at Presto's millis
+    precision.  The dialect front door rewrites the Presto spellings
+    to exactly these compositions (sparketl/dialect.py
+    ``_rewrite_at_time_zone`` + the with_timezone/to_iso8601/
+    from_iso8601_*/parse_duration entries; execution-backed reference
+    values in tests/test_dialect.py).  DuckDB grades with its native
+    two-direction ``timezone()`` builtin — an independent tz database
+    consumer, so a DST-boundary slip on either side mismatches.
+
+    Outputs are formatted strings per the §5 determinism rules (raw
+    TIMESTAMP canonicalization diverges between engines).
+
+    Scale: pure per-row codegen expressions over one scan — no
+    shuffle, no UDF; the tz conversion is a JVM ZoneId lookup
+    inside whole-stage codegen."""
+    ev = table(spark, sf_dir, "events")
+    return ev.where(F.col("event_id") < 4000).select(
+        "event_id",
+        F.date_format(
+            F.from_utc_timestamp("ts", "America/Los_Angeles"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("la_wall"),
+        F.date_format(
+            F.to_utc_timestamp("ts", "Asia/Tokyo"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("tokyo_instant"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS").alias("iso_ts"),
+    )

@@ -63,12 +63,22 @@ def merge_apply(spark, path: str, feed, key_col: str, part_col: str) -> None:
     row is deleted produces zero rewrite rows, so dynamic mode would
     silently leave its old files (and the deleted rows) in place.
     Both partition lists are driver-sized (distinct partition values,
-    already the broadcast side), so the guard is two tiny collects;
-    when a partition empties, the apply falls back to ONE static
-    full-table overwrite (correct truncation) — the rare purge-shape
-    pays a full rewrite, the nightly-upsert shape keeps the pruned
-    fast path.  tests/test_etl.py::test_merge_apply_delete_empties_
-    partition pins both the row loss and the fixed point."""
+    already the broadcast side), so the guard is two tiny collects.
+    When partitions empty, the apply stays on the pruned path (ADVICE
+    r9 — a routine purge-shaped feed must not pay a whole-table
+    rewrite): the surviving touched partitions go through the same
+    dynamic overwrite, then the emptied partitions' DIRECTORIES are
+    dropped via the Hadoop FileSystem API — the Hive/Iceberg DROP
+    PARTITION shape, and the only way to express "this partition is
+    now empty" to a path-based dynamic overwrite (an empty frame
+    writes no directory at all).  A mid-apply failure between the two
+    steps leaves deleted rows present-but-stale, which the fixed-point
+    re-apply repairs — same recovery contract as the write itself.
+    Partition values needing Hive path-escaping (or NULL) fall back to
+    the static full-table overwrite rather than guessing the encoding.
+    tests/test_etl.py::test_merge_apply_delete_empties_partition pins
+    the row loss, the fixed point, AND that untouched partitions' data
+    files are not rewritten on the purge path."""
     target = spark.read.parquet(path)
     keys = feed.select(key_col).distinct()
     upserts = feed.where(F.col("__op").isin("U", "I")).drop("__op")
@@ -87,16 +97,28 @@ def merge_apply(spark, path: str, feed, key_col: str, part_col: str) -> None:
     affected_vals = {r[0] for r in affected.collect()}
     surviving_vals = {r[0] for r in rewrite.select(part_col).distinct().collect()}
     emptied = affected_vals - surviving_vals
-    if emptied:
+    # characters Hive path-escapes in partition directory names — a
+    # value containing any of them (or NULL) means str(val) is not the
+    # directory name, so take the safe full-overwrite path instead
+    _HIVE_ESCAPED = set('"#%\'*/:=?\\{}[]^ \t\n')
+    if emptied and any(
+        v is None or any(c in str(v) for c in _HIVE_ESCAPED) for v in emptied
+    ):
         full = (
             target.join(F.broadcast(keys), key_col, "left_anti")
             .unionByName(upserts.select(*target.columns))
             .localCheckpoint(eager=True)
         )
         full.write.mode("overwrite").partitionBy(part_col).parquet(path)
-    else:
-        with _partition_overwrite_dynamic(spark):
-            rewrite.write.mode("overwrite").partitionBy(part_col).parquet(path)
+        return
+    with _partition_overwrite_dynamic(spark):
+        rewrite.write.mode("overwrite").partitionBy(part_col).parquet(path)
+    if emptied:
+        jvm = spark._jvm  # noqa: SLF001 - Hadoop FS, same JVM the write used
+        hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        for v in sorted(str(v) for v in emptied):
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/{part_col}={v}")
+            p.getFileSystem(hconf).delete(p, True)
 
 
 def build_merge_feed(

@@ -512,6 +512,19 @@ PRESTO_FACES: dict[str, str] = {
         from orders
         where o_orderkey < 600
     """,
+    # the time-zone / ISO family (r9 verdict #1): genuine Presto
+    # spellings — AT TIME ZONE, with_timezone, to_iso8601 — through
+    # the translator, against the E1 from_utc/to_utc composition
+    "dt_timezone_iso": """
+        select event_id,
+               format_datetime(ts at time zone 'America/Los_Angeles',
+                               'yyyy-MM-dd HH:mm:ss') as la_wall,
+               format_datetime(with_timezone(ts, 'Asia/Tokyo'),
+                               'yyyy-MM-dd HH:mm:ss') as tokyo_instant,
+               to_iso8601(ts) as iso_ts
+        from events
+        where event_id < 4000
+    """,
     # ---- math (§2.9 #89-98) -----------------------------------------
     "math_exp_log": """
         select p_partkey,

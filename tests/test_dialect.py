@@ -882,8 +882,35 @@ def test_match_recognize_all_rows_refusals():
         _MR_AR.replace("C.event_id as e_id", "coalesce(C.event_id, 0) as e_id"),
         # var-free measure (universal variable) — refuse
         _MR_AR.replace("A.event_id as s_id", "event_id as s_id"),
+        # ADVICE r9: other NULL-tolerant shapes the deny-list missed —
+        # greatest()/least() skip NULLs, IS [NOT] DISTINCT FROM is
+        # non-NULL over NULL inputs
+        _MR_AR.replace("C.event_id as e_id",
+                       "greatest(C.event_id, 0) as e_id"),
+        _MR_AR.replace("C.event_id as e_id",
+                       "least(C.event_id, 0) as e_id"),
+        _MR_AR.replace("C.event_id as e_id",
+                       "(C.event_id is distinct from 0) as e_id"),
+        _MR_AR.replace("C.event_id as e_id",
+                       "(C.event_id is not distinct from 0) as e_id"),
     ):
         assert "match_recognize" in translate(bad).lower(), bad
+
+
+def test_match_recognize_all_rows_star_hides_helpers(spark):
+    """ADVICE r9: `select *` over a translated ALL ROWS face must see
+    Trino's schema — base columns + measures — not the __mr_sym/
+    __mr_rn/__mr_nnrn plumbing (stripped via `* except`)."""
+    load_tables(spark, SF_DIR)
+    star = _MR_AR.replace(
+        "select user_id, event_id, s_id, e_id, n", "select *"
+    )
+    cols = presto_sql(spark, star).columns
+    assert not any(c.startswith("__mr_") for c in cols), cols
+    # Trino's ALL ROWS schema: every base column + the measures
+    for want in ("user_id", "event_id", "ts", "event_type",
+                 "s_id", "e_id", "n"):
+        assert want in cols, (want, cols)
 
 
 def test_match_recognize_navigation_rewrites():
@@ -930,3 +957,93 @@ def test_sql_requires_default_escaped_string_literals(spark):
         spark.conf.set(key, prev)
     # and with the default restored the same statement runs
     assert presto_sql(spark, "select 1 as v").collect()[0].v == 1
+
+
+def test_timezone_iso_rewrites():
+    """r9 verdict #1: the datetime zone/ISO family has translator
+    entries (rewrite or documented refusal) instead of dying as
+    unresolved functions."""
+    out = translate(
+        "select ts at time zone 'America/Los_Angeles' as la, "
+        "with_timezone(ts, 'Asia/Tokyo') as tok, "
+        "from_iso8601_timestamp(s) as t1, "
+        "from_iso8601_date(s) as d1, "
+        "parse_duration('5m') as dur from t"
+    )
+    assert "from_utc_timestamp(ts, 'America/Los_Angeles')" in out
+    assert "to_utc_timestamp(ts, 'Asia/Tokyo')" in out
+    assert "cast(s as timestamp)" in out
+    assert "cast(s as date)" in out
+    assert "make_dt_interval(0, 0, 0, 300.000)" in out
+    # typed literal keeps its keyword inside the rewrite
+    out2 = translate(
+        "select timestamp '2024-03-10 12:00:00' at time zone 'UTC' as x"
+    )
+    assert "from_utc_timestamp(timestamp '2024-03-10 12:00:00', 'UTC')" in out2
+    # column zone is accepted (from_utc_timestamp takes column zones)
+    assert "from_utc_timestamp(ts, tz_col)" in translate(
+        "select ts at time zone tz_col from t"
+    )
+
+
+def test_timezone_iso_documented_refusals():
+    """parse_duration over a non-literal / malformed literal and an
+    unscannable AT TIME ZONE operand refuse with the documented
+    message naming the fix — not an unresolved-function error."""
+    with pytest.raises(ValueError, match="parse_duration.*string-literal"):
+        translate("select parse_duration(col) from t")
+    with pytest.raises(ValueError, match="not a valid Presto duration"):
+        translate("select parse_duration('five minutes') from t")
+    with pytest.raises(ValueError, match="AT TIME ZONE"):
+        translate("select a + b at time zone 1 from t")
+
+
+def test_exec_timezone_iso_family(spark):
+    """Execution-backed Presto reference values under the UTC session:
+    AT TIME ZONE keeps the instant and moves the wall clock;
+    with_timezone moves the instant; the ISO round trip is identity;
+    to_iso8601 branches per type; parse_duration folds to an exact
+    day-time interval."""
+    row = presto_sql(
+        spark,
+        "select "
+        "format_datetime(ts at time zone 'America/Los_Angeles', "
+        "'yyyy-MM-dd HH:mm') as la_wall, "
+        "format_datetime(with_timezone(ts, 'America/Los_Angeles'), "
+        "'yyyy-MM-dd HH:mm') as la_instant, "
+        "to_iso8601(ts) as iso_ts, "
+        "to_iso8601(cast(ts as date)) as iso_d, "
+        "from_iso8601_timestamp('2024-03-10T12:00:00Z') as rt, "
+        "from_iso8601_date('2024-03-10') as rtd, "
+        "cast(ts + parse_duration('90m') as string) as plus90 "
+        "from (select timestamp '2024-03-10 12:00:00' as ts)",
+    ).collect()[0]
+    # 2024-03-10 12:00 UTC in LA: DST started 02:00 PST = 10:00 UTC
+    # that morning, so 12:00Z is PDT (UTC-7) = 05:00 local
+    assert row.la_wall == "2024-03-10 05:00"
+    # 12:00 LA wall clock that day = 19:00 UTC (PDT, UTC-7)
+    assert row.la_instant == "2024-03-10 19:00"
+    assert row.iso_ts == "2024-03-10T12:00:00.000"
+    assert row.iso_d == "2024-03-10"
+    assert str(row.rt) == "2024-03-10 12:00:00"
+    assert str(row.rtd) == "2024-03-10"
+    assert row.plus90 == "2024-03-10 13:30:00"
+
+
+def test_exec_parse_duration_units(spark):
+    """Every airlift unit suffix folds to the right seconds, with
+    sub-millisecond values rounded half-up to Presto's millis
+    precision."""
+    row = presto_sql(
+        spark,
+        "select cast(parse_duration('1500ms') as string) as a, "
+        "cast(parse_duration('1.5h') as string) as b, "
+        "cast(parse_duration('2d') as string) as c, "
+        "cast(parse_duration('1234567 ns') as string) as d, "
+        "cast(parse_duration('250 us') as string) as e",
+    ).collect()[0]
+    assert "1.5" in row.a                      # 1.500 seconds
+    assert "1 30" in row.b or "01:30" in row.b  # 1h30m
+    assert row.c.startswith("INTERVAL '2 ")    # 2 days
+    assert "0.001" in row.d                    # 1.234567ms -> 0.001s
+    assert "0.25" not in row.e and "0'" in row.e.replace(" ", "")  # 250us -> 0.000s

@@ -282,15 +282,20 @@ def test_merge_apply_second_batch_applies_on_top(spark, tmp_path):
 def test_merge_apply_delete_empties_partition(spark, tmp_path):
     """A feed that deletes EVERY row of a partition must really remove
     those rows: dynamic overwrite never touches a partition the
-    rewrite writes zero rows for, so merge_apply falls back to a
-    static full overwrite when a partition empties (round-9 review —
-    the deletes were silently dropped before)."""
+    rewrite writes zero rows for, so merge_apply drops the emptied
+    partitions' directories explicitly (round-9 review found the
+    silent row loss; ADVICE r9 replaced the full-table-overwrite
+    fallback with the pruned DROP PARTITION path — asserted here via
+    the untouched partition's data files surviving byte-identical)."""
+    import os
+
     from sparketl.operators.etl import merge_apply
 
     rows = [
         (1, "F", 10.0, "1-URGENT"),
         (2, "F", 20.0, "1-URGENT"),
         (3, "F", 30.0, "2-HIGH"),
+        (4, "F", 40.0, "3-MEDIUM"),
     ]
     schema = "o_orderkey long, o_orderstatus string, o_totalprice double, o_orderpriority string"
     path = str(tmp_path / "t")
@@ -298,15 +303,55 @@ def test_merge_apply_delete_empties_partition(spark, tmp_path):
         "o_orderpriority"
     ).parquet(path)
     feed = spark.createDataFrame(
-        [(1, "F", 0.0, "1-URGENT", "D"), (2, "F", 0.0, "1-URGENT", "D")],
+        [(1, "F", 0.0, "1-URGENT", "D"), (2, "F", 0.0, "1-URGENT", "D"),
+         (3, "F", 33.0, "2-HIGH", "U")],
         schema + ", __op string",
     )
+
+    def files(part):
+        d = os.path.join(path, f"o_orderpriority={part}")
+        return {
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    untouched_before = files("3-MEDIUM")
     merge_apply(spark, path, feed, "o_orderkey", "o_orderpriority")
     got = {(r.o_orderkey, r.o_orderpriority)
            for r in spark.read.parquet(path).collect()}
-    assert got == {(3, "2-HIGH")}
+    assert got == {(3, "2-HIGH"), (4, "3-MEDIUM")}
+    # the emptied partition's directory is gone, not just empty
+    assert not os.path.exists(os.path.join(path, "o_orderpriority=1-URGENT"))
+    # the untouched partition was NOT rewritten (pruned path held)
+    assert files("3-MEDIUM") == untouched_before
     # and re-applying the purge is still a fixed point
     merge_apply(spark, path, feed, "o_orderkey", "o_orderpriority")
     got2 = {(r.o_orderkey, r.o_orderpriority)
             for r in spark.read.parquet(path).collect()}
     assert got2 == got
+
+
+def test_merge_apply_escaped_partition_value_falls_back(spark, tmp_path):
+    """A partition value Hive path-escapes (here a space) must not be
+    string-formatted into a directory name — the purge takes the safe
+    static full overwrite and still truncates correctly."""
+    import os
+
+    from sparketl.operators.etl import merge_apply
+
+    schema = "o_orderkey long, o_orderstatus string, o_totalprice double, o_orderpriority string"
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "F", 10.0, "LOW PRIO"), (2, "F", 20.0, "2-HIGH")], schema
+    ).write.partitionBy("o_orderpriority").parquet(path)
+    feed = spark.createDataFrame(
+        [(1, "F", 0.0, "LOW PRIO", "D")], schema + ", __op string"
+    )
+    merge_apply(spark, path, feed, "o_orderkey", "o_orderpriority")
+    got = {(r.o_orderkey, r.o_orderpriority)
+           for r in spark.read.parquet(path).collect()}
+    assert got == {(2, "2-HIGH")}
+    assert not any(
+        "LOW" in d for d in os.listdir(path) if os.path.isdir(os.path.join(path, d))
+    )
