@@ -999,6 +999,9 @@ def _rewrite_match_recognize(masked: str) -> str:
 
     interior = "__mr_e.__mr_rn - __mr_s.__mr_rn - 1"
     nav_used: set[str] = set()
+    #: classifier-aware middle navigation (r9 verdict #6): one
+    #: (fn, var, col) → aggregate-column index per distinct position
+    mid_navs: dict[tuple[str, str, str], int] = {}
     parsed: list[tuple[str, str, str | None]] = []  # (alias, kind, final)
     nav_in_measure: list[bool] = []
     for item in _split_args(meas):
@@ -1048,24 +1051,31 @@ def _rewrite_match_recognize(masked: str) -> str:
                     return f"__mr_nx.{col}"
                 nav_used.add("nl")  # prev(C.x): the row before the end
                 return f"__mr_nl.{col}"
-            if (
-                var in middles
-                and fn in ("first", "last")
-                and len(middles) == 1
-            ):
-                # single middle var only: with alternation (B|C)* the
-                # row at srn+1 may be mapped to the OTHER middle var,
-                # while Trino's FIRST(B.x) means the first B row —
-                # not a fixed offset, so alternation refuses
-                key = "nf" if fn == "first" else "nl"
-                nav_used.add(key)
-                return (
-                    f"(case when {interior} >= 1"
-                    f" then __mr_{key}.{col} end)"
-                )
+            if var in middles and fn in ("first", "last"):
+                if len(middles) == 1:
+                    # single middle var: middles are contiguous, so
+                    # FIRST/LAST are the fixed offsets srn+1 / ern-1
+                    key = "nf" if fn == "first" else "nl"
+                    nav_used.add(key)
+                    return (
+                        f"(case when {interior} >= 1"
+                        f" then __mr_{key}.{col} end)"
+                    )
+                # alternation (B|C)*: the row at srn+1 may be mapped
+                # to the OTHER middle var, so FIRST(B.x) is not a
+                # fixed offset — navigate the CLASSIFIER-tagged span
+                # instead (r9 verdict #6): every interior row already
+                # carries its matched variable in __mr_sym, so
+                # min_by/max_by(x, rn) FILTER (where sym = 'B') over
+                # the match's interior rows IS Trino's FINAL
+                # FIRST/LAST(B.x) — NULL when B never occurs in the
+                # match (empty filter), and the first B row's x even
+                # when that x is NULL (min_by keeps NULL values,
+                # execution-verified)
+                idx = mid_navs.setdefault((fn, var, col), len(mid_navs))
+                return f"__mr_mid.__mr_g{idx}"
             # prev/next of a middle var navigates from an ambiguous
-            # occurrence; first/last of an alternation middle is not a
-            # fixed offset — refuse
+            # occurrence — refuse
             nav_bad = True
             return mm.group(0)
 
@@ -1182,6 +1192,37 @@ def _rewrite_match_recognize(masked: str) -> str:
         " rows between 1 following and unbounded following) as __mr_nnrn"
         " from __mr_syms)"
     )
+    if mid_navs:
+        # classifier-aware span aggregates: every interior (middle-
+        # symbol) row's span anchor is the rank of the PREVIOUS non-
+        # middle row (__mr_prn — for rows inside a match [srn, ern],
+        # exactly srn, since the interior is all middles).  Grouping
+        # interior rows by (partition, anchor) gives one row per
+        # candidate span; min_by/max_by FILTER picks the first/last
+        # row mapped to each navigated variable.  Spans that are not
+        # accepted matches simply never join.  Shares the __mr_syms
+        # scan and the same (partition, rank) sort — one extra
+        # aggregate, no second shuffle of the base table.
+        aggs = ", ".join(
+            f"{'min_by' if fn == 'first' else 'max_by'}({col}, __mr_rn)"
+            f" filter (where __mr_sym = '{var}') as __mr_g{i}"
+            for (fn, var, col), i in sorted(
+                mid_navs.items(), key=lambda kv: kv[1]
+            )
+        )
+        ctes += (
+            ", __mr_prev as ("
+            f" select *, max(case when {not_middle} then __mr_rn end)"
+            f" over (partition by {part} order by __mr_rn"
+            " rows between unbounded preceding and 1 preceding)"
+            " as __mr_prn"
+            " from __mr_syms"
+            "), __mr_mid as ("
+            f" select {part}, __mr_prn, {aggs}"
+            " from __mr_prev"
+            f" where __mr_sym in ({mid_set}) and __mr_prn is not null"
+            f" group by {part}, __mr_prn)"
+        )
     match_where = (
         f" where __mr_s.__mr_sym = '{va}' and __mr_e.__mr_sym = '{vc}'" + bound
     )
@@ -1208,6 +1249,12 @@ def _rewrite_match_recognize(masked: str) -> str:
         }
         nav_joins = "".join(nav_sql[k] for k in ("nf", "nl", "np", "nx")
                             if k in nav_used)
+        if mid_navs:
+            nav_joins += (
+                " left join __mr_mid on "
+                f"{_peq('__mr_mid', '__mr_s')}"
+                " and __mr_mid.__mr_prn = __mr_s.__mr_rn"
+            )
         repl = (
             "(" + ctes
             + f" select {out_part}, {', '.join(measures)}"

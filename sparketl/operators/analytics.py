@@ -549,7 +549,8 @@ def row_pattern_funnel_nav(spark, sf_dir):
     Soundness: the middle run is CONTIGUOUS between start and end, so
     for a SINGLE middle variable FIRST/LAST are the rows at rank
     srn+1 / ern-1 gated on a non-empty interior; alternation middles
-    refuse (the offset row may be the other variable's).  PREV/NEXT
+    navigate the classifier-tagged span instead (see
+    ``row_pattern_funnel_altnav``).  PREV/NEXT
     navigate physical rows, matching Trino FINAL semantics for
     single-occurrence variables.  Property-differentialed against
     Python's regex engine (tests/test_property_match_recognize.py).
@@ -563,3 +564,110 @@ def row_pattern_funnel_nav(spark, sf_dir):
 
     load_tables(spark, sf_dir)  # register the named views
     return dialect.sql(spark, _MR_NAV_TEXT)
+
+
+_MR_ALTNAV_TEXT = """
+    select user_id, start_event_id, first_click_id, last_click_id,
+           first_error_id, last_error_id, n_rows
+    from events match_recognize (
+        partition by user_id
+        order by ts asc, event_id asc
+        measures V.event_id as start_event_id,
+                 first(B.event_id) as first_click_id,
+                 last(B.event_id) as last_click_id,
+                 first(E.event_id) as first_error_id,
+                 last(E.event_id) as last_error_id,
+                 count(*) as n_rows
+        one row per match
+        after match skip past last row
+        pattern (V (B|E)* P)
+        define V as event_type = 'view',
+               B as event_type = 'click',
+               E as event_type = 'error',
+               P as event_type = 'purchase'
+    )
+"""
+
+
+@query(
+    "row_pattern_funnel_altnav",
+    oracle="""
+        with syms as (
+            select user_id, event_id,
+                   case event_type when 'view' then 'V'
+                                   when 'click' then 'B'
+                                   when 'error' then 'E'
+                                   when 'purchase' then 'P'
+                                   else '.' end as sym,
+                   row_number() over (partition by user_id
+                                      order by ts asc, event_id asc) as rn
+            from events
+        ),
+        nn as (
+            select *,
+                   min(case when sym not in ('B', 'E') then rn end)
+                       over (partition by user_id order by rn
+                             rows between 1 following and unbounded following)
+                       as nnrn
+            from syms
+        ),
+        mids as (
+            select *,
+                   max(case when sym not in ('B', 'E') then rn end)
+                       over (partition by user_id order by rn
+                             rows between unbounded preceding and 1 preceding)
+                       as prn
+            from syms
+        ),
+        spans as (
+            select user_id, prn,
+                   arg_min(event_id, rn) filter (sym = 'B') as fb,
+                   arg_max(event_id, rn) filter (sym = 'B') as lb,
+                   arg_min(event_id, rn) filter (sym = 'E') as fe,
+                   arg_max(event_id, rn) filter (sym = 'E') as le
+            from mids
+            where sym in ('B', 'E') and prn is not null
+            group by user_id, prn
+        )
+        select s.user_id                          as user_id,
+               s.event_id                         as start_event_id,
+               sp.fb                              as first_click_id,
+               sp.lb                              as last_click_id,
+               sp.fe                              as first_error_id,
+               sp.le                              as last_error_id,
+               cast(e.rn - s.rn + 1 as bigint)    as n_rows
+        from nn s
+        join nn e on e.user_id is not distinct from s.user_id
+                 and e.rn = s.nnrn
+        left join spans sp on sp.user_id is not distinct from s.user_id
+                          and sp.prn = s.rn
+        where s.sym = 'V' and e.sym = 'P'
+    """,
+)
+def row_pattern_funnel_altnav(spark, sf_dir):
+    """Row-pattern CLASSIFIER-AWARE navigation over an alternation
+    middle (r9 verdict #6): ``PATTERN (V (B|E)* P)`` with
+    FIRST/LAST(B.x) AND FIRST/LAST(E.x) — per funnel, the first/last
+    click and the first/last error between view and purchase, NULL
+    when that variable never occurs in the match.  A fixed rank
+    offset cannot express this (the srn+1 row may be the OTHER
+    variable's); the translator navigates the classifier-tagged span
+    instead: every interior row already carries its matched variable
+    (__mr_sym), so per-span ``min_by/max_by(x, rn) FILTER (where sym
+    = 'B')`` grouped by the span anchor IS Trino's FINAL FIRST/LAST.
+    Genuine Trino text through ``dialect.sql``; DuckDB states the
+    same values independently via its own span arithmetic +
+    arg_min/arg_max FILTER; the Python-regex property differential
+    (tests/test_property_match_recognize.py::
+    test_alternation_middle_navigation_equals_regex_engine) covers
+    the same-bug risk.
+
+    Scale: the span aggregate shares the single user_id exchange and
+    (partition, rank) sort the match machinery already pays — one
+    extra partial-aggregable group-by over interior rows, one
+    match-table-sized left join; never a second scan of events."""
+    from sparketl import dialect
+    from sparketl.tables import load_tables
+
+    load_tables(spark, sf_dir)  # register the named views
+    return dialect.sql(spark, _MR_ALTNAV_TEXT)

@@ -933,14 +933,28 @@ def test_match_recognize_navigation_refusals():
         _MR_OK.replace("A.event_id as s_id", "first(B.event_id, 2) as s_id"),
         # prev/next of a middle var: ambiguous occurrence
         _MR_OK.replace("A.event_id as s_id", "prev(B.event_id) as s_id"),
-        # FIRST over an ALTERNATION middle: srn+1 may be the other
-        # variable's row, not Trino's first-B
-        _MR_OK.replace("pattern (A B* C)", "pattern (A (B|D)* C)")
-              .replace("B as event_type = 'click',",
-                       "B as event_type = 'click', D as event_type = 'err',")
-              .replace("A.event_id as s_id", "first(B.event_id) as s_id"),
     ):
         assert "match_recognize" in translate(bad).lower(), bad
+
+
+def test_match_recognize_alternation_middle_navigation_rewrites():
+    """r9 verdict #6: FIRST/LAST over an ALTERNATION middle now
+    ACCEPTS via the classifier-tagged span (min_by/max_by FILTER on
+    __mr_sym per span anchor) instead of refusing — the fixed srn+1
+    offset could be the other variable's row, the tagged aggregate
+    cannot."""
+    sql = (
+        _MR_OK.replace("pattern (A B* C)", "pattern (A (B|D)* C)")
+        .replace("B as event_type = 'click',",
+                 "B as event_type = 'click', D as event_type = 'err',")
+        .replace("A.event_id as s_id",
+                 "first(B.event_id) as s_id, last(D.event_id) as l_id")
+    )
+    out = translate(sql)
+    assert "match_recognize" not in out.lower()
+    assert "min_by(event_id, __mr_rn) filter (where __mr_sym = 'B')" in out
+    assert "max_by(event_id, __mr_rn) filter (where __mr_sym = 'D')" in out
+    assert "__mr_mid.__mr_prn = __mr_s.__mr_rn" in out
 
 
 def test_sql_requires_default_escaped_string_literals(spark):

@@ -209,3 +209,61 @@ def test_navigation_measures_equal_regex_engine(
         for s, e, _n in _model(symbols, regex)
     )
     assert got == want
+
+
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(users=seqs)
+def test_alternation_middle_navigation_equals_regex_engine(spark, users):
+    """r9 verdict #6: FIRST/LAST over an ALTERNATION middle navigates
+    the classifier-tagged span — per match, the first/last row mapped
+    to THAT variable (NULL when it never occurs), recomputed here from
+    the regex engine's spans and the raw symbol string."""
+    rows = [
+        (u, pos, sym)
+        for u, symbols in enumerate(users)
+        for pos, sym in enumerate(symbols)
+    ]
+    if not rows:
+        rows = [(0, 0, "X")]
+    spark.createDataFrame(
+        rows, "user_id long, pos long, sym string"
+    ).createOrReplaceTempView("mr_prop_events")
+    sql = f"""
+        select user_id, s_pos, fb, lb, fc, lc
+        from mr_prop_events match_recognize (
+            partition by user_id
+            order by pos asc
+            measures V.pos as s_pos,
+                     first(B.pos) as fb, last(B.pos) as lb,
+                     first(C.pos) as fc, last(C.pos) as lc
+            one row per match
+            after match skip past last row
+            pattern (V (B|C)* P)
+            define {_FOUR_VAR}
+        )
+    """
+    got = sorted(
+        (r.user_id, r.s_pos, r.fb, r.lb, r.fc, r.lc)
+        for r in dialect.sql(spark, sql).collect()
+    )
+
+    def var_pos(symbols, s, e, var, which):
+        hits = [i for i in range(s + 1, e) if symbols[i] == var]
+        if not hits:
+            return None
+        return hits[0] if which == "first" else hits[-1]
+
+    want = sorted(
+        (
+            u,
+            s,
+            var_pos(symbols, s, e, "B", "first"),
+            var_pos(symbols, s, e, "B", "last"),
+            var_pos(symbols, s, e, "C", "first"),
+            var_pos(symbols, s, e, "C", "last"),
+        )
+        for u, symbols in enumerate(users)
+        for s, e, _n in _model(symbols, "V[BC]*P")
+    )
+    assert len(got) == len(want)
+    assert got == want
