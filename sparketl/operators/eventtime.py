@@ -610,3 +610,81 @@ def stream_locf_fill(spark, sf_dir):
         .groupBy(F.pmod(F.col("user_id"), F.lit(n_buckets)).alias("bucket"))
         .applyInPandas(locf_pandas_bucket, schema=LOCF_OUT_SCHEMA)
     )
+
+
+@query(
+    "stream_rollup_cascade",
+    oracle=f"""
+        with hourly as (
+            select date_trunc('hour', ts) as bucket,
+                   count(*) as n_events,
+                   sum(cast(round(value * 100) as bigint)) as cents
+            from events
+            group by 1
+        ),
+        daily as (
+            select date_trunc('day', bucket) as bucket,
+                   sum(n_events) as n_events,
+                   sum(cents)    as cents
+            from hourly
+            group by 1
+        )
+        select 'hour' as resolution,
+               strftime(bucket, '{_TS_FMT_DUCK}') as bucket,
+               cast(n_events as bigint) as n_events,
+               cents / cast(100 as double) as value_sum
+        from hourly
+        union all
+        select 'day' as resolution,
+               strftime(bucket, '{_TS_FMT_DUCK}') as bucket,
+               cast(n_events as bigint) as n_events,
+               cents / cast(100 as double) as value_sum
+        from daily
+    """,
+)
+def stream_rollup_cascade(spark, sf_dir):
+    """#157 streaming face, batch twin (r9 verdict #8): the
+    continuous-aggregate cascade — hourly partials maintained by a
+    watermarked APPEND-mode stream (each hour emitted exactly once,
+    when final), daily re-aggregated FROM THE HOURLY SINK.  This
+    batch face runs the streaming code's OWN builders
+    (streaming.runner.hourly_rollup / rollup_daily_from_hourly — the
+    genuinely-shared-core contract the #154 LOCF face established):
+    the only fork is withWatermark on the stream side, which does
+    not change the aggregation expression.  The live multi-batch
+    test (tests/test_streaming.py::
+    test_rollup_cascade_stream_hourly_sink_matches_batch) runs the
+    stream across real micro-batches into a real parquet hourly
+    sink and proves stream-hourly ≡ batch-hourly on finalized
+    windows AND the daily cascade from the streamed sink exact
+    against a direct day aggregation of raw events.
+
+    ts_rollup_cascade (#157's batch operator) states the same
+    lossless-partials law; this face exists because the 24/7
+    deployment maintains the hourly tier incrementally — O(open
+    windows) state, watermark eviction — and the daily tier reads 24
+    partial rows/day instead of re-scanning raw events.
+
+    Scale: the hourly tier's map-side partial collapses events into
+    |hours| counter cells before the only exchange (the measured
+    FLAT-at-x10 law of ts_rollup_cascade); the daily tier's input IS
+    the hourly sink — re-aggregation cost is O(hours), independent
+    of event volume."""
+    from sparketl.streaming.runner import (
+        hourly_rollup,
+        rollup_daily_from_hourly,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    hourly = hourly_rollup(ev)
+    daily = rollup_daily_from_hourly(hourly)
+
+    def fmt(df, tag):
+        return df.select(
+            F.lit(tag).alias("resolution"),
+            F.date_format("bucket", _TS_FMT_SPARK).alias("bucket"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            (F.col("cents") / F.lit(100).cast("double")).alias("value_sum"),
+        )
+
+    return fmt(hourly, "hour").unionAll(fmt(daily, "day"))

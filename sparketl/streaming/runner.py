@@ -545,3 +545,49 @@ def locf_stream(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def hourly_rollup(events_df: DataFrame) -> DataFrame:
+    """#157 shared core — hourly partials (count + integer cents) as
+    ONE expression for both runtimes: under ``readStream`` (via
+    :func:`rollup_hourly_stream`, with a watermark) this is Spark's
+    incrementally-maintained windowed aggregation; on the batch table
+    it is the plain hourly group.  The cascade's losslessness rests on
+    these partials being ASSOCIATIVE carriers (count + integer cents,
+    never doubles), so daily re-aggregation from the sink is exact."""
+    return (
+        events_df.groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "cents"
+            ),
+        )
+        .select(F.col("window.start").alias("bucket"), "n_events", "cents")
+    )
+
+
+def rollup_hourly_stream(
+    events_stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """#157 streaming face, hourly tier: the continuous aggregate a
+    24/7 deployment maintains — watermarked tumbling hourly windows in
+    APPEND mode, so each hour row is emitted exactly once, when the
+    watermark passes its end and the hour is FINAL.  The state store
+    holds only the open hours (O(active windows), eviction by
+    watermark); the emitted sink is immutable and safe to cascade
+    from."""
+    return hourly_rollup(events_stream.withWatermark("ts", watermark))
+
+
+def rollup_daily_from_hourly(hourly_df: DataFrame) -> DataFrame:
+    """#157 cascade tier: daily rows re-aggregated FROM THE HOURLY
+    SINK — 24 partial rows per day, never a second scan of raw
+    events.  Exact by associativity of the integer carriers; proven
+    stream≡batch in tests/test_streaming.py."""
+    return hourly_df.groupBy(
+        F.date_trunc("day", "bucket").alias("bucket")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("cents").alias("cents"),
+    )

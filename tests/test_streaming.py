@@ -915,3 +915,82 @@ def test_locf_stream_multichunk_groups(spark, events_dir):
     }
     assert len(collected) == len(want)
     assert got == want and len(got) > 0
+
+
+def test_rollup_cascade_stream_hourly_sink_matches_batch(spark, tmp_path):
+    """#157 LIVE (r9 verdict #8): the hourly tier runs as a
+    watermarked append stream across real micro-batches into a REAL
+    parquet hourly sink (not a memory table — the cascade's contract
+    is re-aggregating from the sink a 24/7 deployment maintains).
+    Proves (a) the streamed hourly sink equals the batch hourly rows
+    restricted to finalized windows — and is a STRICT subset of the
+    full batch set, so rows were genuinely held in state; (b) the
+    daily cascade from the streamed sink is EXACT against a direct
+    day aggregation of raw events for every fully-finalized day —
+    count and integer cents, no tolerance."""
+    from sparketl.streaming.runner import (
+        hourly_rollup,
+        read_events_stream,
+        rollup_daily_from_hourly,
+        rollup_hourly_stream,
+    )
+
+    d = _stage_time_split(tmp_path)
+    sink = str(tmp_path / "hourly_sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, d)
+    q = (
+        rollup_hourly_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
+    wm = _final_watermark(q)
+
+    got_hourly = {
+        (r.bucket, r.n_events, r.cents)
+        for r in spark.read.parquet(sink).collect()
+    }
+    ev = table(spark, SF_DIR, "events")
+    full_hourly = {
+        (r.bucket, r.n_events, r.cents) for r in hourly_rollup(ev).collect()
+    }
+    from datetime import timedelta
+
+    finalized = {row for row in full_hourly if row[0] + timedelta(hours=1) <= wm}
+    # (a) stream hourly == batch hourly on finalized windows, strictly
+    # fewer than the full set (late hours held back in state)
+    assert got_hourly == finalized
+    assert got_hourly and got_hourly < full_hourly
+
+    # (b) cascade exactness from the STREAMED sink: every day whose
+    # hours are all finalized must match a direct day aggregation of
+    # the raw events bit-for-bit (count + integer cents)
+    got_daily = {
+        (r.bucket, r.n_events, r.cents)
+        for r in rollup_daily_from_hourly(spark.read.parquet(sink)).collect()
+    }
+    direct_daily = {
+        (r.bucket, r.n_events, r.cents)
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+        .collect()
+    }
+    open_hours = full_hourly - finalized
+    complete_days = {b for b, _, _ in got_daily} - {
+        h.replace(hour=0, minute=0, second=0, microsecond=0)
+        for h, _, _ in open_hours
+    }
+    assert complete_days  # the split must finalize at least one full day
+    for day in complete_days:
+        g = {r for r in got_daily if r[0] == day}
+        w = {r for r in direct_daily if r[0] == day}
+        assert g == w, (day, g, w)
