@@ -586,6 +586,19 @@ def _rewrite_at_time_zone(masked: str) -> str:
         m = _ATZ_RE.search(masked)
         if m is None:
             return masked
+        if re.match(r"\s*interval\b", masked[m.end() :], re.IGNORECASE):
+            # Presto's INTERVAL-offset form (ts AT TIME ZONE INTERVAL
+            # '1' HOUR): no Spark equivalent takes an interval zone —
+            # refuse with the fix rather than emit broken text
+            # (review r10: the bare regex would have matched
+            # `interval` as the zone identifier)
+            raise ValueError(
+                "dialect: AT TIME ZONE INTERVAL '...' (fixed-offset "
+                "form) is not translated — spell the offset as a "
+                "named zone string (e.g. '+01:00' is accepted by "
+                "from_utc_timestamp as 'GMT+01:00') or add the "
+                "interval to the timestamp directly"
+            )
         zm = re.match(
             r"\s*(\x00\d+\x00|[A-Za-z_][\w.]*)", masked[m.end() :]
         )
@@ -603,6 +616,22 @@ def _rewrite_at_time_zone(masked: str) -> str:
             if kw is not None:
                 start = kw.start()
         base = masked[start : m.start()].rstrip()
+        # CHAINED AT TIME ZONE collapses to the LAST zone (review r10):
+        # Presto keeps one instant through the chain and re-renders at
+        # each zone, so `x AT TIME ZONE z1 AT TIME ZONE z2` displays
+        # the instant of x at z2 — but our left-to-right pass has
+        # already turned the inner link into from_utc_timestamp(x, z1),
+        # whose output is z1 WALL CLOCK (the zone tag Spark can't
+        # carry).  Wrapping that again would shift the offset TWICE.
+        # Presto text cannot itself contain from_utc_timestamp (not a
+        # Presto function), so a base of that exact shape is always
+        # this loop's own output: unwrap it and re-render the original
+        # instant at the new zone.
+        chain = re.match(r"from_utc_timestamp\s*\(", base)
+        if chain and _match_paren(base, chain.end() - 1) == len(base) - 1:
+            inner_args = _split_args(base[chain.end() : -1])
+            if len(inner_args) == 2:
+                base = inner_args[0]
         zend = m.end() + zm.end()
         masked = (
             masked[:start]

@@ -215,7 +215,7 @@ def dt_to_date(spark, sf_dir):
     """,
 )
 def dt_timezone_iso(spark, sf_dir):
-    """#86 extension (r9 verdict #1): the Presto time-zone / ISO 8601
+    """#85 extension (r9 verdict #1): the Presto time-zone / ISO 8601
     family under the UTC-pinned session — ``AT TIME ZONE`` (instant
     kept, wall clock moved: from_utc_timestamp), ``with_timezone``
     (wall clock declared to be zone-local, instant moved:

@@ -74,8 +74,11 @@ def merge_apply(spark, path: str, feed, key_col: str, part_col: str) -> None:
     writes no directory at all).  A mid-apply failure between the two
     steps leaves deleted rows present-but-stale, which the fixed-point
     re-apply repairs — same recovery contract as the write itself.
-    Partition values needing Hive path-escaping (or NULL) fall back to
-    the static full-table overwrite rather than guessing the encoding.
+    The pruned delete runs only for partition values whose Python
+    rendering provably equals Spark's directory name (non-bool ints,
+    dates, plain-charset strings — an ALLOWLIST, not an escape
+    deny-set); everything else, including NULL, falls back to the
+    static full-table overwrite rather than guessing the encoding.
     tests/test_etl.py::test_merge_apply_delete_empties_partition pins
     the row loss, the fixed point, AND that untouched partitions' data
     files are not rewritten on the purge path."""
@@ -97,13 +100,35 @@ def merge_apply(spark, path: str, feed, key_col: str, part_col: str) -> None:
     affected_vals = {r[0] for r in affected.collect()}
     surviving_vals = {r[0] for r in rewrite.select(part_col).distinct().collect()}
     emptied = affected_vals - surviving_vals
-    # characters Hive path-escapes in partition directory names — a
-    # value containing any of them (or NULL) means str(val) is not the
-    # directory name, so take the safe full-overwrite path instead
-    _HIVE_ESCAPED = set('"#%\'*/:=?\\{}[]^ \t\n')
-    if emptied and any(
-        v is None or any(c in str(v) for c in _HIVE_ESCAPED) for v in emptied
-    ):
+    # ALLOWLIST gate for the pruned delete (review r10 — a deny-set of
+    # escaped characters misses whole classes where Python's str(v) is
+    # not Spark's directory name: bool True/'true', float repr
+    # '1e-07'/'1.0E-7', %-escaped control chars).  The pruned path
+    # runs only for values whose rendering provably matches Spark's:
+    # non-bool ints, dates (ISO on both sides), and strings made of
+    # characters Spark never escapes; everything else — including
+    # NULL (__HIVE_DEFAULT_PARTITION__) — takes the safe full
+    # overwrite.
+    import datetime as _dt
+
+    _SAFE_CHARS = frozenset(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789._-+@"
+    )
+
+    def _dir_safe(v) -> bool:
+        if isinstance(v, bool) or v is None:
+            return False
+        if isinstance(v, int):
+            return True
+        # date yes (ISO on both sides); datetime no (space + colons
+        # are %-escaped in the directory name)
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            return True
+        return (
+            isinstance(v, str) and v != "" and set(v) <= _SAFE_CHARS
+        )
+
+    if emptied and not all(_dir_safe(v) for v in emptied):
         full = (
             target.join(F.broadcast(keys), key_col, "left_anti")
             .unionByName(upserts.select(*target.columns))

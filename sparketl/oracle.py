@@ -49,6 +49,13 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Connection with the ten fixture views pre-registered, as the
     driver does (``__spark_entry__.py:33-35``)."""
     con = duckdb.connect()
+    # Pin the session zone to match Spark's SESSION_CONFS UTC pin
+    # (review r10): DuckDB's TimeZone defaults to the HOST zone, and
+    # tz-sensitive oracle expressions (dt_timezone_iso's
+    # TIMESTAMPTZ→naive casts) would hash-diverge on a non-UTC
+    # machine.  This container is Etc/UTC, so the pin changes nothing
+    # here — it makes `python scripts/check.py` reproducible anywhere.
+    con.execute("set TimeZone = 'UTC'")
     for name in TABLE_NAMES:
         path = f"{sf_dir.rstrip('/')}/{name}.parquet"
         # scale-corpus facts are multi-file directories (a lake layout —

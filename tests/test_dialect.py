@@ -1061,3 +1061,41 @@ def test_exec_parse_duration_units(spark):
     assert row.c.startswith("INTERVAL '2 ")    # 2 days
     assert "0.001" in row.d                    # 1.234567ms -> 0.001s
     assert "0.25" not in row.e and "0'" in row.e.replace(" ", "")  # 250us -> 0.000s
+
+
+def test_at_time_zone_chain_collapses_to_one_instant(spark):
+    """Review r10: chained AT TIME ZONE keeps ONE instant (Presto
+    re-renders the same instant at each zone) — the left-to-right
+    rewrite must unwrap its own from_utc_timestamp output instead of
+    shifting the offset twice.  Reference: 2024-01-01 00:00 UTC at
+    Tokyo = 09:00 wall, NOT 18:00."""
+    out = translate(
+        "select ts at time zone 'Asia/Tokyo' at time zone 'Asia/Tokyo' "
+        "as x from t"
+    )
+    assert out.count("from_utc_timestamp") == 1
+    row = presto_sql(
+        spark,
+        "select format_datetime("
+        "ts at time zone 'UTC' at time zone 'Asia/Tokyo', "
+        "'yyyy-MM-dd HH:mm') as tokyo "
+        "from (select timestamp '2024-01-01 00:00:00' as ts)",
+    ).collect()[0]
+    assert row.tokyo == "2024-01-01 09:00"
+    # the with_timezone base is NOT unwrapped (its output is already
+    # the UTC-rendered instant): moving 09:00 Tokyo wall to LA wall
+    row2 = presto_sql(
+        spark,
+        "select format_datetime("
+        "with_timezone(ts, 'Asia/Tokyo') at time zone 'America/Los_Angeles', "
+        "'yyyy-MM-dd HH:mm') as la "
+        "from (select timestamp '2024-01-01 09:00:00' as ts)",
+    ).collect()[0]
+    assert row2.la == "2023-12-31 16:00"  # 00:00 UTC = 16:00 PST prev day
+
+
+def test_at_time_zone_interval_form_refuses():
+    """Review r10: the INTERVAL fixed-offset form must raise the
+    documented refusal, not emit broken generated text."""
+    with pytest.raises(ValueError, match="INTERVAL"):
+        translate("select ts at time zone interval '1' hour from t")
