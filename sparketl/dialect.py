@@ -130,6 +130,16 @@ parse_duration('5.5m')       make_dt_interval(0, 0, 0, 330.000) — literal
                              folded at translate time (Decimal-exact,
                              half-up to millis); non-literal arg RAISES
                              the documented refusal (no row-level parser)
+date_format(x, '%Y-%m')      date_format(x, 'yyyy-MM') — Presto's MySQL
+                             %-specifiers translated one-by-one (Spark's
+                             SAME-NAMED date_format takes Java patterns:
+                             the worst silent-garbage trap in the dt
+                             family); literal-alpha runs Java-quoted,
+                             '%'-free literals pass through as already-
+                             Spark spelling, unsupported specifiers
+                             (%U %V %v %w %x %X %D %u) RAISE
+date_parse(s, '%d/%m/%Y')    to_timestamp(s, 'dd/MM/yyyy') — same
+                             translation; non-literal pattern RAISES
 "ident"                      `ident`                    (Spark double-quote
                                                          is a string literal)
 varchar (bare, in casts)     string                     (Spark VARCHAR needs
@@ -559,6 +569,113 @@ def _parse_duration_fn(lits: list[str]):
         return f"make_dt_interval(0, 0, 0, {secs})"
 
     return make
+
+
+#: MySQL datetime format specifiers (Presto date_format/date_parse) →
+#: Java DateTimeFormatter patterns.  Only specifiers with an EXACT
+#: Java equivalent appear; Trino itself rejects %D/%U/%u/%V/%w/%X, and
+#: %v/%x (ISO week/week-year) have no exact Java twin under Spark's
+#: locale handling — all refuse.
+_MYSQL_FMT: dict[str, str] = {
+    "a": "EEE", "b": "MMM", "c": "M", "d": "dd", "e": "d",
+    "f": "SSSSSS", "H": "HH", "h": "hh", "I": "hh", "i": "mm",
+    "j": "DDD", "k": "H", "l": "h", "M": "MMMM", "m": "MM",
+    "p": "a", "r": "hh:mm:ss a", "S": "ss", "s": "ss",
+    "T": "HH:mm:ss", "W": "EEEE", "Y": "yyyy", "y": "yy",
+}
+
+
+def _mysql_to_java(fmt: str) -> str:
+    """MySQL %-pattern → Java DateTimeFormatter pattern.  Literal text
+    is RAW in MySQL patterns but letters are directives in Java, so
+    literal runs containing letters (or quotes) are single-quoted.
+    Raises the documented refusal on specifiers without an exact Java
+    equivalent — a silent best-effort mapping is exactly the
+    divergence this rewrite exists to kill."""
+    toks: list[tuple[str, str]] = []
+    i, n = 0, len(fmt)
+    while i < n:
+        c = fmt[i]
+        if c == "%":
+            if i + 1 >= n:
+                raise ValueError(
+                    f"dialect: date_format/date_parse pattern {fmt!r} ends "
+                    "with a bare '%'"
+                )
+            sp = fmt[i + 1]
+            if sp == "%":
+                toks.append(("lit", "%"))
+            elif sp in _MYSQL_FMT:
+                toks.append(("pat", _MYSQL_FMT[sp]))
+            else:
+                raise ValueError(
+                    f"dialect: MySQL datetime specifier %{sp} (in {fmt!r}) "
+                    "has no exact Spark/Java equivalent — supported: "
+                    + " ".join("%" + k for k in sorted(_MYSQL_FMT)) + " %%"
+                )
+            i += 2
+        else:
+            toks.append(("lit", c))
+            i += 1
+    out: list[str] = []
+    buf: list[str] = []
+
+    def flush() -> None:
+        if not buf:
+            return
+        s = "".join(buf)
+        if re.search(r"[A-Za-z']", s):
+            s = "'" + s.replace("'", "''") + "'"
+        out.append(s)
+        buf.clear()
+
+    for kind, s in toks:
+        if kind == "lit":
+            buf.append(s)
+        else:
+            flush()
+            out.append(s)
+    flush()
+    return "".join(out)
+
+
+def _mysql_datetime_fns(lits: list[str]):
+    """Presto ``date_format(x, '%Y-%m-%d')`` / ``date_parse(s, ...)``:
+    MySQL %-patterns, while Spark's same-named ``date_format`` takes
+    Java patterns — the same call text silently renders garbage ('%Y'
+    is a literal-percent + week-year + ...).  A LITERAL pattern
+    containing '%' is translated specifier-by-specifier (refusing the
+    ones without exact equivalents); date_format literals without '%'
+    pass through (they are already Spark spelling — the engine's own
+    declared queries use it), and date_parse always requires the
+    translation (Spark has no such function, so an untranslatable
+    shape raises the documented refusal rather than an unresolved-
+    function error)."""
+
+    def fmt_make(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        val = _lit_value(lits, args[1])
+        if val is None or "%" not in val:
+            return None  # already-Java spelling or non-literal: untouched
+        java = _mysql_to_java(val).replace("'", "\\'")
+        return f"date_format({args[0]}, '{java}')"
+
+    def parse_make(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        val = _lit_value(lits, args[1])
+        if val is None:
+            raise ValueError(
+                "dialect: date_parse() translates only for a string-"
+                f"literal MySQL pattern (got {args[1].strip()!r}); Spark "
+                "has no MySQL-pattern parser — use to_timestamp with a "
+                "Java pattern for dynamic formats"
+            )
+        java = _mysql_to_java(val).replace("'", "\\'")
+        return f"to_timestamp({args[0]}, '{java}')"
+
+    return fmt_make, parse_make
 
 
 _ATZ_RE = re.compile(r"\bat\s+time\s+zone\b", re.IGNORECASE)
@@ -1541,6 +1658,9 @@ def translate(presto_sql: str) -> str:
         ) if len(a) == 1 else None,
     )
     masked = _rewrite_calls(masked, "parse_duration", _parse_duration_fn(lits))
+    _df_make, _dp_make = _mysql_datetime_fns(lits)
+    masked = _rewrite_calls(masked, "date_format", _df_make)
+    masked = _rewrite_calls(masked, "date_parse", _dp_make)
     masked = _rewrite_calls(masked, "random", _random_fn)
     masked = _rewrite_calls(
         masked, "truncate",

@@ -500,12 +500,17 @@ PRESTO_FACES: dict[str, str] = {
         from orders
         where o_orderkey < 800
     """,
+    # Presto carries BOTH pattern languages: format_datetime/
+    # parse_datetime (Joda/Java) and date_format/date_parse (MySQL
+    # %-specifiers).  This face exercises both through the translator
+    # — the MySQL pair is rewritten specifier-by-specifier (r10), the
+    # Java pair maps by name.
     "dt_parse_format": """
         select o_orderkey,
-               format_datetime(o_orderdate, 'yyyy/MM')  as ym,
-               format_datetime(o_orderdate, 'yyyy-MM-dd HH:mm:ss') as full_str,
-               format_datetime(parse_datetime(
-                   format_datetime(o_orderdate, 'dd|MM|yyyy'), 'dd|MM|yyyy'),
+               date_format(o_orderdate, '%Y/%m')  as ym,
+               date_format(o_orderdate, '%Y-%m-%d %H:%i:%s') as full_str,
+               format_datetime(date_parse(
+                   date_format(o_orderdate, '%d|%m|%Y'), '%d|%m|%Y'),
                    'yyyy-MM-dd') as roundtrip_date,
                format_datetime(cast('1997-06-15' as timestamp), 'yyyy-MM-dd')
                    as fixed_date

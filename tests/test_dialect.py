@@ -1099,3 +1099,53 @@ def test_at_time_zone_interval_form_refuses():
     documented refusal, not emit broken generated text."""
     with pytest.raises(ValueError, match="INTERVAL"):
         translate("select ts at time zone interval '1' hour from t")
+
+
+def test_mysql_datetime_pattern_rewrites():
+    """Presto date_format/date_parse take MySQL %-patterns while
+    Spark's same-named date_format takes Java patterns — literal
+    %-patterns translate specifier-by-specifier, literal Java
+    spellings pass through, unsupported specifiers and non-literal
+    date_parse patterns raise the documented refusal."""
+    out = translate("select date_format(ts, '%Y-%m-%d %H:%i:%s') from t")
+    assert "date_format(ts, 'yyyy-MM-dd HH:mm:ss')" in out
+    out = translate("select date_parse(s, '%d|%m|%Y') from t")
+    assert "to_timestamp(s, 'dd|MM|yyyy')" in out
+    # literal text with letters gets Java-quoted; %% is a literal %
+    out = translate("select date_format(ts, '%Y-%m-%dT%H pct %%') from t")
+    assert "date_format(ts, 'yyyy-MM-dd\\'T\\'HH' pct %')" not in out  # sanity
+    assert "yyyy-MM-dd" in out and "'T'" in out.replace("\\'", "'")
+    # Java-style literal (no %) passes through — the engine's own
+    # declared queries use Spark's date_format directly
+    assert translate("select date_format(ts, 'yyyy-MM') from t") == (
+        "select date_format(ts, 'yyyy-MM') from t"
+    )
+    with pytest.raises(ValueError, match="no exact Spark/Java"):
+        translate("select date_format(ts, '%U') from t")
+    with pytest.raises(ValueError, match="date_parse.*string-literal"):
+        translate("select date_parse(s, f) from t")
+
+
+def test_exec_mysql_datetime_patterns(spark):
+    """Reference values for the MySQL-pattern rewrite, including the
+    12-hour clock, day/month names, day-of-year, and the
+    format→parse round trip."""
+    row = presto_sql(
+        spark,
+        """
+        select date_format(ts, '%Y-%m-%d %H:%i:%s') as full,
+               date_format(ts, '%W %M %e, %Y') as words,
+               date_format(ts, '%h:%i %p') as twelve,
+               date_format(ts, '%j') as doy,
+               date_format(ts, '100%% %T') as pct,
+               cast(date_parse(date_format(ts, '%d|%m|%Y'), '%d|%m|%Y')
+                    as string) as rt
+        from (select timestamp '2024-03-10 15:04:05' as ts)
+        """,
+    ).collect()[0]
+    assert row.full == "2024-03-10 15:04:05"
+    assert row.words == "Sunday March 10, 2024"
+    assert row.twelve == "03:04 PM"
+    assert row.doy == "070"
+    assert row.pct == "100% 15:04:05"
+    assert row.rt == "2024-03-10 00:00:00"
