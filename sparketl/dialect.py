@@ -140,6 +140,12 @@ date_format(x, '%Y-%m')      date_format(x, 'yyyy-MM') — Presto's MySQL
                              (%U %V %v %w %x %X %D %u) RAISE
 date_parse(s, '%d/%m/%Y')    to_timestamp(s, 'dd/MM/yyyy') — same
                              translation; non-literal pattern RAISES
+from_unixtime(e[, z|h, m])   timestamp_seconds(e); zone form wraps in
+                             from_utc_timestamp; (hours, minutes) fixed
+                             offset folds int literals to 'GMT±hh:mm',
+                             RAISES for runtime offsets
+last_day_of_month(d)         last_day(d)
+current_timezone()           'UTC' (SESSION_CONFS pins the session zone)
 "ident"                      `ident`                    (Spark double-quote
                                                          is a string literal)
 varchar (bare, in casts)     string                     (Spark VARCHAR needs
@@ -221,7 +227,6 @@ _SIMPLE_FN: dict[str, str] = {
     "arbitrary": "any_value",
     "approx_distinct": "approx_count_distinct",
     "is_nan": "isnan",
-    "from_unixtime": "timestamp_seconds",
     "day_of_month": "dayofmonth",
     "day_of_year": "dayofyear",
     "doy": "dayofyear",
@@ -232,12 +237,17 @@ _SIMPLE_FN: dict[str, str] = {
     # code point; Spark ascii(s) takes the FIRST char of any string —
     # a superset that agrees on every input Presto accepts
     "codepoint": "ascii",
+    # Presto's month-end function, same semantics (DATE in, DATE out)
+    "last_day_of_month": "last_day",
 }
 
 #: zero-argument constant functions
 _CONST_FN: dict[str, str] = {
     "infinity": "cast('Infinity' as double)",
     "nan": "cast('NaN' as double)",
+    # the engine pins spark.sql.session.timeZone=UTC (SESSION_CONFS),
+    # so Presto's session-zone accessor is a constant here
+    "current_timezone": "'UTC'",
 }
 
 _STR_SENTINEL = "\x00{}\x00"
@@ -1487,6 +1497,40 @@ def translate(presto_sql: str) -> str:
         lambda a: f"(cast(unix_micros({a[0]}) as double) / 1000000.0)"
         if len(a) == 1 else None,
     )
+
+    # Presto from_unixtime is ARITY-overloaded (r10 — the old bare
+    # name-map broke the 2/3-arg forms): 1-arg → timestamp;
+    # (unixtime, zone) → instant rendered at the zone (the same
+    # from_utc_timestamp treatment as AT TIME ZONE under the UTC
+    # session); (unixtime, hours, minutes) fixed offset → folded to a
+    # GMT±hh:mm zone when the offsets are int literals, documented
+    # refusal otherwise (a runtime offset needs interval arithmetic
+    # the caller should write explicitly).
+    def _from_unixtime(a: list[str]) -> str | None:
+        if len(a) == 1:
+            return f"timestamp_seconds({a[0]})"
+        if len(a) == 2:
+            return f"from_utc_timestamp(timestamp_seconds({a[0]}), {a[1]})"
+        if len(a) == 3:
+            hm = re.fullmatch(r"([+-]?\d+)", a[1].strip()), re.fullmatch(
+                r"([+-]?\d+)", a[2].strip()
+            )
+            if not (hm[0] and hm[1]):
+                raise ValueError(
+                    "dialect: from_unixtime(unixtime, hours, minutes) "
+                    "translates only for integer-literal offsets — add "
+                    "the offset with interval arithmetic for runtime "
+                    "values"
+                )
+            h, mnt = int(hm[0].group(1)), int(hm[1].group(1))
+            sign = "-" if (h < 0 or (h == 0 and mnt < 0)) else "+"
+            return (
+                f"from_utc_timestamp(timestamp_seconds({a[0]}), "
+                f"'GMT{sign}{abs(h):02d}:{abs(mnt):02d}')"
+            )
+        return None
+
+    masked = _rewrite_calls(masked, "from_unixtime", _from_unixtime)
     # Presto reduce(arr, s0, merge, finish) IS Spark aggregate() — same
     # argument shapes (3-arg form without finish included).  Arity-guarded
     # like every other rewrite: any other reduce( shape passes through so

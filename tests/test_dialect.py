@@ -1149,3 +1149,30 @@ def test_exec_mysql_datetime_patterns(spark):
     assert row.doy == "070"
     assert row.pct == "100% 15:04:05"
     assert row.rt == "2024-03-10 00:00:00"
+
+
+def test_exec_from_unixtime_overloads_and_misc_datetime(spark):
+    """r10 widening: from_unixtime's zone/offset overloads, last_day
+    (same month-end contract), current_timezone under the pinned UTC
+    session.  1704067200 = 2024-01-01 00:00:00 UTC."""
+    row = presto_sql(
+        spark,
+        """
+        select cast(from_unixtime(e) as string) as utc,
+               format_datetime(from_unixtime(e, 'Asia/Tokyo'),
+                               'yyyy-MM-dd HH:mm') as tokyo,
+               format_datetime(from_unixtime(e, -5, -30),
+                               'yyyy-MM-dd HH:mm') as offset_wall,
+               format_datetime(last_day_of_month(
+                   cast('2024-02-10' as date)), 'yyyy-MM-dd') as leap_eom,
+               current_timezone() as tz
+        from (select 1704067200 as e)
+        """,
+    ).collect()[0]
+    assert row.utc == "2024-01-01 00:00:00"
+    assert row.tokyo == "2024-01-01 09:00"
+    assert row.offset_wall == "2023-12-31 18:30"  # UTC-5:30
+    assert row.leap_eom == "2024-02-29"
+    assert row.tz == "UTC"
+    with pytest.raises(ValueError, match="integer-literal offsets"):
+        translate("select from_unixtime(e, h, m) from t")
