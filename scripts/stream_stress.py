@@ -191,6 +191,14 @@ def faces(spark, ev_dir: str, docs_dir: str, docs_ts_dir: str, standing):
         return run_measured(joined)
 
     yield "stream_lane_stream_stream_join", sswj
+    # the rollup cascade's hourly tier (r10, SURVEY #157 streaming
+    # face): state must be O(open hour windows) — the continuous
+    # aggregate the daily tier re-reads from the sink
+    from sparketl.streaming.runner import rollup_hourly_stream
+
+    yield "stream_lane_rollup_hourly", lambda: run_measured(
+        rollup_hourly_stream(ev()), output_mode="append"
+    )
     yield "stream_lane_tumbling_agg", lambda: run_measured(
         ev()
         .withWatermark("ts", "10 minutes")
