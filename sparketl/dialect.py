@@ -146,6 +146,13 @@ from_unixtime(e[, z|h, m])   timestamp_seconds(e); zone form wraps in
                              RAISES for runtime offsets
 last_day_of_month(d)         last_day(d)
 current_timezone()           'UTC' (SESSION_CONFS pins the session zone)
+regexp_split(s, p)           split(s, p)  (both Java-regex; the pattern
+                             stays RAW — only literal-delimiter split()
+                             gets regex-escaped)
+to_base(x, b)                lower(conv(x, 10, -(b)))  (signed mode;
+                             Presto digits are lowercase)
+from_base(s, b)              cast(conv(s, b, -10) as bigint)  (signed —
+                             unsigned conv reads '-101' as 1.8e19)
 "ident"                      `ident`                    (Spark double-quote
                                                          is a string literal)
 varchar (bare, in casts)     string                     (Spark VARCHAR needs
@@ -239,6 +246,11 @@ _SIMPLE_FN: dict[str, str] = {
     "codepoint": "ascii",
     # Presto's month-end function, same semantics (DATE in, DATE out)
     "last_day_of_month": "last_day",
+    # Presto regexp_split(s, pattern) ≡ Spark split(s, pattern): BOTH
+    # take a Java regex (unlike Presto's literal-delimiter split(),
+    # which the translator regex-escapes — see _split_fn); raw-literal
+    # backslash doubling in _unmask keeps the pattern bytes intact
+    "regexp_split": "split",
 }
 
 #: zero-argument constant functions
@@ -1705,6 +1717,21 @@ def translate(presto_sql: str) -> str:
     _df_make, _dp_make = _mysql_datetime_fns(lits)
     masked = _rewrite_calls(masked, "date_format", _df_make)
     masked = _rewrite_calls(masked, "date_parse", _dp_make)
+    # Presto radix conversions → Spark conv() in SIGNED mode (negative
+    # toBase — otherwise conv reads '-101' as unsigned 64-bit two's
+    # complement, a silent 1.8e19-sized divergence caught by the
+    # execution test): digits lowered to match Presto's to_base;
+    # from_base returns BIGINT in Presto, conv a string (cast pins it).
+    masked = _rewrite_calls(
+        masked, "to_base",
+        lambda a: f"lower(conv({a[0]}, 10, -({a[1]})))"
+        if len(a) == 2 else None,
+    )
+    masked = _rewrite_calls(
+        masked, "from_base",
+        lambda a: f"cast(conv({a[0]}, {a[1]}, -10) as bigint)"
+        if len(a) == 2 else None,
+    )
     masked = _rewrite_calls(masked, "random", _random_fn)
     masked = _rewrite_calls(
         masked, "truncate",

@@ -1176,3 +1176,24 @@ def test_exec_from_unixtime_overloads_and_misc_datetime(spark):
     assert row.tz == "UTC"
     with pytest.raises(ValueError, match="integer-literal offsets"):
         translate("select from_unixtime(e, h, m) from t")
+
+
+def test_exec_regexp_split_and_radix(spark):
+    """r10 widening: regexp_split keeps its Java-regex pattern raw
+    (unlike split(), whose literal delimiter is escaped); to_base is
+    lowercase like Presto's, from_base returns BIGINT."""
+    row = presto_sql(
+        spark,
+        """
+        select array_join(regexp_split('a1b22c333d', '\\d+'), '|') as parts,
+               array_join(split('a.b.c', '.'), '|') as lit_split,
+               to_base(255, 16) as hexed,
+               from_base('ff', 16) as unhexed,
+               from_base('-101', 2) as neg
+        """,
+    ).collect()[0]
+    assert row.parts == "a|b|c|d"
+    assert row.lit_split == "a|b|c"  # literal '.' — escaped, not any-char
+    assert row.hexed == "ff"        # Presto lowercase, not conv's 'FF'
+    assert row.unhexed == 255 and isinstance(row.unhexed, int)
+    assert row.neg == -5  # SIGNED conv mode — unsigned mode reads 1.8e19
