@@ -139,7 +139,15 @@ date_format(x, '%Y-%m')      date_format(x, 'yyyy-MM') — Presto's MySQL
                              Spark spelling, unsupported specifiers
                              (%U %V %v %w %x %X %D %u) RAISE
 date_parse(s, '%d/%m/%Y')    to_timestamp(s, 'dd/MM/yyyy') — same
-                             translation; non-literal pattern RAISES
+                             translation; non-literal pattern RAISES, as
+                             does %y (two-digit-year PARSE pivot differs:
+                             Spark [2000,2099] vs Presto 1970-based).
+                             DOCUMENTED SILENT DIVERGENCE: a NON-literal
+                             date_format pattern passes through to
+                             Spark's Java-pattern date_format (the same
+                             name serves the engine's own Spark-spelling
+                             callers, so a dynamic MySQL pattern can't
+                             be told apart and renders Java semantics)
 from_unixtime(e[, z|h, m])   timestamp_seconds(e); zone form wraps in
                              from_utc_timestamp; (hours, minutes) fixed
                              offset folds int literals to 'GMT±hh:mm',
@@ -646,7 +654,10 @@ def _mysql_to_java(fmt: str) -> str:
         if not buf:
             return
         s = "".join(buf)
-        if re.search(r"[A-Za-z']", s):
+        # letters are directives in Java patterns; #, {, }, [, ] are
+        # RESERVED there (optional sections / padding) though literal
+        # in MySQL patterns — all must be Java-quoted (review r10)
+        if re.search(r"[A-Za-z'#{}\[\]]", s):
             s = "'" + s.replace("'", "''") + "'"
         out.append(s)
         buf.clear()
@@ -674,14 +685,24 @@ def _mysql_datetime_fns(lits: list[str]):
     shape raises the documented refusal rather than an unresolved-
     function error)."""
 
+    def _sentinel(java: str) -> str:
+        # inject the translated pattern as a SENTINEL, never a raw
+        # quoted literal (review r10): raw quotes in the masked text
+        # violate the masked-text-has-no-literals invariant — a
+        # pattern like '%Y[%m]' would reach _rewrite_subscripts as
+        # yyyy[MM] and come out try_element_at(yyyy, MM).  Same
+        # mechanism as _split_fn; Spark parses the '' quote doubling
+        # (execution-verified).
+        lits.append("'" + java.replace("'", "''") + "'")
+        return _STR_SENTINEL.format(len(lits) - 1)
+
     def fmt_make(args: list[str]) -> str | None:
         if len(args) != 2:
             return None
         val = _lit_value(lits, args[1])
         if val is None or "%" not in val:
             return None  # already-Java spelling or non-literal: untouched
-        java = _mysql_to_java(val).replace("'", "\\'")
-        return f"date_format({args[0]}, '{java}')"
+        return f"date_format({args[0]}, {_sentinel(_mysql_to_java(val))})"
 
     def parse_make(args: list[str]) -> str | None:
         if len(args) != 2:
@@ -694,8 +715,17 @@ def _mysql_datetime_fns(lits: list[str]):
                 "has no MySQL-pattern parser — use to_timestamp with a "
                 "Java pattern for dynamic formats"
             )
-        java = _mysql_to_java(val).replace("'", "\\'")
-        return f"to_timestamp({args[0]}, '{java}')"
+        if re.search(r"%y", val.replace("%%", "")):
+            # PARSE-direction pivot divergence (review r10): Spark
+            # resolves two-digit years to [2000, 2099], MySQL/Presto
+            # pivot around 1970 — date_parse('75', '%y') would shift a
+            # century silently.  The FORMAT direction is unaffected.
+            raise ValueError(
+                "dialect: date_parse with %y is refused — Spark's "
+                "two-digit-year pivot ([2000, 2099]) differs from "
+                "Presto's 1970-based pivot; use %Y with 4-digit years"
+            )
+        return f"to_timestamp({args[0]}, {_sentinel(_mysql_to_java(val))})"
 
     return fmt_make, parse_make
 
@@ -1534,11 +1564,16 @@ def translate(presto_sql: str) -> str:
                     "the offset with interval arithmetic for runtime "
                     "values"
                 )
-            h, mnt = int(hm[0].group(1)), int(hm[1].group(1))
-            sign = "-" if (h < 0 or (h == 0 and mnt < 0)) else "+"
+            # Presto's offset is hours*60 + minutes TOTAL minutes
+            # (review r10: sign/abs per component renders (5, -30) as
+            # +05:30 where Presto means +04:30, and (0, 90) as the
+            # invalid GMT+00:90)
+            total = int(hm[0].group(1)) * 60 + int(hm[1].group(1))
+            sign = "-" if total < 0 else "+"
+            hh, mm = divmod(abs(total), 60)
             return (
                 f"from_utc_timestamp(timestamp_seconds({a[0]}), "
-                f"'GMT{sign}{abs(h):02d}:{abs(mnt):02d}')"
+                f"'GMT{sign}{hh:02d}:{mm:02d}')"
             )
         return None
 

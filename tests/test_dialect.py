@@ -1197,3 +1197,36 @@ def test_exec_regexp_split_and_radix(spark):
     assert row.hexed == "ff"        # Presto lowercase, not conv's 'FF'
     assert row.unhexed == 255 and isinstance(row.unhexed, int)
     assert row.neg == -5  # SIGNED conv mode — unsigned mode reads 1.8e19
+
+
+def test_mysql_pattern_review_edges(spark):
+    """Review r10 second pass: (a) patterns with subscript-/paren-like
+    literal text survive the later rewrite passes (sentinel injection,
+    not raw literals); (b) Java-reserved # { } [ ] are quoted;
+    (c) %y refuses on the PARSE direction (century pivot divergence)
+    but formats fine; (d) the 3-arg from_unixtime offset is total
+    minutes, not per-component sign."""
+    row = presto_sql(
+        spark,
+        """
+        select date_format(ts, '%Y[%m]{%d}#%H') as bracketed,
+               date_format(ts, '(%H:%i') as unbalanced,
+               date_format(ts, '%y') as two_digit_fmt,
+               format_datetime(from_unixtime(e, 5, -30),
+                               'HH:mm') as mixed_sign,
+               format_datetime(from_unixtime(e, 0, 90),
+                               'HH:mm') as big_minutes
+        from (select timestamp '2024-03-10 12:34:56' as ts,
+                     1704067200 as e)
+        """,
+    ).collect()[0]
+    assert row.bracketed == "2024[03]{10}#12"
+    assert row.unbalanced == "(12:34"
+    assert row.two_digit_fmt == "24"
+    assert row.mixed_sign == "04:30"   # 5h - 30m = +04:30 of 00:00 UTC
+    assert row.big_minutes == "01:30"  # 90 minutes, not GMT+00:90
+    with pytest.raises(ValueError, match="%y is refused"):
+        translate("select date_parse(s, '%d/%m/%y') from t")
+    # %%y is a literal '%' + 'y', not the %y specifier — allowed
+    out = translate("select date_parse(s, '%Y%%y') from t")
+    assert "to_timestamp" in out
