@@ -662,12 +662,31 @@ def _mysql_to_java(fmt: str) -> str:
         out.append(s)
         buf.clear()
 
+    last_directive: list[str] = [""]
     for kind, s in toks:
         if kind == "lit":
             buf.append(s)
+            last_directive[0] = ""
         else:
             flush()
+            # adjacent directives whose letters touch would MERGE in
+            # the Java pattern ('%H%H' → 'HHHH', which Spark rejects;
+            # '%Y%Y' → an 8-digit year — silent padding change), and
+            # Java has no zero-width separator to keep them apart —
+            # refuse (property-test finding, r10)
+            if (
+                out
+                and last_directive[0]
+                and out[-1][-1] == s[0]
+            ):
+                raise ValueError(
+                    f"dialect: MySQL pattern {fmt!r} places two "
+                    "specifiers with the same Java pattern letter "
+                    "back-to-back — Java patterns cannot separate "
+                    "them; insert any literal between them"
+                )
             out.append(s)
+            last_directive[0] = s
     flush()
     return "".join(out)
 

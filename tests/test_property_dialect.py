@@ -136,3 +136,74 @@ def test_translated_projection_matches_duckdb(spark, duck_smoke, q):
     want = duck_smoke.execute(duck_text).df()
     assert sorted(got.columns) == sorted(want.columns)
     assert canonical_frame(got) == canonical_frame(want), presto_text
+
+
+# ---------------------------------------------------------------------------
+# MySQL %-pattern translator (r10): random patterns vs Python strftime
+# ---------------------------------------------------------------------------
+
+#: MySQL specifier → C/Python strftime twin — only pairs whose
+#: semantics match EXACTLY on both sides (zero-padded forms; the
+#: space/zero-padding variants %e %c %k %l are pinned in
+#: test_dialect's reference-value test instead, because Python's
+#: %-d family is platform-defined)
+_MYSQL_TO_C = {
+    "%Y": "%Y", "%y": "%y", "%m": "%m", "%d": "%d", "%H": "%H",
+    "%h": "%I", "%I": "%I", "%i": "%M", "%s": "%S", "%S": "%S",
+    "%j": "%j", "%p": "%p", "%W": "%A", "%a": "%a", "%M": "%B",
+    "%b": "%b", "%T": "%H:%M:%S", "%%": "%%",
+}
+
+_LITERALS = " -:/.,#[]()!0Z"  # incl. Java-reserved and alpha literal
+
+pattern_parts = st.lists(
+    st.one_of(
+        st.sampled_from(sorted(_MYSQL_TO_C)),
+        st.sampled_from(list(_LITERALS)),
+    ),
+    min_size=1,
+    max_size=12,
+)
+timestamps = st.datetimes(
+    min_value=__import__("datetime").datetime(1905, 1, 3, 0, 0, 0),
+    max_value=__import__("datetime").datetime(2099, 12, 28, 23, 59, 59),
+).map(lambda d: d.replace(microsecond=0))
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(parts=pattern_parts, ts=timestamps)
+def test_mysql_pattern_formatting_matches_python_strftime(spark, parts, ts):
+    """r10 property differential: a random MySQL pattern rendered by
+    the TRANSLATED Spark date_format must equal Python's strftime
+    rendering of the C-twin pattern — an independent implementation of
+    the same specifier table, over a century of timestamps (DST
+    boundaries, leap days, 12-hour wraps, two-digit years)."""
+    from hypothesis import assume
+
+    # a %-free pattern is ALREADY-Spark spelling by contract (it
+    # passes through to Java semantics — documented divergence), so
+    # the MySQL model only applies when a specifier is present
+    assume(any(p.startswith("%") for p in parts))
+    mysql = "".join(parts)
+    c_pat = "".join(_MYSQL_TO_C.get(p, p) for p in parts)
+    want = ts.strftime(c_pat)
+    # Python %A/%B/%p are locale-dependent; the test env is C/POSIX,
+    # matching Java's English root locale — guard, don't assume
+    if ts.strftime("%A") not in (
+        "Monday", "Tuesday", "Wednesday", "Thursday",
+        "Friday", "Saturday", "Sunday",
+    ):  # pragma: no cover
+        pytest.skip("non-English locale")
+    try:
+        got = dialect.sql(
+            spark,
+            "select date_format(timestamp '"
+            + ts.strftime("%Y-%m-%d %H:%M:%S")
+            + f"', '{mysql}') as x",
+        ).collect()[0].x
+    except ValueError as e:
+        # back-to-back same-letter specifiers refuse by contract
+        # (Java patterns merge them); anything else is a real bug
+        assert "back-to-back" in str(e), (mysql, e)
+        assume(False)
+    assert got == want, (mysql, c_pat, ts)
