@@ -161,6 +161,9 @@ to_base(x, b)                lower(conv(x, 10, -(b)))  (signed mode;
                              Presto digits are lowercase)
 from_base(s, b)              cast(conv(s, b, -10) as bigint)  (signed —
                              unsigned conv reads '-101' as 1.8e19)
+array_histogram(a)           map_from_entries over distinct non-null
+                             keys, each counted by filter+size (a is
+                             inlined twice — the ngrams/random caveat)
 "ident"                      `ident`                    (Spark double-quote
                                                          is a string literal)
 varchar (bare, in casts)     string                     (Spark VARCHAR needs
@@ -1658,6 +1661,21 @@ def translate(presto_sql: str) -> str:
             f"transform(sequence(1, greatest(size({a[0]}) - ({a[1]}) + 1, 1)), "
             f"__ng_i -> slice({a[0]}, __ng_i, {a[1]}))"
         ) if len(a) == 2 else None,
+    )
+    # Trino array_histogram(a) → map<T, bigint> of non-null element
+    # counts (empty map when nothing counts).  Composed from HOFs:
+    # distinct non-null keys, each counted by a filter scan.  The
+    # array expression is inlined twice (the ngrams/random caveat —
+    # volatile arguments should be hoisted to a column first); lambda
+    # vars are obscure so an enclosing user lambda can't be shadowed.
+    masked = _rewrite_calls(
+        masked, "array_histogram",
+        lambda a: (
+            "map_from_entries(transform("
+            f"array_distinct(filter({a[0]}, __ah_x -> __ah_x is not null)), "
+            f"__ah_x -> struct(__ah_x, cast(size(filter({a[0]}, "
+            "__ah_y -> __ah_y = __ah_x)) as bigint))))"
+        ) if len(a) == 1 else None,
     )
     # Presto array-predicate lambdas → Spark HOFs (same lambda syntax).
     masked = _rewrite_calls(

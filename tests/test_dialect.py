@@ -1230,3 +1230,23 @@ def test_mysql_pattern_review_edges(spark):
     # %%y is a literal '%' + 'y', not the %y specifier — allowed
     out = translate("select date_parse(s, '%Y%%y') from t")
     assert "to_timestamp" in out
+
+
+def test_exec_array_histogram(spark):
+    """Trino array_histogram: non-null element counts as a map, empty
+    map when nothing counts; rendered sorted (map entry order is
+    engine-unspecified — the map_agg discipline)."""
+    row = presto_sql(
+        spark,
+        """
+        select array_join(transform(
+                   array_sort(map_entries(
+                       array_histogram(array['a', 'b', 'a', null, 'a']))),
+                   e -> concat(e.key, ':', cast(e.value as varchar))),
+               ',') as h,
+               cardinality(map_entries(
+                   array_histogram(array[null]))) as empty_n
+        """,
+    ).collect()[0]
+    assert row.h == "a:3,b:1"
+    assert row.empty_n == 0
