@@ -665,11 +665,11 @@ def _mysql_to_java(fmt: str) -> str:
         out.append(s)
         buf.clear()
 
-    last_directive: list[str] = [""]
+    last_directive = ""
     for kind, s in toks:
         if kind == "lit":
             buf.append(s)
-            last_directive[0] = ""
+            last_directive = ""
         else:
             flush()
             # adjacent directives whose letters touch would MERGE in
@@ -677,11 +677,7 @@ def _mysql_to_java(fmt: str) -> str:
             # '%Y%Y' → an 8-digit year — silent padding change), and
             # Java has no zero-width separator to keep them apart —
             # refuse (property-test finding, r10)
-            if (
-                out
-                and last_directive[0]
-                and out[-1][-1] == s[0]
-            ):
+            if last_directive and last_directive[-1] == s[0]:
                 raise ValueError(
                     f"dialect: MySQL pattern {fmt!r} places two "
                     "specifiers with the same Java pattern letter "
@@ -689,7 +685,7 @@ def _mysql_to_java(fmt: str) -> str:
                     "them; insert any literal between them"
                 )
             out.append(s)
-            last_directive[0] = s
+            last_directive = s
     flush()
     return "".join(out)
 

@@ -164,9 +164,11 @@ pattern_parts = st.lists(
     min_size=1,
     max_size=12,
 )
+import datetime as _dt
+
 timestamps = st.datetimes(
-    min_value=__import__("datetime").datetime(1905, 1, 3, 0, 0, 0),
-    max_value=__import__("datetime").datetime(2099, 12, 28, 23, 59, 59),
+    min_value=_dt.datetime(1905, 1, 3, 0, 0, 0),
+    max_value=_dt.datetime(2099, 12, 28, 23, 59, 59),
 ).map(lambda d: d.replace(microsecond=0))
 
 
