@@ -120,6 +120,7 @@ RELATIONAL = [
     "win_frame_exclude_group",
     "win_frame_exclude_ties",
     "win_groups_frame_bounds",
+    "win_groups_exclude",
 ]
 
 #: relational third decade (``--rel --x100``): the sub-lane run over

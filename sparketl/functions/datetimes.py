@@ -246,3 +246,49 @@ def dt_timezone_iso(spark, sf_dir):
         ).alias("tokyo_instant"),
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS").alias("iso_ts"),
     )
+
+
+@query(
+    "dt_mysql_format",
+    oracle="""
+        select event_id,
+               strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S')
+                   as full_str,
+               strftime(cast(ts as timestamp), '%A %B %d') as words,
+               strftime(cast(ts as timestamp), '%I:%M %p') as twelve,
+               strftime(cast(ts as timestamp), '%j') as doy
+        from events
+        where event_id < 3000
+    """,
+)
+def dt_mysql_format(spark, sf_dir):
+    """#84-#85 extension (r10): Presto's MYSQL-pattern ``date_format``
+    through the dialect front door — the same call name as Spark's
+    Java-pattern function, the worst silent-garbage trap in the
+    datetime family (``'%Y'`` read as Java is literal-percent +
+    week-year).  The translator rewrites the %-specifiers one-by-one
+    (sparketl/dialect.py ``_mysql_to_java``; property-differentialed
+    against Python strftime in tests/test_property_dialect.py);
+    DuckDB grades with its own C-style strftime — a THIRD independent
+    implementation of the specifier table, covering zero-padded
+    numerics, full weekday/month names, the 12-hour clock with
+    AM/PM, and 3-digit day-of-year.
+
+    Scale: pure per-row codegen expressions over one scan — no
+    shuffle, no UDF."""
+    from sparketl import dialect
+    from sparketl.tables import load_tables
+
+    load_tables(spark, sf_dir)
+    return dialect.sql(
+        spark,
+        """
+        select event_id,
+               date_format(ts, '%Y-%m-%d %H:%i:%s') as full_str,
+               date_format(ts, '%W %M %d') as words,
+               date_format(ts, '%h:%i %p') as twelve,
+               date_format(ts, '%j') as doy
+        from events
+        where event_id < 3000
+        """,
+    )

@@ -796,3 +796,86 @@ def win_groups_frame_bounds(spark, sf_dir):
         .alias("run_group_sum"),
         F.col("grp").cast("bigint").alias("grp"),
     )
+
+
+@query(
+    "win_groups_exclude",
+    oracle="""
+        select user_id, event_id,
+               sum(obs_cents) over (
+                   partition by user_id order by grp
+                   range between 1 preceding and 1 following
+                   exclude group) / cast(100 as double) as adj_excl_sum,
+               count(*) over (
+                   partition by user_id order by grp
+                   range between 1 preceding and 1 following
+                   exclude group) as n_rest,
+               cast(grp as bigint) as grp
+        from (
+            select user_id, event_id,
+                   case when event_type = 'purchase'
+                        then cast(round(value * 100) as bigint) end
+                       as obs_cents,
+                   dense_rank() over (
+                       partition by user_id
+                       order by date_trunc('hour', ts)) as grp
+            from events
+        )
+    """,
+)
+def win_groups_exclude(spark, sf_dir):
+    """#155 × #160 combination (r10 capstone): ``GROUPS BETWEEN 1
+    PRECEDING AND 1 FOLLOWING EXCLUDE GROUP`` — each event's purchase
+    sum over the ADJACENT hour-groups only, the current group (self
+    AND its peers) excluded entirely: "my neighbors' buckets, not
+    mine", per user.
+
+    Both SQL:2011 features Spark lacks compose through the SAME two
+    pieces already graded separately: the dense_rank definitional
+    composition turns GROUPS into RANGE-on-rank (#160), and the
+    peer-frame subtraction with NULL gates turns EXCLUDE GROUP into
+    full-frame minus RANGE(0,0) (#155) — on the rank axis the peer
+    frame IS the current group, so the subtraction removes exactly
+    what EXCLUDE GROUP names.  DuckDB grades with its NATIVE
+    ``EXCLUDE GROUP`` clause over the same rank composition
+    (exclusion independent, rank composition shared — the shared half
+    is covered by the pure-Python peer-group brute force in
+    tests/test_window_nav.py).  The purchase-only measure exercises
+    both NULL-gate branches on the fixture itself.
+
+    Scale: the rank window and both frame aggregates share one
+    exchange on user_id (two sorts: hour(ts) then grp — the #160
+    plan, plan-asserted); the subtraction is a per-row scalar, so the
+    combined feature costs exactly what the plain ±1-group frame
+    costs."""
+    ev = table(spark, sf_dir, "events")
+    wg = Window.partitionBy("user_id").orderBy(F.date_trunc("hour", "ts"))
+    ranked = ev.select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("bigint"),
+        ).alias("obs_cents"),
+        F.dense_rank().over(wg).alias("grp"),
+    )
+    w = Window.partitionBy("user_id").orderBy("grp")
+    wf = w.rangeBetween(-1, 1)
+    wp = w.rangeBetween(0, 0)
+    n_vals = F.count("obs_cents").over(wf) - F.count("obs_cents").over(wp)
+    return ranked.select(
+        "user_id",
+        "event_id",
+        F.when(
+            n_vals > 0,
+            (
+                F.sum("obs_cents").over(wf)
+                - F.coalesce(F.sum("obs_cents").over(wp), F.lit(0))
+            )
+            / F.lit(100).cast("double"),
+        ).alias("adj_excl_sum"),
+        (F.count("*").over(wf) - F.count("*").over(wp))
+        .cast("bigint")
+        .alias("n_rest"),
+        F.col("grp").cast("bigint").alias("grp"),
+    )

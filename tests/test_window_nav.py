@@ -470,3 +470,35 @@ def test_groups_frame_bounds_brute_force(spark):
                 model[(u, e)] = (wide, prefix, gi + 1)
     assert got == model
     assert len(got) > 0
+
+
+def test_groups_exclude_brute_force(spark):
+    """r10 capstone (#155 x #160): GROUPS +-1 EXCLUDE GROUP recomputed
+    in plain Python — adjacent hour-groups' purchase sums, the current
+    group excluded entirely, NULL when the adjacent groups hold no
+    observation."""
+    got = {
+        (r.user_id, r.event_id): (r.adj_excl_sum, r.n_rest, r.grp)
+        for r in QUERIES["win_groups_exclude"](spark, SF_SMOKE_DIR).collect()
+    }
+    by_user: dict = {}
+    for u, e, ts, et, v in _event_rows():
+        hour = ts.replace(minute=0, second=0, microsecond=0)
+        obs = _cents(v) if et == "purchase" else None
+        by_user.setdefault(u, {}).setdefault(hour, []).append((e, obs))
+    model = {}
+    for u, groups in by_user.items():
+        hours = sorted(groups)
+        for gi, h in enumerate(hours):
+            adj = []
+            for gj in (gi - 1, gi + 1):
+                if 0 <= gj < len(hours):
+                    adj.extend(groups[hours[gj]])
+            vals = [o for _, o in adj if o is not None]
+            s = sum(vals) / 100.0 if vals else None
+            for e, _ in groups[h]:
+                model[(u, e)] = (s, len(adj), gi + 1)
+    assert got == model and len(got) > 0
+    # both NULL-gate branches must fire on the fixture
+    assert any(v[0] is None for v in got.values())
+    assert any(v[0] is not None for v in got.values())
