@@ -596,6 +596,29 @@ def _exclude_base(spark, sf_dir):
     )
 
 
+def _excluded_frame_cols(obs: str, wf, wp, keep_self: bool):
+    """The #155 NULL-gated EXCLUDE composition, shared by the GROUP /
+    TIES / GROUPS-mode faces (review r10 — the gate logic was already
+    review-fixed once, so it must live in ONE place): full-frame
+    aggregate minus peer-frame aggregate over integer cents, the value
+    gated on the count of REMAINING non-null measures (an
+    empty/all-null remaining frame is SQL NULL, not 0), and the peer
+    sum coalesced (an all-null peer group subtracts nothing).
+    ``keep_self`` adds the current row back — EXCLUDE TIES.  Returns
+    (value /100-as-double, remaining-row-count-as-bigint)."""
+    n_vals = F.count(obs).over(wf) - F.count(obs).over(wp)
+    total = F.sum(obs).over(wf) - F.coalesce(F.sum(obs).over(wp), F.lit(0))
+    n_rest = F.count("*").over(wf) - F.count("*").over(wp)
+    if keep_self:
+        n_vals = n_vals + F.when(F.col(obs).isNotNull(), 1).otherwise(0)
+        total = total + F.coalesce(F.col(obs), F.lit(0))
+        n_rest = n_rest + F.lit(1)
+    return (
+        F.when(n_vals > 0, total / F.lit(100).cast("double")),
+        n_rest.cast("bigint"),
+    )
+
+
 _EXCLUDE_ORACLE_BASE = """
         from (
             select user_id, event_id,
@@ -652,23 +675,15 @@ def win_frame_exclude_group(spark, sf_dir):
     sliding frame."""
     base = _exclude_base(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("h")
-    wf = w.rangeBetween(-7200, 7200)
-    wp = w.rangeBetween(0, 0)
-    n_vals = F.count("obs_cents").over(wf) - F.count("obs_cents").over(wp)
+    val, n_rest = _excluded_frame_cols(
+        "obs_cents", w.rangeBetween(-7200, 7200), w.rangeBetween(0, 0),
+        keep_self=False,
+    )
     return base.select(
         "user_id",
         "event_id",
-        F.when(
-            n_vals > 0,
-            (
-                F.sum("obs_cents").over(wf)
-                - F.coalesce(F.sum("obs_cents").over(wp), F.lit(0))
-            )
-            / F.lit(100).cast("double"),
-        ).alias("excl_group_sum"),
-        (F.count("*").over(wf) - F.count("*").over(wp))
-        .cast("bigint")
-        .alias("n_rest"),
+        val.alias("excl_group_sum"),
+        n_rest.alias("n_rest"),
     )
 
 
@@ -705,29 +720,15 @@ def win_frame_exclude_ties(spark, sf_dir):
     TIES``."""
     base = _exclude_base(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("h")
-    wf = w.rangeBetween(-7200, 7200)
-    wp = w.rangeBetween(0, 0)
-    self_notnull = F.when(F.col("obs_cents").isNotNull(), 1).otherwise(0)
-    n_vals = (
-        F.count("obs_cents").over(wf)
-        - F.count("obs_cents").over(wp)
-        + self_notnull
+    val, n_rest = _excluded_frame_cols(
+        "obs_cents", w.rangeBetween(-7200, 7200), w.rangeBetween(0, 0),
+        keep_self=True,
     )
     return base.select(
         "user_id",
         "event_id",
-        F.when(
-            n_vals > 0,
-            (
-                F.sum("obs_cents").over(wf)
-                - F.coalesce(F.sum("obs_cents").over(wp), F.lit(0))
-                + F.coalesce(F.col("obs_cents"), F.lit(0))
-            )
-            / F.lit(100).cast("double"),
-        ).alias("excl_ties_sum"),
-        (F.count("*").over(wf) - F.count("*").over(wp) + F.lit(1))
-        .cast("bigint")
-        .alias("n_rest"),
+        val.alias("excl_ties_sum"),
+        n_rest.alias("n_rest"),
     )
 
 
@@ -860,22 +861,14 @@ def win_groups_exclude(spark, sf_dir):
         F.dense_rank().over(wg).alias("grp"),
     )
     w = Window.partitionBy("user_id").orderBy("grp")
-    wf = w.rangeBetween(-1, 1)
-    wp = w.rangeBetween(0, 0)
-    n_vals = F.count("obs_cents").over(wf) - F.count("obs_cents").over(wp)
+    val, n_rest = _excluded_frame_cols(
+        "obs_cents", w.rangeBetween(-1, 1), w.rangeBetween(0, 0),
+        keep_self=False,
+    )
     return ranked.select(
         "user_id",
         "event_id",
-        F.when(
-            n_vals > 0,
-            (
-                F.sum("obs_cents").over(wf)
-                - F.coalesce(F.sum("obs_cents").over(wp), F.lit(0))
-            )
-            / F.lit(100).cast("double"),
-        ).alias("adj_excl_sum"),
-        (F.count("*").over(wf) - F.count("*").over(wp))
-        .cast("bigint")
-        .alias("n_rest"),
+        val.alias("adj_excl_sum"),
+        n_rest.alias("n_rest"),
         F.col("grp").cast("bigint").alias("grp"),
     )
