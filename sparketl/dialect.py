@@ -198,18 +198,38 @@ text looks like JSON from a real array/object — Presto returns 0 for
 the scalar; verified divergence, so no rewrite), Joda patterns beyond
 the JDK-compatible subset.
 
-DOCUMENTED SILENT DIVERGENCE — integer ``/``: Presto's ``/`` on two
-integer operands TRUNCATES (bigint/bigint → bigint, ``7/2 = 3``)
-while Spark's ``/`` always returns DOUBLE (``7/2 = 3.5``); Spark's
-truncating form is the ``div`` operator, which Presto does not have.
-A text-level translator cannot see operand types, so ``/`` is left
-untouched and integer-division pipelines get double results —
-discovered live via the recursive-CTE forest join (``c_custkey / 10 =
-parent`` matches only exact multiples under double semantics).  The
-portable spelling both engines agree on is
-``cast(floor(x / 10.0) as bigint)`` (used by the
-``cte_recursive_hierarchy`` native face); Presto pipelines relying on
-integer ``/`` must adopt it (or Spark's ``div``) when migrating.
+Integer ``/`` (round 11, VERDICT r10 #1 — the former documented
+SILENT DIVERGENCE, now resolved at the front door): Presto's ``/`` on
+two integer operands TRUNCATES toward zero (bigint/bigint → bigint,
+``7/2 = 3``, ``-7/2 = -3``) while Spark's ``/`` always returns DOUBLE
+(``3.5``).  The engine owns every registered view schema, so
+``sql()`` runs a TYPE-AWARE pass (``_rewrite_int_division``) that
+resolves each ``/``'s operand classes — column refs via the catalog
+schemas, literals lexically, casts by their target type, calls via a
+Presto-return-class table, CASE via its value branches, and full
+multiplicative chains on the left (``2.0 * a / b`` is double) — and:
+
+  * both operands integral      → rewritten to Spark's ``div``
+                                   (verified: truncates toward zero,
+                                   BIGINT result, multiplicative
+                                   precedence, DIVIDE_BY_ZERO under
+                                   ANSI — all matching Presto)
+  * either operand fractional   → left as ``/`` (double semantics
+                                   agree; DECIMAL scale rules differ
+                                   between the engines but neither
+                                   truncates — documented residue)
+  * otherwise (subquery, param,
+    unresolvable name/function)  → LOUD refusal naming the expression
+                                   (never a silently-wrong number)
+
+Schema-free ``translate()`` (no ``schema=`` argument) skips the pass
+entirely and keeps the legacy pass-through — direct translate()
+callers see Spark's double semantics, as before; the refusal message
+names both remedies (``cast(x as double)`` / ``x div y``).
+``TRY(a / b)`` over integers becomes
+``try_cast(try_divide(a, b) as bigint)`` — NULL on zero-divide and on
+bigint overflow like Presto's TRY; exact while |a/b| < 2^53 (the
+double mantissa — beyond it the quotient quantizes before the cast).
 """
 
 from __future__ import annotations
@@ -512,6 +532,25 @@ def _try_fn(args: list[str]) -> str | None:
         # return a silent NULL.  Pass through loudly instead.
         if left and right and not (_SENT_RE.search(left) or _SENT_RE.search(right)):
             return f"{_TRY_BINOP[op]}({left}, {right})"
+    # TRY over the int-division pass's output: `try(a div b)` — Presto
+    # TRY(int/int) is NULL on zero-divide/overflow, else the truncated
+    # BIGINT.  try_divide NULLs on zero; the try_cast truncates toward
+    # zero (matching Presto) and NULLs on overflow.  Exact while
+    # |a/b| < 2^53 (the double mantissa); beyond that the quotient
+    # quantizes before the cast — same class of limit as the
+    # random(m, n) span arithmetic documented above.
+    if not ops and "(" not in a:
+        mdiv = re.search(r"\bdiv\b", a, re.IGNORECASE)
+        if mdiv:
+            left = a[: mdiv.start()].strip()
+            right = a[mdiv.end() :].strip()
+            if (
+                left
+                and right
+                and not re.search(r"\bdiv\b", right, re.IGNORECASE)
+                and not (_SENT_RE.search(left) or _SENT_RE.search(right))
+            ):
+                return f"try_cast(try_divide({left}, {right}) as bigint)"
     return None
 
 
@@ -1536,9 +1575,672 @@ def _rewrite_match_recognize(masked: str) -> str:
     return masked[: m.start()] + "from " + repl + masked[cp + 1 :]
 
 
-def translate(presto_sql: str) -> str:
-    """Presto-dialect SQL → Spark SQL (see module docstring table)."""
+# ---------------------------------------------------------------------------
+# Type-aware integer division (round 11, VERDICT r10 #1).
+#
+# Presto `/` on two integral operands truncates toward zero; Spark's
+# returns double.  With the view schemas in hand the front door resolves
+# operand classes and rewrites int/int to Spark's `div` (verified
+# equivalent: truncation toward zero, BIGINT, multiplicative precedence,
+# DIVIDE_BY_ZERO under ANSI).  Classes are PRESTO return classes — e.g.
+# floor(double) is double in Presto (type-preserving) even though
+# Spark's floor returns BIGINT; classifying by Presto typing is what
+# decides which SEMANTICS the user's text carries, and the residual
+# Spark-value agreement holds either way (Presto 2.0/2 = Spark 2/2 via
+# `/` = 1.0).
+# ---------------------------------------------------------------------------
+
+_INT_TYPE_NAMES = frozenset({
+    "tinyint", "smallint", "int", "integer", "bigint",
+    "byte", "short", "long", "int2", "int4", "int8",
+})
+_FRAC_TYPE_NAMES = frozenset({
+    "float", "double", "real", "decimal", "numeric", "dec",
+})
+
+
+def _classify_type_name(type_name: str) -> str:
+    """Spark/ANSI type spelling → division class: 'int', 'frac' or
+    'other' (non-numeric: a division over it errors on both engines)."""
+    base = type_name.strip().lower().split("(")[0].strip()
+    if base in _INT_TYPE_NAMES:
+        return "int"
+    if base in _FRAC_TYPE_NAMES:
+        return "frac"
+    return "other"
+
+
+#: Presto return class is INTEGRAL regardless of argument types.  Both
+#: Presto and Spark spellings appear (the pass runs on raw input text)
+#: plus the DuckDB spellings the E2 parity sweep replays (epoch_us …).
+_INT_CLASS_FNS = frozenset({
+    "count", "count_if", "length", "char_length", "character_length",
+    "octet_length", "cardinality", "size", "instr", "strpos",
+    "position", "locate", "levenshtein", "levenshtein_distance",
+    "hamming_distance", "ascii", "codepoint", "unicode",
+    "year", "quarter", "month", "day", "dayofmonth", "day_of_month",
+    "dayofweek", "day_of_week", "dow", "weekday", "dayofyear",
+    "day_of_year", "doy", "weekofyear", "week_of_year", "week",
+    "hour", "minute", "second", "millisecond", "extract", "date_part",
+    "date_diff", "timestampdiff", "datediff",
+    "unix_micros", "unix_millis", "unix_seconds",
+    "epoch_us", "epoch_ms", "epoch_ns",
+    "bit_count", "bitwise_and", "bitwise_or", "bitwise_xor",
+    "bitwise_left_shift", "bitwise_right_shift", "shiftleft",
+    "shiftright", "shiftrightunsigned",
+    "row_number", "rank", "dense_rank", "ntile",
+    "array_position", "from_base", "crc32", "xxhash64", "hash",
+    "grouping", "grouping_id", "approx_distinct",
+    "approx_count_distinct", "width_bucket", "factorial",
+})
+
+#: Presto return class is FRACTIONAL regardless of argument types
+#: (truncate: Presto truncate(double)→double, (decimal,n)→decimal —
+#: fractional either way).
+_FRAC_CLASS_FNS = frozenset({
+    "avg", "mean", "geometric_mean", "stddev", "stddev_samp",
+    "stddev_pop", "std", "variance", "var_samp", "var_pop", "corr",
+    "covar_samp", "covar_pop", "regr_slope", "regr_intercept",
+    "regr_r2", "regr_avgx", "regr_avgy", "skewness", "kurtosis",
+    "rand", "random", "randn", "sqrt", "cbrt", "exp", "expm1", "ln",
+    "log", "log2", "log10", "log1p", "power", "pow", "sin", "cos",
+    "tan", "cot", "asin", "acos", "atan", "atan2", "sinh", "cosh",
+    "tanh", "asinh", "acosh", "atanh", "degrees", "radians", "pi",
+    "to_unixtime", "percent_rank", "cume_dist", "cosine_similarity",
+    "infinity", "nan", "truncate", "try_divide",
+})
+
+#: Presto return class FOLLOWS the (numeric) arguments: integral only
+#: when every argument resolves integral.  Functions whose class
+#: follows the FIRST argument alone are special-cased in _fn_class
+#: (min_by's second arg / lag's offset must not poison the class).
+_PRESERVING_FNS = frozenset({
+    "abs", "floor", "ceil", "ceiling", "round", "sign", "mod", "pmod",
+    "greatest", "least", "coalesce", "ifnull", "nvl", "nvl2", "try",
+    "min", "max", "sum", "any_value", "arbitrary", "first", "last",
+    "first_value", "last_value", "try_add", "try_subtract",
+    "try_multiply",
+})
+
+#: Keywords that can precede a '(' without forming a function call,
+#: and that never classify as column refs.
+_NONCALL_KEYWORDS = frozenset({
+    "in", "and", "or", "not", "when", "then", "else", "end", "on",
+    "where", "select", "from", "having", "group", "order", "by", "as",
+    "between", "over", "union", "all", "distinct", "values", "like",
+    "escape", "join", "case", "is", "interval", "partition", "rows",
+    "range", "limit", "offset", "with", "exists",
+})
+
+_NUM_LIT_RE = re.compile(r"(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?")
+_QUAL_IDENT_RE = re.compile(
+    r"[A-Za-z_$][A-Za-z_0-9$]*(?:\.[A-Za-z_$][A-Za-z_0-9$]*)*"
+)
+_POSTFIX_CLAUSE_RE = re.compile(
+    r"(?:(?:ignore|respect)\s+nulls\s+)?(over|filter)\s*\(", re.IGNORECASE
+)
+
+
+def _combine_classes(classes) -> str | None:
+    """Class algebra for numeric promotion: any fractional operand makes
+    the whole expression fractional in Presto (even alongside an
+    unresolved one — if the unknown is numeric the promotion holds, and
+    if it isn't the query errors on both engines); otherwise any
+    unresolved operand leaves the class unknown; all-integral → int."""
+    got_int = False
+    got_none = False
+    for c in classes:
+        if c == "frac":
+            return "frac"
+        if c == "int":
+            got_int = True
+        else:
+            got_none = True
+    if got_none or not got_int:
+        return None
+    return "int"
+
+
+def _depths(expr: str) -> list[int]:
+    """Paren/bracket nesting depth per char (delimiters count at the
+    OUTER level, contents one deeper)."""
+    out = [0] * len(expr)
+    d = 0
+    for i, c in enumerate(expr):
+        if c in "([":
+            out[i] = d
+            d += 1
+        elif c in ")]":
+            d -= 1
+            out[i] = d
+        else:
+            out[i] = d
+    return out
+
+
+def _top_level_numeric_ops(expr: str) -> list[tuple[int, int]]:
+    """(position, token length) of binary + - * / % and word `div` at
+    depth 0 — the arith scanner plus the two spellings it doesn't know."""
+    ops = [(i, 1) for (i, _c) in _top_level_arith_ops(expr)]
+    dep = _depths(expr)
+    for i, c in enumerate(expr):
+        if c == "%" and dep[i] == 0:
+            ops.append((i, 1))
+    for m in re.finditer(r"\bdiv\b", expr, re.IGNORECASE):
+        if dep[m.start()] == 0:
+            ops.append((m.start(), 3))
+    ops.sort()
+    return ops
+
+
+def _open_paren_back(s: str, cp: int) -> int | None:
+    """Index of the '(' matching the ')' at cp, scanning backward."""
+    depth, j = 1, cp - 1
+    while j >= 0:
+        if s[j] == ")":
+            depth += 1
+        elif s[j] == "(":
+            depth -= 1
+            if depth == 0:
+                return j
+        j -= 1
+    return None
+
+
+def _open_bracket_back(s: str, cb: int) -> int | None:
+    depth, j = 1, cb - 1
+    while j >= 0:
+        if s[j] == "]":
+            depth += 1
+        elif s[j] == "[":
+            depth -= 1
+            if depth == 0:
+                return j
+        j -= 1
+    return None
+
+
+def _skip_ws_back(s: str, k: int) -> int:
+    while k >= 0 and s[k].isspace():
+        k -= 1
+    return k
+
+
+def _ident_start_back(s: str, k: int) -> int:
+    j = k
+    while j >= 0 and (s[j].isalnum() or s[j] in "_$"):
+        j -= 1
+    return j + 1
+
+
+def _case_class(e: str, colcls) -> str | None:
+    """Class of a full `case ... end` block: combine over its THEN/ELSE
+    value expressions (the WHEN conditions never contribute)."""
+    dep = _depths(e)
+    toks = [
+        (m.start(), m.group(0).lower())
+        for m in re.finditer(r"\b(?:case|when|then|else|end)\b", e, re.IGNORECASE)
+        if dep[m.start()] == 0
+    ]
+    level = 0
+    vals: list[str] = []
+    collecting: int | None = None
+    for pos, w in toks:
+        if w == "case":
+            level += 1
+        elif w == "end":
+            level -= 1
+            if level == 0 and collecting is not None:
+                vals.append(e[collecting:pos])
+                collecting = None
+        elif level == 1:
+            if w in ("then", "else"):
+                if collecting is not None:
+                    vals.append(e[collecting:pos])
+                collecting = pos + len(w)
+            elif w == "when":
+                if collecting is not None:
+                    vals.append(e[collecting:pos])
+                collecting = None
+    if not vals:
+        return None
+    return _combine_classes(_expr_class(v, colcls) for v in vals)
+
+
+def _is_full_case_block(e: str) -> bool:
+    """True when e is exactly one `case ... end` whose trailing `end`
+    closes the leading `case` (not e.g. `case..end + case..end`)."""
+    if not re.match(r"(?is)^case\b.*\bend$", e):
+        return False
+    dep = _depths(e)
+    level = 0
+    for m in re.finditer(r"\b(?:case|end)\b", e, re.IGNORECASE):
+        if dep[m.start()] != 0:
+            continue
+        if m.group(0).lower() == "case":
+            level += 1
+        else:
+            level -= 1
+            if level == 0:
+                return m.end() == len(e)
+    return False
+
+
+def _cast_class(argtext: str) -> str | None:
+    """Class of cast/try_cast arguments by the LAST top-level `as TYPE`."""
+    dep = _depths(argtext)
+    last = None
+    for m in re.finditer(r"\bas\b", argtext, re.IGNORECASE):
+        if dep[m.start()] == 0:
+            last = m
+    if last is None:
+        return None
+    cls = _classify_type_name(argtext[last.end():])
+    return cls if cls in ("int", "frac") else None
+
+
+def _strip_postfix_clause(e: str) -> str | None:
+    """'X over (...)' / 'X [ignore nulls] filter (where ...)' → X."""
+    if not e.endswith(")"):
+        return None
+    ob = _open_paren_back(e, len(e) - 1)
+    if ob is None or ob == 0:
+        return None
+    head = e[:ob].rstrip()
+    m = re.search(r"\b(over|filter)$", head, re.IGNORECASE)
+    if not m:
+        return None
+    if (
+        m.group(1).lower() == "filter"
+        and not e[ob + 1 : -1].lstrip().lower().startswith("where")
+    ):
+        return None
+    rest = head[: m.start()].rstrip()
+    rest = re.sub(
+        r"\b(?:ignore|respect)\s+nulls$", "", rest, flags=re.IGNORECASE
+    ).rstrip()
+    return rest or None
+
+
+def _fn_class(name: str, args: list[str], colcls) -> str | None:
+    n = name.lower()
+    if n in _INT_CLASS_FNS:
+        return "int"
+    if n in _FRAC_CLASS_FNS:
+        return "frac"
+    if n in ("if", "iff"):
+        if len(args) < 2:
+            return None
+        return _combine_classes(_expr_class(a, colcls) for a in args[1:])
+    if n in ("nullif", "min_by", "max_by", "lag", "lead", "nth_value"):
+        return _expr_class(args[0], colcls) if args else None
+    if n in _PRESERVING_FNS:
+        if not args:
+            return None
+        return _combine_classes(_expr_class(a, colcls) for a in args)
+    return None
+
+
+def _expr_class(expr: str, colcls) -> str | None:
+    """Presto division class of a (masked) value expression: 'int',
+    'frac', or None (unresolvable — strict mode refuses)."""
+    e = expr.strip()
+    while e.startswith("(") and _match_paren(e, 0) == len(e) - 1:
+        e = e[1:-1].strip()
+    if not e:
+        return None
+    m = re.match(r"(?:distinct|all)\b\s*", e, re.IGNORECASE)
+    if m and m.end() < len(e):
+        e = e[m.end():]
+    if _is_full_case_block(e):
+        return _case_class(e, colcls)
+    ops = _top_level_numeric_ops(e)
+    if ops:
+        spans, prev = [], 0
+        for i, w in ops:
+            spans.append(e[prev:i])
+            prev = i + w
+        spans.append(e[prev:])
+        return _combine_classes(
+            _expr_class(s, colcls) for s in spans if s.strip()
+        )
+    if e[0] in "+-":
+        return _expr_class(e[1:], colcls)
+    if _NUM_LIT_RE.fullmatch(e):
+        return "frac" if re.search(r"[.eE]", e) else "int"
+    if _SENT_RE.fullmatch(e):
+        return None
+    stripped = _strip_postfix_clause(e)
+    if stripped is not None:
+        return _expr_class(stripped, colcls)
+    m = re.match(r"([A-Za-z_$][A-Za-z_0-9$]*)\s*\(", e)
+    if m and _match_paren(e, m.end() - 1) == len(e) - 1:
+        name = m.group(1).lower()
+        if name in ("cast", "try_cast"):
+            return _cast_class(e[m.end():-1])
+        if name in _NONCALL_KEYWORDS:
+            return None
+        return _fn_class(name, _split_args(e[m.end():-1]), colcls)
+    if e.startswith("`") and e.endswith("`") and e.count("`") == 2:
+        cls = (colcls or {}).get(e[1:-1].strip().lower())
+        return cls if cls in ("int", "frac") else None
+    if _QUAL_IDENT_RE.fullmatch(e):
+        last = e.rsplit(".", 1)[-1].lower()
+        if last in _NONCALL_KEYWORDS or last in ("null", "true", "false"):
+            return None
+        cls = (colcls or {}).get(last)
+        return cls if cls in ("int", "frac") else None
+    return None
+
+
+def _case_start_back(masked: str, end_start: int) -> int | None:
+    """Start of the `case` matching the `end` whose token starts at
+    end_start (word-balance scan; `case`/`end` are reserved, so bare
+    occurrences are always the keywords in masked text)."""
+    level = 1
+    for m in reversed(
+        list(re.finditer(r"\b(?:case|end)\b", masked[:end_start], re.IGNORECASE))
+    ):
+        if m.group(0).lower() == "end":
+            level += 1
+        else:
+            level -= 1
+            if level == 0:
+                return m.start()
+    return None
+
+
+def _primary_start(masked: str, j: int) -> int | None:
+    """Start index of the value primary ENDING at masked[j], reading
+    backward: paren group (with optional call head / OVER / FILTER
+    postfix), subscript chain, backticked ident, literal sentinel,
+    qualified name / numeric literal, or a full CASE block."""
+    c = masked[j]
+    if c == ")":
+        ob = _open_paren_back(masked, j)
+        if ob is None:
+            return None
+        k = _skip_ws_back(masked, ob - 1)
+        if k >= 0 and (masked[k].isalnum() or masked[k] in "_$"):
+            s = _ident_start_back(masked, k)
+            word = masked[s : k + 1].lower()
+            inner = masked[ob + 1 : j].lstrip().lower()
+            if word == "over" or (
+                word == "filter" and inner.startswith("where")
+            ):
+                # postfix clause on a window/agg call: extend through
+                # the call itself (optionally via IGNORE/RESPECT NULLS)
+                p = _skip_ws_back(masked, s - 1)
+                for _ in range(2):
+                    if p >= 0 and (masked[p].isalnum() or masked[p] == "_"):
+                        ws = _ident_start_back(masked, p)
+                        if masked[ws : p + 1].lower() in (
+                            "nulls", "ignore", "respect",
+                        ):
+                            p = _skip_ws_back(masked, ws - 1)
+                            continue
+                    break
+                if p < 0:
+                    return None
+                return _primary_start(masked, p)
+            if word in _NONCALL_KEYWORDS:
+                return ob
+            return s
+        return ob
+    if c == "]":
+        ob = _open_bracket_back(masked, j)
+        if ob is None:
+            return None
+        k = _skip_ws_back(masked, ob - 1)
+        if k < 0:
+            return None
+        return _primary_start(masked, k)
+    if c == "`":
+        s = masked.rfind("`", 0, j)
+        return s if s >= 0 else None
+    if c == "\x00":
+        s = masked.rfind("\x00", 0, j)
+        return s if s >= 0 else None
+    if c == "?":
+        return j
+    if c.isalnum() or c in "_$.":
+        s = _ident_start_back(masked, j) if c != "." else j + 1
+        # absorb qualified-name / decimal-point segments leftward
+        while s >= 1 and masked[s - 1] == ".":
+            if s >= 2 and (masked[s - 2].isalnum() or masked[s - 2] in "_$"):
+                s = _ident_start_back(masked, s - 2)
+            else:
+                s -= 1  # leading '.5' decimal
+                break
+        # scientific-notation sign: '5' of '1e-5' — extend through the
+        # mantissa when the sign's 'e' tails a bare numeric literal
+        if s >= 2 and masked[s - 1] in "+-" and masked[s - 2] in "eE":
+            k = s - 3
+            while k >= 0 and (masked[k].isdigit() or masked[k] == "."):
+                k -= 1
+            if (k < 0 or not (masked[k].isalnum() or masked[k] in "_`")) and (
+                k + 1 <= s - 3
+            ):
+                s = k + 1
+        if masked[s : j + 1].lower() == "end":
+            return _case_start_back(masked, s)
+        return s
+    return None
+
+
+def _left_chain_class(
+    masked: str, i: int, colcls
+) -> tuple[str | None, int]:
+    """Class of the full multiplicative chain ending just before the
+    '/' at masked[i] (the LEFT operand of that division under
+    left-assoc * / % div), plus the chain's start offset (for error
+    snippets).  `2.0 * a / b` must read fractional even when a is int."""
+    classes: list[str | None] = []
+    start = i
+    j = _skip_ws_back(masked, i - 1)
+    while True:
+        if j < 0:
+            return None, start
+        s = _primary_start(masked, j)
+        if s is None:
+            return None, start
+        classes.append(_expr_class(masked[s : j + 1], colcls))
+        start = s
+        k = _skip_ws_back(masked, s - 1)
+        while k >= 0 and masked[k] in "+-":
+            p = _skip_ws_back(masked, k - 1)
+            if p >= 0 and (masked[p].isalnum() or masked[p] in ")]`\x00_$"):
+                return _combine_classes(classes), start  # binary +/-
+            start = k
+            k = p
+        if k >= 0 and masked[k] in "*%/":
+            j = _skip_ws_back(masked, k - 1)
+            continue
+        if (
+            k >= 2
+            and masked[k - 2 : k + 1].lower() == "div"
+            and not (k >= 3 and (masked[k - 3].isalnum() or masked[k - 3] in "_$"))
+        ):
+            j = _skip_ws_back(masked, k - 3)
+            continue
+        return _combine_classes(classes), start
+
+
+def _primary_end(masked: str, j: int) -> int | None:
+    """End index (inclusive) of the value primary STARTING at masked[j],
+    reading forward, including trailing subscripts and OVER/FILTER
+    postfix clauses."""
+    n = len(masked)
+    c = masked[j]
+    if c == "(":
+        e = _match_paren(masked, j)
+    elif c == "\x00":
+        k = masked.find("\x00", j + 1)
+        if k < 0:
+            return None
+        e = k
+    elif c == "`":
+        k = masked.find("`", j + 1)
+        if k < 0:
+            return None
+        e = k
+    elif c == "?":
+        e = j
+    elif c.isdigit() or c == ".":
+        m = _NUM_LIT_RE.match(masked, j)
+        if not m:
+            return None
+        e = m.end() - 1
+    elif c.isalpha() or c in "_$":
+        m = _QUAL_IDENT_RE.match(masked, j)
+        e = m.end() - 1
+        word = m.group(0).lower()
+        if word == "case":
+            level, last = 1, None
+            for t in re.finditer(r"\b(?:case|end)\b", masked[e + 1 :], re.IGNORECASE):
+                if t.group(0).lower() == "case":
+                    level += 1
+                else:
+                    level -= 1
+                    if level == 0:
+                        last = e + 1 + t.end() - 1
+                        break
+            if last is None:
+                return None
+            e = last
+        else:
+            k = e + 1
+            while k < n and masked[k].isspace():
+                k += 1
+            if k < n and masked[k] == "(" and word not in _NONCALL_KEYWORDS:
+                e = _match_paren(masked, k)
+    else:
+        return None
+    while True:
+        k = e + 1
+        while k < n and masked[k].isspace():
+            k += 1
+        if k < n and masked[k] == "[":
+            e = _match_bracket(masked, k)
+            continue
+        m2 = _POSTFIX_CLAUSE_RE.match(masked, k)
+        if m2:
+            cp = _match_paren(masked, m2.end() - 1)
+            if m2.group(1).lower() == "filter" and not (
+                masked[m2.end() : cp].lstrip().lower().startswith("where")
+            ):
+                break
+            e = cp
+            continue
+        break
+    return e
+
+
+def _rewrite_int_division(masked: str, colcls: dict[str, str], strict: bool) -> str:
+    """Rewrite every int/int `/` to Spark `div`; leave fractional
+    divisions; refuse (strict) or leave (lenient) unresolvable ones."""
+    i = 0
+    while True:
+        i = masked.find("/", i)
+        if i < 0:
+            return masked
+        if masked.count("`", 0, i) % 2 == 1:
+            i += 1  # inside a backticked identifier
+            continue
+        lcls, lstart = _left_chain_class(masked, i, colcls)
+        rstart = i + 1
+        while rstart < len(masked) and masked[rstart].isspace():
+            rstart += 1
+        rj = rstart
+        while rj < len(masked) and masked[rj] in "+-":
+            rj += 1
+            while rj < len(masked) and masked[rj].isspace():
+                rj += 1
+        rend = _primary_end(masked, rj) if rj < len(masked) else None
+        rcls = (
+            _expr_class(masked[rstart : rend + 1], colcls)
+            if rend is not None
+            else None
+        )
+        if lcls == "int" and rcls == "int":
+            masked = masked[:i] + " div " + masked[i + 1 :]
+            i += 5
+        elif lcls == "frac" or rcls == "frac":
+            i += 1
+        elif strict:
+            hi = (rend + 1) if rend is not None else min(len(masked), i + 30)
+            lo = lstart if lstart < i else max(0, i - 30)
+            raise ValueError(
+                "dialect: cannot resolve the operand types of `/` in "
+                f"'{masked[lo:hi].strip()}' — Presto's integer `/` "
+                "TRUNCATES (7/2 = 3) while Spark's returns DOUBLE, so "
+                "the front door refuses to guess.  Cast an operand "
+                "(cast(x as double) for double division) or spell the "
+                "truncating division `x div y`; schema-free "
+                "translate() keeps the legacy pass-through."
+            )
+        else:
+            i += 1
+
+
+#: catalog-derived column classes, cached per live session by the
+#: sorted view-name tuple (add/remove invalidates; REPLACING a view
+#: with a different schema under the same name does not — call
+#: clear_schema_cache() after such a replacement).
+_COLCLS_CACHE: dict[int, tuple[tuple, dict[str, str]]] = {}
+
+
+def clear_schema_cache() -> None:
+    _COLCLS_CACHE.clear()
+
+
+def _catalog_column_classes(spark: SparkSession) -> dict[str, str]:
+    """column name (lowercased, unqualified) → division class over every
+    table/view the session catalog lists; a name carrying conflicting
+    classes across tables maps to 'ambig' (treated as unresolvable)."""
+    names = tuple(sorted(t.name for t in spark.catalog.listTables()))
+    hit = _COLCLS_CACHE.get(id(spark))
+    if hit is not None and hit[0] == names:
+        return hit[1]
+    out: dict[str, str] = {}
+    for name in names:
+        try:
+            fields = spark.table(name).schema.fields
+        except Exception:
+            continue  # unreadable entry (dropped concurrently, etc.)
+        for f in fields:
+            cls = _classify_type_name(f.dataType.simpleString())
+            key = f.name.lower()
+            prev = out.get(key)
+            if prev is None:
+                out[key] = cls
+            elif prev != cls:
+                out[key] = "ambig"
+    _COLCLS_CACHE[id(spark)] = (names, out)
+    return out
+
+
+def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
+    """Presto-dialect SQL → Spark SQL (see module docstring table).
+
+    ``schema`` maps lowercased column names to Spark type spellings
+    (or pre-computed classes 'int'/'frac'/'other'/'ambig'); when given,
+    the type-aware integer-division pass runs in STRICT mode (int/int →
+    ``div``, unresolvable operands refuse loudly).  Without it the pass
+    is skipped entirely — direct translate() callers keep Spark's
+    double `/` (the legacy, docstring-documented behavior); the
+    ``sql()`` front door always passes the catalog schemas."""
     masked, lits = _mask(presto_sql)
+
+    if schema is not None:
+        colcls = {
+            k.lower(): (
+                v if v in ("int", "frac", "other", "ambig")
+                else _classify_type_name(v)
+            )
+            for k, v in schema.items()
+        }
+        masked = _rewrite_int_division(masked, colcls, strict=True)
 
     masked = _rewrite_match_recognize(masked)
     masked = _rewrite_unnest(masked)
@@ -1841,4 +2543,6 @@ def sql(spark: SparkSession, presto_sql: str) -> DataFrame:
             "false (the Spark default): the translator doubles backslashes "
             "to preserve Presto raw-literal bytes under the escaping parser"
         )
-    return spark.sql(translate(presto_sql))
+    return spark.sql(
+        translate(presto_sql, schema=_catalog_column_classes(spark))
+    )

@@ -1250,3 +1250,84 @@ def test_exec_array_histogram(spark):
     ).collect()[0]
     assert row.h == "a:3,b:1"
     assert row.empty_n == 0
+
+
+# ---------------------------------------------------------------------------
+# type-aware integer division (round 11, VERDICT r10 #1)
+# ---------------------------------------------------------------------------
+
+_INTDIV_SCHEMA = {"a": "bigint", "b": "int", "x": "double", "s": "string"}
+
+
+def test_int_division_rewrites_and_passthroughs():
+    def tr(q):
+        return _norm(translate(q, schema=_INTDIV_SCHEMA))
+
+    # int/int → div, across literals, columns, chains, case, functions
+    assert tr("select a / b from t") == "select a div b from t"
+    assert tr("select 7/2") == "select 7 div 2"
+    assert tr("select a * 3 / b from t") == "select a * 3 div b from t"
+    assert tr("select a / 2 / 3 from t") == "select a div 2 div 3 from t"
+    assert tr("select a % 5 / 2 from t") == "select a % 5 div 2 from t"
+    assert tr("select sum(a) / count(*) from t") == (
+        "select sum(a) div count(*) from t"
+    )
+    assert tr("select length(s) / 3 from t") == "select length(s) div 3 from t"
+    assert (
+        tr("select case when x > 0 then a else b end / 2 from t")
+        == "select case when x > 0 then a else b end div 2 from t"
+    )
+    # fractional on either side (or anywhere in the left chain) → `/`
+    assert "/" in tr("select a / 2.0 from t")
+    assert "/" in tr("select x / a from t")
+    assert "/" in tr("select 2.0 * a / b from t")
+    assert "/" in tr("select cast(a as double) / b from t")
+    assert "/" in tr("select 1e-3 / a from t")  # exponent sign ≠ binary minus
+    assert "/" in tr("select avg(a) / 2 from t")
+    # window/filter postfix resolve through to the call's class
+    assert "div" in tr("select count(*) filter (where x > 0) / 2 from t")
+    assert "/" in tr("select avg(a) over (partition by b) / 2 from t")
+
+
+def test_int_division_try_composition():
+    out = _norm(translate("select try(a / b) from t", schema=_INTDIV_SCHEMA))
+    assert out == "select try_cast(try_divide(a, b) as bigint) from t"
+
+
+def test_int_division_refusals_and_lenient_mode():
+    # unresolvable operand → loud refusal naming the expression
+    with pytest.raises(ValueError, match="cannot resolve the operand types"):
+        translate("select a / mystery from t", schema=_INTDIV_SCHEMA)
+    with pytest.raises(ValueError, match="cannot resolve"):
+        translate("select (select max(a) from t) / 2", schema=_INTDIV_SCHEMA)
+    with pytest.raises(ValueError, match="cannot resolve"):
+        translate("select s / a from t", schema=_INTDIV_SCHEMA)
+    # ambiguous column name (conflicting classes across views) refuses
+    with pytest.raises(ValueError, match="cannot resolve"):
+        translate("select a / c from t", schema={"a": "bigint", "c": "ambig"})
+    # schema-free translate keeps the legacy pass-through untouched
+    assert _norm(translate("select a / b from t")) == "select a / b from t"
+
+
+def test_exec_int_division_matches_presto_semantics(spark):
+    """Execution pin: truncation toward zero, bigint result, NULL under
+    TRY on zero-divide — on ad-hoc probe data through the front door
+    (the catalog-schema path, not a hand-passed schema)."""
+    spark.createDataFrame(
+        [(-7, 2), (7, 2), (-9, -4), (5, 0)], "pa long, pb long"
+    ).createOrReplaceTempView("intdiv_exec_probe")
+    from sparketl import dialect as _d
+
+    _d.clear_schema_cache()
+    rows = presto_sql(
+        spark,
+        """
+        select pa, pb, pa / 2 as halved, try(pa / pb) as safe
+        from intdiv_exec_probe
+        """,
+    ).collect()
+    got = {(r.pa, r.pb): (r.halved, r.safe) for r in rows}
+    assert got[(-7, 2)] == (-3, -3)   # toward zero, not floor (-4)
+    assert got[(7, 2)] == (3, 3)
+    assert got[(-9, -4)] == (-4, 2)
+    assert got[(5, 0)] == (2, None)   # TRY: NULL on zero-divide
