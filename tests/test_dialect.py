@@ -784,6 +784,24 @@ def test_match_recognize_restricted_shape_rewrites():
     assert "__mr_s.event_id as s_id" in out
 
 
+def test_match_recognize_skip_to_next_row_translates_identically():
+    # on the accepted shape the two skip modes provably coincide
+    # (dialect docstring; per-start differential in
+    # test_property_match_recognize.py) — same rewrite output
+    with_next = _MR_OK.replace(
+        "pattern (A B* C)",
+        "after match skip to next row pattern (A B* C)",
+    )
+    out = translate(with_next)
+    assert "match_recognize" not in out.lower()
+    assert out == translate(
+        _MR_OK.replace(
+            "pattern (A B* C)",
+            "after match skip past last row pattern (A B* C)",
+        )
+    )
+
+
 def test_match_recognize_count_star_measure():
     out = translate(_MR_OK.replace(
         "A.event_id as s_id", "count(*) as s_id"))
@@ -803,8 +821,13 @@ def test_match_recognize_refuses_nonconforming():
         _MR_OK.replace("measures A.event_id as s_id",
                        "measures match_number() as s_id"),
         _MR_OK.replace("define A", "all rows per match define A"),
+        # SKIP TO NEXT ROW is accepted (round 11); resuming INSIDE the
+        # previous match is not — SKIP TO var and PERMUTE stay loud
         _MR_OK.replace("pattern (A B* C)",
-                       "after match skip to next row pattern (A B* C)"),
+                       "after match skip to first B pattern (A B* C)"),
+        _MR_OK.replace("pattern (A B* C)",
+                       "after match skip to last B pattern (A B* C)"),
+        _MR_OK.replace("pattern (A B* C)", "pattern (permute(A, B, C))"),
         # expression PARTITION BY key: the rewrite would emit invalid
         # `__mr_s.date_trunc(...) as date_trunc(...)` — must refuse
         _MR_OK.replace("partition by user_id",

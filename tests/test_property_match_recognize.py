@@ -267,3 +267,60 @@ def test_alternation_middle_navigation_equals_regex_engine(spark, users):
     )
     assert len(got) == len(want)
     assert got == want
+
+
+def _model_skip_next(symbols: list[str], regex: str):
+    """AFTER MATCH SKIP TO NEXT ROW reference semantics: attempt a
+    greedy anchored match at EVERY row; on success (and on failure)
+    resume at start+1 — matches from different anchors may overlap."""
+    s = "".join(symbols)
+    rx = re.compile(regex)
+    out = []
+    for i in range(len(s)):
+        m = rx.match(s, i)
+        if m:
+            out.append((m.start(), m.end() - 1, m.end() - m.start()))
+    return out
+
+
+@pytest.mark.parametrize("pattern,regex,defines", SHAPES)
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(users=seqs)
+def test_skip_to_next_row_equals_per_start_model(
+    spark, pattern, regex, defines, users
+):
+    """Round 11 (VERDICT r10 #2): AFTER MATCH SKIP TO NEXT ROW against
+    the authoritative per-start matcher — NOT finditer, which encodes
+    skip-past-last resumption.  Also pins the equivalence claim the
+    rewrite relies on: with mutually-exclusive defines the per-start
+    model and finditer agree on every accepted shape (no anchor inside
+    a match can carry the start symbol), so one rewrite serves both
+    skip modes."""
+    rows = [
+        (u, pos, sym)
+        for u, symbols in enumerate(users)
+        for pos, sym in enumerate(symbols)
+    ]
+    if not rows:
+        rows = [(0, 0, "X")]
+    spark.createDataFrame(
+        rows, "user_id long, pos long, sym string"
+    ).createOrReplaceTempView("mr_prop_events")
+    sql = _mr_sql(pattern, defines).replace(
+        "after match skip past last row", "after match skip to next row"
+    )
+    assert "skip to next row" in sql
+    got = sorted(
+        (r.user_id, r.s_pos, r.e_pos, r.n)
+        for r in dialect.sql(spark, sql).collect()
+    )
+    want = sorted(
+        (u, s, e, n)
+        for u, symbols in enumerate(users)
+        for s, e, n in _model_skip_next(symbols, regex)
+    )
+    assert got == want
+    # the equivalence claim itself: both skip modes yield the same
+    # match set on mutually-exclusive symbol sequences
+    for symbols in users:
+        assert _model_skip_next(symbols, regex) == _model(symbols, regex)
