@@ -135,8 +135,11 @@ date_format(x, '%Y-%m')      date_format(x, 'yyyy-MM') — Presto's MySQL
                              SAME-NAMED date_format takes Java patterns:
                              the worst silent-garbage trap in the dt
                              family); literal-alpha runs Java-quoted,
-                             '%'-free literals pass through as already-
-                             Spark spelling, unsupported specifiers
+                             '%'-free literals RAISE the documented
+                             refusal (Presto renders them as LITERAL
+                             text, Spark would read Java specifiers —
+                             format_datetime is the Java-pattern path;
+                             ADVICE r10), unsupported specifiers
                              (%U %V %v %w %x %X %D %u) RAISE
 date_parse(s, '%d/%m/%Y')    to_timestamp(s, 'dd/MM/yyyy') — same
                              translation; non-literal pattern RAISES, as
@@ -164,6 +167,31 @@ from_base(s, b)              cast(conv(s, b, -10) as bigint)  (signed —
 array_histogram(a)           map_from_entries over distinct non-null
                              keys, each counted by filter+size (a is
                              inlined twice — the ngrams/random caveat)
+skewness(x)                  sample-corrected G1 from Spark's population
+                             skewness: g1·sqrt(n(n-1))/(n-2) — Presto/
+                             Trino/DuckDB all return the SAMPLE
+                             estimator, Spark the population one; x is
+                             inlined three times (volatile-arg caveat)
+kurtosis(x)                  sample-corrected excess G2:
+                             ((n+1)g2+6)(n-1)/((n-2)(n-3)) — same
+                             convention trap, same caveat
+reduce_agg(x, s0, in, comb)  aggregate(array_sort(collect_list(x)),
+                             s0, in) — sequential fold ≡ Presto's
+                             contract (commutative-associative pair);
+                             comb never needed; array_sort pins the
+                             fold order Presto leaves unspecified.
+                             MEMORY BOUND: materializes the group (no
+                             partial agg) — bounded groups only; the
+                             operators.aggregates.reduce_agg helper
+                             adds a loud size guard
+hamming_distance(s1, s2)     zip_with over character splits under an
+                             equal-length raise_error guard (Presto
+                             errors there too); UTF-16 residue: astral
+                             code points count as two positions
+word_stem / normalize /      RAISE the documented refusal (no sound
+cosine_similarity            Spark composition: no stemmer, no Unicode
+                             normalizer, sparse-MAP cosine needs
+                             per-row Python — llm_ann covers dense)
 "ident"                      `ident`                    (Spark double-quote
                                                          is a string literal)
 varchar (bare, in casts)     string                     (Spark VARCHAR needs
@@ -284,17 +312,23 @@ _SIMPLE_FN: dict[str, str] = {
     "regexp_split": "split",
 }
 
-#: zero-argument constant functions
-_CONST_FN: dict[str, str] = {
-    "infinity": "cast('Infinity' as double)",
-    "nan": "cast('NaN' as double)",
+#: zero-argument constant functions — replacement built per translate()
+#: call so injected literals go through the _inject_lit sentinel pool
+#: (ADVICE r10: no raw quoted literals in masked text)
+_CONST_FN = {
+    "infinity": lambda lits: f"cast({_inject_lit(lits, 'Infinity')} as double)",
+    "nan": lambda lits: f"cast({_inject_lit(lits, 'NaN')} as double)",
     # the engine pins spark.sql.session.timeZone=UTC (SESSION_CONFS),
     # so Presto's session-zone accessor is a constant here
-    "current_timezone": "'UTC'",
+    "current_timezone": lambda lits: _inject_lit(lits, "UTC"),
 }
 
 _STR_SENTINEL = "\x00{}\x00"
 _SENT_RE = re.compile("\x00(\\d+)\x00")
+
+#: Presto to_iso8601's timestamp rendering as a Java pattern (the 'T'
+#: is Java-quoted literal text; Presto emits millisecond precision)
+_ISO_TS_PATTERN = "yyyy-MM-dd'T'HH:mm:ss.SSS"
 
 # Java-regex metacharacters to escape when a Presto literal delimiter
 # becomes a Spark split() regex.
@@ -358,6 +392,20 @@ def _unmask(masked: str, lits: list[str]) -> str:
         return "'" + quoted[1:-1].replace("\\", "\\\\") + "'"
 
     return _SENT_RE.sub(sub, masked)
+
+
+def _inject_lit(lits: list[str], value: str) -> str:
+    """Append a TRANSLATOR-INJECTED string literal to the literal pool
+    and return its sentinel (ADVICE r10: raw quoted literals written
+    into masked text break the masked-text-has-no-literals invariant —
+    the quote-blind scanners (_split_args, _match_paren,
+    _rewrite_subscripts) would mis-parse any future literal containing
+    ',', '(' or '['.  Every injected literal goes through here, same
+    convention as _mysql_datetime_fns).  Quotes are doubled: _unmask
+    re-emits the stored text verbatim between quotes, and Spark's
+    parser reads '' as one quote."""
+    lits.append("'" + value.replace("'", "''") + "'")
+    return _STR_SENTINEL.format(len(lits) - 1)
 
 
 def _match_paren(masked: str, op: int) -> int:
@@ -735,9 +783,13 @@ def _mysql_datetime_fns(lits: list[str]):
     Java patterns — the same call text silently renders garbage ('%Y'
     is a literal-percent + week-year + ...).  A LITERAL pattern
     containing '%' is translated specifier-by-specifier (refusing the
-    ones without exact equivalents); date_format literals without '%'
-    pass through (they are already Spark spelling — the engine's own
-    declared queries use it), and date_parse always requires the
+    ones without exact equivalents); a date_format literal WITHOUT '%'
+    raises the documented refusal (in genuine Presto text it means
+    literal output, which Spark's Java reading would silently mangle —
+    ADVICE r10; format_datetime is the Java-pattern front-door path),
+    a non-literal pattern passes through (documented divergence — the
+    translator cannot tell MySQL from Java there), and date_parse
+    always requires the
     translation (Spark has no such function, so an untranslatable
     shape raises the documented refusal rather than an unresolved-
     function error)."""
@@ -757,8 +809,24 @@ def _mysql_datetime_fns(lits: list[str]):
         if len(args) != 2:
             return None
         val = _lit_value(lits, args[1])
-        if val is None or "%" not in val:
-            return None  # already-Java spelling or non-literal: untouched
+        if val is None:
+            return None  # dynamic pattern: untouched (documented
+            # divergence — the engine cannot tell MySQL from Java here)
+        if "%" not in val:
+            # In genuine Presto text, EVERY character of a '%'-free
+            # pattern is literal output ('Y-D' renders "Y-D"), while
+            # Spark's same-named function would read it as Java
+            # specifiers (week-year etc.) — a silent-garbage class the
+            # old pass-through allowed (ADVICE r10).  Refuse with the
+            # sanctioned spelling: format_datetime IS the Java-pattern
+            # front-door path (it maps to Spark date_format verbatim).
+            raise ValueError(
+                "dialect: date_format with a '%'-free literal pattern "
+                f"({val!r}) is refused — Presto renders it as LITERAL "
+                "text while Spark would read Java specifiers; use "
+                "format_datetime(x, javaPattern) for Java patterns, or "
+                "a MySQL %-pattern for Presto semantics"
+            )
         return f"date_format({args[0]}, {_sentinel(_mysql_to_java(val))})"
 
     def parse_make(args: list[str]) -> str | None:
@@ -2326,6 +2394,88 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
         masked, "reduce",
         lambda a: f"aggregate({', '.join(a)})" if len(a) in (3, 4) else None,
     )
+    # Presto reduce_agg(x, s0, input, combine) → the bounded sorted-fold
+    # composition (round 11, VERDICT r10 #3; rationale and the memory
+    # bound at sparketl/operators/aggregates.py reduce_agg()): Presto
+    # requires input/combine to be commutative-associative, so a
+    # sequential fold IS the reference semantics and combine is never
+    # needed; array_sort pins one fold order (Presto's is unspecified).
+    # DOCUMENTED BOUND: collect_list materializes the group on one
+    # executor — this text form carries no size guard, so unbounded
+    # groups OOM rather than refuse; the operators.aggregates.reduce_agg
+    # helper adds the loud raise_error guard.
+    masked = _rewrite_calls(
+        masked, "reduce_agg",
+        lambda a: (
+            f"aggregate(array_sort(collect_list({a[0]})), {a[1]}, {a[2]})"
+        ) if len(a) == 4 else None,
+    )
+    # Presto/Trino skewness & kurtosis are the SAMPLE-corrected
+    # estimators while Spark's same-named aggregates are POPULATION
+    # moments (round 11, VERDICT r10 #4 — the convention trap; formulas
+    # per Trino's docs, execution-pinned against DuckDB which agrees):
+    #   G1 = skewness_pop(x) * sqrt(n(n-1)) / (n-2)
+    #   G2 = ((n+1)*kurtosis_pop(x) + 6) * (n-1) / ((n-2)(n-3))
+    # The argument is inlined several times (count(x) twice/thrice —
+    # the ngrams/random volatile-argument caveat); the inner call uses
+    # a placeholder name mapped back to Spark's aggregate AFTER the
+    # scan (the rewriter re-scans its own replacement text, so emitting
+    # `skewness(` directly would recurse).
+    masked = _rewrite_calls(
+        masked, "skewness",
+        lambda a: (
+            f"(__sparketl_skew({a[0]}) * sqrt(count({a[0]}) * "
+            f"(count({a[0]}) - 1)) / (count({a[0]}) - 2))"
+        ) if len(a) == 1 else None,
+    )
+    masked = _rewrite_calls(
+        masked, "kurtosis",
+        lambda a: (
+            f"(((count({a[0]}) + 1) * __sparketl_kurt({a[0]}) + 6) * "
+            f"(count({a[0]}) - 1) / ((count({a[0]}) - 2) * "
+            f"(count({a[0]}) - 3)))"
+        ) if len(a) == 1 else None,
+    )
+    masked = re.sub(r"\b__sparketl_skew\s*\(", "skewness(", masked)
+    masked = re.sub(r"\b__sparketl_kurt\s*\(", "kurtosis(", masked)
+    # Presto hamming_distance(s1, s2): differing positions of two
+    # EQUAL-LENGTH strings (error otherwise — kept loud via
+    # raise_error).  Composed as a zip_with over the character splits;
+    # inputs are inlined twice (the volatile-argument caveat).
+    # Residual divergence: Java strings are UTF-16, so astral-plane
+    # code points split into surrogate pairs (two positions) where
+    # Presto counts one — BMP text is exact.
+    masked = _rewrite_calls(
+        masked, "hamming_distance",
+        lambda a: (
+            f"(case when length({a[0]}) <> length({a[1]}) then raise_error("
+            f"{_inject_lit(lits, 'hamming_distance: the input strings must have the same length')}"
+            f") else aggregate(zip_with("
+            f"split({a[0]}, {_inject_lit(lits, '')}), "
+            f"split({a[1]}, {_inject_lit(lits, '')}), "
+            f"(__hd_x, __hd_y) -> if(__hd_x = __hd_y, 0, 1)), "
+            f"cast(0 as bigint), (__hd_s, __hd_v) -> __hd_s + __hd_v) end)"
+        ) if len(a) == 2 else None,
+    )
+    # Straggler scalars with NO sound Spark composition (round 11,
+    # VERDICT r10 #5): refuse with the documented message instead of
+    # Spark's unresolved-function error (the parse_duration precedent).
+    for bad_name, why in (
+        ("word_stem", "Spark SQL has no Porter/Snowball stemmer; stem "
+                      "driver-side or with a pandas UDF"),
+        ("normalize", "Spark SQL has no NFC/NFD/NFKC/NFKD Unicode "
+                      "normalizer; normalize driver-side or with a "
+                      "pandas UDF"),
+        ("cosine_similarity", "Presto's cosine_similarity takes sparse "
+                              "MAP vectors, which Spark SQL cannot fold "
+                              "without per-row Python; use the engine's "
+                              "similarity operators (sparketl.operators."
+                              "llm_ann) for dense embeddings"),
+    ):
+        def _refuse(_args, _n=bad_name, _w=why):
+            raise ValueError(f"dialect: {_n}() is refused — {_w}")
+
+        masked = _rewrite_calls(masked, bad_name, _refuse)
     # Presto's bitwise functions are Spark operators.
     for bname, bop in (("bitwise_and", "&"), ("bitwise_or", "|"),
                        ("bitwise_xor", "^")):
@@ -2494,19 +2644,23 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
     # either type, so analysis never fails.  timestamp-with-time-zone
     # inputs (offset suffix) don't exist in Spark's type system; not
     # reachable.
-    masked = _rewrite_calls(
-        masked, "to_iso8601",
-        lambda a: (
-            f"(case when typeof({a[0]}) = 'date' "
-            f"then date_format({a[0]}, 'yyyy-MM-dd') "
-            f"else date_format({a[0]}, 'yyyy-MM-dd\\'T\\'HH:mm:ss.SSS') "
-            f"end)"
-        ) if len(a) == 1 else None,
-    )
     masked = _rewrite_calls(masked, "parse_duration", _parse_duration_fn(lits))
     _df_make, _dp_make = _mysql_datetime_fns(lits)
     masked = _rewrite_calls(masked, "date_format", _df_make)
     masked = _rewrite_calls(masked, "date_parse", _dp_make)
+    # AFTER the MySQL-pattern pass on purpose: this rewrite EMITS
+    # date_format calls with translator-injected Java patterns
+    # (sentinels since ADVICE r10) — fmt_make would otherwise re-judge
+    # them as '%'-free Presto literals and refuse its own output.
+    masked = _rewrite_calls(
+        masked, "to_iso8601",
+        lambda a: (
+            f"(case when typeof({a[0]}) = {_inject_lit(lits, 'date')} "
+            f"then date_format({a[0]}, {_inject_lit(lits, 'yyyy-MM-dd')}) "
+            f"else date_format({a[0]}, {_inject_lit(lits, _ISO_TS_PATTERN)}) "
+            f"end)"
+        ) if len(a) == 1 else None,
+    )
     # Presto radix conversions → Spark conv() in SIGNED mode (negative
     # toBase — otherwise conv reads '-101' as unsigned 64-bit two's
     # complement, a silent 1.8e19-sized divergence caught by the
@@ -2534,8 +2688,10 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
         r"\bvarchar\b(?!\s*\()", "string", masked, flags=re.IGNORECASE
     )
     masked = re.sub(r"\bvarbinary\b", "binary", masked, flags=re.IGNORECASE)
-    for name, const in _CONST_FN.items():
-        masked = re.sub(rf"\b{name}\s*\(\s*\)", const, masked, flags=re.IGNORECASE)
+    for name, make_const in _CONST_FN.items():
+        pat = rf"\b{name}\s*\(\s*\)"
+        if re.search(pat, masked, flags=re.IGNORECASE):
+            masked = re.sub(pat, make_const(lits), masked, flags=re.IGNORECASE)
     for name, repl in _SIMPLE_FN.items():
         masked = re.sub(rf"\b{name}\s*\(", repl + "(", masked, flags=re.IGNORECASE)
     masked = _rewrite_subscripts(masked)

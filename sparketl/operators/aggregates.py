@@ -172,6 +172,149 @@ def agg_moments(spark, sf_dir):
 
 
 @query(
+    "agg_higher_moments",
+    oracle="""
+        select l_returnflag,
+               round(skewness(l_discount), 6) as skew_disc,
+               round(kurtosis(l_discount), 6) as kurt_disc,
+               round(skewness(l_tax), 6)      as skew_tax,
+               round(kurtosis(l_tax), 6)      as kurt_tax
+        from lineitem
+        group by l_returnflag
+    """,
+)
+def agg_higher_moments(spark, sf_dir):
+    """#30 extension (round 11, VERDICT r10 #4): skewness / kurtosis.
+
+    Estimator-convention trap (the reason this is not a bare name map):
+    Spark's skewness/kurtosis are POPULATION moments (g1 = m3/m2^1.5,
+    g2 = m4/m2^2 - 3) while Presto/Trino and DuckDB both return the
+    SAMPLE-corrected estimators (G1 = g1·sqrt(n(n-1))/(n-2); excess
+    G2 = ((n+1)g2 + 6)(n-1)/((n-2)(n-3)) — Trino documents exactly
+    these bias-corrected formulas, and DuckDB's skewness/kurtosis
+    match them, probed live: g1=1.0952→G1=1.499693 on {1,2,4,8,16,32},
+    bit-equal across all three after round(6)).  The Spark face applies
+    the corrections explicitly; the dialect front door rewrites the
+    Presto names to the same corrected expressions.
+
+    Small-magnitude columns per the module determinism note; n >= 4
+    guaranteed by the 3-group fixture split (the corrections divide by
+    (n-2)(n-3)).
+
+    Scale: one partial→final hash aggregate — Spark's moment
+    aggregates carry (n, m1..m4) as the merge state, so map-side
+    combine works and the shuffle is 3 groups × a 5-double state."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def g1_sample(col):
+        n = F.count(col)
+        return F.skewness(col) * F.sqrt(n * (n - 1)) / (n - 2)
+
+    def g2_sample(col):
+        n = F.count(col)
+        return ((n + 1) * F.kurtosis(col) + 6) * (n - 1) / ((n - 2) * (n - 3))
+
+    return li.groupBy("l_returnflag").agg(
+        F.round(g1_sample("l_discount"), 6).alias("skew_disc"),
+        F.round(g2_sample("l_discount"), 6).alias("kurt_disc"),
+        F.round(g1_sample("l_tax"), 6).alias("skew_tax"),
+        F.round(g2_sample("l_tax"), 6).alias("kurt_tax"),
+    )
+
+
+def reduce_agg(col, init, merge, max_group_rows: int = 1_000_000):
+    """Presto ``reduce_agg(x, s0, input, combine)`` as a BOUNDED sorted
+    fold: ``aggregate(array_sort(collect_list(x)), s0, input)``.
+
+    Soundness: Presto requires the input/combine pair to be
+    commutative-associative (its docs define the result as a fold in
+    unspecified order), so a sequential fold over the group IS the
+    reference semantics; sorting pins one order so results are
+    deterministic and engine-portable even where the caller's merge is
+    only approximately associative (floating point).  The combine
+    function is not needed — sequential folding never merges two
+    partial states.
+
+    MEMORY BOUND (the reason Presto implements this as a true partial
+    aggregate and this composition does not): collect_list materializes
+    the whole group on one executor — O(group size) heap, no map-side
+    combine.  The ``max_group_rows`` guard turns a group past the bound
+    into a loud USER_RAISED_EXCEPTION instead of an executor OOM; at
+    100 TB, callers with unbounded groups should use a native aggregate
+    (sum/min/max/...) or a two-level pre-aggregation, not reduce_agg.
+    The size() branch reuses the same collect_list expression — Spark
+    deduplicates identical aggregate functions in one Aggregate node,
+    so the group is collected once."""
+    arr = F.array_sort(F.collect_list(col))
+    return F.when(
+        F.size(arr) > max_group_rows,
+        F.expr(
+            f"raise_error('reduce_agg: group exceeds {max_group_rows} rows"
+            " — the sequential-fold composition materializes the group;"
+            " use a native aggregate or raise the bound')"
+        ),
+    ).otherwise(F.aggregate(arr, init, merge))
+
+
+@query(
+    "agg_reduce_agg",
+    oracle="""
+        select l_returnflag,
+               round(list_reduce(
+                   list_prepend(cast(1.0 as double),
+                                list_sort(list(l_discount))),
+                   (s, x) -> s * (1 + x)), 6)               as compounded,
+               list_reduce(
+                   list_prepend(cast(0 as bigint),
+                                list_sort(list(l_linenumber))),
+                   (s, x) -> s + x * x)                     as sum_sq_line
+        from lineitem
+        where l_orderkey < 2000
+        group by l_returnflag
+    """,
+)
+def agg_reduce_agg(spark, sf_dir):
+    """Presto ``reduce_agg`` (round 11, VERDICT r10 #3): a compounding
+    product fold Σ-free aggregates can't express (state := state·(1+x))
+    and a bigint sum-of-squares fold, via the bounded sorted-fold
+    composition (see ``reduce_agg`` above).  DuckDB grades with its
+    ``list_reduce`` — no initial-state parameter, so the oracle
+    prepends s0 to the sorted list (fold starts at the same state,
+    same order → exact equality; the double fold is bit-identical
+    because both engines fold the identical sorted sequence).
+
+    The key filter keeps groups ~10^2 rows — reduce_agg is for
+    BOUNDED groups by contract; the declared guard (1M rows) is the
+    refuse-loudly path for unbounded ones (unit-tested with a tiny
+    bound in tests/test_reduce_agg.py).
+
+    Scale: one shuffle to the 3 groups; the fold is a JVM HOF over the
+    collected array.  The collect_list state is the documented memory
+    bound — this is the sanctioned shape ONLY because the contract
+    bounds the group, exactly like Presto's own array_agg."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_orderkey") < 2000)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                reduce_agg(
+                    "l_discount",
+                    F.lit(1.0).cast("double"),
+                    lambda s, x: s * (1 + x),
+                ),
+                6,
+            ).alias("compounded"),
+            reduce_agg(
+                "l_linenumber",
+                F.lit(0).cast("bigint"),
+                lambda s, x: s + x * x,
+            ).alias("sum_sq_line"),
+        )
+    )
+
+
+@query(
     "agg_bivariate",
     oracle="""
         select l_linestatus,

@@ -85,9 +85,9 @@ def test_strpos_and_starts_with():
 
 
 def test_format_family():
-    out = translate("select format('%s', x), format_datetime(t, 'yyyy'), date_format(t, 'yyyy')")
+    out = translate("select format('%s', x), format_datetime(t, 'yyyy')")
     assert _norm(out) == (
-        "select format_string('%s', x), date_format(t, 'yyyy'), date_format(t, 'yyyy')"
+        "select format_string('%s', x), date_format(t, 'yyyy')"
     )
 
 
@@ -1138,10 +1138,17 @@ def test_mysql_datetime_pattern_rewrites():
     out = translate("select date_format(ts, '%Y-%m-%dT%H pct %%') from t")
     assert "date_format(ts, 'yyyy-MM-dd\\'T\\'HH' pct %')" not in out  # sanity
     assert "yyyy-MM-dd" in out and "'T'" in out.replace("\\'", "'")
-    # Java-style literal (no %) passes through — the engine's own
-    # declared queries use Spark's date_format directly
-    assert translate("select date_format(ts, 'yyyy-MM') from t") == (
-        "select date_format(ts, 'yyyy-MM') from t"
+    # '%'-free literal: genuine Presto renders it as LITERAL text while
+    # Spark would read Java specifiers — refused (ADVICE r10); Java
+    # patterns go through format_datetime instead
+    with pytest.raises(ValueError, match="'%'-free literal"):
+        translate("select date_format(ts, 'yyyy-MM') from t")
+    assert "date_format(ts, 'yyyy-MM')" in translate(
+        "select format_datetime(ts, 'yyyy-MM') from t"
+    )
+    # dynamic pattern: untouched (documented divergence)
+    assert "date_format(ts, f)" in translate(
+        "select date_format(ts, f) from t"
     )
     with pytest.raises(ValueError, match="no exact Spark/Java"):
         translate("select date_format(ts, '%U') from t")
@@ -1354,3 +1361,89 @@ def test_exec_int_division_matches_presto_semantics(spark):
     assert got[(7, 2)] == (3, 3)
     assert got[(-9, -4)] == (-4, 2)
     assert got[(5, 0)] == (2, None)   # TRY: NULL on zero-divide
+
+
+# ---------------------------------------------------------------------------
+# round 11: reduce_agg / higher moments / hamming / straggler refusals
+# ---------------------------------------------------------------------------
+
+
+def test_higher_moment_and_reduce_agg_rewrites():
+    out = translate("select skewness(x), kurtosis(x) from t group by g")
+    # sample corrections applied over Spark's population aggregates
+    assert "skewness(x) * sqrt(count(x) * (count(x) - 1)) / (count(x) - 2)" in out
+    assert "(count(x) + 1) * kurtosis(x) + 6" in out
+    out = translate(
+        "select reduce_agg(v, 0, (s, x) -> s + x, (a, b) -> a + b) from t"
+    )
+    assert "aggregate(array_sort(collect_list(v)), 0, (s, x) -> s + x)" in out
+    # non-4-arity passes through untouched (loud)
+    assert "reduce_agg(v, 0)" in translate("select reduce_agg(v, 0) from t")
+
+
+def test_straggler_scalar_refusals():
+    for text, msg in (
+        ("word_stem(w)", "word_stem"),
+        ("normalize(s)", "normalize"),
+        ("cosine_similarity(m1, m2)", "cosine_similarity"),
+    ):
+        with pytest.raises(ValueError, match=f"{msg}.* is refused"):
+            translate(f"select {text} from t")
+
+
+def test_exec_hamming_distance(spark):
+    rows = presto_sql(
+        spark,
+        """
+        select hamming_distance('karolin', 'kathrin') as hd1,
+               hamming_distance('', '') as hd0,
+               hamming_distance('abc', 'abc') as same
+        """,
+    ).collect()[0]
+    assert (rows.hd1, rows.hd0, rows.same) == (3, 0, 0)
+    with pytest.raises(Exception, match="same length"):
+        presto_sql(spark, "select hamming_distance('ab', 'abc')").collect()
+
+
+def test_exec_higher_moments_match_duckdb(spark):
+    """Sample-convention pin: the translated Presto text must equal
+    DuckDB's native skewness/kurtosis (both sample-corrected)."""
+    import duckdb
+
+    vals = [1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 5.0, 9.0]
+    spark.createDataFrame([(v,) for v in vals], "x double").createOrReplaceTempView(
+        "mom_probe"
+    )
+    got = presto_sql(
+        spark,
+        "select round(skewness(x), 6) as s, round(kurtosis(x), 6) as k "
+        "from mom_probe",
+    ).collect()[0]
+    con = duckdb.connect()
+    want = con.sql(
+        "select round(skewness(x), 6), round(kurtosis(x), 6) from "
+        f"(values {', '.join(f'({v})' for v in vals)}) t(x)"
+    ).fetchone()
+    con.close()
+    assert (got.s, got.k) == want
+
+
+def test_reduce_agg_guard_fires_on_unbounded_group(spark):
+    from pyspark.sql import functions as F
+
+    from sparketl.operators.aggregates import reduce_agg
+
+    df = spark.range(10).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("x")
+    )
+    guarded = df.groupBy("g").agg(
+        reduce_agg("x", F.lit(0.0), lambda s, x: s + x, max_group_rows=5).alias(
+            "fold"
+        )
+    )
+    with pytest.raises(Exception, match="reduce_agg: group exceeds 5 rows"):
+        guarded.collect()
+    ok = df.groupBy("g").agg(
+        reduce_agg("x", F.lit(0.0), lambda s, x: s + x).alias("fold")
+    )
+    assert ok.collect()[0].fold == 45.0
