@@ -100,6 +100,27 @@ def merge_apply(spark, path: str, feed, key_col: str, part_col: str) -> None:
     affected_vals = {r[0] for r in affected.collect()}
     surviving_vals = {r[0] for r in rewrite.select(part_col).distinct().collect()}
     emptied = affected_vals - surviving_vals
+    if not surviving_vals and emptied:
+        remaining = {
+            r[0] for r in target.select(part_col).distinct().collect()
+        } - affected_vals
+        if not remaining:
+            # ADVICE r10: EVERY partition of the table empties.  Both
+            # normal paths would leave a bare table root no reader can
+            # schema-infer (dynamic overwrite writes nothing before the
+            # directory drops; the static fallback's partitionBy write
+            # of an empty frame emits no data file either), breaking
+            # the next read AND the fixed-point re-apply recovery.
+            # Write a schema-bearing empty table instead: a plain
+            # static overwrite of an empty frame emits one 0-row part
+            # file carrying the full schema, partition column included
+            # as a data column (probed live: the read-back returns 0
+            # rows with the original schema).  The collect is
+            # partition-value-sized and runs only on this rare path.
+            spark.createDataFrame([], target.schema).write.mode(
+                "overwrite"
+            ).parquet(path)
+            return
     # ALLOWLIST gate for the pruned delete (review r10 — a deny-set of
     # escaped characters misses whole classes where Python's str(v) is
     # not Spark's directory name: bool True/'true', float repr

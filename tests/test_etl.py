@@ -355,3 +355,38 @@ def test_merge_apply_escaped_partition_value_falls_back(spark, tmp_path):
     assert not any(
         "LOW" in d for d in os.listdir(path) if os.path.isdir(os.path.join(path, d))
     )
+
+
+def test_merge_apply_delete_empties_whole_table(spark, tmp_path):
+    """ADVICE r10: a feed that deletes EVERY row of EVERY partition must
+    leave a READABLE empty table — the pruned path's directory drops
+    (or the static fallback's empty partitionBy write) would otherwise
+    leave a bare root that spark.read.parquet cannot schema-infer,
+    breaking both the next read and the fixed-point re-apply."""
+    from sparketl.operators.etl import merge_apply
+
+    rows = [
+        (1, "F", 10.0, "1-URGENT"),
+        (2, "F", 20.0, "2-HIGH"),
+    ]
+    schema = (
+        "o_orderkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderpriority string"
+    )
+    path = str(tmp_path / "t")
+    spark.createDataFrame(rows, schema).write.partitionBy(
+        "o_orderpriority"
+    ).parquet(path)
+    feed = spark.createDataFrame(
+        [(1, "F", 0.0, "1-URGENT", "D"), (2, "F", 0.0, "2-HIGH", "D")],
+        schema + ", __op string",
+    )
+    merge_apply(spark, path, feed, "o_orderkey", "o_orderpriority")
+    back = spark.read.parquet(path)  # must not raise schema-inference
+    assert back.count() == 0
+    assert set(back.columns) == {
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    }
+    # fixed point: re-applying the purge against the empty table works
+    merge_apply(spark, path, feed, "o_orderkey", "o_orderpriority")
+    assert spark.read.parquet(path).count() == 0
