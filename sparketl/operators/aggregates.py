@@ -931,6 +931,162 @@ def approx_percentile(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Mergeable percentile sketch (round 11, VERDICT r10 #8): the qdigest
+# SHAPE — build bounded per-segment summaries once, merge them for any
+# rollup, read quantiles off the merged state — as a DDSketch-style
+# log-bucket histogram in pure Spark SQL types:
+#   sketch  = map<bigint, bigint>: floor(ln(v)/ln(gamma)) -> row count
+#   merge   = key-wise count sum (map_zip_with; a commutative monoid —
+#             associativity property-tested in tests/test_pctl_sketch.py)
+#   readout = rank scan over the sorted buckets; estimate
+#             gamma^b * (1+gamma)/2, relative error <= (gamma-1)/2
+# gamma = 1.02 → <= 1% relative error and <= ~460 buckets per sketch
+# for a 1e2..1e6 value range (state bounded by ACCURACY, not data —
+# the qdigest promise).  Positive values only, like DDSketch.
+# ---------------------------------------------------------------------------
+
+PCTL_GAMMA = 1.02
+
+
+def pctl_sketch_merge_expr(maps_col: str) -> str:
+    """Merge expression over a collected array of sketches."""
+    return (
+        f"aggregate(collect_list({maps_col}), "
+        "cast(map() as map<bigint,bigint>), "
+        "(__pm_a, __pm_m) -> map_zip_with(__pm_a, __pm_m, "
+        "(__pm_k, __pm_x, __pm_y) -> "
+        "coalesce(__pm_x, 0L) + coalesce(__pm_y, 0L)))"
+    )
+
+
+def pctl_quantile_expr(sk_col: str, q: float) -> str:
+    """Quantile readout from a sketch: fold the rank down the sorted
+    buckets (state = (remaining rank, found bucket)), then the bucket
+    midpoint in value space."""
+    g = PCTL_GAMMA
+    return (
+        f"power(cast({g} as double), (aggregate("
+        f"array_sort(map_entries({sk_col})), "
+        f"named_struct('rem', greatest(cast(ceil({q} * "
+        f"aggregate(map_values({sk_col}), 0L, (__pq_s, __pq_x) -> "
+        "__pq_s + __pq_x)) as bigint), 1L), "
+        "'fb', cast(null as bigint)), "
+        "(__pq_s, __pq_e) -> case "
+        "when __pq_s.fb is not null then __pq_s "
+        "when __pq_e.value >= __pq_s.rem then "
+        "named_struct('rem', 0L, 'fb', __pq_e.key) "
+        "else named_struct('rem', __pq_s.rem - __pq_e.value, "
+        "'fb', cast(null as bigint)) end, "
+        f"__pq_s -> __pq_s.fb))) * (1.0 + cast({g} as double)) / 2.0"
+    )
+
+
+@query(
+    "approx_pctl_sketch_merge",
+    oracle="""
+        with seg as (
+            select l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 6)
+                       as seg_p50_exact
+            from lineitem group by l_returnflag
+        ),
+        g as (
+            select round(quantile_cont(l_extendedprice, 0.5), 6)  as p50_exact,
+                   round(quantile_cont(l_extendedprice, 0.9), 6)  as p90_exact,
+                   round(quantile_cont(l_extendedprice, 0.99), 6) as p99_exact
+            from lineitem
+        )
+        select seg.l_returnflag,
+               seg.seg_p50_exact,
+               g.p50_exact, g.p90_exact, g.p99_exact,
+               true as seg_p50_within,
+               true as p50_within, true as p90_within, true as p99_within
+        from seg cross join g
+        order by seg.l_returnflag
+    """,
+)
+def approx_pctl_sketch_merge(spark, sf_dir):
+    """#41/#43 depth — the MERGEABLE percentile sketch (Presto's
+    qdigest workflow: ``qdigest_agg`` per segment, ``merge()`` for the
+    rollup, ``value_at_quantile`` off the merged digest), as the
+    log-bucket histogram defined above.  Per-returnflag sketches are
+    built once; the global quantiles are read off the MERGED sketch —
+    never a rescan.  Tolerance-boolean grading (the #40 HLL pattern):
+    Spark checks its estimates against its own exact percentiles
+    (±2.5%, vs the sketch's 1% error bound — headroom for the
+    rank-vs-interpolation convention gap); the oracle states the
+    accuracy contract plus the exact percentiles both engines must
+    agree on (quantile_cont ≡ Spark percentile, linear interpolation,
+    the exact_percentile_median precedent).
+
+    Scale: the 100-TB serving pattern — the (flag, bucket) count
+    aggregate is map-side combinable; each sketch is <= ~460 entries
+    REGARDLESS of row count (state bounded by accuracy); merge cost is
+    sketch-sized.  Cross-segment or cross-day rollups recombine stored
+    KB-sized maps instead of rescanning the fact table.
+    tests/test_pctl_sketch.py property-tests merge associativity and
+    the error bound on hypothesis-generated splits."""
+    import math as _math
+
+    li = table(spark, sf_dir, "lineitem")
+    bucket = F.floor(
+        F.log(F.col("l_extendedprice")) / _math.log(PCTL_GAMMA)
+    ).cast("long")
+    hist = li.groupBy("l_returnflag", bucket.alias("b")).agg(
+        F.count("*").alias("c")
+    )
+    seg_sk = hist.groupBy("l_returnflag").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("b", "c")))
+        ).alias("sk")
+    )
+    seg_exact = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias(
+            "seg_p50_exact"
+        )
+    )
+    seg = (
+        seg_sk.join(seg_exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "seg_p50_exact",
+            F.expr(pctl_quantile_expr("sk", 0.5)).alias("seg_p50_est"),
+            "sk",
+        )
+    )
+    merged = seg.agg(
+        F.expr(pctl_sketch_merge_expr("sk")).alias("msk")
+    ).select(
+        F.expr(pctl_quantile_expr("msk", 0.5)).alias("p50_est"),
+        F.expr(pctl_quantile_expr("msk", 0.9)).alias("p90_est"),
+        F.expr(pctl_quantile_expr("msk", 0.99)).alias("p99_est"),
+    )
+    g_exact = li.agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50_exact"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_exact"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99_exact"),
+    )
+
+    def within(est, exact):
+        return (F.abs(F.col(est) - F.col(exact)) <= 0.025 * F.col(exact))
+
+    return (
+        seg.drop("sk")
+        .crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(g_exact))
+        .select(
+            "l_returnflag",
+            "seg_p50_exact",
+            "p50_exact", "p90_exact", "p99_exact",
+            within("seg_p50_est", "seg_p50_exact").alias("seg_p50_within"),
+            within("p50_est", "p50_exact").alias("p50_within"),
+            within("p90_est", "p90_exact").alias("p90_within"),
+            within("p99_est", "p99_exact").alias("p99_within"),
+        )
+    )
+
+
 @query(
     "exact_percentile_median",
     oracle="""
