@@ -1041,10 +1041,16 @@ def approx_pctl_sketch_merge(spark, sf_dir):
             F.array_sort(F.collect_list(F.struct("b", "c")))
         ).alias("sk")
     )
-    seg_exact = li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias(
-            "seg_p50_exact"
-        )
+    # exact references via the DISTRIBUTED order-statistics plan
+    # (distributed_percentiles — the exact_percentile_median core):
+    # Spark's builtin `percentile` merges every partial value map into
+    # ONE buffer per group, which went superlinear on the scale
+    # corpora; the x10 gate for THIS query measured the difference
+    # directly (46.7s with the builtin references → 6.5s distributed)
+    seg_exact = distributed_percentiles(
+        li, "l_returnflag", "l_extendedprice", [("seg_p50_raw", 0.5)]
+    ).select(
+        "l_returnflag", F.round("seg_p50_raw", 6).alias("seg_p50_exact")
     )
     seg = (
         seg_sk.join(seg_exact, "l_returnflag")
@@ -1062,10 +1068,15 @@ def approx_pctl_sketch_merge(spark, sf_dir):
         F.expr(pctl_quantile_expr("msk", 0.9)).alias("p90_est"),
         F.expr(pctl_quantile_expr("msk", 0.99)).alias("p99_est"),
     )
-    g_exact = li.agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50_exact"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_exact"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99_exact"),
+    g_exact = distributed_percentiles(
+        li.withColumn("__g", F.lit(1)),
+        "__g",
+        "l_extendedprice",
+        [("p50_raw", 0.5), ("p90_raw", 0.9), ("p99_raw", 0.99)],
+    ).select(
+        F.round("p50_raw", 6).alias("p50_exact"),
+        F.round("p90_raw", 6).alias("p90_exact"),
+        F.round("p99_raw", 6).alias("p99_exact"),
     )
 
     def within(est, exact):
