@@ -263,6 +263,7 @@ double mantissa — beyond it the quotient quantizes before the cast).
 from __future__ import annotations
 
 import re
+import weakref as _weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -571,7 +572,13 @@ def _try_fn(args: list[str]) -> str | None:
             return "try_" + a
         return None
     ops = _top_level_arith_ops(a)
-    if len(ops) == 1 and "(" not in a:
+    # Guard (round-11 review): the single-op branch must not fire when
+    # an OPERAND carries the int-division pass's `div` — try(a div b +
+    # 1) as try_add(a div b, 1) would leave the division OUTSIDE the
+    # TRY protection (ANSI DIVIDE_BY_ZERO at runtime where Presto's
+    # TRY returns NULL).  Pass through loudly instead.
+    has_div = bool(re.search(r"\bdiv\b", a, re.IGNORECASE))
+    if len(ops) == 1 and "(" not in a and not has_div:
         i, op = ops[0]
         left, right = a[:i].strip(), a[i + 1 :].strip()
         # A string-literal operand (masked sentinel) is a TYPE error:
@@ -2021,6 +2028,36 @@ def _expr_class(expr: str, colcls) -> str | None:
     return None
 
 
+def _refuse_windowed_calls(masked: str, names: tuple[str, ...]) -> None:
+    """Raise the documented refusal when any of ``names`` is called
+    with an OVER clause: these calls are rewritten into compound
+    expressions, and `(<compound>) over (...)` is invalid Spark —
+    refusing here names the problem instead of a parse error."""
+    for name in names:
+        pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+        pos = 0
+        while True:
+            m = pat.search(masked, pos)
+            if not m:
+                break
+            cp = _match_paren(masked, m.end() - 1)
+            k = cp + 1
+            while k < len(masked) and masked[k].isspace():
+                k += 1
+            if masked[k : k + 4].lower() == "over" and not (
+                k + 4 < len(masked)
+                and (masked[k + 4].isalnum() or masked[k + 4] in "_$")
+            ):
+                raise ValueError(
+                    f"dialect: {name}() OVER (...) is refused — the "
+                    "Presto-to-Spark rewrite of this function is a "
+                    "compound expression that cannot carry a window "
+                    "clause; apply the sample correction to the "
+                    "windowed population aggregates manually"
+                )
+            pos = m.end()
+
+
 def _case_start_back(masked: str, end_start: int) -> int | None:
     """Start of the `case` matching the `end` whose token starts at
     end_start (word-balance scan; `case`/`end` are reserved, so bare
@@ -2224,9 +2261,36 @@ def _primary_end(masked: str, j: int) -> int | None:
     return e
 
 
+_AS_ALIAS_RE = re.compile(r"\bas\s+([A-Za-z_][A-Za-z_0-9$]*)", re.IGNORECASE)
+_LAMBDA_PARAMS_RE = re.compile(
+    r"(?:\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)|([A-Za-z_]\w*))"
+    r"\s*->"
+)
+
+
+def _shadowed_names(masked: str) -> set[str]:
+    """Names REDEFINED inside the query text: `... AS name` aliases
+    (select items, CTE/derived-table columns) and lambda parameters.
+    A redefined name may carry a different class than the same-named
+    catalog column (``cast(l_quantity as double) as l_quantity`` in a
+    derived table), so the resolver must treat it as unresolvable —
+    refusing loudly instead of typing it from the catalog (round-11
+    review).  Over-collection is safe (cast target types, table
+    aliases — they only REMOVE resolution); bare aliases without AS
+    are the documented residual gap."""
+    names = {m.group(1).lower() for m in _AS_ALIAS_RE.finditer(masked)}
+    for m in _LAMBDA_PARAMS_RE.finditer(masked):
+        group = m.group(1) or m.group(2)
+        names.update(p.strip().lower() for p in group.split(","))
+    return names
+
+
 def _rewrite_int_division(masked: str, colcls: dict[str, str], strict: bool) -> str:
     """Rewrite every int/int `/` to Spark `div`; leave fractional
     divisions; refuse (strict) or leave (lenient) unresolvable ones."""
+    shadowed = _shadowed_names(masked) & set(colcls)
+    if shadowed:
+        colcls = {**colcls, **{n: "ambig" for n in shadowed}}
     i = 0
     while True:
         i = masked.find("/", i)
@@ -2271,11 +2335,16 @@ def _rewrite_int_division(masked: str, colcls: dict[str, str], strict: bool) -> 
             i += 1
 
 
-#: catalog-derived column classes, cached per live session by the
-#: sorted view-name tuple (add/remove invalidates; REPLACING a view
-#: with a different schema under the same name does not — call
-#: clear_schema_cache() after such a replacement).
-_COLCLS_CACHE: dict[int, tuple[tuple, dict[str, str]]] = {}
+#: catalog-derived column classes, cached per live session (weakly —
+#: a GC'd session can never serve a new one via id reuse) by the
+#: sorted view-name tuple.  Add/remove invalidates; REPLACING a view
+#: with a different schema under the same name does NOT (the catalog
+#: has no version counter to observe) — the engine's own registration
+#: path (sparketl.tables.load_tables) clears the cache on every call,
+#: and external replacers must call clear_schema_cache() (documented
+#: at sql()).  A per-call rebuild would be sound but costs ~60 ms of
+#: catalog RPCs per sql() call — ~3 s across the benched suite.
+_COLCLS_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
 def clear_schema_cache() -> None:
@@ -2285,18 +2354,17 @@ def clear_schema_cache() -> None:
 def _catalog_column_classes(spark: SparkSession) -> dict[str, str]:
     """column name (lowercased, unqualified) → division class over every
     table/view the session catalog lists; a name carrying conflicting
-    classes across tables maps to 'ambig' (treated as unresolvable)."""
+    classes across tables maps to 'ambig' (treated as unresolvable).
+    A catalog entry that fails to read raises — a broken view must not
+    silently drop the table whose schema would have forced 'ambig'
+    (round-11 review)."""
     names = tuple(sorted(t.name for t in spark.catalog.listTables()))
-    hit = _COLCLS_CACHE.get(id(spark))
+    hit = _COLCLS_CACHE.get(spark)
     if hit is not None and hit[0] == names:
         return hit[1]
     out: dict[str, str] = {}
     for name in names:
-        try:
-            fields = spark.table(name).schema.fields
-        except Exception:
-            continue  # unreadable entry (dropped concurrently, etc.)
-        for f in fields:
+        for f in spark.table(name).schema.fields:
             cls = _classify_type_name(f.dataType.simpleString())
             key = f.name.lower()
             prev = out.get(key)
@@ -2304,7 +2372,7 @@ def _catalog_column_classes(spark: SparkSession) -> dict[str, str]:
                 out[key] = cls
             elif prev != cls:
                 out[key] = "ambig"
-    _COLCLS_CACHE[id(spark)] = (names, out)
+    _COLCLS_CACHE[spark] = (names, out)
     return out
 
 
@@ -2404,6 +2472,11 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
     # executor — this text form carries no size guard, so unbounded
     # groups OOM rather than refuse; the operators.aggregates.reduce_agg
     # helper adds the loud raise_error guard.
+    # Windowed usage refuses loudly BEFORE any of these rewrites: the
+    # rewritten compound `(<expr>) over (...)` is a Spark parse error,
+    # and duplicating the window spec onto every sub-aggregate is a
+    # rewrite this translator does not attempt (round-11 review).
+    _refuse_windowed_calls(masked, ("skewness", "kurtosis", "reduce_agg"))
     masked = _rewrite_calls(
         masked, "reduce_agg",
         lambda a: (
@@ -2421,19 +2494,25 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
     # a placeholder name mapped back to Spark's aggregate AFTER the
     # scan (the rewriter re-scans its own replacement text, so emitting
     # `skewness(` directly would recurse).
+    # Small-group guards (round-11 review): Presto/Trino and DuckDB
+    # return NULL below n=3 (skewness) / n=4 (kurtosis) — probed live —
+    # while the bare corrected expression would divide by zero (double
+    # division: Infinity under ANSI, silent).
     masked = _rewrite_calls(
         masked, "skewness",
         lambda a: (
-            f"(__sparketl_skew({a[0]}) * sqrt(count({a[0]}) * "
-            f"(count({a[0]}) - 1)) / (count({a[0]}) - 2))"
+            f"(case when count({a[0]}) >= 3 then "
+            f"__sparketl_skew({a[0]}) * sqrt(count({a[0]}) * "
+            f"(count({a[0]}) - 1)) / (count({a[0]}) - 2) end)"
         ) if len(a) == 1 else None,
     )
     masked = _rewrite_calls(
         masked, "kurtosis",
         lambda a: (
-            f"(((count({a[0]}) + 1) * __sparketl_kurt({a[0]}) + 6) * "
+            f"(case when count({a[0]}) >= 4 then "
+            f"((count({a[0]}) + 1) * __sparketl_kurt({a[0]}) + 6) * "
             f"(count({a[0]}) - 1) / ((count({a[0]}) - 2) * "
-            f"(count({a[0]}) - 3)))"
+            f"(count({a[0]}) - 3)) end)"
         ) if len(a) == 1 else None,
     )
     masked = re.sub(r"\b__sparketl_skew\s*\(", "skewness(", masked)
@@ -2704,6 +2783,13 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
 
 def sql(spark: SparkSession, presto_sql: str) -> DataFrame:
     """Run Presto-dialect SQL against the current Spark catalog.
+
+    Schema note: the integer-division resolver reads the catalog
+    schemas once per (session, view-name set) — the engine's own
+    loader invalidates the cache, but code that REPLACES a temp view
+    with a different schema under the same name outside
+    sparketl.tables must call ``clear_schema_cache()`` (the catalog
+    exposes no version counter to observe).
 
     Requires the default ``spark.sql.parser.escapedStringLiterals=false``:
     ``_unmask``'s backslash doubling compensates for Spark's escaping

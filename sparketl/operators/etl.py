@@ -149,12 +149,34 @@ def merge_apply(spark, path: str, feed, key_col: str, part_col: str) -> None:
             isinstance(v, str) and v != "" and set(v) <= _SAFE_CHARS
         )
 
-    if emptied and not all(_dir_safe(v) for v in emptied):
+    # Root-level data files (the schema-bearing empty table the guard
+    # above writes) force the STATIC path: a dynamic overwrite would
+    # add partition directories NEXT TO the root file, a mixed layout
+    # spark.read.parquet rejects ("conflicting directory structures" —
+    # round-11 review).  The static overwrite clears the whole root
+    # first.  One driver-side FS listing per apply.
+    jvm = spark._jvm  # noqa: SLF001 - Hadoop FS, same JVM the write used
+    hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    root_has_data = any(
+        not st.isDirectory()
+        and not st.getPath().getName().startswith(("_", "."))
+        for st in root.getFileSystem(hconf).listStatus(root)
+    )
+    if root_has_data or (emptied and not all(_dir_safe(v) for v in emptied)):
         full = (
             target.join(F.broadcast(keys), key_col, "left_anti")
             .unionByName(upserts.select(*target.columns))
             .localCheckpoint(eager=True)
         )
+        if not full.head(1):
+            # all rows gone AND the static partitionBy write of an
+            # empty frame would emit no data file — same readable-
+            # empty-table contract as the guard above
+            spark.createDataFrame([], target.schema).write.mode(
+                "overwrite"
+            ).parquet(path)
+            return
         full.write.mode("overwrite").partitionBy(part_col).parquet(path)
         return
     with _partition_overwrite_dynamic(spark):

@@ -79,6 +79,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         return cached
 
     configure_session(spark)
+    # registering/re-pointing views changes what the dialect's
+    # integer-division resolver should see — drop its schema cache
+    # (cheap; it rebuilds lazily on the next dialect.sql call)
+    from sparketl import dialect
+
+    dialect.clear_schema_cache()
     dfs: dict[str, DataFrame] = {}
     for name in TABLE_NAMES:
         df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")

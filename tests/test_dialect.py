@@ -1447,3 +1447,62 @@ def test_reduce_agg_guard_fires_on_unbounded_group(spark):
         reduce_agg("x", F.lit(0.0), lambda s, x: s + x).alias("fold")
     )
     assert ok.collect()[0].fold == 45.0
+
+
+def test_round11_review_guards():
+    # shadowed alias: a derived column re-typed under a catalog name
+    # must NOT resolve from the catalog (would silently div a double)
+    with pytest.raises(ValueError, match="cannot resolve"):
+        translate(
+            "select l_q / 2 from (select cast(l_q as double) as l_q from t)",
+            schema={"l_q": "bigint"},
+        )
+    # lambda parameters shadow too — element types are unknowable
+    with pytest.raises(ValueError, match="cannot resolve"):
+        translate(
+            "select transform(arr, x -> x / 2) from t",
+            schema={"x": "bigint"},
+        )
+    # TRY must not narrow: an operand carrying div passes through loudly
+    out = translate("select try(a / b + 1) from t", schema={"a": "bigint", "b": "int"})
+    assert "try(a div b + 1)" in " ".join(out.split())
+    # windowed skewness/kurtosis/reduce_agg refuse with the documented
+    # message, not a parse error
+    for fn in ("skewness(x)", "kurtosis(x)",
+               "reduce_agg(x, 0, (s, v) -> s + v, (a, b) -> a + b)"):
+        with pytest.raises(ValueError, match="OVER .* is refused"):
+            translate(f"select {fn} over (partition by g) from t")
+    # small-n guards present in the rewrites
+    out = translate("select skewness(x), kurtosis(x) from t")
+    assert "count(x) >= 3" in out and "count(x) >= 4" in out
+
+
+def test_exec_small_group_moments_are_null(spark):
+    import duckdb
+
+    spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0), ("b", 5.0)],
+        "g string, x double",
+    ).createOrReplaceTempView("smallmom_probe")
+    from sparketl import dialect as _d
+
+    _d.clear_schema_cache()
+    got = {
+        r.g: (r.s, r.k)
+        for r in presto_sql(
+            spark,
+            "select g, round(skewness(x), 6) as s, round(kurtosis(x), 6) as k "
+            "from smallmom_probe group by g",
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        g: (s, k)
+        for g, s, k in con.sql(
+            "select g, round(skewness(x), 6), round(kurtosis(x), 6) from "
+            "(values ('a', 1.0), ('a', 2.0), ('b', 1.0), ('b', 2.0), "
+            "('b', 5.0)) t(g, x) group by g"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want  # n=2 group: (NULL, NULL); n=3: (value, NULL)

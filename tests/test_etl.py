@@ -390,3 +390,41 @@ def test_merge_apply_delete_empties_whole_table(spark, tmp_path):
     # fixed point: re-applying the purge against the empty table works
     merge_apply(spark, path, feed, "o_orderkey", "o_orderpriority")
     assert spark.read.parquet(path).count() == 0
+
+
+def test_merge_apply_insert_after_whole_table_purge(spark, tmp_path):
+    """round-11 review: after the whole-table purge writes the
+    schema-bearing root file, a later INSERT merge must not leave a
+    mixed root-file + partition-directory layout — merge_apply detects
+    root-level data files and takes the static overwrite."""
+    from sparketl.operators.etl import merge_apply
+
+    schema = (
+        "o_orderkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderpriority string"
+    )
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "F", 10.0, "1-URGENT")], schema
+    ).write.partitionBy("o_orderpriority").parquet(path)
+    purge = spark.createDataFrame(
+        [(1, "F", 0.0, "1-URGENT", "D")], schema + ", __op string"
+    )
+    merge_apply(spark, path, purge, "o_orderkey", "o_orderpriority")
+    assert spark.read.parquet(path).count() == 0
+    ins = spark.createDataFrame(
+        [(7, "O", 70.0, "2-HIGH", "I"), (8, "O", 80.0, "3-MEDIUM", "I")],
+        schema + ", __op string",
+    )
+    merge_apply(spark, path, ins, "o_orderkey", "o_orderpriority")
+    back = spark.read.parquet(path)  # mixed layout would raise here
+    assert {(r.o_orderkey, r.o_orderpriority) for r in back.collect()} == {
+        (7, "2-HIGH"), (8, "3-MEDIUM")
+    }
+    # and a purge of the re-populated table still round-trips
+    purge2 = spark.createDataFrame(
+        [(7, "O", 0.0, "2-HIGH", "D"), (8, "O", 0.0, "3-MEDIUM", "D")],
+        schema + ", __op string",
+    )
+    merge_apply(spark, path, purge2, "o_orderkey", "o_orderpriority")
+    assert spark.read.parquet(path).count() == 0
