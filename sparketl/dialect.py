@@ -1348,7 +1348,9 @@ def _rewrite_match_recognize(masked: str) -> str:
         return masked
 
     interior = "__mr_e.__mr_rn - __mr_s.__mr_rn - 1"
-    nav_used: set[str] = set()
+    #: physical-neighbor navigation columns: ("ld"|"lg", col) →
+    #: lead/lag window columns added to __mr_nn (no join, same sort)
+    nav_used: set[tuple[str, str]] = set()
     #: classifier-aware middle navigation (r9 verdict #6): one
     #: (fn, var, col) → aggregate-column index per distinct position
     mid_navs: dict[tuple[str, str, str], int] = {}
@@ -1372,14 +1374,19 @@ def _rewrite_match_recognize(masked: str) -> str:
             parsed.append((alias, "classifier", None))
             nav_in_measure.append(False)
             continue
-        # navigation (round 9): FIRST/LAST/PREV/NEXT over a single
-        # var.col — middles are contiguous between start and end, so
-        # FIRST(B.x)/LAST(B.x) are the rows at rank srn+1 / ern-1
-        # (NULL when the match has no interior rows), and PREV/NEXT of
-        # the start/end var navigate PHYSICAL neighbors (srn-1 /
-        # ern+1; NULL off the partition edge), exactly Trino's FINAL
-        # semantics for single-occurrence variables.  Each distinct
-        # position becomes one (partition, rank) equi left-join.
+        # navigation (round 9; re-planned round 11): FIRST/LAST/PREV/
+        # NEXT over a single var.col — middles are contiguous between
+        # start and end, so FIRST(B.x)/LAST(B.x) are the rows at rank
+        # srn+1 / ern-1 (NULL when the match has no interior rows),
+        # and PREV/NEXT of the start/end var navigate PHYSICAL
+        # neighbors (srn-1 / ern+1; NULL off the partition edge),
+        # exactly Trino's FINAL semantics for single-occurrence
+        # variables.  Every physical-neighbor position IS lag/lead
+        # over the (partition, rn) ordering __mr_nn already carries —
+        # one window column each, reusing the existing sort, instead
+        # of the former one-equi-left-join-per-position plan (round-11
+        # perf audit: 4 joins put row_pattern_funnel_nav at 1.06s
+        # sequential; the lag/lead plan removes all of them).
         nav_bad = False
 
         def _nav(mm: re.Match) -> str:
@@ -1389,28 +1396,30 @@ def _rewrite_match_recognize(masked: str) -> str:
                 if fn in ("first", "last"):
                     return f"__mr_s.{col}"
                 if fn == "prev":
-                    nav_used.add("np")
-                    return f"__mr_np.{col}"
-                nav_used.add("nf")  # next(A.x): the row after the start
-                return f"__mr_nf.{col}"
+                    nav_used.add(("lg", col))
+                    return f"__mr_s.__mr_lg_{col}"
+                nav_used.add(("ld", col))  # next(A.x): row after start
+                return f"__mr_s.__mr_ld_{col}"
             if var == vc:
                 if fn in ("first", "last"):
                     return f"__mr_e.{col}"
                 if fn == "next":
-                    nav_used.add("nx")
-                    return f"__mr_nx.{col}"
-                nav_used.add("nl")  # prev(C.x): the row before the end
-                return f"__mr_nl.{col}"
+                    nav_used.add(("ld", col))
+                    return f"__mr_e.__mr_ld_{col}"
+                nav_used.add(("lg", col))  # prev(C.x): row before end
+                return f"__mr_e.__mr_lg_{col}"
             if var in middles and fn in ("first", "last"):
                 if len(middles) == 1:
                     # single middle var: middles are contiguous, so
-                    # FIRST/LAST are the fixed offsets srn+1 / ern-1
-                    key = "nf" if fn == "first" else "nl"
-                    nav_used.add(key)
-                    return (
-                        f"(case when {interior} >= 1"
-                        f" then __mr_{key}.{col} end)"
-                    )
+                    # FIRST is the start row's lead, LAST the end
+                    # row's lag, gated on a non-empty interior
+                    if fn == "first":
+                        nav_used.add(("ld", col))
+                        ref = f"__mr_s.__mr_ld_{col}"
+                    else:
+                        nav_used.add(("lg", col))
+                        ref = f"__mr_e.__mr_lg_{col}"
+                    return f"(case when {interior} >= 1 then {ref} end)"
                 # alternation (B|C)*: the row at srn+1 may be mapped
                 # to the OTHER middle var, so FIRST(B.x) is not a
                 # fixed offset — navigate the CLASSIFIER-tagged span
@@ -1531,6 +1540,13 @@ def _rewrite_match_recognize(masked: str) -> str:
         bound += f" and {interior} >= {lo}"
     if hi is not None and middles:
         bound += f" and {interior} <= {hi}"
+    # lead/lag navigation columns share the (partition, rn) sort the
+    # nnrn window establishes — extra expressions, no extra Exchange
+    nav_cols = "".join(
+        f", {'lead' if d == 'ld' else 'lag'}({col})"
+        f" over (partition by {part} order by __mr_rn) as __mr_{d}_{col}"
+        for d, col in sorted(nav_used)
+    )
     ctes = (
         "with __mr_syms as ("
         f" select *, {sym_case} as __mr_sym,"
@@ -1540,6 +1556,7 @@ def _rewrite_match_recognize(masked: str) -> str:
         f" select *, min(case when {not_middle} then __mr_rn end)"
         f" over (partition by {part} order by __mr_rn"
         " rows between 1 following and unbounded following) as __mr_nnrn"
+        f"{nav_cols}"
         " from __mr_syms)"
     )
     if mid_navs:
@@ -1577,32 +1594,17 @@ def _rewrite_match_recognize(masked: str) -> str:
         f" where __mr_s.__mr_sym = '{va}' and __mr_e.__mr_sym = '{vc}'" + bound
     )
     if not all_rows:
-        # navigation joins: one (partition, rank) equi left-join per
-        # distinct navigated position, anchored to the start (nf/np)
-        # or end (nl/nx) row
-        def _peq(a: str, b: str) -> str:
-            return " and ".join(f"{a}.{c} <=> {b}.{c}" for c in pcols)
-
-        nav_sql = {
-            "nf": (" left join __mr_nn __mr_nf on "
-                   f"{_peq('__mr_nf', '__mr_s')}"
-                   " and __mr_nf.__mr_rn = __mr_s.__mr_rn + 1"),
-            "nl": (" left join __mr_nn __mr_nl on "
-                   f"{_peq('__mr_nl', '__mr_e')}"
-                   " and __mr_nl.__mr_rn = __mr_e.__mr_rn - 1"),
-            "np": (" left join __mr_nn __mr_np on "
-                   f"{_peq('__mr_np', '__mr_s')}"
-                   " and __mr_np.__mr_rn = __mr_s.__mr_rn - 1"),
-            "nx": (" left join __mr_nn __mr_nx on "
-                   f"{_peq('__mr_nx', '__mr_e')}"
-                   " and __mr_nx.__mr_rn = __mr_e.__mr_rn + 1"),
-        }
-        nav_joins = "".join(nav_sql[k] for k in ("nf", "nl", "np", "nx")
-                            if k in nav_used)
+        # physical-neighbor navigation is lead/lag columns inside
+        # __mr_nn (see nav_cols above) — only the classifier-aware
+        # alternation-middle aggregate still joins
+        nav_joins = ""
         if mid_navs:
-            nav_joins += (
+            peq = " and ".join(
+                f"__mr_mid.{c} <=> __mr_s.{c}" for c in pcols
+            )
+            nav_joins = (
                 " left join __mr_mid on "
-                f"{_peq('__mr_mid', '__mr_s')}"
+                f"{peq}"
                 " and __mr_mid.__mr_prn = __mr_s.__mr_rn"
             )
         repl = (

@@ -943,7 +943,13 @@ def test_match_recognize_navigation_rewrites():
         " next(C.ts) as after_ts, classifier() as cls",
     ))
     assert "match_recognize" not in out.lower()
-    assert "__mr_nf" in out and "__mr_np" in out and "__mr_nx" in out
+    # round 11: physical-neighbor navigation is lead/lag WINDOW COLUMNS
+    # in __mr_nn (reusing its sort), not per-position self-joins
+    assert "lead(event_id) over (partition by user_id" in out
+    assert "__mr_s.__mr_ld_event_id" in out      # first(B.x) via lead
+    assert "__mr_s.__mr_lg_ts" in out            # prev(A.x) via lag
+    assert "__mr_e.__mr_ld_ts" in out            # next(C.x) via lead
+    assert " left join " not in out              # zero navigation joins
     # middle-run FIRST gates on a non-empty interior
     assert "__mr_e.__mr_rn - __mr_s.__mr_rn - 1 >= 1" in out
     # ONE ROW classifier is the end symbol constant
