@@ -85,6 +85,17 @@ TAGS: dict[str, tuple[str, float, str]] = {
         "portable-hash", 1.10, "engine-portable md5 row digest: JVM md5+UTF8 "
         "formatting vs DuckDB C md5 on a map-side-combinable fold; "
         "repartition fix already took 2.4s->1.1s (r7)"),
+    "row_pattern_funnel_nav": (
+        "shape-floor", 1.05, "row-pattern shape floor: symbol classify + two "
+        "rank windows + start/end self-join runs 0.7s at sf0.1 on the "
+        "plain funnel face; navigation adds lead/lag window columns only "
+        "(round-11 replan REMOVED the four rank-offset joins — isolated "
+        "warm 1.3s, suite 1.0s, both floor-dominated vs DuckDB's 0.13s "
+        "in-process windows); x10 hash-green 49k matches"),
+    "row_pattern_funnel_altnav": (
+        "shape-floor", 1.15, "same row-pattern floor + the classifier-aware "
+        "alternation-middle aggregate (one extra group-by over interior "
+        "rows); isolated warm 1.1s; x10 hash-green 65k matches"),
     "etl_scd2_dimension": (
         "result-volume", 1.11, "full dimension-history dump: 80k-row "
         "collect dominates the wall (warm recompute is 0.5s; plan is the "
