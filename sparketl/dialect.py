@@ -1181,7 +1181,7 @@ _MR_NAV = re.compile(
 )
 
 
-def _rewrite_match_recognize(masked: str) -> str:
+def _rewrite_match_recognize(masked: str, lits: list[str]) -> str:
     """SQL:2016 / Trino row-pattern matching, RESTRICTED shape:
 
         FROM t MATCH_RECOGNIZE (
@@ -1244,8 +1244,9 @@ def _rewrite_match_recognize(masked: str) -> str:
     need a sequential matcher).  Everything else non-conforming —
     subquery base, repeated variables (A B* A would silently empty,
     so it refuses), duplicate DEFINEs, expression PARTITION BY keys,
-    other patterns (A+, anchors, nested groups), other AFTER MATCH
-    modes, navigation/CLASSIFIER in measures or defines, references
+    other patterns (A+, anchors, nested groups, PERMUTE), AFTER MATCH
+    SKIP TO the start variable (Trino's infinite-skip error),
+    navigation/CLASSIFIER in measures or defines, references
     to middle variables in measures — is left untouched so Spark
     fails loudly on the MATCH_RECOGNIZE keyword rather than silently
     mis-matching."""
@@ -1294,24 +1295,50 @@ def _rewrite_match_recognize(masked: str) -> str:
         if ar.group(1).strip():
             return masked
         all_rows = True
-    # SKIP PAST LAST ROW and SKIP TO NEXT ROW both translate (round 11,
-    # VERDICT r10 #2): the windowed formulation evaluates a candidate
-    # match at EVERY start-symbol row independently — which is exactly
-    # SKIP TO NEXT ROW's resume-at-start+1 semantics — and with
-    # mutually-exclusive defines no row inside a match can carry the
-    # start symbol, so PAST LAST ROW skips nothing extra and the two
-    # modes provably coincide on the accepted shape (the per-start
-    # brute-force differential in tests/test_property_match_recognize.py
-    # checks the claim).  SKIP TO FIRST/LAST var and PERMUTE stay
-    # refused (loud) — resuming INSIDE the previous match can re-match
-    # rows our formulation would not.
+    # EVERY standard AFTER MATCH skip mode except PERMUTE-adjacent
+    # shapes translates (rounds 11): the windowed formulation evaluates
+    # a candidate match at EVERY start-symbol row independently — which
+    # is exactly SKIP TO NEXT ROW — and with mutually-exclusive defines
+    # no row inside a match can carry the start symbol, so the
+    # resumption point never changes WHICH anchors can succeed:
+    #   PAST LAST ROW    resumes at e+1; anchors in (s, e] are middle/
+    #                    end rows, never starts — same match set
+    #   TO FIRST m       resumes at the first middle row (s+1 ≤ … < e);
+    #                    every skipped anchor is the start row itself —
+    #                    same match set.  Trino ERRORS when the match
+    #                    contains no such row, reproduced by a
+    #                    raise_error guard on empty-interior matches
+    #                    (only reachable when the quantifier lower
+    #                    bound is 0)
+    #   TO [LAST] m      resumes at the last middle row < e; anchors in
+    #                    (s, last-m) are middles — same match set, same
+    #                    guard
+    #   TO [FIRST|LAST] C  resumes at the end row; C is always present
+    #                      in a match, no guard needed — same set
+    #   TO [FIRST|LAST] A  Trino raises (resuming at the match's own
+    #                      first row would loop) — left untouched, loud
+    # The per-start brute-force differentials in
+    # tests/test_property_match_recognize.py check the claims,
+    # including the skip-to algorithm's anchor walk.
     am = re.search(r"\bafter\s+match\s+(.*?)\bpattern\b", block, re.IGNORECASE | re.DOTALL)
-    if am and not re.fullmatch(
-        r"skip\s+(?:past\s+last\s+row|to\s+next\s+row)\s*",
-        am.group(1),
-        re.IGNORECASE,
-    ):
-        return masked
+    skip_var: str | None = None
+    if am:
+        am_txt = am.group(1)
+        m_tovar = re.fullmatch(
+            r"skip\s+to\s+(?:(?:first|last)\s+)?(\w+)\s*",
+            am_txt,
+            re.IGNORECASE,
+        )
+        if re.fullmatch(
+            r"skip\s+(?:past\s+last\s+row|to\s+next\s+row)\s*",
+            am_txt,
+            re.IGNORECASE,
+        ):
+            pass
+        elif m_tovar and m_tovar.group(1).lower() not in ("next",):
+            skip_var = m_tovar.group(1)
+        else:
+            return masked
     pm = _MR_PATTERN.match(patt)
     if not pm:
         return masked
@@ -1332,6 +1359,29 @@ def _rewrite_match_recognize(masked: str) -> str:
     lo, hi = _mr_quant_bounds(quant) if quant else (0, 0)
     if hi is not None and hi < lo:  # degenerate {m,n} with n<m: refuse
         return masked
+    # SKIP TO var validation (see the skip-mode table above): middles
+    # and the end variable translate; the start variable (Trino's
+    # infinite-skip error) and unknown names stay untouched → loud.
+    skip_guard = False
+    skip_alt = False
+    if skip_var is not None:
+        if skip_var in middles:
+            if len(middles) == 1:
+                # the variable is absent exactly when the interior is
+                # empty — only reachable with a 0 lower bound
+                skip_guard = lo == 0
+            else:
+                # alternation: a match can have a NONEMPTY interior
+                # mapped entirely to the OTHER variables — the guard
+                # must inspect the classifier-tagged span (__mr_mid),
+                # not the interior count
+                skip_guard = skip_alt = True
+        elif skip_var != vc:
+            return masked
+        if skip_guard and all_rows:
+            # the guard rides a ONE-ROW measure; shapes that can lack
+            # the variable stay untouched under ALL ROWS → loud
+            return masked
 
     preds: dict[str, str] = {}
     n_defs = 0
@@ -1501,6 +1551,31 @@ def _rewrite_match_recognize(masked: str) -> str:
             measures.append(f"'{vc}' as {alias}")
         else:
             measures.append(f"{fexpr} as {alias}")
+    if skip_guard and measures:
+        # Trino's SKIP TO var errors when a match contains no row
+        # mapped to the variable: an empty interior (single middle,
+        # 0 lower bound) or an interior mapped entirely to the OTHER
+        # alternation variables.  The guard rides the first output
+        # measure (every materialization evaluates it), raising the
+        # same failure Trino would.
+        if skip_alt:
+            idx = mid_navs.setdefault(
+                ("first", skip_var, "__mr_rn"), len(mid_navs)
+            )
+            absent = f"__mr_mid.__mr_g{idx} is null"
+        else:
+            absent = "__mr_e.__mr_rn - __mr_s.__mr_rn - 1 = 0"
+        msg = _inject_lit(
+            lits,
+            f"MATCH_RECOGNIZE: AFTER MATCH SKIP TO {skip_var} failed — "
+            "a match contains no row mapped to the variable; Trino "
+            "raises here too",
+        )
+        expr0, _, alias0 = measures[0].rpartition(" as ")
+        measures[0] = (
+            f"(case when {absent} then raise_error({msg}) "
+            f"else {expr0} end) as {alias0}"
+        )
 
     pcols = [c.strip() for c in _split_args(part)]
     # PARTITION BY entries must be bare column identifiers: the rewrite
@@ -2400,7 +2475,7 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
         }
         masked = _rewrite_int_division(masked, colcls, strict=True)
 
-    masked = _rewrite_match_recognize(masked)
+    masked = _rewrite_match_recognize(masked, lits)
     masked = _rewrite_unnest(masked)
     masked = _rewrite_array_literals(masked)
     masked = _rewrite_calls(masked, "map", _map_ctor)

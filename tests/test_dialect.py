@@ -821,12 +821,15 @@ def test_match_recognize_refuses_nonconforming():
         _MR_OK.replace("measures A.event_id as s_id",
                        "measures match_number() as s_id"),
         _MR_OK.replace("define A", "all rows per match define A"),
-        # SKIP TO NEXT ROW is accepted (round 11); resuming INSIDE the
-        # previous match is not — SKIP TO var and PERMUTE stay loud
+        # SKIP TO NEXT ROW / TO [FIRST|LAST] middle-or-end translate
+        # (round 11); skipping to the START variable is Trino's
+        # infinite-skip error, and PERMUTE stays loud
         _MR_OK.replace("pattern (A B* C)",
-                       "after match skip to first B pattern (A B* C)"),
+                       "after match skip to first A pattern (A B* C)"),
         _MR_OK.replace("pattern (A B* C)",
-                       "after match skip to last B pattern (A B* C)"),
+                       "after match skip to last A pattern (A B* C)"),
+        _MR_OK.replace("pattern (A B* C)",
+                       "after match skip to first Z pattern (A B* C)"),
         _MR_OK.replace("pattern (A B* C)", "pattern (permute(A, B, C))"),
         # expression PARTITION BY key: the rewrite would emit invalid
         # `__mr_s.date_trunc(...) as date_trunc(...)` — must refuse
@@ -1512,3 +1515,74 @@ def test_exec_small_group_moments_are_null(spark):
     }
     con.close()
     assert got == want  # n=2 group: (NULL, NULL); n=3: (value, NULL)
+
+
+def test_match_recognize_skip_to_var_translates():
+    """round 11: SKIP TO [FIRST|LAST] middle/end variable — same match
+    set as the other skip modes on the restricted shape (proof in the
+    rewrite docstring; anchor-walk differential in
+    test_property_match_recognize.py), plus Trino's no-such-row error
+    reproduced for 0-lower-bound quantifiers."""
+    base = translate(_MR_OK.replace(
+        "pattern (A B* C)",
+        "after match skip past last row pattern (A B* C)"))
+    for mode in ("skip to first B", "skip to last B", "skip to B",
+                 "skip to first C", "skip to C"):
+        out = translate(_MR_OK.replace(
+            "pattern (A B* C)", f"after match {mode} pattern (A B* C)"))
+        # the construct must be gone (the guard's error MESSAGE may
+        # still carry the words MATCH_RECOGNIZE / SKIP TO)
+        assert "match_recognize (" not in out.lower(), mode
+        if " B" in mode:
+            # B* admits empty interiors → the Trino error guard rides
+            # the first measure
+            assert "raise_error" in out and "SKIP TO B failed" in out, mode
+        else:
+            assert out == base, mode  # C always present: no guard
+    # B+ cannot produce a B-less match: no guard, identical output
+    plus_base = translate(_MR_OK.replace("pattern (A B* C)",
+                                         "pattern (A B+ C)"))
+    out = translate(_MR_OK.replace(
+        "pattern (A B* C)",
+        "after match skip to first B pattern (A B+ C)"))
+    assert out == plus_base and "raise_error" not in out
+
+
+def test_exec_skip_to_var_error_and_results(spark):
+    """Execution pin: with an empty-interior match present, SKIP TO
+    FIRST B raises (Trino parity); on a corpus where every match has a
+    B, results equal the skip-past-last-row run."""
+    rows = [(1, i, s) for i, s in enumerate("ABCAC")] + \
+           [(2, i, s) for i, s in enumerate("ABBC")]
+    spark.createDataFrame(rows, "u long, pos long, sym string") \
+        .createOrReplaceTempView("skipvar_probe")
+    from sparketl import dialect as _d
+
+    _d.clear_schema_cache()
+    text = """
+        select u, s_pos, e_pos from skipvar_probe match_recognize (
+            partition by u order by pos asc
+            measures A.pos as s_pos, C.pos as e_pos
+            one row per match
+            after match {skip}
+            pattern (A B* C)
+            define A as sym = 'A', B as sym = 'B', C as sym = 'C'
+        )
+    """
+    with pytest.raises(Exception, match="SKIP TO B failed"):
+        presto_sql(spark, text.format(skip="skip to first B")).collect()
+    # drop the empty-interior match source (user 1's A C adjacency)
+    spark.sql("select * from skipvar_probe where u = 2") \
+        .createOrReplaceTempView("skipvar_probe2")
+    t2 = text.replace("skipvar_probe", "skipvar_probe2")
+    got = sorted(
+        (r.u, r.s_pos, r.e_pos)
+        for r in presto_sql(spark, t2.format(skip="skip to last B")).collect()
+    )
+    want = sorted(
+        (r.u, r.s_pos, r.e_pos)
+        for r in presto_sql(
+            spark, t2.format(skip="skip past last row")
+        ).collect()
+    )
+    assert got == want == [(2, 0, 3)]

@@ -324,3 +324,111 @@ def test_skip_to_next_row_equals_per_start_model(
     # match set on mutually-exclusive symbol sequences
     for symbols in users:
         assert _model_skip_next(symbols, regex) == _model(symbols, regex)
+
+
+def _model_skip_to(symbols: list[str], regex: str, which: str, var: str):
+    """AFTER MATCH SKIP TO FIRST/LAST var reference semantics: greedy
+    anchored attempt per anchor; on a match, resume at the first/last
+    row mapped to var INSIDE the match (error when absent); on failure,
+    anchor+1.  Returns (matches, errored)."""
+    s = "".join(symbols)
+    rx = re.compile(regex)
+    out, i = [], 0
+    while i < len(s):
+        m = rx.match(s, i)
+        if not m:
+            i += 1
+            continue
+        out.append((m.start(), m.end() - 1, m.end() - m.start()))
+        hits = [j for j in range(m.start(), m.end()) if s[j] == var]
+        if not hits:
+            return out, True  # Trino: SKIP TO failed
+        i = hits[0] if which == "first" else hits[-1]
+        if i == m.start():
+            return out, True  # infinite-skip error (start variable)
+    return out, False
+
+
+@pytest.mark.parametrize(
+    "pattern,regex,defines,skip",
+    [
+        ("V B+ P", "VB+P", _THREE_VAR, "skip to first B"),
+        ("V B+ P", "VB+P", _THREE_VAR, "skip to last B"),
+        ("V B{2,4} P", "VB{2,4}P", _THREE_VAR, "skip to B"),
+        ("V B* P", "VB*P", _THREE_VAR, "skip to first P"),
+        ("V B* P", "VB*P", _THREE_VAR, "skip to last P"),
+    ],
+)
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(users=seqs)
+def test_skip_to_var_equals_anchor_walk_model(
+    spark, pattern, regex, defines, skip, users
+):
+    """round 11: SKIP TO [FIRST|LAST] var against the authoritative
+    anchor-walk matcher.  Shapes here cannot produce the no-such-row
+    error (B+ / bounded-from-1 quantifiers; or skipping to the
+    always-present end variable), so the model must never error and
+    the match sets must coincide with the rewrite's per-start output."""
+    var = skip.split()[-1]
+    which = "last" if "last" in skip or skip == f"skip to {var}" else "first"
+    rows = [
+        (u, pos, sym)
+        for u, symbols in enumerate(users)
+        for pos, sym in enumerate(symbols)
+    ]
+    if not rows:
+        rows = [(0, 0, "X")]
+    spark.createDataFrame(
+        rows, "user_id long, pos long, sym string"
+    ).createOrReplaceTempView("mr_prop_events")
+    sql = _mr_sql(pattern, defines).replace(
+        "after match skip past last row", f"after match {skip}"
+    )
+    got = sorted(
+        (r.user_id, r.s_pos, r.e_pos, r.n)
+        for r in dialect.sql(spark, sql).collect()
+    )
+    want = []
+    for u, symbols in enumerate(users):
+        ms, errored = _model_skip_to(symbols, regex, which, var)
+        assert not errored, (symbols, skip)
+        want.extend((u, s, e, n) for s, e, n in ms)
+    assert got == sorted(want)
+
+
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(users=seqs)
+def test_skip_to_alternation_var_errors_like_trino(spark, users):
+    """round 11: SKIP TO FIRST B under an ALTERNATION middle — a match
+    whose interior is all-C has no B row, and Trino errors; the
+    translated plan's classifier-aware guard (__mr_mid NULL check) must
+    raise exactly when the anchor-walk model errors, and match the
+    model's output otherwise."""
+    rows = [
+        (u, pos, sym)
+        for u, symbols in enumerate(users)
+        for pos, sym in enumerate(symbols)
+    ]
+    if not rows:
+        rows = [(0, 0, "X")]
+    spark.createDataFrame(
+        rows, "user_id long, pos long, sym string"
+    ).createOrReplaceTempView("mr_prop_events")
+    sql = _mr_sql("V (B|C)+ P", _FOUR_VAR).replace(
+        "after match skip past last row", "after match skip to first B"
+    )
+    model, errored = [], False
+    for u, symbols in enumerate(users):
+        ms, err = _model_skip_to(symbols, "V[BC]+P", "first", "B")
+        errored = errored or err
+        model.extend((u, s, e, n) for s, e, n in ms)
+    if errored:
+        with pytest.raises(Exception, match="SKIP TO B failed"):
+            dialect.sql(spark, sql).collect()
+        return
+    got = sorted(
+        (r.user_id, r.s_pos, r.e_pos, r.n)
+        for r in dialect.sql(spark, sql).collect()
+    )
+    assert got == sorted(model)
+
