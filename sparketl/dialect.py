@@ -1244,7 +1244,9 @@ def _rewrite_match_recognize(masked: str, lits: list[str]) -> str:
     need a sequential matcher).  Everything else non-conforming —
     subquery base, repeated variables (A B* A would silently empty,
     so it refuses), duplicate DEFINEs, expression PARTITION BY keys,
-    other patterns (A+, anchors, nested groups, PERMUTE), AFTER MATCH
+    other patterns (A+, anchors, nested groups; PERMUTE translates
+    ONLY with SKIP TO NEXT ROW + ONE ROW PER MATCH — see
+    _rewrite_mr_permute), AFTER MATCH
     SKIP TO the start variable (Trino's infinite-skip error),
     navigation/CLASSIFIER in measures or defines, references
     to middle variables in measures — is left untouched so Spark
@@ -1341,7 +1343,24 @@ def _rewrite_match_recognize(masked: str, lits: list[str]) -> str:
             return masked
     pm = _MR_PATTERN.match(patt)
     if not pm:
-        return masked
+        # PERMUTE(V1..Vk) (round 11): with mutually-exclusive defines
+        # the row→variable mapping is FORCED, so a match at anchor r is
+        # just "the k rows r..r+k-1 carry k DISTINCT pattern symbols" —
+        # a pure lead-window check, no joins.  Matches CAN overlap
+        # (any variable may start one), so only AFTER MATCH SKIP TO
+        # NEXT ROW — which evaluates every anchor — is sound
+        # declaratively; PAST LAST ROW's greedy non-overlap selection
+        # is a sequential chain and stays refused (loud).
+        skip_next = bool(
+            am
+            and re.fullmatch(
+                r"skip\s+to\s+next\s+row\s*", am.group(1), re.IGNORECASE
+            )
+        )
+        return _rewrite_mr_permute(
+            masked, m, cp, base, part, order, meas, patt, defs,
+            all_rows, skip_next,
+        )
     va, vb, quant, vc = pm.groups()
     if vb is None:
         middles: list[str] = []
@@ -2103,6 +2122,125 @@ def _expr_class(expr: str, colcls) -> str | None:
         cls = (colcls or {}).get(last)
         return cls if cls in ("int", "frac") else None
     return None
+
+
+def _rewrite_mr_permute(
+    masked: str,
+    m: re.Match,
+    cp: int,
+    base: str,
+    part: str,
+    order: str,
+    meas: str,
+    patt: str,
+    defs: str,
+    all_rows: bool,
+    skip_next: bool,
+) -> str:
+    """PATTERN (PERMUTE(V1, ..., Vk)) under AFTER MATCH SKIP TO NEXT
+    ROW, ONE ROW PER MATCH (see the caller's branch comment for the
+    soundness argument).  Every measure reference V.col becomes a CASE
+    over the k window offsets ("whichever of the k rows carries V's
+    symbol"); count(*) is the constant k; classifier() is the last
+    row's symbol.  Trino's permutation-PREFERENCE order is irrelevant
+    here: mutually-exclusive defines force the mapping, so all
+    permutations describe the same row set.  Partition edges need no
+    special casing — lead() returns NULL past them, which fails the
+    symbol-set check.  Anything non-conforming (ALL ROWS, other skip
+    modes, quantified/nested PERMUTE entries, navigation, var-free or
+    foreign-prefix measures) stays untouched → loud."""
+    pp = re.fullmatch(
+        r"\(\s*permute\s*\(\s*(\w+(?:\s*,\s*\w+)+)\s*\)\s*\)",
+        patt,
+        re.IGNORECASE,
+    )
+    if not pp or all_rows or not skip_next:
+        return masked
+    vs = [v.strip() for v in pp.group(1).split(",")]
+    k = len(vs)
+    if len(set(vs)) != len(vs) or k > 5:
+        return masked
+    preds: dict[str, str] = {}
+    n_defs = 0
+    for d in _split_args(defs):
+        dm = re.match(r"^(\w+)\s+as\s+(.*)$", d.strip(), re.IGNORECASE | re.DOTALL)
+        if not dm:
+            return masked
+        preds[dm.group(1)] = dm.group(2).strip()
+        n_defs += 1
+    if n_defs != len(preds) or set(preds) != set(vs):
+        return masked
+    if _MR_FORBIDDEN.search(defs):
+        return masked  # navigation/classifier inside DEFINE
+    pcols = [c.strip() for c in _split_args(part)]
+    if any(not re.fullmatch(r"\w+", c) for c in pcols):
+        return masked
+
+    cols_used: set[str] = set()
+    measures: list[str] = []
+    for item in _split_args(meas):
+        im = re.match(r"^(.*)\s+as\s+(\w+)$", item.strip(), re.IGNORECASE | re.DOTALL)
+        if not im:
+            return masked
+        expr, alias = im.group(1).strip(), im.group(2)
+        if re.fullmatch(r"count\s*\(\s*\*\s*\)", expr, re.IGNORECASE):
+            measures.append(f"cast({k} as bigint) as {alias}")
+            continue
+        if re.fullmatch(r"classifier\s*\(\s*\)", expr, re.IGNORECASE):
+            measures.append(f"__mr_s{k - 1} as {alias}")
+            continue
+        if _MR_FORBIDDEN.search(expr):
+            return masked
+        refs = re.findall(r"\b(\w+)\s*\.\s*\w+", expr)
+        if not refs or any(r not in vs for r in refs):
+            return masked  # var-free or foreign-prefix measure
+        fexpr = expr
+        for v in vs:
+            def _sub(mm: re.Match, _v=v) -> str:
+                col = mm.group(1)
+                cols_used.add(col)
+                branches = " ".join(
+                    f"when __mr_s{i} = '{_v}' then __mr_c{i}_{col}"
+                    for i in range(k)
+                )
+                return f"(case {branches} end)"
+
+            fexpr = re.sub(rf"\b{v}\s*\.\s*(\w+)", _sub, fexpr)
+        measures.append(f"{fexpr} as {alias}")
+    if not measures:
+        return masked
+
+    sym_case = "case"
+    for v in vs:
+        sym_case += f" when ({preds[v]}) then '{v}'"
+    sym_case += " else '.' end"
+    w = f"over (partition by {part} order by {order})"
+    lead_cols = ["__mr_sym as __mr_s0"] + [
+        f"lead(__mr_sym, {i}) {w} as __mr_s{i}" for i in range(1, k)
+    ]
+    for col in sorted(cols_used):
+        lead_cols.append(f"{col} as __mr_c0_{col}")
+        lead_cols.extend(
+            f"lead({col}, {i}) {w} as __mr_c{i}_{col}" for i in range(1, k)
+        )
+    in_set = ", ".join(f"'{v}'" for v in vs)
+    checks = [f"__mr_s{i} in ({in_set})" for i in range(k)]
+    checks += [
+        f"__mr_s{i} <> __mr_s{j}"
+        for i in range(k)
+        for j in range(i + 1, k)
+    ]
+    repl = (
+        "(with __mr_syms as ("
+        f" select *, {sym_case} as __mr_sym from {base}"
+        "), __mr_w as ("
+        f" select *, {', '.join(lead_cols)} from __mr_syms)"
+        f" select {', '.join(pcols)}, {', '.join(measures)}"
+        " from __mr_w"
+        f" where {' and '.join(checks)}"
+        ")"
+    )
+    return masked[: m.start()] + "from " + repl + masked[cp + 1 :]
 
 
 def _refuse_windowed_calls(masked: str, names: tuple[str, ...]) -> None:

@@ -748,3 +748,90 @@ def row_pattern_funnel_skipnext(spark, sf_dir):
 
     load_tables(spark, sf_dir)  # register the named views
     return dialect.sql(spark, _MR_SKIPNEXT_TEXT)
+
+
+_MR_PERMUTE_TEXT = """
+    select user_id, view_id, click_id, purchase_id, last_sym
+    from events match_recognize (
+        partition by user_id
+        order by ts asc, event_id asc
+        measures V.event_id as view_id,
+                 B.event_id as click_id,
+                 P.event_id as purchase_id,
+                 classifier() as last_sym
+        one row per match
+        after match skip to next row
+        pattern (permute(V, B, P))
+        define V as event_type = 'view',
+               B as event_type = 'click',
+               P as event_type = 'purchase'
+    )
+"""
+
+
+@query(
+    "row_pattern_permute",
+    oracle="""
+        with syms as (
+            select user_id, event_id, ts,
+                   case event_type when 'view' then 'V'
+                                   when 'click' then 'B'
+                                   when 'purchase' then 'P'
+                                   else '.' end as sym
+            from events
+        ),
+        w as (
+            select user_id, sym as s0,
+                   lead(sym, 1) over win as s1,
+                   lead(sym, 2) over win as s2,
+                   event_id as e0,
+                   lead(event_id, 1) over win as e1,
+                   lead(event_id, 2) over win as e2
+            from syms
+            window win as (partition by user_id
+                           order by ts asc, event_id asc)
+        )
+        select user_id,
+               case when s0 = 'V' then e0 when s1 = 'V' then e1
+                    else e2 end as view_id,
+               case when s0 = 'B' then e0 when s1 = 'B' then e1
+                    else e2 end as click_id,
+               case when s0 = 'P' then e0 when s1 = 'P' then e1
+                    else e2 end as purchase_id,
+               s2 as last_sym
+        from w
+        where s0 in ('V', 'B', 'P') and s1 in ('V', 'B', 'P')
+          and s2 in ('V', 'B', 'P')
+          and s0 <> s1 and s0 <> s2 and s1 <> s2
+    """,
+)
+def row_pattern_permute(spark, sf_dir):
+    """PATTERN (PERMUTE(V, B, P)) + AFTER MATCH SKIP TO NEXT ROW
+    (round 11): any ordering of a view, a click and a purchase on
+    three consecutive rows — the "unordered funnel" a real Trino
+    pipeline writes with PERMUTE.  Genuine Trino text through
+    ``dialect.sql``.
+
+    Soundness (dialect._rewrite_mr_permute): mutually-exclusive
+    defines force the row→variable mapping, so a match at anchor r is
+    exactly "rows r..r+2 carry three distinct pattern symbols" — a
+    pure lead-window check with ZERO joins; Trino's permutation-
+    preference order is irrelevant (all permutations describe the same
+    rows).  Matches may genuinely OVERLAP (any variable can anchor
+    one), which is why only SKIP TO NEXT ROW translates — PAST LAST
+    ROW's greedy non-overlap selection is a sequential chain, refused
+    loudly.  Property-differentialed against the sliding-window model
+    (tests/test_property_match_recognize.py::test_permute_*).
+
+    Scale: ONE shuffle on user_id; the permutation check and all
+    measures are lead() columns inside the same window sort — strictly
+    cheaper than any funnel face (no self-join at all).
+
+    The oracle states the same (ts, event_id) total order the Spark
+    text declares — events.ts has duplicate values per user, so the
+    event_id tiebreak is load-bearing on both sides."""
+    from sparketl import dialect
+    from sparketl.tables import load_tables
+
+    load_tables(spark, sf_dir)  # register the named views
+    return dialect.sql(spark, _MR_PERMUTE_TEXT)

@@ -432,3 +432,57 @@ def test_skip_to_alternation_var_errors_like_trino(spark, users):
     )
     assert got == sorted(model)
 
+
+
+def _model_permute(symbols: list[str], vs: list[str]):
+    """PERMUTE(V1..Vk) under SKIP TO NEXT ROW: every anchor whose next
+    k rows carry exactly the k distinct pattern symbols (mutually-
+    exclusive defines force the mapping; matches may overlap)."""
+    k, out = len(vs), []
+    for i in range(len(symbols) - k + 1):
+        window = symbols[i : i + k]
+        if sorted(window) == sorted(vs):
+            out.append((i, {sym: i + j for j, sym in enumerate(window)}))
+    return out
+
+
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(users=seqs)
+def test_permute_equals_window_model(spark, users):
+    """round 11: PATTERN (PERMUTE(V, B, P)) + SKIP TO NEXT ROW against
+    the sliding-window reference model — per-variable positions, the
+    constant count, and the last-row classifier, on overlapping
+    matches included (VBPV BPV...)."""
+    rows = [
+        (u, pos, sym)
+        for u, symbols in enumerate(users)
+        for pos, sym in enumerate(symbols)
+    ]
+    if not rows:
+        rows = [(0, 0, "X")]
+    spark.createDataFrame(
+        rows, "user_id long, pos long, sym string"
+    ).createOrReplaceTempView("mr_prop_events")
+    sql = """
+        select user_id, v_pos, b_pos, p_pos, n, cls
+        from mr_prop_events match_recognize (
+            partition by user_id
+            order by pos asc
+            measures V.pos as v_pos, B.pos as b_pos, P.pos as p_pos,
+                     count(*) as n, classifier() as cls
+            one row per match
+            after match skip to next row
+            pattern (permute(V, B, P))
+            define V as sym = 'V', B as sym = 'B', P as sym = 'P'
+        )
+    """
+    got = sorted(
+        (r.user_id, r.v_pos, r.b_pos, r.p_pos, r.n, r.cls)
+        for r in dialect.sql(spark, sql).collect()
+    )
+    want = sorted(
+        (u, pos["V"], pos["B"], pos["P"], 3, symbols[s + 2])
+        for u, symbols in enumerate(users)
+        for s, pos in _model_permute(symbols, ["V", "B", "P"])
+    )
+    assert got == want
