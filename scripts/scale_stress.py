@@ -121,6 +121,10 @@ RELATIONAL = [
     "win_frame_exclude_ties",
     "win_groups_frame_bounds",
     "win_groups_exclude",
+    # round 11: the mergeable percentile sketch (bounded map state,
+    # map-side combinable bucket counts) and the PERMUTE window face
+    "approx_pctl_sketch_merge",
+    "row_pattern_permute",
 ]
 
 #: relational third decade (``--rel --x100``): the sub-lane run over
@@ -147,6 +151,8 @@ REL_X100 = [
     # cascade's flatness claim get a third decade
     "win_locf_fill",
     "ts_rollup_cascade",
+    # round 11: the sketch's bounded-state claim rides the third decade
+    "approx_pctl_sketch_merge",
 ]
 
 
