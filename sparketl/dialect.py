@@ -167,6 +167,13 @@ from_base(s, b)              cast(conv(s, b, -10) as bigint)  (signed —
 array_histogram(a)           map_from_entries over distinct non-null
                              keys, each counted by filter+size (a is
                              inlined twice — the ngrams/random caveat)
+array_agg(x ORDER BY k...)   transform(array_sort(collect_list(
+                             struct(k IS NULL, k, ..., x))), s -> s.x)
+                             (+reverse for DESC; null-flag field pins
+                             Trino's null-sorts-largest; mixed
+                             directions / explicit NULLS clauses
+                             RAISE; KEEPS null values, unlike the
+                             unordered collect_list map)
 skewness(x)                  sample-corrected G1 from Spark's population
                              skewness: g1·sqrt(n(n-1))/(n-2) — Presto/
                              Trino/DuckDB all return the SAMPLE
@@ -607,6 +614,73 @@ def _try_fn(args: list[str]) -> str | None:
             ):
                 return f"try_cast(try_divide({left}, {right}) as bigint)"
     return None
+
+
+def _array_agg_fn(args: list[str]) -> str | None:
+    """Presto ``array_agg(x ORDER BY k1 [, k2 ...] [ASC|DESC])`` —
+    Spark has no within-aggregate ORDER BY, so the ordered form
+    composes as sort-then-project:
+
+        transform(array_sort(collect_list(
+            struct(k1 IS NULL as __ob_n0, k1 as __ob_k0, ...,
+                   x as __ob_v))),
+                  __ob_s -> __ob_s.__ob_v)           -- ASC
+        transform(reverse(array_sort(...)), ...)     -- DESC
+
+    The IS NULL flag field pins Presto/Trino's null ordering ("null
+    sorts as if larger than any non-null": ASC → NULLS LAST, DESC →
+    NULLS FIRST — the reverse() of the flagged ASC sort) independent
+    of Spark's field-comparator convention.  Mixed ASC/DESC keys and
+    explicit NULLS FIRST/LAST spellings RAISE the documented refusal
+    (a lambda comparator could express them, but each combination
+    needs its own proof — loud beats subtly-wrong ordering).  NOTE a
+    side upgrade: collect_list(struct(...)) KEEPS rows whose VALUE is
+    NULL (the struct itself is non-null), matching Presto's array_agg
+    exactly where the unordered name-map to collect_list documents the
+    null-dropping divergence.  Plain (no ORDER BY) array_agg passes
+    through to Spark's native alias."""
+    if not args:
+        return None
+    # multi-key ORDER BY commas split at the CALL-argument level too
+    # (array_agg is 1-ary in Presto, so rejoining is unambiguous)
+    text = ", ".join(args).strip()
+    m = re.match(
+        r"^(.*?)\s+order\s+by\s+(.*)$", text, re.IGNORECASE | re.DOTALL
+    )
+    if not m:
+        return None
+    val, keys_text = m.group(1).strip(), m.group(2).strip()
+    if re.search(r"\bnulls\s+(?:first|last)\b", keys_text, re.IGNORECASE):
+        raise ValueError(
+            "dialect: array_agg(... ORDER BY ... NULLS FIRST/LAST) is "
+            "refused — only the default null ordering (null sorts "
+            "largest) translates; drop the explicit NULLS clause or "
+            "pre-sort with a window"
+        )
+    dirs: list[str] = []
+    exprs: list[str] = []
+    for k in _split_args(keys_text):
+        km = re.match(
+            r"^(.*?)(?:\s+(asc|desc))?\s*$", k.strip(),
+            re.IGNORECASE | re.DOTALL,
+        )
+        exprs.append(km.group(1).strip())
+        dirs.append((km.group(2) or "asc").lower())
+    if len(set(dirs)) > 1:
+        raise ValueError(
+            "dialect: array_agg with MIXED ASC/DESC sort keys is "
+            "refused — the sort-then-project composition flips the "
+            "whole ordering at once; use a single direction or "
+            "pre-sort with a window"
+        )
+    fields = ", ".join(
+        f"(({e}) is null) as __ob_n{i}, {e} as __ob_k{i}"
+        for i, e in enumerate(exprs)
+    )
+    inner = f"array_sort(collect_list(struct({fields}, {val} as __ob_v)))"
+    if dirs[0] == "desc":
+        inner = f"reverse({inner})"
+    return f"transform({inner}, __ob_s -> __ob_s.__ob_v)"
 
 
 def _random_fn(args: list[str]) -> str | None:
@@ -2970,6 +3044,7 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
         lambda a: f"cast(conv({a[0]}, {a[1]}, -10) as bigint)"
         if len(a) == 2 else None,
     )
+    masked = _rewrite_calls(masked, "array_agg", _array_agg_fn)
     masked = _rewrite_calls(masked, "random", _random_fn)
     masked = _rewrite_calls(
         masked, "truncate",

@@ -396,6 +396,74 @@ def agg_array_agg(spark, sf_dir):
 
 
 @query(
+    "agg_array_agg_ordered",
+    oracle="""
+        select l_orderkey,
+               array_to_string(array_agg(l_quantity
+                                         order by l_linenumber,
+                                                  l_quantity), ',')
+                   as qty_by_line,
+               array_to_string(array_agg(l_linenumber
+                                         order by l_quantity desc,
+                                                  l_linenumber desc), ',')
+                   as lines_by_qty_desc,
+               array_to_string(array_agg(l_returnflag
+                                         order by l_shipdate,
+                                                  l_linenumber,
+                                                  l_returnflag), ',')
+                   as flags_by_ship
+        from lineitem
+        where l_orderkey < 2000
+        group by l_orderkey
+    """,
+)
+def agg_array_agg_ordered(spark, sf_dir):
+    """#34 depth (round 11): Presto's ``array_agg(x ORDER BY k)`` —
+    the within-aggregate ORDER BY Spark lacks — via the dialect front
+    door's sort-then-project composition (dialect._array_agg_fn:
+    collect_list of (null-flag, keys, value) structs, array_sort,
+    reverse for DESC, transform down to the value).  Single-key ASC,
+    multi-key DESC, and multi-key mixed-type ASC faces; (Presto leaves tie order
+    unspecified, the value hash does not — and the fixture's
+    l_linenumber DUPLICATES within an order, so every key list ends
+    with the aggregated value itself: tied keys then imply tied
+    values, making the output tie-insensitive).  DuckDB grades with its
+    native within-aggregate ORDER BY — an independent implementation
+    of the same semantics.
+
+    Scale: one partial→final hash aggregate; the per-group sort is
+    O(group log group) JVM-side on collected arrays — same memory
+    contract as any array_agg (groups must fit; the fixture's orders
+    hold ≤ 7 lineitems)."""
+    from sparketl import dialect
+    from sparketl.tables import load_tables
+
+    load_tables(spark, sf_dir)
+    return dialect.sql(
+        spark,
+        """
+        select l_orderkey,
+               array_join(array_agg(l_quantity
+                                    order by l_linenumber,
+                                             l_quantity), ',')
+                   as qty_by_line,
+               array_join(array_agg(l_linenumber
+                                    order by l_quantity desc,
+                                             l_linenumber desc), ',')
+                   as lines_by_qty_desc,
+               array_join(array_agg(l_returnflag
+                                    order by l_shipdate,
+                                             l_linenumber,
+                                             l_returnflag), ',')
+                   as flags_by_ship
+        from lineitem
+        where l_orderkey < 2000
+        group by l_orderkey
+        """,
+    )
+
+
+@query(
     "agg_map_agg",
     oracle="""
         with c as (

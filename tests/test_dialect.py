@@ -1586,3 +1586,49 @@ def test_exec_skip_to_var_error_and_results(spark):
         ).collect()
     )
     assert got == want == [(2, 0, 3)]
+
+
+def test_array_agg_order_by_rewrites():
+    out = translate("select array_agg(x order by y) from t group by g")
+    assert "array_sort(collect_list(struct(((y) is null) as __ob_n0" in out
+    assert "__ob_s -> __ob_s.__ob_v" in out and "reverse(" not in out
+    out = translate("select array_agg(x order by y desc, z desc) from t")
+    assert "reverse(array_sort" in out and "__ob_k1" in out
+    # plain array_agg passes through (Spark-native alias)
+    assert translate("select array_agg(x) from t") == (
+        "select array_agg(x) from t"
+    )
+    with pytest.raises(ValueError, match="MIXED ASC/DESC"):
+        translate("select array_agg(x order by y asc, z desc) from t")
+    with pytest.raises(ValueError, match="NULLS FIRST/LAST"):
+        translate("select array_agg(x order by y nulls first) from t")
+
+
+def test_exec_array_agg_order_by_null_convention(spark):
+    """Trino's null ordering for within-aggregate ORDER BY: null sorts
+    as if LARGER than any non-null — ASC puts it last, DESC first; the
+    null-flag struct field pins this independent of Spark's comparator
+    convention.  Rows whose VALUE is null are KEPT (collect_list of
+    structs — the unordered name-map's null-dropping divergence does
+    not apply here)."""
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, None, "b"), (3, 5, "c"), (4, 7, None)],
+        "id int, k int, v string",
+    ).createOrReplaceTempView("aao_probe")
+    from sparketl import dialect as _d
+
+    _d.clear_schema_cache()
+    row = presto_sql(
+        spark,
+        """
+        select concat_ws('|', transform(array_agg(v order by k),
+                                        x -> coalesce(x, '?'))) as asc_v,
+               concat_ws('|', transform(array_agg(v order by k desc),
+                                        x -> coalesce(x, '?'))) as desc_v
+        from aao_probe
+        """,
+    ).collect()[0]
+    # k asc: 5(c), 7(null v), 10(a), null-k(b) last
+    assert row.asc_v == "c|?|a|b"
+    # k desc: null-k first, then 10, 7, 5
+    assert row.desc_v == "b|a|?|c"
