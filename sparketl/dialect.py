@@ -174,6 +174,8 @@ array_agg(x ORDER BY k...)   transform(array_sort(collect_list(
                              directions / explicit NULLS clauses
                              RAISE; KEEPS null values, unlike the
                              unordered collect_list map)
+min_by/max_by(x, y, n)       sorted-struct slice (null-y filtered,
+                             ties ordered by value; 2-arg native)
 skewness(x)                  sample-corrected G1 from Spark's population
                              skewness: g1·sqrt(n(n-1))/(n-2) — Presto/
                              Trino/DuckDB all return the SAMPLE
@@ -681,6 +683,34 @@ def _array_agg_fn(args: list[str]) -> str | None:
     if dirs[0] == "desc":
         inner = f"reverse({inner})"
     return f"transform({inner}, __ob_s -> __ob_s.__ob_v)"
+
+
+def _minmax_by_n_fn(which: str):
+    """Presto 3-arg ``min_by/max_by(x, y, n)`` — the n values of x for
+    the n smallest/largest y, ordered by y (Spark's min_by/max_by are
+    2-ary only).  Same sorted-struct composition as the ordered
+    array_agg: null-y rows are FILTERED first (both Presto and DuckDB
+    ignore them), the null-flag field is then constant-false but keeps
+    the struct shape uniform, and slice(…, 1, n) caps the result (n
+    larger than the group returns the whole group, as in Presto).
+    Ties in y pick an unspecified x on every engine — the declared
+    query orders by a unique key.  2-arg forms pass through (native
+    Spark)."""
+
+    def make(args: list[str]) -> str | None:
+        if len(args) != 3:
+            return None
+        x, y, n = args
+        arr = (
+            f"array_sort(filter(collect_list(struct(({y}) is null as "
+            f"__mb_n0, {y} as __mb_k0, {x} as __mb_v)), "
+            "__mb_s -> not __mb_s.__mb_n0))"
+        )
+        if which == "max":
+            arr = f"reverse({arr})"
+        return f"transform(slice({arr}, 1, {n}), __mb_s -> __mb_s.__mb_v)"
+
+    return make
 
 
 def _random_fn(args: list[str]) -> str | None:
@@ -3045,6 +3075,8 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
         if len(a) == 2 else None,
     )
     masked = _rewrite_calls(masked, "array_agg", _array_agg_fn)
+    masked = _rewrite_calls(masked, "min_by", _minmax_by_n_fn("min"))
+    masked = _rewrite_calls(masked, "max_by", _minmax_by_n_fn("max"))
     masked = _rewrite_calls(masked, "random", _random_fn)
     masked = _rewrite_calls(
         masked, "truncate",

@@ -464,6 +464,61 @@ def agg_array_agg_ordered(spark, sf_dir):
 
 
 @query(
+    "agg_minmax_by_n",
+    oracle="""
+        select o_orderstatus,
+               array_to_string(
+                   (array_agg(o_totalprice order by o_orderkey))[1:5],
+                   ',') as first5_prices,
+               array_to_string(
+                   (array_agg(o_totalprice order by o_orderkey desc))[1:5],
+                   ',') as last5_prices,
+               array_to_string(
+                   (array_agg(o_orderkey order by o_totalprice desc,
+                                               o_orderkey desc))[1:3],
+                   ',') as top3_price_keys
+        from orders
+        where o_orderkey < 3000
+        group by o_orderstatus
+    """,
+)
+def agg_minmax_by_n(spark, sf_dir):
+    """#32 depth (round 11): Presto's 3-arg ``min_by/max_by(x, y, n)``
+    — the n values of x at the n smallest/largest y — via the dialect
+    front door's sorted-struct composition (dialect._minmax_by_n_fn;
+    Spark's builtins are 2-ary).  DuckDB 1.0 has no 3-arg arg_min, so
+    the oracle states the same semantics independently as ordered
+    array_agg + list slicing.  The top3 face's ties in o_totalprice
+    are broken by appending the VALUE (o_orderkey) to the oracle's
+    sort — Presto leaves tie order unspecified; the Spark composition
+    sorts (y, x) structs, so its tie order IS value order, which the
+    two-key oracle mirrors.
+
+    Scale: one partial→final hash aggregate; per-group sort on the
+    collected structs — the array_agg memory contract, bounded here by
+    the key filter."""
+    from sparketl import dialect
+    from sparketl.tables import load_tables
+
+    load_tables(spark, sf_dir)
+    return dialect.sql(
+        spark,
+        """
+        select o_orderstatus,
+               array_join(min_by(o_totalprice, o_orderkey, 5), ',')
+                   as first5_prices,
+               array_join(max_by(o_totalprice, o_orderkey, 5), ',')
+                   as last5_prices,
+               array_join(max_by(o_orderkey, o_totalprice, 3), ',')
+                   as top3_price_keys
+        from orders
+        where o_orderkey < 3000
+        group by o_orderstatus
+        """,
+    )
+
+
+@query(
     "agg_map_agg",
     oracle="""
         with c as (

@@ -1632,3 +1632,31 @@ def test_exec_array_agg_order_by_null_convention(spark):
     assert row.asc_v == "c|?|a|b"
     # k desc: null-k first, then 10, 7, 5
     assert row.desc_v == "b|a|?|c"
+
+
+def test_minmax_by_n_rewrites_and_exec(spark):
+    out = translate("select max_by(x, y, 3) from t group by g")
+    assert "reverse(array_sort(filter(collect_list(struct((y) is null" in out
+    assert "slice(" in out and ", 1, 3)" in out
+    out = translate("select min_by(x, y, k) from t")  # n may be an expr
+    assert "slice(" in out and "reverse" not in out
+    assert translate("select min_by(x, y) from t") == (
+        "select min_by(x, y) from t"  # 2-arg: native Spark
+    )
+    spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "nullkey"), (3, 5.0, "c"), (4, 7.0, "d")],
+        "id int, y double, v string",
+    ).createOrReplaceTempView("mbn_probe")
+    from sparketl import dialect as _d
+
+    _d.clear_schema_cache()
+    row = presto_sql(
+        spark,
+        "select concat_ws('|', min_by(v, y, 2)) as lo2, "
+        "concat_ws('|', max_by(v, y, 2)) as hi2, "
+        "concat_ws('|', max_by(v, y, 99)) as all_desc "
+        "from mbn_probe",
+    ).collect()[0]
+    assert row.lo2 == "c|d"           # smallest two y; null-y ignored
+    assert row.hi2 == "a|d"           # largest two y, descending
+    assert row.all_desc == "a|d|c"    # n past group size: whole group
