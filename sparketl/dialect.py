@@ -632,7 +632,10 @@ def _array_agg_fn(args: list[str]) -> str | None:
     The IS NULL flag field pins Presto/Trino's null ordering ("null
     sorts as if larger than any non-null": ASC → NULLS LAST, DESC →
     NULLS FIRST — the reverse() of the flagged ASC sort) independent
-    of Spark's field-comparator convention.  Mixed ASC/DESC keys and
+    of Spark's field-comparator convention; each key is inlined twice
+    (flag + sort field — the ngrams/random volatile-argument caveat:
+    hoist nondeterministic keys to a column first).  Mixed ASC/DESC
+    keys and
     explicit NULLS FIRST/LAST spellings RAISE the documented refusal
     (a lambda comparator could express them, but each combination
     needs its own proof — loud beats subtly-wrong ordering).  NOTE a
@@ -694,8 +697,10 @@ def _minmax_by_n_fn(which: str):
     the struct shape uniform, and slice(…, 1, n) caps the result (n
     larger than the group returns the whole group, as in Presto).
     Ties in y pick an unspecified x on every engine — the declared
-    query orders by a unique key.  2-arg forms pass through (native
-    Spark)."""
+    query orders by a unique key.  y is inlined twice (null flag +
+    sort key — the ngrams/random volatile-argument caveat: hoist
+    nondeterministic keys to a column first).  2-arg forms pass
+    through (native Spark)."""
 
     def make(args: list[str]) -> str | None:
         if len(args) != 3:
@@ -1674,31 +1679,24 @@ def _rewrite_match_recognize(masked: str, lits: list[str]) -> str:
             measures.append(f"'{vc}' as {alias}")
         else:
             measures.append(f"{fexpr} as {alias}")
-    if skip_guard and measures:
+    skip_guard_absent = None
+    if skip_guard:
         # Trino's SKIP TO var errors when a match contains no row
         # mapped to the variable: an empty interior (single middle,
         # 0 lower bound) or an interior mapped entirely to the OTHER
-        # alternation variables.  The guard rides the first output
-        # measure (every materialization evaluates it), raising the
-        # same failure Trino would.
+        # alternation variables.  The guard joins the WHERE clause
+        # below as ONE atomic CASE — a measure-borne guard would be
+        # PRUNED by Catalyst when the outer query projects other
+        # columns (round-11 second review, verified live), and a bare
+        # extra conjunct could be REORDERED ahead of the match
+        # predicates and raise on non-matches.
         if skip_alt:
             idx = mid_navs.setdefault(
                 ("first", skip_var, "__mr_rn"), len(mid_navs)
             )
-            absent = f"__mr_mid.__mr_g{idx} is null"
+            skip_guard_absent = f"__mr_mid.__mr_g{idx} is null"
         else:
-            absent = "__mr_e.__mr_rn - __mr_s.__mr_rn - 1 = 0"
-        msg = _inject_lit(
-            lits,
-            f"MATCH_RECOGNIZE: AFTER MATCH SKIP TO {skip_var} failed — "
-            "a match contains no row mapped to the variable; Trino "
-            "raises here too",
-        )
-        expr0, _, alias0 = measures[0].rpartition(" as ")
-        measures[0] = (
-            f"(case when {absent} then raise_error({msg}) "
-            f"else {expr0} end) as {alias0}"
-        )
+            skip_guard_absent = "__mr_e.__mr_rn - __mr_s.__mr_rn - 1 = 0"
 
     pcols = [c.strip() for c in _split_args(part)]
     # PARTITION BY entries must be bare column identifiers: the rewrite
@@ -1788,9 +1786,22 @@ def _rewrite_match_recognize(masked: str, lits: list[str]) -> str:
             f" where __mr_sym in ({mid_set}) and __mr_prn is not null"
             f" group by {part}, __mr_prn)"
         )
-    match_where = (
-        f" where __mr_s.__mr_sym = '{va}' and __mr_e.__mr_sym = '{vc}'" + bound
-    )
+    match_cond = f"__mr_s.__mr_sym = '{va}' and __mr_e.__mr_sym = '{vc}'" + bound
+    match_where = " where " + match_cond
+    if skip_guard_absent is not None:
+        msg = _inject_lit(
+            lits,
+            f"MATCH_RECOGNIZE: AFTER MATCH SKIP TO {skip_var} failed — "
+            "a match contains no row mapped to the variable; Trino "
+            "raises here too",
+        )
+        # the full match condition is REPEATED inside the CASE so the
+        # raise can only ever fire on an accepted match, no matter how
+        # Catalyst orders the surrounding conjuncts
+        match_where += (
+            f" and (case when {match_cond} and {skip_guard_absent} "
+            f"then raise_error({msg}) else true end)"
+        )
     if not all_rows:
         # physical-neighbor navigation is lead/lag columns inside
         # __mr_nn (see nav_cols above) — only the classifier-aware
@@ -2349,9 +2360,19 @@ def _rewrite_mr_permute(
 
 def _refuse_windowed_calls(masked: str, names: tuple[str, ...]) -> None:
     """Raise the documented refusal when any of ``names`` is called
-    with an OVER clause: these calls are rewritten into compound
-    expressions, and `(<compound>) over (...)` is invalid Spark —
-    refusing here names the problem instead of a parse error."""
+    with an OVER clause AND the call shape is one this translator
+    rewrites into a compound expression — `(<compound>) over (...)` is
+    invalid Spark, so refusing here names the problem instead of a
+    parse error.  Shapes that pass through natively (2-arg
+    min_by/max_by, unordered array_agg) keep their windowed use."""
+    rewritten_shape = {
+        # arity/content predicates mirroring the rewrite conditions
+        "min_by": lambda a: len(a) == 3,
+        "max_by": lambda a: len(a) == 3,
+        "array_agg": lambda a: bool(
+            re.search(r"\border\s+by\b", ", ".join(a), re.IGNORECASE)
+        ),
+    }
     for name in names:
         pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
         pos = 0
@@ -2360,6 +2381,12 @@ def _refuse_windowed_calls(masked: str, names: tuple[str, ...]) -> None:
             if not m:
                 break
             cp = _match_paren(masked, m.end() - 1)
+            pred = rewritten_shape.get(name.lower())
+            if pred is not None and not pred(
+                _split_args(masked[m.end() : cp])
+            ):
+                pos = m.end()
+                continue
             k = cp + 1
             while k < len(masked) and masked[k].isspace():
                 k += 1
@@ -2368,11 +2395,10 @@ def _refuse_windowed_calls(masked: str, names: tuple[str, ...]) -> None:
                 and (masked[k + 4].isalnum() or masked[k + 4] in "_$")
             ):
                 raise ValueError(
-                    f"dialect: {name}() OVER (...) is refused — the "
-                    "Presto-to-Spark rewrite of this function is a "
-                    "compound expression that cannot carry a window "
-                    "clause; apply the sample correction to the "
-                    "windowed population aggregates manually"
+                    f"dialect: this {name}() form OVER (...) is refused "
+                    "— its Presto-to-Spark rewrite is a compound "
+                    "expression that cannot carry a window clause; "
+                    "pre-aggregate in a subquery or window manually"
                 )
             pos = m.end()
 
@@ -2795,7 +2821,11 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
     # rewritten compound `(<expr>) over (...)` is a Spark parse error,
     # and duplicating the window spec onto every sub-aggregate is a
     # rewrite this translator does not attempt (round-11 review).
-    _refuse_windowed_calls(masked, ("skewness", "kurtosis", "reduce_agg"))
+    _refuse_windowed_calls(
+        masked,
+        ("skewness", "kurtosis", "reduce_agg", "min_by", "max_by",
+         "array_agg"),
+    )
     masked = _rewrite_calls(
         masked, "reduce_agg",
         lambda a: (

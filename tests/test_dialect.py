@@ -1660,3 +1660,47 @@ def test_minmax_by_n_rewrites_and_exec(spark):
     assert row.lo2 == "c|d"           # smallest two y; null-y ignored
     assert row.hi2 == "a|d"           # largest two y, descending
     assert row.all_desc == "a|d|c"    # n past group size: whole group
+
+
+def test_skip_to_var_guard_survives_projection_pruning(spark):
+    """round-11 second review (verified live): a guard riding a
+    MEASURE is pruned by Catalyst when the outer query projects other
+    columns — the guard now lives in the WHERE clause as one atomic
+    CASE, so it fires regardless of projection AND can never raise on
+    a non-match however conjuncts are reordered."""
+    spark.createDataFrame(
+        [(1, i, s) for i, s in enumerate("ABCAC")],
+        "u long, pos long, sym string",
+    ).createOrReplaceTempView("skipvar_prune_probe")
+    from sparketl import dialect as _d
+
+    _d.clear_schema_cache()
+    # project ONLY e_pos — the guarded s_pos measure is pruned away
+    with pytest.raises(Exception, match="SKIP TO B failed"):
+        presto_sql(
+            spark,
+            """
+            select e_pos from skipvar_prune_probe match_recognize (
+                partition by u order by pos asc
+                measures A.pos as s_pos, C.pos as e_pos
+                one row per match
+                after match skip to first B
+                pattern (A B* C)
+                define A as sym = 'A', B as sym = 'B', C as sym = 'C'
+            )
+            """,
+        ).collect()
+
+
+def test_windowed_compound_aggregate_forms_refuse():
+    # 3-arg min_by/max_by and ordered array_agg rewrite into compound
+    # expressions — windowed use refuses with the documented message
+    for fn in ("min_by(x, y, 3)", "max_by(x, y, 2)",
+               "array_agg(x order by y)"):
+        with pytest.raises(ValueError, match="OVER .* is refused"):
+            translate(f"select {fn} over (partition by g) from t")
+    # native shapes keep their windowed use
+    out = translate("select min_by(x, y) over (partition by g) from t")
+    assert "min_by(x, y) over (partition by g)" in out
+    out = translate("select array_agg(x) over (partition by g) from t")
+    assert "array_agg(x) over (partition by g)" in out
