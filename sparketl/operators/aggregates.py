@@ -286,7 +286,7 @@ def agg_reduce_agg(spark, sf_dir):
     The key filter keeps groups ~10^2 rows — reduce_agg is for
     BOUNDED groups by contract; the declared guard (1M rows) is the
     refuse-loudly path for unbounded ones (unit-tested with a tiny
-    bound in tests/test_reduce_agg.py).
+    bound in tests/test_dialect.py::test_reduce_agg_guard_fires_on_unbounded_group).
 
     Scale: one shuffle to the 3 groups; the fold is a JVM HOF over the
     collected array.  The collect_list state is the documented memory
