@@ -22,6 +22,12 @@ Presto                       Spark
 date_diff('u', t1, t2)       timestampdiff(U, t1, t2)   (same t2-t1 order)
 date_add('u', n, ts)         timestampadd(U, n, ts)
 day_of_week(x) / dow(x)      (weekday(x) + 1)           (ISO 1=Mon..7=Sun)
+extract(DOW|DAY_OF_WEEK ...) (weekday(x) + 1)   (Spark DOW is Sun=1..Sat=7)
+extract(SECOND from x)       second(x)          (Presto drops the fraction;
+                             Spark extract keeps it as decimal(8,6))
+extract(YOW|YEAR_OF_WEEK ..) extract(YEAROFWEEK from x)
+sign(x)  [x int-classified]  cast(sign(x) as bigint)    (front door only —
+                             Spark sign() is always DOUBLE)
 day_of_month(x)              dayofmonth(x)
 day_of_year(x) / doy(x)      dayofyear(x)
 week_of_year(x) / week(x)    weekofyear(x)
@@ -504,6 +510,41 @@ def _unit_fn(spark_name: str, lits: list[str]):
     return make
 
 
+def _extract_fn(args: list[str]) -> str | None:
+    """Presto ``extract(FIELD FROM x)`` fields where Spark's extract
+    silently diverges or errors (each probed live, round 12):
+
+    - DOW / DAY_OF_WEEK: Presto is ISO Monday=1..Sunday=7; Spark's DOW
+      is Sunday=1..Saturday=7 (silent off-by-shift) and Spark rejects
+      the DAY_OF_WEEK spelling.  Rewritten to the same (weekday(x)+1)
+      the function-form day_of_week()/dow() already uses.
+    - SECOND: Presto returns BIGINT with the fraction dropped; Spark
+      returns decimal(8,6) carrying it (45.5 vs 45 on fractional-second
+      data).  Spark's second() truncates to int — exact match.
+    - YOW / YEAR_OF_WEEK: Spark spells the field YEAROFWEEK; the two
+      Presto spellings error.  (The replacement re-matches this
+      rewriter; the canonical spelling maps to None and is left.)
+
+    All other fields (YEAR..MINUTE, QUARTER, WEEK, DOY, ...) agree and
+    pass through.
+    """
+    if len(args) != 1:
+        return None
+    m = re.match(
+        r"(\w+)\s+from\s+(.+)$", args[0].strip(), re.IGNORECASE | re.DOTALL
+    )
+    if not m:
+        return None
+    field, operand = m.group(1).lower(), m.group(2)
+    if field in ("dow", "day_of_week"):
+        return f"(weekday({operand}) + 1)"
+    if field == "second":
+        return f"second({operand})"
+    if field in ("yow", "year_of_week"):
+        return f"extract(YEAROFWEEK from {operand})"
+    return None
+
+
 _TRY_BINOP = {
     "+": "try_add",
     "-": "try_subtract",
@@ -618,6 +659,22 @@ def _try_fn(args: list[str]) -> str | None:
     return None
 
 
+def _top_level_order_by(text: str) -> "re.Match | None":
+    """The first ORDER BY at paren depth 0 of ``text`` (an argument
+    substring), or None.  A nested one (e.g. inside a scalar-subquery
+    argument) belongs to the subquery — splitting on it would emit
+    malformed SQL (ADVICE r11)."""
+    dep = _depths(text)
+    return next(
+        (
+            m
+            for m in re.finditer(r"\border\s+by\b", text, re.IGNORECASE)
+            if dep[m.start()] == 0
+        ),
+        None,
+    )
+
+
 def _array_agg_fn(args: list[str]) -> str | None:
     """Presto ``array_agg(x ORDER BY k1 [, k2 ...] [ASC|DESC])`` —
     Spark has no within-aggregate ORDER BY, so the ordered form
@@ -649,12 +706,13 @@ def _array_agg_fn(args: list[str]) -> str | None:
     # multi-key ORDER BY commas split at the CALL-argument level too
     # (array_agg is 1-ary in Presto, so rejoining is unambiguous)
     text = ", ".join(args).strip()
-    m = re.match(
-        r"^(.*?)\s+order\s+by\s+(.*)$", text, re.IGNORECASE | re.DOTALL
-    )
-    if not m:
+    # no ORDER BY at depth 0 = plain array_agg, pass through
+    ob = _top_level_order_by(text)
+    if ob is None:
         return None
-    val, keys_text = m.group(1).strip(), m.group(2).strip()
+    val, keys_text = text[: ob.start()].strip(), text[ob.end() :].strip()
+    if not val or not keys_text:
+        return None
     if re.search(r"\bnulls\s+(?:first|last)\b", keys_text, re.IGNORECASE):
         raise ValueError(
             "dialect: array_agg(... ORDER BY ... NULLS FIRST/LAST) is "
@@ -2369,8 +2427,8 @@ def _refuse_windowed_calls(masked: str, names: tuple[str, ...]) -> None:
         # arity/content predicates mirroring the rewrite conditions
         "min_by": lambda a: len(a) == 3,
         "max_by": lambda a: len(a) == 3,
-        "array_agg": lambda a: bool(
-            re.search(r"\border\s+by\b", ", ".join(a), re.IGNORECASE)
+        "array_agg": lambda a: (
+            _top_level_order_by(", ".join(a)) is not None
         ),
     }
     for name in names:
@@ -2741,7 +2799,31 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
             )
             for k, v in schema.items()
         }
+        # Presto sign() PRESERVES its argument class (sign(bigint) →
+        # bigint) while Spark's sign() always returns DOUBLE, so an
+        # int-classified sign() must be cast back — both so the value
+        # type matches Presto standalone AND because the ` div ` this
+        # pass emits rejects a DOUBLE operand (DATATYPE_MISMATCH,
+        # probed live; ADVICE r11).  Placeholder name because
+        # _rewrite_calls re-scans its own replacement (a direct
+        # `sign(` would recurse on the still-int argument).  Uses the
+        # same shadow-adjusted classes as the division pass, so an
+        # aliased name degrades to 'ambig' → left as-is → a downstream
+        # `/` over it refuses rather than guesses.
+        shadow_cls = colcls
+        _shadow = _shadowed_names(masked) & set(colcls)
+        if _shadow:
+            shadow_cls = {**colcls, **{n: "ambig" for n in _shadow}}
+        masked = _rewrite_calls(
+            masked, "sign",
+            lambda a: (
+                f"cast(__sparketl_sign({a[0]}) as bigint)"
+                if len(a) == 1 and _expr_class(a[0], shadow_cls) == "int"
+                else None
+            ),
+        )
         masked = _rewrite_int_division(masked, colcls, strict=True)
+        masked = re.sub(r"\b__sparketl_sign\s*\(", "sign(", masked)
 
     masked = _rewrite_match_recognize(masked, lits)
     masked = _rewrite_unnest(masked)
@@ -2755,6 +2837,7 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
             masked, presto_name,
             lambda a: f"(weekday({a[0]}) + 1)" if len(a) == 1 else None,
         )
+    masked = _rewrite_calls(masked, "extract", _extract_fn)
     masked = _rewrite_calls(
         masked, "to_unixtime",
         lambda a: f"(cast(unix_micros({a[0]}) as double) / 1000000.0)"

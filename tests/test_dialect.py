@@ -1704,3 +1704,122 @@ def test_windowed_compound_aggregate_forms_refuse():
     assert "min_by(x, y) over (partition by g)" in out
     out = translate("select array_agg(x) over (partition by g) from t")
     assert "array_agg(x) over (partition by g)" in out
+
+
+# ---------------------------------------------------------------------------
+# sign() class preservation + extract() field fixes (round 12, ADVICE r11)
+# ---------------------------------------------------------------------------
+
+
+def test_sign_int_classified_casts_to_bigint():
+    def tr(q):
+        return _norm(translate(q, schema=_INTDIV_SCHEMA))
+
+    # int-classified argument: Presto sign(bigint) → bigint, Spark
+    # sign() → DOUBLE, so the front door casts back
+    assert tr("select sign(a) from t") == (
+        "select cast(sign(a) as bigint) from t"
+    )
+    assert tr("select sign(a) / 2 from t") == (
+        "select cast(sign(a) as bigint) div 2 from t"
+    )
+    assert tr("select sign(a + b * 2) / 2 from t") == (
+        "select cast(sign(a + b * 2) as bigint) div 2 from t"
+    )
+    # fractional argument: Spark's double return already matches Presto
+    assert tr("select sign(x) from t") == "select sign(x) from t"
+    assert "/" in tr("select sign(x) / 2.0 from t")
+    # unresolvable argument: sign left alone; a `/` over it refuses
+    with pytest.raises(ValueError, match="cannot resolve"):
+        translate("select sign(mystery) / 2 from t", schema=_INTDIV_SCHEMA)
+    # schema-free legacy translate keeps the pass-through
+    assert _norm(translate("select sign(a) from t")) == (
+        "select sign(a) from t"
+    )
+
+
+def test_extract_field_rewrites():
+    # DOW / DAY_OF_WEEK: Presto is ISO Mon=1..Sun=7; Spark's DOW is
+    # Sun=1..Sat=7 (silent shift) and DAY_OF_WEEK errors
+    assert _norm(translate("select extract(dow from ts) from t")) == (
+        "select (weekday(ts) + 1) from t"
+    )
+    assert _norm(
+        translate("select extract(DAY_OF_WEEK from ts) from t")
+    ) == "select (weekday(ts) + 1) from t"
+    # SECOND: Presto drops the fraction (bigint); Spark extract keeps
+    # it as decimal(8,6) — second() truncates identically
+    assert _norm(translate("select extract(second from ts) from t")) == (
+        "select second(ts) from t"
+    )
+    # YOW spellings: Spark only accepts YEAROFWEEK
+    assert _norm(
+        translate("select extract(year_of_week from ts) from t")
+    ) == "select extract(yearofweek from ts) from t"
+    assert _norm(translate("select extract(yow from ts) from t")) == (
+        "select extract(yearofweek from ts) from t"
+    )
+    # agreeing fields pass through untouched
+    assert _norm(translate("select extract(year from ts) from t")) == (
+        "select extract(year from ts) from t"
+    )
+    assert _norm(translate("select extract(week from ts) from t")) == (
+        "select extract(week from ts) from t"
+    )
+
+
+def test_exec_sign_and_extract_match_presto(spark):
+    """Execution pin for the round-12 type fixes: sign() on a bigint
+    column comes back BIGINT (Presto class), extract(DOW)/SECOND land
+    the ISO day numbering / truncated-seconds values DuckDB agrees on."""
+    import duckdb
+
+    spark.createDataFrame(
+        [(-7, "2024-01-06 10:30:45.5"), (4, "2024-01-08 00:00:59.999")],
+        "pv long, pts string",
+    ).createOrReplaceTempView("sign_extract_probe")
+    from sparketl import dialect as _d
+
+    _d.clear_schema_cache()
+    q = """
+        select pv, sign(pv) as s, sign(pv) / 2 as sh,
+               extract(dow from cast(pts as timestamp)) as dw,
+               extract(second from cast(pts as timestamp)) as sec
+        from sign_extract_probe
+    """
+    df = presto_sql(spark, q)
+    assert df.schema["s"].dataType.simpleString() == "bigint"
+    got = {r.pv: (r.s, r.sh, r.dw, r.sec) for r in df.collect()}
+    duck = duckdb.sql(
+        """
+        select pv, sign(pv) as s, pv from (values
+          (-7, timestamp '2024-01-06 10:30:45.5'),
+          (4, timestamp '2024-01-08 00:00:59.999')) v(pv, pts)
+        """
+    )
+    # DuckDB agrees sign is integral-valued; dow/second pinned to the
+    # Presto definitions directly (isodow, floor(seconds))
+    assert got[-7] == (-1, 0, 6, 45)   # 2024-01-06 = Saturday → ISO 6
+    assert got[4] == (1, 0, 1, 59)     # Monday → 1; 59.999 → 59
+    assert duck.fetchall()[0][1] == -1
+
+
+def test_array_agg_nested_order_by_passes_through():
+    """ADVICE r11: an ORDER BY nested in parens inside the value
+    argument (scalar subquery) is NOT the within-aggregate ORDER BY —
+    the call passes through untouched, including its windowed form."""
+    q = (
+        "select array_agg((select max(y) from u where u.id = t.id "
+        "order by y)) from t group by g"
+    )
+    assert _norm(translate(q)) == _norm(q)
+    # nested ORDER BY + OVER: not the rewritten shape → no refusal
+    qw = (
+        "select array_agg((select 1 order by 1)) over (partition by g) "
+        "from t"
+    )
+    assert "array_agg" in translate(qw)
+    # top-level ORDER BY alongside a nested one still translates
+    q3 = "select array_agg(coalesce(x, (select 1 order by 1)) order by k) from t"
+    out = translate(q3)
+    assert "transform(array_sort(collect_list" in out
