@@ -1,0 +1,948 @@
+"""Trino DML statements through the SQL front door (round 12,
+VERDICT r11 #1).
+
+``dialect.sql()`` historically accepted SELECT-shaped statements only,
+while a presto-ETL-tool user's scripts *lead* with ``INSERT INTO`` /
+``CREATE TABLE AS`` / ``DELETE`` / ``UPDATE`` / ``MERGE INTO``.  This
+module parses that Trino statement-grammar subset and routes each
+statement to the engine machinery that already exists: parquet sinks
+(`sparketl.sources.connectors`) and pruned copy-on-write rewrite
+(`sparketl.operators.etl.overwrite_pruned` — the write-back extracted
+from ``merge_apply``).
+
+Storage model
+=============
+DML targets are PARQUET-BACKED tables tracked in a per-session
+*writable catalog* (name → directory path [+ partition column]).
+``CREATE TABLE ... AS`` creates them (optionally partitioned via the
+Trino/Hive ``WITH (partitioned_by = ARRAY['col'])`` property);
+``register_table()`` adopts an existing parquet directory.  After
+every mutation the target is re-registered as a temp view (and the
+dialect schema cache cleared — the catalog exposes no version counter
+to observe), so subsequent statements and plain SELECTs through
+``dialect.sql()`` see the new state.
+
+Semantics notes (each pinned by tests / the declared-face oracles):
+- ``DELETE ... WHERE p`` removes rows where ``p`` IS TRUE — rows where
+  ``p`` evaluates NULL survive (composed as ``(p) is not true``).
+- ``UPDATE ... SET c = e`` evaluates every right-hand side against the
+  OLD row (a single projection — ``SET a = b, b = a`` swaps).
+- ``INSERT INTO t (c1, ...) q`` matches query columns to the named
+  list BY POSITION; unnamed target columns become NULL.  Without a
+  column list the query must produce exactly the table's column count.
+  Values are cast to the target column types (ANSI mode — an invalid
+  cast fails loudly, as Trino's would).
+- ``MERGE`` raises when a target row matches more than one source row
+  (Trino's runtime error), applies the first satisfied WHEN clause per
+  row, and supports MATCHED UPDATE/DELETE + NOT MATCHED INSERT, each
+  with an optional AND condition.
+
+Scale
+=====
+Row-level DML on plain parquet is copy-on-write, exactly the
+Iceberg/Delta CoW shape at directory granularity: DELETE / UPDATE /
+MERGE against a PARTITIONED target rewrite only the partitions that
+contain touched rows (``overwrite_pruned`` — dynamic partition
+overwrite plus the emptied-partition/escaping guards merge_apply
+carries), while untouched directories are never read or rewritten.
+Unpartitioned targets pay a full rewrite — the honest cost of
+row-level DML without a table format, stated loudly here rather than
+hidden.  INSERT is a pure append (new part files; no rewrite).
+Statement parsing is a driver-side string pass over the masked text —
+O(statement length), zero executor cost.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import weakref
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparketl import dialect as _d
+from sparketl.dialect import (
+    _catalog_column_classes,
+    _depths,
+    _mask,
+    _match_paren,
+    _SENT_RE,
+    _split_args,
+    translate,
+)
+
+__all__ = [
+    "execute",
+    "is_dml",
+    "register_table",
+    "run_script",
+    "set_base_dir",
+    "table_path",
+]
+
+
+# ---------------------------------------------------------------------------
+# writable catalog
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Handle:
+    path: str
+    part_col: str | None = None
+
+
+_WRITABLES: "weakref.WeakKeyDictionary[SparkSession, dict[str, _Handle]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _handles(spark: SparkSession) -> dict[str, _Handle]:
+    h = _WRITABLES.get(spark)
+    if h is None:
+        h = {}
+        _WRITABLES[spark] = h
+    return h
+
+
+def register_table(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    part_col: str | None = None,
+) -> None:
+    """Adopt an existing parquet directory as a writable DML target
+    (and register/replace the same-named temp view over it)."""
+    _handles(spark)[name.lower()] = _Handle(path=path, part_col=part_col)
+    _refresh(spark, name.lower())
+
+
+def table_path(spark: SparkSession, name: str) -> str:
+    """The backing directory of a writable table (for tests/tools)."""
+    return _resolve(spark, name).path
+
+
+def _resolve(spark: SparkSession, name: str) -> _Handle:
+    h = _handles(spark).get(name.lower())
+    if h is None:
+        raise ValueError(
+            f"dml: '{name}' is not a writable table — DML targets must "
+            "be parquet-backed: create one with CREATE TABLE ... AS, or "
+            "adopt an existing parquet directory with "
+            "sparketl.dml.register_table(spark, name, path). Read-only "
+            "fixture views cannot be mutated."
+        )
+    return h
+
+
+def _refresh(spark: SparkSession, name: str) -> None:
+    h = _handles(spark)[name]
+    spark.read.parquet(h.path).createOrReplaceTempView(name)
+    # REPLACING a same-named view is invisible to the catalog cache
+    # (no version counter) — clear explicitly, as documented at sql()
+    _d.clear_schema_cache()
+
+
+# ---------------------------------------------------------------------------
+# statement dispatch
+# ---------------------------------------------------------------------------
+
+_DML_LEAD = re.compile(
+    r"^\s*(insert|create|delete|update|merge|drop)\b", re.IGNORECASE
+)
+
+
+def is_dml(stmt: str) -> bool:
+    """True when the statement leads with a DML/DDL keyword (after
+    comment stripping) — `dialect.sql()` routes those here."""
+    masked, _ = _mask(stmt)
+    return _DML_LEAD.match(masked) is not None
+
+
+def run_script(spark: SparkSession, script: str) -> DataFrame:
+    """Execute a multi-statement (``;``-separated) Trino script through
+    the front door; returns the LAST statement's result frame."""
+    masked, lits = _mask(script)
+    out: DataFrame | None = None
+    start = 0
+    bt = False
+    for i, c in enumerate(masked):
+        if c == "`":
+            bt = not bt
+        elif c == ";" and not bt:
+            piece = _unmask_raw(masked[start:i], lits).strip()
+            if piece:
+                out = _d.sql(spark, piece)
+            start = i + 1
+    piece = _unmask_raw(masked[start:], lits).strip()
+    if piece:
+        out = _d.sql(spark, piece)
+    if out is None:
+        raise ValueError("dml: empty script")
+    return out
+
+
+def execute(spark: SparkSession, stmt: str) -> DataFrame:
+    """Parse and run one DML/DDL statement; returns a one-row frame
+    ``(rows bigint)`` with the affected-row count (Trino's DML result
+    shape)."""
+    masked, lits = _mask(stmt)
+    masked = masked.strip()
+    if masked.endswith(";"):
+        masked = masked[:-1].rstrip()
+    kw = masked.split(None, 1)[0].lower() if masked else ""
+    handler = {
+        "insert": _insert,
+        "create": _create,
+        "delete": _delete,
+        "update": _update,
+        "merge": _merge,
+        "drop": _drop,
+    }.get(kw)
+    if handler is None:
+        raise ValueError(
+            f"dml: unsupported statement leader '{kw}' — supported: "
+            "INSERT INTO, CREATE TABLE [IF NOT EXISTS] ... AS, DELETE "
+            "FROM, UPDATE, MERGE INTO, DROP TABLE (plus SELECT-shaped "
+            "queries through dialect.sql())"
+        )
+    return handler(spark, masked, lits)
+
+
+def _unmask_raw(masked: str, lits: list[str]) -> str:
+    """Re-inline the ORIGINAL quoted literal bytes (no backslash
+    doubling) — for fragments fed back through translate()/sql(),
+    which re-mask and apply the doubling exactly once."""
+    return _SENT_RE.sub(lambda m: lits[int(m.group(1))], masked)
+
+
+def _rows_frame(spark: SparkSession, n: int) -> DataFrame:
+    return spark.createDataFrame([(int(n),)], "rows bigint")
+
+
+_IDENT = r"[A-Za-z_][A-Za-z_0-9$]*"
+
+
+def _checkpointed(df: DataFrame) -> DataFrame:
+    """Materialize before overwriting the directory the plan reads
+    from (same contract as merge_apply's rewrite frame)."""
+    return df.localCheckpoint(eager=True)
+
+
+def _write_full(spark: SparkSession, h: _Handle, final: DataFrame) -> None:
+    """Static full-table overwrite, preserving the readable-empty-table
+    contract (an empty partitionBy write emits no schema file)."""
+    if not final.head(1):
+        spark.createDataFrame([], final.schema).write.mode(
+            "overwrite"
+        ).parquet(h.path)
+        return
+    w = final.write.mode("overwrite")
+    if h.part_col:
+        w = w.partitionBy(h.part_col)
+    w.parquet(h.path)
+
+
+def _write_back(
+    spark: SparkSession,
+    name: str,
+    h: _Handle,
+    final: DataFrame,
+    touched_parts: DataFrame | None,
+) -> None:
+    """Copy-on-write write-back: pruned to the touched partitions when
+    the target is partitioned (overwrite_pruned — the merge_apply
+    write-back), full static overwrite otherwise."""
+    from sparketl.operators.etl import overwrite_pruned
+
+    final = _checkpointed(final)
+    if h.part_col is None or touched_parts is None:
+        _write_full(spark, h, final)
+    else:
+        target = spark.read.parquet(h.path)
+        affected_vals = {r[0] for r in touched_parts.collect()}
+        if not affected_vals:
+            _refresh(spark, name)
+            return
+        rewrite = final.join(
+            F.broadcast(touched_parts), h.part_col, "left_semi"
+        )
+        overwrite_pruned(
+            spark, h.path, target, rewrite, affected_vals, h.part_col
+        )
+    _refresh(spark, name)
+
+
+# ---------------------------------------------------------------------------
+# INSERT INTO
+# ---------------------------------------------------------------------------
+
+_INSERT_RE = re.compile(
+    rf"^insert\s+into\s+({_IDENT})\s*", re.IGNORECASE | re.DOTALL
+)
+
+
+def _insert(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
+    m = _INSERT_RE.match(masked)
+    if not m:
+        raise ValueError(
+            "dml: cannot parse INSERT — expected "
+            "INSERT INTO <table> [(col, ...)] <query>"
+        )
+    name = m.group(1).lower()
+    rest = masked[m.end() :].lstrip()
+    cols: list[str] | None = None
+    if rest.startswith("("):
+        cp = _match_paren(rest, 0)
+        inner = rest[1:cp].strip()
+        # disambiguate a column list from a parenthesized query
+        if not re.match(r"(select|with|values|table)\b", inner, re.IGNORECASE):
+            cols = [c.strip().lower() for c in _split_args(inner)]
+            if not all(re.fullmatch(_IDENT, c) for c in cols):
+                raise ValueError(
+                    "dml: INSERT column list must be plain identifiers"
+                )
+            rest = rest[cp + 1 :].lstrip()
+    h = _resolve(spark, name)
+    src = _d.sql(spark, _unmask_raw(rest, lits))
+    tgt_schema = spark.read.parquet(h.path).schema
+    if cols is None:
+        if len(src.columns) != len(tgt_schema):
+            raise ValueError(
+                f"dml: INSERT INTO {name} — query produces "
+                f"{len(src.columns)} columns, table has "
+                f"{len(tgt_schema)} (name a column list to fill the "
+                "rest with NULL)"
+            )
+        cols = [f.name.lower() for f in tgt_schema.fields]
+    else:
+        unknown = set(cols) - {f.name.lower() for f in tgt_schema.fields}
+        if unknown:
+            raise ValueError(
+                f"dml: INSERT column(s) {sorted(unknown)} not in {name}"
+            )
+        if len(cols) != len(src.columns):
+            raise ValueError(
+                f"dml: INSERT column list names {len(cols)} columns but "
+                f"the query produces {len(src.columns)}"
+            )
+    pos = {c: i for i, c in enumerate(cols)}
+    proj = [
+        (
+            F.col(src.columns[pos[f.name.lower()]])
+            if f.name.lower() in pos
+            else F.lit(None)
+        )
+        .cast(f.dataType)
+        .alias(f.name)
+        for f in tgt_schema.fields
+    ]
+    out = _checkpointed(src.select(*proj))
+    n = out.count()
+    w = out.write.mode("append")
+    if h.part_col:
+        w = w.partitionBy(h.part_col)
+    w.parquet(h.path)
+    _refresh(spark, name)
+    return _rows_frame(spark, n)
+
+
+# ---------------------------------------------------------------------------
+# CREATE TABLE ... AS  /  DROP TABLE
+# ---------------------------------------------------------------------------
+
+_CTAS_RE = re.compile(
+    rf"^create\s+table\s+(if\s+not\s+exists\s+)?({_IDENT})\s*",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+_BASE_DIRS: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def set_base_dir(spark: SparkSession, path: str) -> None:
+    """Session-scoped directory under which CTAS creates tables
+    (overrides the SPARK_GRAFT_DML_DIR env / warehouse default)."""
+    _BASE_DIRS[spark] = path
+
+
+def _dml_base_dir(spark: SparkSession) -> str:
+    base = _BASE_DIRS.get(spark) or os.environ.get(
+        "SPARK_GRAFT_DML_DIR",
+        os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            .removeprefix("file:"),
+            "dml",
+        ),
+    )
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
+def _create(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
+    m = _CTAS_RE.match(masked)
+    if not m:
+        raise ValueError(
+            "dml: cannot parse CREATE — expected CREATE TABLE "
+            "[IF NOT EXISTS] <name> [WITH (...)] AS <query>"
+        )
+    if_not_exists = m.group(1) is not None
+    name = m.group(2).lower()
+    rest = masked[m.end() :].lstrip()
+    part_col: str | None = None
+    wm = re.match(r"with\s*\(", rest, re.IGNORECASE)
+    if wm:
+        cp = _match_paren(rest, wm.end() - 1)
+        part_col = _parse_table_props(rest[wm.end() : cp], lits)
+        rest = rest[cp + 1 :].lstrip()
+    am = re.match(r"as\b", rest, re.IGNORECASE)
+    if not am:
+        raise ValueError(
+            "dml: only CREATE TABLE ... AS <query> is supported "
+            "(column-definition DDL without AS is refused — parquet "
+            "tables take their schema from data)"
+        )
+    query = rest[am.end() :].strip()
+    no_data = False
+    nm = re.search(r"\bwith\s+(no\s+)?data\s*$", query, re.IGNORECASE)
+    if nm:
+        no_data = nm.group(1) is not None
+        query = query[: nm.start()].rstrip()
+    if name in _handles(spark):
+        if if_not_exists:
+            return _rows_frame(spark, 0)
+        raise ValueError(
+            f"dml: table '{name}' already exists (Trino "
+            "TABLE_ALREADY_EXISTS) — DROP TABLE it or use CREATE TABLE "
+            "IF NOT EXISTS"
+        )
+    df = _d.sql(spark, _unmask_raw(query, lits))
+    if part_col and part_col not in [c.lower() for c in df.columns]:
+        raise ValueError(
+            f"dml: partitioned_by column '{part_col}' is not produced "
+            "by the CTAS query"
+        )
+    if no_data:
+        df = df.limit(0)
+    path = os.path.join(_dml_base_dir(spark), name)
+    h = _Handle(path=path, part_col=part_col)
+    df = _checkpointed(df)
+    n = df.count()
+    if n == 0:
+        spark.createDataFrame([], df.schema).write.mode(
+            "overwrite"
+        ).parquet(path)
+    else:
+        w = df.write.mode("overwrite")
+        if part_col:
+            w = w.partitionBy(part_col)
+        w.parquet(path)
+    _handles(spark)[name] = h
+    _refresh(spark, name)
+    return _rows_frame(spark, n)
+
+
+def _parse_table_props(props_text: str, lits: list[str]) -> str | None:
+    """Trino WITH (...) table properties — ``partitioned_by =
+    ARRAY['col']`` maps to partitionBy; ``format = 'PARQUET'`` is
+    accepted; anything else refuses loudly (bucketing etc. have
+    dedicated sink operators, not statement syntax, here)."""
+    part_col: str | None = None
+    for prop in _split_args(props_text):
+        pm = re.match(rf"({_IDENT})\s*=\s*(.+)$", prop.strip(), re.DOTALL)
+        if not pm:
+            raise ValueError(f"dml: cannot parse table property '{prop}'")
+        key, val = pm.group(1).lower(), _unmask_raw(pm.group(2).strip(), lits)
+        if key == "format":
+            if val.strip("'\" ").lower() != "parquet":
+                raise ValueError(
+                    "dml: only format='PARQUET' is supported (the "
+                    "engine's tables are parquet directories)"
+                )
+        elif key == "partitioned_by":
+            am = re.match(
+                r"array\s*\[(.*)\]\s*$", val, re.IGNORECASE | re.DOTALL
+            )
+            if not am:
+                raise ValueError(
+                    "dml: partitioned_by must be ARRAY['col', ...]"
+                )
+            cols = [
+                c.strip().strip("'\"").lower()
+                for c in am.group(1).split(",")
+                if c.strip()
+            ]
+            if len(cols) != 1:
+                raise ValueError(
+                    "dml: exactly one partitioned_by column is supported "
+                    "(multi-level partitioning: use the partitioned sink "
+                    "operators)"
+                )
+            part_col = cols[0]
+        else:
+            raise ValueError(
+                f"dml: unsupported table property '{key}' — supported: "
+                "format='PARQUET', partitioned_by=ARRAY['col']"
+            )
+    return part_col
+
+
+def _drop(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
+    m = re.match(
+        rf"^drop\s+table\s+(if\s+exists\s+)?({_IDENT})\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError("dml: expected DROP TABLE [IF EXISTS] <name>")
+    name = m.group(2).lower()
+    h = _handles(spark).pop(name, None)
+    if h is None:
+        if m.group(1):
+            return _rows_frame(spark, 0)
+        raise ValueError(f"dml: '{name}' is not a writable table")
+    spark.catalog.dropTempView(name)
+    _d.clear_schema_cache()
+    jvm = spark._jvm  # noqa: SLF001 - Hadoop FS, same JVM as the writes
+    p = jvm.org.apache.hadoop.fs.Path(h.path)
+    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)  # noqa: SLF001
+    return _rows_frame(spark, 0)
+
+
+# ---------------------------------------------------------------------------
+# DELETE / UPDATE
+# ---------------------------------------------------------------------------
+
+
+def _delete(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
+    m = re.match(
+        rf"^delete\s+from\s+({_IDENT})\s*(?:where\b(.*))?$",
+        masked,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(
+            "dml: cannot parse DELETE — expected "
+            "DELETE FROM <table> [WHERE <predicate>]"
+        )
+    name = m.group(1).lower()
+    h = _resolve(spark, name)
+    pred = (m.group(2) or "").strip()
+    if not pred:
+        # whole-table delete → readable empty table
+        schema = spark.read.parquet(h.path).schema
+        n = spark.read.parquet(h.path).count()
+        spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+            h.path
+        )
+        _refresh(spark, name)
+        return _rows_frame(spark, n)
+    pred = _unmask_raw(pred, lits)
+    # Presto deletes rows where the predicate IS TRUE — a NULL
+    # predicate keeps the row, hence the IS NOT TRUE survivor form
+    doomed = _d.sql(
+        spark, f"select * from {name} where ({pred}) is true"
+    )
+    n = doomed.count()
+    final = _d.sql(
+        spark, f"select * from {name} where ({pred}) is not true"
+    )
+    touched = (
+        doomed.select(h.part_col).distinct() if h.part_col else None
+    )
+    _write_back(spark, name, h, final, touched)
+    return _rows_frame(spark, n)
+
+
+def _update(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
+    m = re.match(
+        rf"^update\s+({_IDENT})\s+set\b(.*)$",
+        masked,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(
+            "dml: cannot parse UPDATE — expected "
+            "UPDATE <table> SET col = expr[, ...] [WHERE <predicate>]"
+        )
+    name = m.group(1).lower()
+    h = _resolve(spark, name)
+    body = m.group(2)
+    # the WHERE splits at depth 0 only (a nested one belongs to a
+    # subquery inside a SET expression)
+    dep = _depths(body)
+    wm = next(
+        (
+            w
+            for w in re.finditer(r"\bwhere\b", body, re.IGNORECASE)
+            if dep[w.start()] == 0
+        ),
+        None,
+    )
+    set_text = body[: wm.start()] if wm else body
+    pred = body[wm.end() :].strip() if wm else None
+    assigns: list[tuple[str, str]] = []
+    for a in _split_args(set_text.strip()):
+        am = re.match(rf"({_IDENT})\s*=\s*(.+)$", a.strip(), re.DOTALL)
+        if not am:
+            raise ValueError(f"dml: cannot parse SET assignment '{a}'")
+        assigns.append((am.group(1).lower(), am.group(2).strip()))
+    tgt_cols = [f.name for f in spark.read.parquet(h.path).schema.fields]
+    by_col = dict(assigns)
+    if len(by_col) != len(assigns):
+        raise ValueError("dml: a column is assigned twice in SET")
+    unknown = set(by_col) - {c.lower() for c in tgt_cols}
+    if unknown:
+        raise ValueError(f"dml: SET column(s) {sorted(unknown)} not in {name}")
+    if h.part_col and h.part_col in by_col:
+        raise ValueError(
+            "dml: updating the partition column is refused — rows would "
+            "move between partitions; DELETE + INSERT instead"
+        )
+    # every RHS is evaluated against the OLD row: one projection, all
+    # CASEs over the source row (SET a = b, b = a swaps)
+    sel = []
+    for c in tgt_cols:
+        e = by_col.get(c.lower())
+        if e is None:
+            sel.append(c)
+        elif pred is None:
+            sel.append(f"({_unmask_raw(e, lits)}) as {c}")
+        else:
+            sel.append(
+                f"case when ({_unmask_raw(pred, lits)}) is true then "
+                f"({_unmask_raw(e, lits)}) else {c} end as {c}"
+            )
+    final = _d.sql(spark, f"select {', '.join(sel)} from {name}")
+    where_true = (
+        f" where ({_unmask_raw(pred, lits)}) is true" if pred else ""
+    )
+    n = _d.sql(
+        spark, f"select count(*) as n from {name}{where_true}"
+    ).collect()[0][0]
+    touched = (
+        _d.sql(
+            spark,
+            f"select distinct {h.part_col} from {name}{where_true}",
+        )
+        if h.part_col
+        else None
+    )
+    _write_back(spark, name, h, final, touched)
+    return _rows_frame(spark, n)
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO
+# ---------------------------------------------------------------------------
+
+_MERGE_HEAD_RE = re.compile(
+    rf"^merge\s+into\s+({_IDENT})(?:\s+(?:as\s+)?({_IDENT}))?\s+using\s+",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _merge(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
+    m = _MERGE_HEAD_RE.match(masked)
+    if not m:
+        raise ValueError(
+            "dml: cannot parse MERGE — expected MERGE INTO <table> [AS "
+            "t] USING <table|(query)> [AS s] ON <cond> WHEN ..."
+        )
+    name = m.group(1).lower()
+    talias = (m.group(2) or name).lower()
+    h = _resolve(spark, name)
+    rest = masked[m.end() :].lstrip()
+    # source: identifier or (subquery), optional alias
+    if rest.startswith("("):
+        cp = _match_paren(rest, 0)
+        src_text = rest[1:cp]
+        rest = rest[cp + 1 :].lstrip()
+        src_df = _d.sql(spark, _unmask_raw(src_text, lits))
+        salias = None
+    else:
+        sm = re.match(rf"({_IDENT})\s*", rest)
+        if not sm:
+            raise ValueError("dml: cannot parse MERGE source")
+        src_df = spark.table(sm.group(1).lower())
+        salias = sm.group(1).lower()
+        rest = rest[sm.end() :].lstrip()
+    am = re.match(rf"(?:as\s+)?({_IDENT})\s+", rest, re.IGNORECASE)
+    if am and am.group(1).lower() not in ("on",):
+        salias = am.group(1).lower()
+        rest = rest[am.end() :].lstrip()
+    if salias is None:
+        raise ValueError("dml: a (subquery) MERGE source needs an alias")
+    om = re.match(r"on\b", rest, re.IGNORECASE)
+    if not om:
+        raise ValueError("dml: MERGE is missing the ON condition")
+    rest = rest[om.end() :]
+    # clause boundaries: WHEN [NOT] MATCHED at depth 0
+    dep = _depths(rest)
+    whens = [
+        w
+        for w in re.finditer(
+            r"\bwhen\s+(not\s+)?matched\b", rest, re.IGNORECASE
+        )
+        if dep[w.start()] == 0
+    ]
+    if not whens:
+        raise ValueError("dml: MERGE needs at least one WHEN clause")
+    on_cond = rest[: whens[0].start()].strip()
+    clauses = []
+    for i, w in enumerate(whens):
+        end = whens[i + 1].start() if i + 1 < len(whens) else len(rest)
+        clauses.append(
+            _parse_merge_clause(
+                rest[w.end() : end].strip(), bool(w.group(1))
+            )
+        )
+    return _merge_apply_clauses(
+        spark, name, h, talias, src_df, salias, on_cond, clauses, lits
+    )
+
+
+def _parse_merge_clause(body: str, is_not_matched: bool) -> dict:
+    """One WHEN clause: ``[AND cond] THEN UPDATE SET .../DELETE/INSERT
+    [(cols)] VALUES (...)``."""
+    cond = None
+    cm = re.match(r"and\b(.*?)\bthen\b", body, re.IGNORECASE | re.DOTALL)
+    if cm:
+        # the THEN must sit at depth 0 of the condition text
+        dep = _depths(body)
+        tm = next(
+            (
+                t
+                for t in re.finditer(r"\bthen\b", body, re.IGNORECASE)
+                if dep[t.start()] == 0
+            ),
+            None,
+        )
+        if tm is None:
+            raise ValueError(f"dml: MERGE clause missing THEN: '{body}'")
+        cond = body[cm.start() + 3 : tm.start()].strip()
+        action = body[tm.end() :].strip()
+    else:
+        tm = re.match(r"then\b", body, re.IGNORECASE)
+        if not tm:
+            raise ValueError(f"dml: MERGE clause missing THEN: '{body}'")
+        action = body[tm.end() :].strip()
+    if is_not_matched:
+        im = re.match(r"insert\b\s*", action, re.IGNORECASE)
+        if not im:
+            raise ValueError(
+                "dml: WHEN NOT MATCHED supports only THEN INSERT"
+            )
+        rest = action[im.end() :].lstrip()
+        cols = None
+        if rest.startswith("("):
+            cp = _match_paren(rest, 0)
+            cols = [
+                c.strip().lower() for c in _split_args(rest[1:cp])
+            ]
+            rest = rest[cp + 1 :].lstrip()
+        vm = re.match(r"values\s*\(", rest, re.IGNORECASE)
+        if not vm:
+            raise ValueError(
+                "dml: WHEN NOT MATCHED INSERT needs VALUES (...)"
+            )
+        cp = _match_paren(rest, vm.end() - 1)
+        vals = [v.strip() for v in _split_args(rest[vm.end() : cp])]
+        if rest[cp + 1 :].strip():
+            raise ValueError(
+                "dml: trailing text after INSERT VALUES in MERGE clause"
+            )
+        return {"kind": "insert", "cond": cond, "cols": cols, "vals": vals}
+    if re.fullmatch(r"delete", action, re.IGNORECASE):
+        return {"kind": "delete", "cond": cond}
+    um = re.match(r"update\s+set\b(.*)$", action, re.IGNORECASE | re.DOTALL)
+    if not um:
+        raise ValueError(
+            "dml: WHEN MATCHED supports THEN UPDATE SET ... or THEN "
+            f"DELETE (got: '{action[:60]}')"
+        )
+    assigns = []
+    for a in _split_args(um.group(1).strip()):
+        am = re.match(rf"({_IDENT})\s*=\s*(.+)$", a.strip(), re.DOTALL)
+        if not am:
+            raise ValueError(f"dml: cannot parse MERGE SET '{a}'")
+        assigns.append((am.group(1).lower(), am.group(2).strip()))
+    return {"kind": "update", "cond": cond, "assigns": assigns}
+
+
+def _merge_apply_clauses(
+    spark: SparkSession,
+    name: str,
+    h: _Handle,
+    talias: str,
+    src_df: DataFrame,
+    salias: str,
+    on_cond: str,
+    clauses: list[dict],
+    lits: list[str],
+) -> DataFrame:
+    """Evaluate the parsed MERGE over aliased DataFrames.
+
+    Shape: target ⟕ source on the raw ON condition; per target row the
+    FIRST satisfied WHEN MATCHED clause applies (CASE over the clause
+    conditions, in statement order); NOT MATCHED source rows (anti-join)
+    take the first satisfied INSERT clause.  The multi-source-match
+    guard is Trino's runtime error, computed as one tiny aggregate over
+    the join before any write."""
+    tgt_df = spark.read.parquet(h.path)
+    # MERGE expressions resolve against the target and source frames
+    # first — overlay their column classes onto the catalog's (a
+    # source-subquery alias like `o_totalprice as p` exists nowhere in
+    # the catalog); a name whose catalog class CONFLICTS with the local
+    # one degrades to 'ambig' (a scalar subquery inside an expression
+    # could mean the catalog's) → the int-division pass refuses rather
+    # than guesses.
+    from sparketl.dialect import _classify_type_name
+
+    colcls = dict(_catalog_column_classes(spark))
+    for f in list(tgt_df.schema.fields) + list(src_df.schema.fields):
+        cls = _classify_type_name(f.dataType.simpleString())
+        prev = colcls.get(f.name.lower())
+        colcls[f.name.lower()] = (
+            cls if prev is None or prev == cls else "ambig"
+        )
+
+    def tx(fragment: str) -> str:
+        return translate(_unmask_raw(fragment, lits), schema=colcls)
+
+    tgt_cols = tgt_df.columns
+    t = tgt_df.withColumn(
+        "__tid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
+    s = src_df.withColumn("__sm", F.lit(1)).alias(salias)
+    joined = t.alias(talias).join(s, F.expr(tx(on_cond)), "left")
+    # Trino: "one MERGE target row matched more than one source row"
+    multi = (
+        joined.where(F.col("__sm").isNotNull())
+        .groupBy("__tid")
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if multi:
+        raise ValueError(
+            "dml: MERGE failed — a target row matches more than one "
+            "source row (Trino's one-source-row rule); deduplicate the "
+            "source or tighten the ON condition"
+        )
+    matched_clauses = [c for c in clauses if c["kind"] in ("update", "delete")]
+    insert_clauses = [c for c in clauses if c["kind"] == "insert"]
+    # first-satisfied-clause index per matched row
+    act = F.lit(None).cast("int")
+    for i in reversed(range(len(matched_clauses))):
+        c = matched_clauses[i]
+        cond = F.col("__sm").isNotNull()
+        if c["cond"]:
+            cond = cond & F.expr(tx(c["cond"])).eqNullSafe(F.lit(True))
+        act = F.when(cond, F.lit(i)).otherwise(act)
+    staged = joined.withColumn("__act", act)
+    # surviving target rows with per-clause update CASEs applied
+    proj = []
+    for col in tgt_cols:
+        e = F.expr(f"{talias}.{col}")
+        for i, c in enumerate(matched_clauses):
+            if c["kind"] != "update":
+                continue
+            rhs = dict(c["assigns"]).get(col.lower())
+            if rhs is not None:
+                e = F.when(
+                    F.col("__act") == i, F.expr(tx(rhs))
+                ).otherwise(e)
+        proj.append(e.cast(tgt_df.schema[col].dataType).alias(col))
+    delete_ids = {
+        i for i, c in enumerate(matched_clauses) if c["kind"] == "delete"
+    }
+    survivors = staged.where(
+        F.col("__act").isNull()
+        | ~F.col("__act").isin(*delete_ids)
+        if delete_ids
+        else F.lit(True)
+    ).select(*proj, F.col("__act").isNotNull().alias("__touched"))
+    # NOT MATCHED inserts: source rows with no target match
+    unmatched = src_df.alias(salias).join(
+        t.alias(talias), F.expr(tx(on_cond)), "left_anti"
+    )
+    inserts = None
+    if insert_clauses:
+        iact = F.lit(None).cast("int")
+        for i in reversed(range(len(insert_clauses))):
+            c = insert_clauses[i]
+            cond = (
+                F.expr(tx(c["cond"])).eqNullSafe(F.lit(True))
+                if c["cond"]
+                else F.lit(True)
+            )
+            iact = F.when(cond, F.lit(i)).otherwise(iact)
+        tagged = unmatched.withColumn("__iact", iact).where(
+            F.col("__iact").isNotNull()
+        )
+        frames = []
+        for i, c in enumerate(insert_clauses):
+            cols = c["cols"] or [x.lower() for x in tgt_cols]
+            if len(cols) != len(c["vals"]):
+                raise ValueError(
+                    "dml: MERGE INSERT column/value count mismatch"
+                )
+            vmap = dict(zip(cols, c["vals"]))
+            unknown = set(vmap) - {x.lower() for x in tgt_cols}
+            if unknown:
+                raise ValueError(
+                    f"dml: MERGE INSERT column(s) {sorted(unknown)} not "
+                    f"in {name}"
+                )
+            sel = [
+                (
+                    F.expr(tx(vmap[col.lower()]))
+                    if col.lower() in vmap
+                    else F.lit(None)
+                )
+                .cast(tgt_df.schema[col].dataType)
+                .alias(col)
+                for col in tgt_cols
+            ]
+            frames.append(
+                tagged.where(F.col("__iact") == i).select(
+                    *sel, F.lit(True).alias("__touched")
+                )
+            )
+        inserts = frames[0]
+        for fr in frames[1:]:
+            inserts = inserts.unionByName(fr)
+    final_tagged = (
+        survivors.unionByName(inserts) if inserts is not None else survivors
+    )
+    final_tagged = _checkpointed(final_tagged)
+    # affected-row count = rows a clause actually touched, plus deletes
+    n_deleted = (
+        staged.where(F.col("__act").isin(*delete_ids)).count()
+        if delete_ids
+        else 0
+    )
+    n_touched = final_tagged.where(F.col("__touched")).count()
+    final = final_tagged.select(*tgt_cols)
+    touched = (
+        final_tagged.where(F.col("__touched"))
+        .select(h.part_col)
+        .unionByName(
+            staged.where(
+                F.col("__act").isin(*delete_ids)
+                if delete_ids
+                else F.lit(False)
+            ).select(F.expr(f"{talias}.{h.part_col}").alias(h.part_col))
+        )
+        .distinct()
+        if h.part_col
+        else None
+    )
+    _write_back(spark, name, h, final, touched)
+    return _rows_frame(spark, n_touched + n_deleted)

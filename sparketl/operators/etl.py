@@ -98,6 +98,35 @@ def merge_apply(spark, path: str, feed, key_col: str, part_col: str) -> None:
         .localCheckpoint(eager=True)
     )
     affected_vals = {r[0] for r in affected.collect()}
+    overwrite_pruned(spark, path, target, rewrite, affected_vals, part_col)
+
+
+def overwrite_pruned(
+    spark, path: str, target, rewrite, affected_vals: set, part_col: str
+) -> None:
+    """Write ``rewrite`` back over ONLY the affected partitions of the
+    parquet table at ``path`` — the merge_apply write-back, extracted
+    (round 12) so statement-level DML (sparketl.dml DELETE / UPDATE /
+    MERGE INTO) reuses the exact same guards instead of reimplementing
+    them.
+
+    Contract: ``target`` is the PRE-write frame read from ``path``;
+    ``rewrite`` holds the complete new contents of the partitions in
+    ``affected_vals`` and MUST already be materialized
+    (``localCheckpoint(eager=True)``) so its plan no longer reads the
+    directory being overwritten; partitions outside ``affected_vals``
+    are untouched.  All driver-side collects here are partition-value
+    sized.  The guard lattice (each pinned by tests/test_etl.py):
+
+    - every partition empties → schema-bearing empty-table write
+      (a bare root no reader can schema-infer otherwise);
+    - root-level data files, or an emptied partition whose value's
+      Python rendering is not provably Spark's directory name
+      (ALLOWLIST: non-bool ints, dates, plain-charset strings) →
+      STATIC full overwrite (unaffected partitions ∪ rewrite);
+    - otherwise dynamic partition overwrite of the rewrite, then the
+      emptied partitions' directories dropped via the Hadoop FS API.
+    """
     surviving_vals = {r[0] for r in rewrite.select(part_col).distinct().collect()}
     emptied = affected_vals - surviving_vals
     if not surviving_vals and emptied:
@@ -164,9 +193,15 @@ def merge_apply(spark, path: str, feed, key_col: str, part_col: str) -> None:
         for st in root.getFileSystem(hconf).listStatus(root)
     )
     if root_has_data or (emptied and not all(_dir_safe(v) for v in emptied)):
+        # unaffected partitions ∪ rewrite ≡ the final table (for the
+        # merge feed this equals the old keys-anti-join ∪ upserts form:
+        # untouched partitions carry no feed keys and no upserts)
+        aff_df = spark.createDataFrame(
+            [(v,) for v in affected_vals], target.select(part_col).schema
+        )
         full = (
-            target.join(F.broadcast(keys), key_col, "left_anti")
-            .unionByName(upserts.select(*target.columns))
+            target.join(F.broadcast(aff_df), part_col, "left_anti")
+            .unionByName(rewrite.select(*target.columns))
             .localCheckpoint(eager=True)
         )
         if not full.head(1):

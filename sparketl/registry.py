@@ -51,6 +51,7 @@ def load_all_modules() -> None:
         analytics,
         curation,
         dialect_queries,
+        dml_queries,
         etl,
         eventtime,
         joins,
