@@ -68,6 +68,17 @@ CORPUS = os.path.join(REPO, ".scale", "bandskew", "documents.parquet")
 N_DOCS = 30_000
 HOT_FRAC = 0.10  # one boilerplate template owns this share of the corpus
 
+#: --x100 lane (round 12, VERDICT r11 #6): 500k docs with a FIXED
+#: 10k-doc boilerplate cluster (2%).  The hot share shrinks because
+#: pair volume is quadratic in the cluster: 10% of 500k would be
+#: 1.25e9 candidate pairs from one template — no deduper runs that
+#: unsalted, and the lane's purpose is the G knob's decade behavior,
+#: not a pathological stall.  10k hot docs = ~50M hot pairs, the
+#: x100 decade of the x1 lane's ~4.5M.
+X100_CORPUS = os.path.join(REPO, ".scale", "bandskew_x100", "documents.parquet")
+X100_N_DOCS = 500_000
+X100_HOT = 10_000
+
 #: ~30-word boilerplate body — every hot doc = template + unique suffix
 #: word, so hot docs are NEAR-duplicates (not exact: an exact-dedup
 #: pass upstream would have removed byte-identical copies; the band
@@ -79,11 +90,11 @@ _TEMPLATE = (
 )
 
 
-def gen_corpus(spark) -> None:
-    if os.path.exists(CORPUS):
+def gen_corpus(spark, corpus=CORPUS, n_docs=N_DOCS, hot=None) -> None:
+    if os.path.exists(corpus):
         return
-    hot = int(N_DOCS * HOT_FRAC)
-    df = spark.range(N_DOCS).select(
+    hot = int(n_docs * HOT_FRAC) if hot is None else hot
+    df = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         F.when(
             F.col("id") < hot,
@@ -102,8 +113,8 @@ def gen_corpus(spark) -> None:
         .alias("text"),
         (F.col("id") % 100).alias("n_chars"),
     )
-    df.repartition(8).write.mode("overwrite").parquet(CORPUS)
-    print(f"generated {CORPUS}: {N_DOCS} docs, {hot} boilerplate", file=sys.stderr)
+    df.repartition(8).write.mode("overwrite").parquet(corpus)
+    print(f"generated {corpus}: {n_docs} docs, {hot} boilerplate", file=sys.stderr)
 
 
 def join_stage_max_task(spark, since_stage: int) -> tuple[int, int, int]:
@@ -148,7 +159,9 @@ def join_stage_max_task(spark, since_stage: int) -> tuple[int, int, int]:
 
 
 def main() -> None:
-    passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    args = [a for a in sys.argv[1:] if a != "--x100"]
+    x100 = "--x100" in sys.argv[1:]
+    passes = int(args[0]) if args else (1 if x100 else 2)
     from scripts.skew_stress import latest_stage
     from scripts.stress_common import merge_scale_stress, warm_spark
     from sparketl.operators.llm_dedup import minhash_lsh_pairs
@@ -160,7 +173,12 @@ def main() -> None:
     }
     spark = session.get_spark("sparketl-band-skew-stress")
     warm_spark(spark)
-    gen_corpus(spark)
+    corpus, tier = (CORPUS, "x1")
+    n_docs, hot = N_DOCS, int(N_DOCS * HOT_FRAC)
+    if x100:
+        corpus, tier = (X100_CORPUS, "x100")
+        n_docs, hot = X100_N_DOCS, X100_HOT
+    gen_corpus(spark, corpus, n_docs, hot)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
 
@@ -192,6 +210,17 @@ def main() -> None:
         # workload deterministically lands on 8 tasks
         "salt": {"spark.sql.adaptive.skewJoin.enabled": "false"},
     }
+    salt_of = {"salt": 8}
+    if x100:
+        # the decade lane compares the G knob directly: the per-task
+        # pair share is hot_pairs / G, so doubling the decade means
+        # raising G — salt32 shows max-task write ~ 1/G at fixed data
+        confs = {
+            "plain": confs["plain"],
+            "salt": confs["salt"],
+            "salt32": dict(confs["salt"]),
+        }
+        salt_of = {"salt": 8, "salt32": 32}
     results: dict[str, dict] = {}
     checks = set()
     for variant, cc in confs.items():
@@ -201,13 +230,13 @@ def main() -> None:
         n_pairs = checksum = None
         for _ in range(passes):
             spark.catalog.clearCache()
-            docs = spark.read.parquet(CORPUS)
+            docs = spark.read.parquet(corpus)
             mark = latest_stage(spark)
             t0 = time.perf_counter()
             cand = minhash_lsh_pairs(
                 docs,
                 confirm=False,
-                band_salt=8 if variant == "salt" else None,
+                band_salt=salt_of.get(variant),
             )
             row = cand.agg(
                 F.count("*").alias("n"),
@@ -219,7 +248,7 @@ def main() -> None:
             checks.add((row.n, row.chk))
         mt, mwr, ntasks = min(max_tasks)
         results[f"band_skew_{variant}"] = {
-            "x1": {
+            tier: {
                 "wall_sec": min(walls),
                 "walls": walls,
                 "max_task_ms": mt,
@@ -239,17 +268,17 @@ def main() -> None:
         results,
         passes,
         extra={
-            "band_skew_corpus": (
-                f"docs={N_DOCS}, one boilerplate template + per-doc "
-                f"suffix = {int(N_DOCS * HOT_FRAC)} near-dup docs "
-                f"({HOT_FRAC:.0%}); broadcast disabled"
+            f"band_skew_corpus_{tier}": (
+                f"docs={n_docs}, one boilerplate template + per-doc "
+                f"suffix = {hot} near-dup docs "
+                f"({hot / n_docs:.0%}); broadcast disabled"
             )
         },
     )
     print("| variant | wall s | join max task ms | max task write MB | join tasks | pairs |")
     print("| --- | --- | --- | --- | --- | --- |")
     for v in confs:
-        r = results[f"band_skew_{v}"]["x1"]
+        r = results[f"band_skew_{v}"][tier]
         print(
             f"| {v} | {r['wall_sec']:.2f} | {r['max_task_ms']} | "
             f"{r['max_task_write_bytes'] / 1e6:.1f} | "

@@ -675,32 +675,49 @@ def _top_level_order_by(text: str) -> "re.Match | None":
     )
 
 
-def _array_agg_fn(args: list[str]) -> str | None:
-    """Presto ``array_agg(x ORDER BY k1 [, k2 ...] [ASC|DESC])`` —
-    Spark has no within-aggregate ORDER BY, so the ordered form
-    composes as sort-then-project:
+def _array_agg_parts(args: list[str]):
+    """Presto ``array_agg(x ORDER BY k1 [ASC|DESC] [NULLS FIRST|LAST],
+    ...)`` — Spark has no within-aggregate ORDER BY, so the ordered
+    form composes as sort-then-project over a collected struct array.
+    Returns ``(agg_sql, wrap)`` where ``agg_sql`` is the bare
+    ``collect_list(struct(...))`` aggregate (so a windowed call can
+    attach its OVER clause to it — round 12, VERDICT r11 #4) and
+    ``wrap(agg_ref)`` builds the sort+project expression around it;
+    None = plain array_agg, native pass-through.
 
-        transform(array_sort(collect_list(
-            struct(k1 IS NULL as __ob_n0, k1 as __ob_k0, ...,
-                   x as __ob_v))),
-                  __ob_s -> __ob_s.__ob_v)           -- ASC
-        transform(reverse(array_sort(...)), ...)     -- DESC
+    Two sort strategies:
 
-    The IS NULL flag field pins Presto/Trino's null ordering ("null
-    sorts as if larger than any non-null": ASC → NULLS LAST, DESC →
-    NULLS FIRST — the reverse() of the flagged ASC sort) independent
-    of Spark's field-comparator convention; each key is inlined twice
-    (flag + sort field — the ngrams/random volatile-argument caveat:
-    hoist nondeterministic keys to a column first).  Mixed ASC/DESC
-    keys and
-    explicit NULLS FIRST/LAST spellings RAISE the documented refusal
-    (a lambda comparator could express them, but each combination
-    needs its own proof — loud beats subtly-wrong ordering).  NOTE a
-    side upgrade: collect_list(struct(...)) KEEPS rows whose VALUE is
-    NULL (the struct itself is non-null), matching Presto's array_agg
-    exactly where the unordered name-map to collect_list documents the
-    null-dropping divergence.  Plain (no ORDER BY) array_agg passes
-    through to Spark's native alias."""
+    - DEFAULT orderings (uniform direction, no explicit NULLS): the
+      flagged composition — ``array_sort`` over ``struct(k IS NULL,
+      k, ..., x)`` pins Presto/Trino's null ordering ("null sorts as
+      if larger than any non-null": ASC → NULLS LAST; DESC is the
+      reverse() of the flagged ASC sort → NULLS FIRST) independent of
+      Spark's field-comparator convention.  JVM-native comparison.
+    - MIXED directions / explicit NULLS spellings (round 12, VERDICT
+      r11 #3 — previously a documented refusal): a lambda COMPARATOR
+      ``array_sort(arr, (l, r) -> ...)`` built as a linear chain of
+      per-key comparators (``case when c0 <> 0 then c0 when c1 <> 0
+      ...``, NOT nested — nesting doubles the text per key), each an
+      explicit 5-branch CASE over null-null / null-left / null-right /
+      < / >, with the requested (or Presto-default null-largest)
+      ordering baked per key.  Property-differentialed against
+      DuckDB's native ``array_agg(x ORDER BY ... NULLS ...)`` over
+      random direction/NULLS combinations
+      (tests/test_property_dialect.py).  Residual divergence: a NaN
+      sort KEY on the comparator path ties against every non-null
+      (both < and > are false), where Presto sorts NaN largest — the
+      default path's array_sort handles NaN like Presto; don't use
+      NaN keys with explicit NULLS spellings.  Comparator lambdas are
+      CodegenFallback (interpreted) — the default path stays on the
+      codegen'd sort.
+
+    Each key is inlined twice on the default path (flag + sort field —
+    the ngrams/random volatile-argument caveat: hoist nondeterministic
+    keys to a column first).  NOTE a side upgrade: collect_list(
+    struct(...)) KEEPS rows whose VALUE is NULL (the struct itself is
+    non-null), matching Presto's array_agg exactly where the unordered
+    name-map to collect_list documents the null-dropping divergence.
+    """
     if not args:
         return None
     # multi-key ORDER BY commas split at the CALL-argument level too
@@ -713,67 +730,169 @@ def _array_agg_fn(args: list[str]) -> str | None:
     val, keys_text = text[: ob.start()].strip(), text[ob.end() :].strip()
     if not val or not keys_text:
         return None
-    if re.search(r"\bnulls\s+(?:first|last)\b", keys_text, re.IGNORECASE):
-        raise ValueError(
-            "dialect: array_agg(... ORDER BY ... NULLS FIRST/LAST) is "
-            "refused — only the default null ordering (null sorts "
-            "largest) translates; drop the explicit NULLS clause or "
-            "pre-sort with a window"
-        )
-    dirs: list[str] = []
     exprs: list[str] = []
+    dirs: list[str] = []
+    nulls: list[str | None] = []
     for k in _split_args(keys_text):
         km = re.match(
-            r"^(.*?)(?:\s+(asc|desc))?\s*$", k.strip(),
+            r"^(.*?)(?:\s+(asc|desc))?(?:\s+nulls\s+(first|last))?\s*$",
+            k.strip(),
             re.IGNORECASE | re.DOTALL,
         )
         exprs.append(km.group(1).strip())
         dirs.append((km.group(2) or "asc").lower())
-    if len(set(dirs)) > 1:
-        raise ValueError(
-            "dialect: array_agg with MIXED ASC/DESC sort keys is "
-            "refused — the sort-then-project composition flips the "
-            "whole ordering at once; use a single direction or "
-            "pre-sort with a window"
+        nulls.append(km.group(3).lower() if km.group(3) else None)
+    default_order = len(set(dirs)) == 1 and not any(nulls)
+    if default_order:
+        fields = ", ".join(
+            f"(({e}) is null) as __ob_n{i}, {e} as __ob_k{i}"
+            for i, e in enumerate(exprs)
         )
+        agg = f"collect_list(struct({fields}, {val} as __ob_v))"
+        desc = dirs[0] == "desc"
+
+        def wrap(agg_ref: str, desc=desc) -> str:
+            inner = f"array_sort({agg_ref})"
+            if desc:
+                inner = f"reverse({inner})"
+            return f"transform({inner}, __ob_s -> __ob_s.__ob_v)"
+
+        return agg, wrap
     fields = ", ".join(
-        f"(({e}) is null) as __ob_n{i}, {e} as __ob_k{i}"
-        for i, e in enumerate(exprs)
+        f"{e} as __ob_k{i}" for i, e in enumerate(exprs)
     )
-    inner = f"array_sort(collect_list(struct({fields}, {val} as __ob_v)))"
-    if dirs[0] == "desc":
-        inner = f"reverse({inner})"
-    return f"transform({inner}, __ob_s -> __ob_s.__ob_v)"
+    agg = f"collect_list(struct({fields}, {val} as __ob_v))"
+    cmp_chain = _ordering_comparator(
+        [f"__ob_k{i}" for i in range(len(exprs))], dirs, nulls
+    )
+
+    def wrap(agg_ref: str, cmp_chain=cmp_chain) -> str:
+        return (
+            f"transform(array_sort({agg_ref}, (l, r) -> {cmp_chain}), "
+            "__ob_s -> __ob_s.__ob_v)"
+        )
+
+    return agg, wrap
 
 
-def _minmax_by_n_fn(which: str):
+def _ordering_comparator(
+    fields: list[str], dirs: list[str], nulls: list[str | None]
+) -> str:
+    """array_sort comparator text for a multi-key ordering with per-key
+    direction and null placement.  Linear chain (first non-zero per-key
+    comparison wins) — text size is O(keys), not O(2^keys)."""
+    per_key = []
+    for f, d, nu in zip(fields, dirs, nulls):
+        asc = d == "asc"
+        # Presto default: null sorts largest (ASC → last, DESC → first)
+        nulls_first = (nu or ("first" if not asc else "last")) == "first"
+        lt, gt = ("-1", "1") if asc else ("1", "-1")
+        nl, nr = ("-1", "1") if nulls_first else ("1", "-1")
+        per_key.append(
+            f"case when l.{f} is null and r.{f} is null then 0 "
+            f"when l.{f} is null then {nl} "
+            f"when r.{f} is null then {nr} "
+            f"when l.{f} < r.{f} then {lt} "
+            f"when l.{f} > r.{f} then {gt} else 0 end"
+        )
+    if len(per_key) == 1:
+        return per_key[0]
+    arms = " ".join(
+        f"when ({c}) <> 0 then ({c})" for c in per_key[:-1]
+    )
+    return f"case {arms} else ({per_key[-1]}) end"
+
+
+def _minmax_by_n_parts(which: str):
     """Presto 3-arg ``min_by/max_by(x, y, n)`` — the n values of x for
     the n smallest/largest y, ordered by y (Spark's min_by/max_by are
     2-ary only).  Same sorted-struct composition as the ordered
-    array_agg: null-y rows are FILTERED first (both Presto and DuckDB
-    ignore them), the null-flag field is then constant-false but keeps
-    the struct shape uniform, and slice(…, 1, n) caps the result (n
-    larger than the group returns the whole group, as in Presto).
-    Ties in y pick an unspecified x on every engine — the declared
-    query orders by a unique key.  y is inlined twice (null flag +
-    sort key — the ngrams/random volatile-argument caveat: hoist
-    nondeterministic keys to a column first).  2-arg forms pass
-    through (native Spark)."""
+    array_agg, returned as ``(agg_sql, wrap)`` so the windowed form can
+    attach its OVER clause to the bare collect_list (round 12, VERDICT
+    r11 #4): null-y rows are FILTERED (both Presto and DuckDB ignore
+    them — post-collection, so the filter composes with a window
+    frame), the null-flag field is then constant-false but keeps the
+    struct shape uniform, and slice(…, 1, n) caps the result (n larger
+    than the group returns the whole group, as in Presto).  Ties in y
+    pick an unspecified x on every engine — the declared queries order
+    by a unique key.  y is inlined twice (null flag + sort key — the
+    ngrams/random volatile-argument caveat: hoist nondeterministic
+    keys to a column first).  2-arg forms pass through (native
+    Spark)."""
 
-    def make(args: list[str]) -> str | None:
+    def make(args: list[str]):
         if len(args) != 3:
             return None
         x, y, n = args
-        arr = (
-            f"array_sort(filter(collect_list(struct(({y}) is null as "
-            f"__mb_n0, {y} as __mb_k0, {x} as __mb_v)), "
-            "__mb_s -> not __mb_s.__mb_n0))"
+        agg = (
+            f"collect_list(struct(({y}) is null as __mb_n0, "
+            f"{y} as __mb_k0, {x} as __mb_v))"
         )
-        if which == "max":
-            arr = f"reverse({arr})"
-        return f"transform(slice({arr}, 1, {n}), __mb_s -> __mb_s.__mb_v)"
+
+        def wrap(agg_ref: str) -> str:
+            arr = (
+                f"array_sort(filter({agg_ref}, "
+                "__mb_s -> not __mb_s.__mb_n0))"
+            )
+            if which == "max":
+                arr = f"reverse({arr})"
+            return (
+                f"transform(slice({arr}, 1, {n}), __mb_s -> __mb_s.__mb_v)"
+            )
+
+        return agg, wrap
 
     return make
+
+
+def _rewrite_agg_over_calls(masked: str, name: str, parts_fn) -> str:
+    """Like _rewrite_calls, but for aggregate rewrites that compose a
+    POST-PROCESSING expression around a bare aggregate: ``parts_fn
+    (args) -> None | (agg_sql, wrap)``.  A bare call becomes
+    ``wrap(agg_sql)``; a call followed by ``OVER (w)`` moves the window
+    clause ONTO the aggregate — ``wrap(agg_sql + " over (w)")`` — which
+    is exactly the windowed semantics (the frame feeds collect_list;
+    the sort/slice/project runs per output row).  FILTER / IGNORE
+    NULLS between the call and OVER refuses loudly (Spark supports
+    neither on window aggregates)."""
+    pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(masked, pos)
+        if not m:
+            return masked
+        cp = _match_paren(masked, m.end() - 1)
+        parts = parts_fn(_split_args(masked[m.end() : cp]))
+        if parts is None:
+            pos = m.end()
+            continue
+        agg, wrap = parts
+        k = cp + 1
+        while k < len(masked) and masked[k].isspace():
+            k += 1
+        post = _POSTFIX_CLAUSE_RE.match(masked, k)
+        if post and post.group(1).lower() == "over":
+            if post.group(0).lower().lstrip().startswith(("ignore", "respect")):
+                raise ValueError(
+                    f"dialect: {name}(...) IGNORE/RESPECT NULLS OVER is "
+                    "refused — Spark's collect_list-based rewrite has "
+                    "no null-skipping mode"
+                )
+            ocp = _match_paren(masked, post.end() - 1)
+            over = masked[post.end() : ocp]
+            repl = wrap(f"{agg} over ({over})")
+            masked = masked[: m.start()] + repl + masked[ocp + 1 :]
+        elif post:
+            raise ValueError(
+                f"dialect: this {name}(...) form with a FILTER clause "
+                "is refused — Spark cannot attach FILTER to the "
+                "collect_list the rewrite builds; filter in a subquery "
+                "first"
+            )
+        else:
+            repl = wrap(agg)
+            masked = masked[: m.start()] + repl + masked[cp + 1 :]
+        pos = m.start() + 1
 
 
 def _random_fn(args: list[str]) -> str | None:
@@ -1517,16 +1636,27 @@ def _rewrite_match_recognize(masked: str, lits: list[str]) -> str:
         # (any variable may start one), so only AFTER MATCH SKIP TO
         # NEXT ROW — which evaluates every anchor — is sound
         # declaratively; PAST LAST ROW's greedy non-overlap selection
-        # is a sequential chain and stays refused (loud).
+        # is a sequential per-partition chain (necessity pinned by
+        # tests/test_property_match_recognize.py::
+        # test_permute_past_last_is_not_windowable) and raises a
+        # refusal pointing at the engine operator that implements it
+        # (operators.analytics.permute_greedy_select — candidates by
+        # the same window check, then a per-partition greedy kernel).
         skip_next = bool(
             am
             and re.fullmatch(
                 r"skip\s+to\s+next\s+row\s*", am.group(1), re.IGNORECASE
             )
         )
+        # Trino's DEFAULT when AFTER MATCH is omitted is PAST LAST ROW
+        skip_past = am is None or bool(
+            re.fullmatch(
+                r"skip\s+past\s+last\s+row\s*", am.group(1), re.IGNORECASE
+            )
+        )
         return _rewrite_mr_permute(
             masked, m, cp, base, part, order, meas, patt, defs,
-            all_rows, skip_next,
+            all_rows, skip_next, skip_past, lits,
         )
     va, vb, quant, vc = pm.groups()
     if vb is None:
@@ -1771,10 +1901,7 @@ def _rewrite_match_recognize(masked: str, lits: list[str]) -> str:
     join_part = " and ".join(f"__mr_s.{c} <=> __mr_e.{c}" for c in pcols)
     # symbol = the pattern variable's own name; '.' sentinel can't
     # collide (variables are \w+)
-    sym_case = f"case when ({preds[va]}) then '{va}'"
-    for mv in middles:
-        sym_case += f" when ({preds[mv]}) then '{mv}'"
-    sym_case += f" when ({preds[vc]}) then '{vc}' else '.' end"
+    sym_case = _mr_sym_case(preds, [va, *middles, vc], lits)
     if middles:
         mid_set = ", ".join(f"'{mv}'" for mv in middles)
         not_middle = f"__mr_sym not in ({mid_set})"
@@ -2309,10 +2436,17 @@ def _rewrite_mr_permute(
     defs: str,
     all_rows: bool,
     skip_next: bool,
+    skip_past: bool = False,
+    lits: list[str] | None = None,
 ) -> str:
     """PATTERN (PERMUTE(V1, ..., Vk)) under AFTER MATCH SKIP TO NEXT
     ROW, ONE ROW PER MATCH (see the caller's branch comment for the
-    soundness argument).  Every measure reference V.col becomes a CASE
+    soundness argument).  An otherwise-conforming permute under SKIP
+    PAST LAST ROW (incl. the Trino default when AFTER MATCH is
+    omitted) raises the documented refusal naming the engine operator
+    instead of dying as a parse error — greedy non-overlap selection
+    is a sequential chain no window formulation can express
+    (counterexample-pinned in tests/test_property_match_recognize.py).  Every measure reference V.col becomes a CASE
     over the k window offsets ("whichever of the k rows carries V's
     symbol"); count(*) is the constant k; classifier() is the last
     row's symbol.  Trino's permutation-PREFERENCE order is irrelevant
@@ -2327,12 +2461,26 @@ def _rewrite_mr_permute(
         patt,
         re.IGNORECASE,
     )
-    if not pp or all_rows or not skip_next:
+    if not pp or all_rows or not (skip_next or skip_past):
         return masked
     vs = [v.strip() for v in pp.group(1).split(",")]
     k = len(vs)
     if len(set(vs)) != len(vs) or k > 5:
         return masked
+    if not skip_next:
+        raise ValueError(
+            "dialect: PATTERN (PERMUTE(...)) under AFTER MATCH SKIP "
+            "PAST LAST ROW (the default) is refused — permute matches "
+            "can overlap, so the greedy non-overlap selection is a "
+            "sequential per-partition chain no window formulation "
+            "expresses (counterexample-pinned in tests/"
+            "test_property_match_recognize.py).  Use AFTER MATCH SKIP "
+            "TO NEXT ROW for the every-anchor semantics, or the engine "
+            "operator sparketl.operators.analytics.permute_greedy_"
+            "select (candidate anchors by the same window check, then "
+            "a per-partition greedy kernel — the row_pattern_permute_"
+            "pastlast declared query is the worked example)."
+        )
     preds: dict[str, str] = {}
     n_defs = 0
     for d in _split_args(defs):
@@ -2383,10 +2531,7 @@ def _rewrite_mr_permute(
     if not measures:
         return masked
 
-    sym_case = "case"
-    for v in vs:
-        sym_case += f" when ({preds[v]}) then '{v}'"
-    sym_case += " else '.' end"
+    sym_case = _mr_sym_case(preds, vs, lits if lits is not None else [])
     w = f"over (partition by {part} order by {order})"
     lead_cols = ["__mr_sym as __mr_s0"] + [
         f"lead(__mr_sym, {i}) {w} as __mr_s{i}" for i in range(1, k)
@@ -2671,6 +2816,54 @@ _LAMBDA_PARAMS_RE = re.compile(
 )
 
 
+#: Opt-in runtime assertion for the MATCH_RECOGNIZE rewrites' one
+#: uncheckable precondition (ADVICE r11): the windowed formulations
+#: assume MUTUALLY-EXCLUSIVE defines — a row satisfying two predicates
+#: silently pins to the first CASE branch where Trino's engine could
+#: map it to either variable (PERMUTE widens the exposure: its
+#: forced-mapping argument rests entirely on exclusivity).  With the
+#: flag on, the symbol classifier adds a leading branch that
+#: raise_error()s on any row satisfying more than one DEFINE, so
+#: overlapping defines fail LOUDLY on the data instead of mis-matching.
+#: The branch lives inside the __mr_sym CASE itself — a column every
+#: downstream step reads — so Catalyst cannot projection-prune the
+#: guard (the r11 measure-borne-guard lesson).  Off by default: the
+#: extra per-row predicate evaluations are pure overhead once a
+#: pipeline's defines are known-exclusive.
+MR_ASSERT_DEFINES = False
+
+
+def set_mr_define_assertions(enabled: bool) -> None:
+    """Toggle the overlapping-DEFINE runtime assertion (module-wide)."""
+    global MR_ASSERT_DEFINES
+    MR_ASSERT_DEFINES = bool(enabled)
+
+
+def _mr_sym_case(preds: dict[str, str], order: list[str], lits: list[str]) -> str:
+    """The __mr_sym classifier CASE: first satisfied DEFINE wins, '.'
+    sentinel otherwise (variables are \\w+, so '.' cannot collide).
+    Under MR_ASSERT_DEFINES a leading branch raises when a row
+    satisfies >1 define (NULL predicates count as unsatisfied — the
+    1/0 CASE sum is null-safe where a cast sum would go NULL).  The
+    message goes through _inject_lit — a raw quoted literal in masked
+    text would break every later quote-blind scanner (the ADVICE r10
+    invariant)."""
+    body = "".join(f" when ({preds[v]}) then '{v}'" for v in order)
+    guard = ""
+    if MR_ASSERT_DEFINES:
+        tally = " + ".join(
+            f"(case when ({preds[v]}) then 1 else 0 end)" for v in order
+        )
+        msg = _inject_lit(
+            lits,
+            "match_recognize: a row satisfies more than one DEFINE — "
+            "the windowed rewrite requires mutually-exclusive defines "
+            "(see dialect.set_mr_define_assertions)",
+        )
+        guard = f" when ({tally}) > 1 then raise_error({msg})"
+    return f"case{guard}{body} else '.' end"
+
+
 def _shadowed_names(masked: str) -> set[str]:
     """Names REDEFINED inside the query text: `... AS name` aliases
     (select items, CTE/derived-table columns) and lambda parameters.
@@ -2725,14 +2918,40 @@ def _rewrite_int_division(masked: str, colcls: dict[str, str], strict: bool) -> 
         elif strict:
             hi = (rend + 1) if rend is not None else min(len(masked), i + 30)
             lo = lstart if lstart < i else max(0, i - 30)
+            span = masked[lo:hi].strip()
+            # ADVICE r11: when the unresolvable operand is a name the
+            # statement ALIASES somewhere (`... as <name>`, incl. the
+            # common same-name rename `l_quantity / 2 as l_quantity`),
+            # say so — the catalog class is deliberately not trusted
+            # because Spark's lateral-column-alias resolution and
+            # Presto's scoping can disagree on which definition a
+            # reference means.
+            hit = sorted(
+                n
+                for n in shadowed
+                if re.search(rf"\b{re.escape(n)}\b", span, re.IGNORECASE)
+            )
+            note = (
+                (
+                    "  Note: "
+                    + ", ".join(f"'{n}'" for n in hit)
+                    + " is aliased elsewhere in this statement "
+                    "(`... as <name>` / lambda parameter), which makes "
+                    "the name's type ambiguous here even though a "
+                    "same-named catalog column exists — rename the "
+                    "alias or cast this operand explicitly."
+                )
+                if hit
+                else ""
+            )
             raise ValueError(
                 "dialect: cannot resolve the operand types of `/` in "
-                f"'{masked[lo:hi].strip()}' — Presto's integer `/` "
+                f"'{span}' — Presto's integer `/` "
                 "TRUNCATES (7/2 = 3) while Spark's returns DOUBLE, so "
                 "the front door refuses to guess.  Cast an operand "
                 "(cast(x as double) for double division) or spell the "
                 "truncating division `x div y`; schema-free "
-                "translate() keeps the legacy pass-through."
+                f"translate() keeps the legacy pass-through.{note}"
             )
         else:
             i += 1
@@ -2904,10 +3123,12 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
     # rewritten compound `(<expr>) over (...)` is a Spark parse error,
     # and duplicating the window spec onto every sub-aggregate is a
     # rewrite this translator does not attempt (round-11 review).
+    # min_by/max_by/array_agg left this list in round 12: their
+    # rewrites split into (bare aggregate, wrapper), so the OVER
+    # clause relocates onto the collect_list (_rewrite_agg_over_calls).
     _refuse_windowed_calls(
         masked,
-        ("skewness", "kurtosis", "reduce_agg", "min_by", "max_by",
-         "array_agg"),
+        ("skewness", "kurtosis", "reduce_agg"),
     )
     masked = _rewrite_calls(
         masked, "reduce_agg",
@@ -3187,9 +3408,9 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
         lambda a: f"cast(conv({a[0]}, {a[1]}, -10) as bigint)"
         if len(a) == 2 else None,
     )
-    masked = _rewrite_calls(masked, "array_agg", _array_agg_fn)
-    masked = _rewrite_calls(masked, "min_by", _minmax_by_n_fn("min"))
-    masked = _rewrite_calls(masked, "max_by", _minmax_by_n_fn("max"))
+    masked = _rewrite_agg_over_calls(masked, "array_agg", _array_agg_parts)
+    masked = _rewrite_agg_over_calls(masked, "min_by", _minmax_by_n_parts("min"))
+    masked = _rewrite_agg_over_calls(masked, "max_by", _minmax_by_n_parts("max"))
     masked = _rewrite_calls(masked, "random", _random_fn)
     masked = _rewrite_calls(
         masked, "truncate",
@@ -3219,6 +3440,14 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
 def sql(spark: SparkSession, presto_sql: str) -> DataFrame:
     """Run Presto-dialect SQL against the current Spark catalog.
 
+    Statement routing (round 12, VERDICT r11 #1/#8): SELECT-shaped
+    statements translate and run directly; DML/DDL leaders (INSERT
+    INTO, CREATE TABLE AS, DELETE, UPDATE, MERGE INTO, DROP TABLE)
+    route to ``sparketl.dml`` (parquet-backed writable tables, pruned
+    copy-on-write); ``EXPLAIN <query>`` returns Spark's FORMATTED plan
+    for the translated query (``EXPLAIN ANALYZE`` refuses — run the
+    query and read the UI/metrics instead).
+
     Schema note: the integer-division resolver reads the catalog
     schemas once per (session, view-name set) — the engine's own
     loader invalidates the cache, but code that REPLACES a temp view
@@ -3240,6 +3469,31 @@ def sql(spark: SparkSession, presto_sql: str) -> DataFrame:
             "false (the Spark default): the translator doubles backslashes "
             "to preserve Presto raw-literal bytes under the escaping parser"
         )
+    em = re.match(r"\s*explain\b(\s+analyze\b)?", presto_sql, re.IGNORECASE)
+    if em:
+        if em.group(1):
+            raise ValueError(
+                "dialect: EXPLAIN ANALYZE is refused — it would execute "
+                "the statement; use plain EXPLAIN for the plan, or run "
+                "the query and read the Spark UI metrics"
+            )
+        inner = presto_sql[em.end() :]
+        om = re.match(
+            r"\s*\(\s*(type|format)\s", inner, re.IGNORECASE
+        )
+        if om:
+            raise ValueError(
+                "dialect: EXPLAIN (TYPE/FORMAT ...) options are refused "
+                "— plain EXPLAIN returns Spark's FORMATTED physical plan"
+            )
+        return spark.sql(
+            "EXPLAIN FORMATTED "
+            + translate(inner, schema=_catalog_column_classes(spark))
+        )
+    from sparketl import dml as _dml
+
+    if _dml.is_dml(presto_sql):
+        return _dml.execute(spark, presto_sql)
     return spark.sql(
         translate(presto_sql, schema=_catalog_column_classes(spark))
     )

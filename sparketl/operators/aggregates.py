@@ -420,7 +420,7 @@ def agg_array_agg(spark, sf_dir):
 def agg_array_agg_ordered(spark, sf_dir):
     """#34 depth (round 11): Presto's ``array_agg(x ORDER BY k)`` —
     the within-aggregate ORDER BY Spark lacks — via the dialect front
-    door's sort-then-project composition (dialect._array_agg_fn:
+    door's sort-then-project composition (dialect._array_agg_parts:
     collect_list of (null-flag, keys, value) structs, array_sort,
     reverse for DESC, transform down to the value).  Single-key ASC,
     multi-key DESC, and multi-key mixed-type ASC faces; (Presto leaves tie order
@@ -485,7 +485,7 @@ def agg_array_agg_ordered(spark, sf_dir):
 def agg_minmax_by_n(spark, sf_dir):
     """#32 depth (round 11): Presto's 3-arg ``min_by/max_by(x, y, n)``
     — the n values of x at the n smallest/largest y — via the dialect
-    front door's sorted-struct composition (dialect._minmax_by_n_fn;
+    front door's sorted-struct composition (dialect._minmax_by_n_parts;
     Spark's builtins are 2-ary).  DuckDB 1.0 has no 3-arg arg_min, so
     the oracle states the same semantics independently as ordered
     array_agg + list slicing.  The top3 face's ties in o_totalprice
@@ -1523,4 +1523,60 @@ def agg_listagg(spark, sf_dir):
             "within group (order by o_orderkey)"
         ).alias("keys_csv"),
         F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_array_agg_mixed_order",
+    oracle="""
+        select l_returnflag,
+               array_to_string(array_agg(
+                   cast(l_orderkey * 10 + l_linenumber as varchar)
+                   order by nullif(l_linestatus, 'F') asc nulls first,
+                            l_quantity desc nulls first,
+                            l_orderkey * 10 + l_linenumber asc nulls last),
+                   ',') as ids_mixed,
+               count(*) as n
+        from lineitem
+        where l_orderkey < 800
+        group by l_returnflag
+    """,
+)
+def agg_array_agg_mixed_order(spark, sf_dir):
+    """#34 depth (round 12, VERDICT r11 #3): ``array_agg(x ORDER BY k1
+    ASC NULLS FIRST, k2 DESC, ...)`` — MIXED directions and an explicit
+    non-default NULLS placement, the forms round 11 refused.  The
+    dialect now builds an array_sort LAMBDA COMPARATOR (dialect.
+    _ordering_comparator: a linear chain of per-key 5-branch CASEs
+    with the requested — or Presto-default null-largest — placement
+    baked per key).  NULL keys are synthesized with nullif on the line
+    status; the key list ends with the unique row id (tie ⇒ equal value,
+    the fixture-duplicate rule).  DuckDB grades with its native
+    within-aggregate ORDER BY, every direction and NULLS spelled
+    explicitly; random combinations are property-differentialed in
+    tests/test_property_dialect.py.
+
+    Scale: same one-shuffle hash aggregate as every array_agg; the
+    comparator sort is interpreted (CodegenFallback) per group —
+    bounded group payloads (≤ 7 lineitems per order here); default
+    orderings stay on the codegen'd flag-struct path."""
+    from sparketl import dialect
+    from sparketl.tables import load_tables
+
+    load_tables(spark, sf_dir)
+    return dialect.sql(
+        spark,
+        """
+        select l_returnflag,
+               array_join(array_agg(
+                   cast(l_orderkey * 10 + l_linenumber as string)
+                   order by nullif(l_linestatus, 'F') nulls first,
+                            l_quantity desc,
+                            l_orderkey * 10 + l_linenumber),
+                   ',') as ids_mixed,
+               count(*) as n
+        from lineitem
+        where l_orderkey < 800
+        group by l_returnflag
+        """,
     )

@@ -830,7 +830,9 @@ def test_match_recognize_refuses_nonconforming():
                        "after match skip to last A pattern (A B* C)"),
         _MR_OK.replace("pattern (A B* C)",
                        "after match skip to first Z pattern (A B* C)"),
-        _MR_OK.replace("pattern (A B* C)", "pattern (permute(A, B, C))"),
+        # (PERMUTE under the default PAST LAST ROW moved from
+        # stays-untouched to an explicit refusal in round 12 —
+        # test_permute_past_last_refuses_with_operator_pointer)
         # expression PARTITION BY key: the rewrite would emit invalid
         # `__mr_s.date_trunc(...) as date_trunc(...)` — must refuse
         _MR_OK.replace("partition by user_id",
@@ -1598,10 +1600,12 @@ def test_array_agg_order_by_rewrites():
     assert translate("select array_agg(x) from t") == (
         "select array_agg(x) from t"
     )
-    with pytest.raises(ValueError, match="MIXED ASC/DESC"):
-        translate("select array_agg(x order by y asc, z desc) from t")
-    with pytest.raises(ValueError, match="NULLS FIRST/LAST"):
-        translate("select array_agg(x order by y nulls first) from t")
+    # mixed directions / explicit NULLS (r11 refusals) now translate
+    # via the lambda comparator (round 12, VERDICT r11 #3)
+    out = translate("select array_agg(x order by y asc, z desc) from t")
+    assert "(l, r) ->" in out and "__ob_k1" in out
+    out = translate("select array_agg(x order by y nulls first) from t")
+    assert "when l.__ob_k0 is null then -1" in out
 
 
 def test_exec_array_agg_order_by_null_convention(spark):
@@ -1692,13 +1696,31 @@ def test_skip_to_var_guard_survives_projection_pruning(spark):
         ).collect()
 
 
-def test_windowed_compound_aggregate_forms_refuse():
-    # 3-arg min_by/max_by and ordered array_agg rewrite into compound
-    # expressions — windowed use refuses with the documented message
-    for fn in ("min_by(x, y, 3)", "max_by(x, y, 2)",
-               "array_agg(x order by y)"):
-        with pytest.raises(ValueError, match="OVER .* is refused"):
-            translate(f"select {fn} over (partition by g) from t")
+def test_windowed_compound_aggregate_forms_relocate_over():
+    """3-arg min_by/max_by and ordered array_agg rewrite into compound
+    expressions; the OVER clause relocates onto the bare collect_list
+    (round 12, VERDICT r11 #4 — previously a documented refusal)."""
+    out = translate(
+        "select min_by(x, y, 3) over (partition by g "
+        "rows between 2 preceding and current row) from t"
+    )
+    assert (
+        "collect_list(struct((y) is null as __mb_n0, y as __mb_k0, "
+        "x as __mb_v)) over (partition by g rows between 2 preceding "
+        "and current row)"
+    ) in out
+    assert out.startswith("select transform(slice(array_sort(filter(")
+    out = translate(
+        "select array_agg(x order by y) over (partition by g order by o) "
+        "from t"
+    )
+    assert ") over (partition by g order by o))" in out
+    # FILTER between the call and OVER refuses (Spark supports neither)
+    with pytest.raises(ValueError, match="FILTER clause"):
+        translate(
+            "select min_by(x, y, 3) filter (where x > 0) "
+            "over (partition by g) from t"
+        )
     # native shapes keep their windowed use
     out = translate("select min_by(x, y) over (partition by g) from t")
     assert "min_by(x, y) over (partition by g)" in out
@@ -1823,3 +1845,79 @@ def test_array_agg_nested_order_by_passes_through():
     q3 = "select array_agg(coalesce(x, (select 1 order by 1)) order by k) from t"
     out = translate(q3)
     assert "transform(array_sort(collect_list" in out
+
+
+def test_permute_past_last_refuses_with_operator_pointer():
+    """round 12 (VERDICT r11 #5): an otherwise-conforming PERMUTE under
+    SKIP PAST LAST ROW — explicit or via Trino's omitted-AFTER-MATCH
+    default — raises the documented refusal naming the engine operator
+    instead of a Spark parse error; SKIP TO NEXT ROW still translates."""
+    body = """
+        select user_id, v_pos from t match_recognize (
+            partition by user_id order by pos asc
+            measures V.pos as v_pos one row per match
+            {am}
+            pattern (permute(V, B, P))
+            define V as sym = 'V', B as sym = 'B', P as sym = 'P'
+        )
+    """
+    for am in ("after match skip past last row", ""):
+        with pytest.raises(ValueError, match="permute_greedy_select"):
+            translate(body.format(am=am))
+    out = translate(body.format(am="after match skip to next row"))
+    assert "__mr_s0" in out  # the lead-window rewrite fired
+
+
+def test_int_division_shadowed_alias_refusal_names_the_alias():
+    """ADVICE r11: the same-name rename pattern (`l_quantity / 2 as
+    l_quantity`) refuses — conservative by design (Spark lateral
+    column aliases vs Presto scoping) — and the message now NAMES the
+    shadowed alias so the fix is obvious."""
+    with pytest.raises(ValueError, match="aliased elsewhere"):
+        translate(
+            "select a / 2 as a from t", schema={"a": "bigint"}
+        )
+    # a refusal NOT caused by shadowing carries no alias note
+    try:
+        translate("select a / mystery from t", schema={"a": "bigint"})
+    except ValueError as e:
+        assert "aliased elsewhere" not in str(e)
+
+
+def test_mr_define_assertion_mode_fires_on_overlap(spark):
+    """ADVICE r11: the opt-in MR_ASSERT_DEFINES mode raises at RUNTIME
+    when a row satisfies more than one DEFINE (the windowed rewrites'
+    uncheckable precondition), and is value-neutral on exclusive
+    defines.  The guard rides the __mr_sym CASE itself, so Catalyst
+    cannot projection-prune it."""
+    spark.createDataFrame(
+        [(1, 1, 5), (1, 2, 10), (1, 3, 20)],
+        "user_id long, pos long, amt long",
+    ).createOrReplaceTempView("mr_assert_probe")
+    from sparketl import dialect as _d
+
+    _d.clear_schema_cache()
+    q = """
+        select user_id, v_pos from mr_assert_probe match_recognize (
+            partition by user_id order by pos asc
+            measures V.pos as v_pos one row per match
+            after match skip past last row
+            pattern (V B+ P)
+            define V as amt = 5, B as amt {b_op} 10, P as amt = 20
+        )
+    """
+    _d.set_mr_define_assertions(True)
+    try:
+        # exclusive defines: identical result to the unasserted run
+        ok = presto_sql(spark, q.format(b_op="=")).collect()
+        _d.set_mr_define_assertions(False)
+        base = presto_sql(spark, q.format(b_op="=")).collect()
+        assert sorted(map(tuple, ok)) == sorted(map(tuple, base)) == [(1, 1)]
+        _d.set_mr_define_assertions(True)
+        # B as amt <= 10 also matches the V row (amt=5): overlap
+        # (AQE may wrap the raise in STAGE_MATERIALIZATION failures —
+        # match on the message, not the exception class)
+        with pytest.raises(Exception, match="more than one DEFINE"):
+            presto_sql(spark, q.format(b_op="<=")).collect()
+    finally:
+        _d.set_mr_define_assertions(False)

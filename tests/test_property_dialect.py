@@ -209,3 +209,74 @@ def test_mysql_pattern_formatting_matches_python_strftime(spark, parts, ts):
         assert "back-to-back" in str(e), (mysql, e)
         assume(False)
     assert got == want, (mysql, c_pat, ts)
+
+
+# ---------------------------------------------------------------------------
+# ordered array_agg: random direction/NULLS combos (round 12, VERDICT r11 #3)
+# ---------------------------------------------------------------------------
+
+_OBA_ROWS = [
+    # (id, k1, k2) — nulls and ties in both keys; id is the unique
+    # final tiebreaker (fixture trap: ties must end in a unique key)
+    (1, 3, None),
+    (2, None, 5),
+    (3, 3, 2),
+    (4, 1, None),
+    (5, None, None),
+    (6, 2, 1),
+    (7, 2, 9),
+    (8, 1, 2),
+    (9, 3, 2),
+]
+
+
+@pytest.fixture(scope="module")
+def oba_env(spark):
+    spark.createDataFrame(
+        _OBA_ROWS, "id long, k1 int, k2 int"
+    ).createOrReplaceTempView("oba_probe")
+    dialect.clear_schema_cache()
+    con = duckdb.connect()
+    con.sql(
+        "create table oba_probe as select * from (values "
+        + ", ".join(str(r).replace("None", "null") for r in _OBA_ROWS)
+        + ") t(id, k1, k2)"
+    )
+    yield con
+
+
+_key_spec = st.tuples(
+    st.sampled_from(["k1", "k2"]),
+    st.sampled_from([None, "asc", "desc"]),
+    st.sampled_from([None, "first", "last"]),
+)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(keys=st.lists(_key_spec, min_size=1, max_size=3))
+def test_ordered_array_agg_any_direction_nulls_combo(spark, oba_env, keys):
+    """Every direction/NULLS combination of the ordered array_agg must
+    match DuckDB's NATIVE within-aggregate ORDER BY with the same
+    ordering spelled explicitly (Presto defaults resolved: null sorts
+    largest — ASC → NULLS LAST, DESC → NULLS FIRST).  Exercises both
+    the flagged default path and the lambda-comparator path."""
+    presto_keys, duck_keys = [], []
+    for col, d, nu in keys:
+        p = col + (f" {d}" if d else "") + (f" nulls {nu}" if nu else "")
+        eff_d = d or "asc"
+        eff_nu = nu or ("last" if eff_d == "asc" else "first")
+        presto_keys.append(p)
+        duck_keys.append(f"{col} {eff_d} nulls {eff_nu}")
+    # unique final tiebreaker on both sides (tie ⇒ equal value rule)
+    presto_keys.append("id")
+    duck_keys.append("id asc nulls last")
+    got = dialect.sql(
+        spark,
+        f"select array_agg(id order by {', '.join(presto_keys)}) as a "
+        "from oba_probe",
+    ).collect()[0][0]
+    want = oba_env.sql(
+        f"select array_agg(id order by {', '.join(duck_keys)}) as a "
+        "from oba_probe"
+    ).fetchone()[0]
+    assert list(got) == list(want), (presto_keys, duck_keys)

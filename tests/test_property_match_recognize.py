@@ -486,3 +486,93 @@ def test_permute_equals_window_model(spark, users):
         for s, pos in _model_permute(symbols, ["V", "B", "P"])
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# PERMUTE under SKIP PAST LAST ROW (round 12, VERDICT r11 #5)
+# ---------------------------------------------------------------------------
+
+
+def _greedy_select(anchors: list[int], k: int) -> list[int]:
+    """The SKIP PAST LAST ROW chain over candidate anchors: keep an
+    anchor iff it starts after the previously kept match ended."""
+    out, last_end = [], -1
+    for a in anchors:
+        if a > last_end:
+            out.append(a)
+            last_end = a + k - 1
+    return out
+
+
+def test_permute_past_last_is_not_windowable():
+    """Refusal-necessity proof (VERDICT r11 #5, previously prose): the
+    greedy selection of anchor position n depends on the FULL anchor
+    prefix, not any bounded neighborhood — two candidate sets that are
+    IDENTICAL within any radius m of anchor n select it differently,
+    so no window/lead formulation (whose predicate reads a bounded
+    neighborhood) can express SKIP PAST LAST ROW for overlapping
+    permute matches.  Construction (k = 2): consecutive anchors
+    0..n vs 1..n — greedy keeps even vs odd positions; for any m,
+    pick n > m + 1 and the two sets agree on [n - m, n + m] while the
+    selection of n flips."""
+    k = 2
+    for m in (1, 3, 10, 50):
+        n = 2 * m + 4  # even, comfortably beyond the neighborhood
+        with_zero = list(range(0, n + 1))
+        without_zero = list(range(1, n + 1))
+        sel_a = n in _greedy_select(with_zero, k)
+        sel_b = n in _greedy_select(without_zero, k)
+        # identical candidate pattern within radius m of n ...
+        assert (
+            [a for a in with_zero if abs(a - n) <= m]
+            == [a for a in without_zero if abs(a - n) <= m]
+        )
+        # ... yet the greedy selection of n differs
+        assert sel_a != sel_b, (m, n)
+
+
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(users=seqs)
+def test_permute_past_last_equals_greedy_model(spark, users):
+    """The engine path (candidate window check + permute_greedy_select
+    kernel) against the brute-force model: sliding-window candidates,
+    then the sequential greedy chain, per partition."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparketl.operators.analytics import permute_greedy_select
+
+    rows = [
+        (u, pos, sym)
+        for u, symbols in enumerate(users)
+        for pos, sym in enumerate(symbols)
+    ]
+    if not rows:
+        rows = [(0, 0, "X")]
+    df = spark.createDataFrame(rows, "user_id long, pos long, sym string")
+    win = Window.partitionBy("user_id").orderBy("pos")
+    w = df.select(
+        "user_id",
+        "pos",
+        F.col("sym").alias("s0"),
+        F.lead("sym", 1).over(win).alias("s1"),
+        F.lead("sym", 2).over(win).alias("s2"),
+    )
+    cand = w.where(
+        F.col("s0").isin("V", "B", "P")
+        & F.col("s1").isin("V", "B", "P")
+        & F.col("s2").isin("V", "B", "P")
+        & (F.col("s0") != F.col("s1"))
+        & (F.col("s0") != F.col("s2"))
+        & (F.col("s1") != F.col("s2"))
+    ).select("user_id", "pos")
+    sel = permute_greedy_select(cand, "user_id", "pos", k=3)
+    got = sorted((r.user_id, r.pos) for r in sel.collect())
+    want = sorted(
+        (u, a)
+        for u, symbols in enumerate(users)
+        for a in _greedy_select(
+            [s for s, _ in _model_permute(symbols, ["V", "B", "P"])], 3
+        )
+    )
+    assert got == want
