@@ -150,7 +150,7 @@ def _refresh(spark: SparkSession, name: str) -> None:
 # ---------------------------------------------------------------------------
 
 _DML_LEAD = re.compile(
-    r"^\s*(insert|create|delete|update|merge|drop)\b", re.IGNORECASE
+    r"^\s*(insert|create|delete|update|merge|drop|truncate)\b", re.IGNORECASE
 )
 
 
@@ -200,13 +200,14 @@ def execute(spark: SparkSession, stmt: str) -> DataFrame:
         "update": _update,
         "merge": _merge,
         "drop": _drop,
+        "truncate": _truncate,
     }.get(kw)
     if handler is None:
         raise ValueError(
             f"dml: unsupported statement leader '{kw}' — supported: "
             "INSERT INTO, CREATE TABLE [IF NOT EXISTS] ... AS, DELETE "
-            "FROM, UPDATE, MERGE INTO, DROP TABLE (plus SELECT-shaped "
-            "queries through dialect.sql())"
+            "FROM, UPDATE, MERGE INTO, DROP TABLE, TRUNCATE TABLE "
+            "(plus SELECT-shaped queries through dialect.sql())"
         )
     return handler(spark, masked, lits)
 
@@ -489,6 +490,22 @@ def _parse_table_props(props_text: str, lits: list[str]) -> str | None:
                 "format='PARQUET', partitioned_by=ARRAY['col']"
             )
     return part_col
+
+
+def _truncate(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
+    """Trino TRUNCATE TABLE — delete all rows, keep the table (the
+    readable schema-bearing empty-table contract)."""
+    m = re.match(
+        rf"^truncate\s+table\s+({_IDENT})\s*$", masked, re.IGNORECASE
+    )
+    if not m:
+        raise ValueError("dml: expected TRUNCATE TABLE <name>")
+    name = m.group(1).lower()
+    h = _resolve(spark, name)
+    schema = spark.read.parquet(h.path).schema
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(h.path)
+    _refresh(spark, name)
+    return _rows_frame(spark, 0)
 
 
 def _drop(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:

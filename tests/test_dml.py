@@ -315,3 +315,23 @@ def test_duckdb_same_statement_differential(spark, wh):
         con.sql(s)
     want = sorted(tuple(r) for r in con.sql("select * from t_dd").fetchall())
     assert got == want
+
+
+def test_insert_values_and_truncate(spark, wh):
+    dialect.sql(spark, "create table t_iv as select k, g from dml_fx")
+    # INSERT ... VALUES — the literal-row form ETL scripts paste
+    n = dialect.sql(
+        spark, "insert into t_iv values (100, 'x'), (101, 'y')"
+    ).collect()[0][0]
+    assert n == 2
+    assert (100, "x") in _state(spark, "t_iv")
+    n = dialect.sql(
+        spark, "insert into t_iv (g, k) values ('z', 102)"
+    ).collect()[0][0]
+    assert n == 1 and (102, "z") in _state(spark, "t_iv")
+    # TRUNCATE keeps a readable empty table
+    dialect.sql(spark, "truncate table t_iv")
+    df = dialect.sql(spark, "select * from t_iv")
+    assert df.count() == 0 and df.columns == ["k", "g"]
+    with pytest.raises(ValueError, match="not a writable table"):
+        dialect.sql(spark, "truncate table dml_fx")
