@@ -23,8 +23,10 @@ date_diff('u', t1, t2)       timestampdiff(U, t1, t2)   (same t2-t1 order)
 date_add('u', n, ts)         timestampadd(U, n, ts)
 day_of_week(x) / dow(x)      (weekday(x) + 1)           (ISO 1=Mon..7=Sun)
 extract(DOW|DAY_OF_WEEK ...) (weekday(x) + 1)   (Spark DOW is Sun=1..Sat=7)
-extract(SECOND from x)       second(x)          (Presto drops the fraction;
-                             Spark extract keeps it as decimal(8,6))
+extract(SECOND from x)       cast(extract(second from x) as bigint)
+                             (Presto drops the fraction; Spark keeps
+                             decimal(8,6); cast truncates toward zero —
+                             valid for timestamp AND interval operands)
 extract(YOW|YEAR_OF_WEEK ..) extract(YEAROFWEEK from x)
 sign(x)  [x int-classified]  cast(sign(x) as bigint)    (front door only —
                              Spark sign() is always DOUBLE)
@@ -520,7 +522,13 @@ def _extract_fn(args: list[str]) -> str | None:
       the function-form day_of_week()/dow() already uses.
     - SECOND: Presto returns BIGINT with the fraction dropped; Spark
       returns decimal(8,6) carrying it (45.5 vs 45 on fractional-second
-      data).  Spark's second() truncates to int — exact match.
+      data).  Rewritten to cast(extract(second from x) as bigint) —
+      the decimal→bigint cast truncates toward zero, matching Presto
+      on timestamps AND on intervals (second() would reject an
+      interval operand that native extract handles — round-12 review).
+      Emitted via the __sparketl_xsec placeholder: _rewrite_calls
+      re-scans its own replacement, so a direct extract( would recurse;
+      the placeholder expands in translate()'s tail.
     - YOW / YEAR_OF_WEEK: Spark spells the field YEAROFWEEK; the two
       Presto spellings error.  (The replacement re-matches this
       rewriter; the canonical spelling maps to None and is left.)
@@ -539,7 +547,7 @@ def _extract_fn(args: list[str]) -> str | None:
     if field in ("dow", "day_of_week"):
         return f"(weekday({operand}) + 1)"
     if field == "second":
-        return f"second({operand})"
+        return f"__sparketl_xsec({operand})"
     if field in ("yow", "year_of_week"):
         return f"extract(YEAROFWEEK from {operand})"
     return None
@@ -871,6 +879,18 @@ def _rewrite_agg_over_calls(masked: str, name: str, parts_fn) -> str:
         while k < len(masked) and masked[k].isspace():
             k += 1
         post = _POSTFIX_CLAUSE_RE.match(masked, k)
+        if post is None and re.match(
+            r"(?:(?:ignore|respect)\s+nulls\s+)?over\b", masked[k:],
+            re.IGNORECASE,
+        ):
+            # OVER <named window>: relocating would need the WINDOW
+            # clause resolved; emitting the bare wrap produces invalid
+            # `transform(...) over w` (round-12 review) — refuse loudly
+            raise ValueError(
+                f"dialect: this {name}(...) form OVER <named window> "
+                "is refused — the rewrite can only relocate an inline "
+                "OVER (...) clause; inline the window definition"
+            )
         if post and post.group(1).lower() == "over":
             if post.group(0).lower().lstrip().startswith(("ignore", "respect")):
                 raise ValueError(
@@ -2568,14 +2588,10 @@ def _refuse_windowed_calls(masked: str, names: tuple[str, ...]) -> None:
     invalid Spark, so refusing here names the problem instead of a
     parse error.  Shapes that pass through natively (2-arg
     min_by/max_by, unordered array_agg) keep their windowed use."""
-    rewritten_shape = {
-        # arity/content predicates mirroring the rewrite conditions
-        "min_by": lambda a: len(a) == 3,
-        "max_by": lambda a: len(a) == 3,
-        "array_agg": lambda a: (
-            _top_level_order_by(", ".join(a)) is not None
-        ),
-    }
+    # (the r11 min_by/max_by/array_agg shape predicates left with
+    # their names in round 12 — _rewrite_agg_over_calls handles those
+    # forms now; every remaining refused name is rewritten at ANY arity)
+    rewritten_shape: dict = {}
     for name in names:
         pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
         pos = 0
@@ -3433,6 +3449,13 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
     # LAST: inner rewrites (element_at→try_element_at, subscripts) have
     # already produced try_* calls that TRY() can simply unwrap.
     masked = _rewrite_calls(masked, "try", _try_fn)
+    # extract(SECOND ...) placeholder (see _extract_fn): expanded after
+    # every other pass so the inner extract( is never re-scanned
+    masked = _rewrite_calls(
+        masked, "__sparketl_xsec",
+        lambda a: f"cast(extract(second from {a[0]}) as bigint)"
+        if len(a) == 1 else None,
+    )
 
     return _unmask(masked, lits)
 

@@ -92,6 +92,11 @@ __all__ = [
 class _Handle:
     path: str
     part_col: str | None = None
+    #: declared column order — a partitioned parquet re-read appends
+    #: the partition column LAST, which would silently reorder the
+    #: table after CTAS (and shift INSERT's positional matching);
+    #: _refresh re-selects this order (round-12 review)
+    cols: tuple | None = None
 
 
 _WRITABLES: "weakref.WeakKeyDictionary[SparkSession, dict[str, _Handle]]" = (
@@ -139,7 +144,10 @@ def _resolve(spark: SparkSession, name: str) -> _Handle:
 
 def _refresh(spark: SparkSession, name: str) -> None:
     h = _handles(spark)[name]
-    spark.read.parquet(h.path).createOrReplaceTempView(name)
+    df = spark.read.parquet(h.path)
+    if h.cols:
+        df = df.select(*h.cols)
+    df.createOrReplaceTempView(name)
     # REPLACING a same-named view is invisible to the catalog cache
     # (no version counter) — clear explicitly, as documented at sql()
     _d.clear_schema_cache()
@@ -256,7 +264,7 @@ def _write_back(
     """Copy-on-write write-back: pruned to the touched partitions when
     the target is partitioned (overwrite_pruned — the merge_apply
     write-back), full static overwrite otherwise."""
-    from sparketl.operators.etl import overwrite_pruned
+    from sparketl.operators.etl import _part_membership, overwrite_pruned
 
     final = _checkpointed(final)
     if h.part_col is None or touched_parts is None:
@@ -267,8 +275,17 @@ def _write_back(
         if not affected_vals:
             _refresh(spark, name)
             return
-        rewrite = final.join(
-            F.broadcast(touched_parts), h.part_col, "left_semi"
+        # membership by LITERAL predicate over the collected values —
+        # a semi-join on the partition column is null-BLIND, so a
+        # statement touching the NULL partition would silently drop
+        # that partition's surviving rows (round-12 review); the
+        # values are driver-side already, and the filter keeps the
+        # checkpointed `final` the only scan in the rewrite plan (the
+        # overwrite_pruned materialization contract).
+        rewrite = final.where(
+            F.coalesce(
+                _part_membership(h.part_col, affected_vals), F.lit(False)
+            )
         )
         overwrite_pruned(
             spark, h.path, target, rewrite, affected_vals, h.part_col
@@ -308,7 +325,7 @@ def _insert(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
             rest = rest[cp + 1 :].lstrip()
     h = _resolve(spark, name)
     src = _d.sql(spark, _unmask_raw(rest, lits))
-    tgt_schema = spark.read.parquet(h.path).schema
+    tgt_schema = spark.table(name).schema
     if cols is None:
         if len(src.columns) != len(tgt_schema):
             raise ValueError(
@@ -345,6 +362,13 @@ def _insert(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
     w = out.write.mode("append")
     if h.part_col:
         w = w.partitionBy(h.part_col)
+        if not spark.table(name).head(1):
+            # the empty state of a partitioned table is a schema-bearing
+            # ROOT file (the readable-empty contract from TRUNCATE /
+            # whole-table DELETE); appending partition directories next
+            # to it creates the mixed layout spark.read rejects —
+            # overwrite clears the root file first
+            w = out.write.mode("overwrite").partitionBy(h.part_col)
     w.parquet(h.path)
     _refresh(spark, name)
     return _rows_frame(spark, n)
@@ -430,7 +454,7 @@ def _create(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
     if no_data:
         df = df.limit(0)
     path = os.path.join(_dml_base_dir(spark), name)
-    h = _Handle(path=path, part_col=part_col)
+    h = _Handle(path=path, part_col=part_col, cols=tuple(df.columns))
     df = _checkpointed(df)
     n = df.count()
     if n == 0:
@@ -502,7 +526,7 @@ def _truncate(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
         raise ValueError("dml: expected TRUNCATE TABLE <name>")
     name = m.group(1).lower()
     h = _resolve(spark, name)
-    schema = spark.read.parquet(h.path).schema
+    schema = spark.table(name).schema
     spark.createDataFrame([], schema).write.mode("overwrite").parquet(h.path)
     _refresh(spark, name)
     return _rows_frame(spark, 0)
@@ -551,8 +575,8 @@ def _delete(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
     pred = (m.group(2) or "").strip()
     if not pred:
         # whole-table delete → readable empty table
-        schema = spark.read.parquet(h.path).schema
-        n = spark.read.parquet(h.path).count()
+        schema = spark.table(name).schema
+        n = spark.table(name).count()
         spark.createDataFrame([], schema).write.mode("overwrite").parquet(
             h.path
         )
@@ -565,6 +589,11 @@ def _delete(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
         spark, f"select * from {name} where ({pred}) is true"
     )
     n = doomed.count()
+    if n == 0:
+        # nothing matches: skip the copy-on-write entirely (the
+        # partitioned path's empty-affected early-out, mirrored for
+        # unpartitioned targets — round-12 review)
+        return _rows_frame(spark, 0)
     final = _d.sql(
         spark, f"select * from {name} where ({pred}) is not true"
     )
@@ -608,7 +637,7 @@ def _update(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
         if not am:
             raise ValueError(f"dml: cannot parse SET assignment '{a}'")
         assigns.append((am.group(1).lower(), am.group(2).strip()))
-    tgt_cols = [f.name for f in spark.read.parquet(h.path).schema.fields]
+    tgt_cols = [f.name for f in spark.table(name).schema.fields]
     by_col = dict(assigns)
     if len(by_col) != len(assigns):
         raise ValueError("dml: a column is assigned twice in SET")
@@ -634,13 +663,15 @@ def _update(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
                 f"case when ({_unmask_raw(pred, lits)}) is true then "
                 f"({_unmask_raw(e, lits)}) else {c} end as {c}"
             )
-    final = _d.sql(spark, f"select {', '.join(sel)} from {name}")
     where_true = (
         f" where ({_unmask_raw(pred, lits)}) is true" if pred else ""
     )
     n = _d.sql(
         spark, f"select count(*) as n from {name}{where_true}"
     ).collect()[0][0]
+    if n == 0:
+        return _rows_frame(spark, 0)
+    final = _d.sql(spark, f"select {', '.join(sel)} from {name}")
     touched = (
         _d.sql(
             spark,
@@ -810,7 +841,7 @@ def _merge_apply_clauses(
     take the first satisfied INSERT clause.  The multi-source-match
     guard is Trino's runtime error, computed as one tiny aggregate over
     the join before any write."""
-    tgt_df = spark.read.parquet(h.path)
+    tgt_df = spark.table(name)
     # MERGE expressions resolve against the target and source frames
     # first — overlay their column classes onto the catalog's (a
     # source-subquery alias like `o_totalprice as p` exists nowhere in
@@ -854,6 +885,21 @@ def _merge_apply_clauses(
         )
     matched_clauses = [c for c in clauses if c["kind"] in ("update", "delete")]
     insert_clauses = [c for c in clauses if c["kind"] == "insert"]
+    # an UPDATE SET on the partition column would move rows between
+    # partitions: the touched set is computed from the NEW value, so
+    # the OLD partition is never rewritten and the stale original
+    # survives — silent duplication (round-12 review; plain UPDATE
+    # refuses identically)
+    if h.part_col and any(
+        c["kind"] == "update"
+        and h.part_col in {a for a, _ in c["assigns"]}
+        for c in matched_clauses
+    ):
+        raise ValueError(
+            "dml: MERGE UPDATE SET on the partition column is refused "
+            "— rows would move between partitions; DELETE + INSERT "
+            "instead"
+        )
     # first-satisfied-clause index per matched row
     act = F.lit(None).cast("int")
     for i in reversed(range(len(matched_clauses))):

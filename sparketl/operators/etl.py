@@ -91,14 +91,34 @@ def merge_apply(spark, path: str, feed, key_col: str, part_col: str) -> None:
         .unionByName(upserts.select(part_col))
         .distinct()
     )
+    affected_vals = {r[0] for r in affected.collect()}
+    # membership by LITERAL predicate, not a semi-join: the join form
+    # is null-BLIND, so a feed touching the NULL partition would drop
+    # that partition's SURVIVORS from the rewrite (round-12 review)
     rewrite = (
-        target.join(F.broadcast(affected), part_col, "left_semi")
+        target.where(
+            F.coalesce(
+                _part_membership(part_col, affected_vals), F.lit(False)
+            )
+        )
         .join(F.broadcast(keys), key_col, "left_anti")
         .unionByName(upserts.select(*target.columns))
         .localCheckpoint(eager=True)
     )
-    affected_vals = {r[0] for r in affected.collect()}
     overwrite_pruned(spark, path, target, rewrite, affected_vals, part_col)
+
+
+def _part_membership(part_col: str, vals: set):
+    """NULL-safe membership of the partition column in a driver-side
+    value set: ``isin`` (and any equi-join) is null-BLIND — NULL never
+    matches — so the NULL partition needs its own isNull() arm."""
+    non_null = [v for v in vals if v is not None]
+    cond = (
+        F.col(part_col).isin(non_null) if non_null else F.lit(False)
+    )
+    if None in vals:
+        cond = cond | F.col(part_col).isNull()
+    return cond
 
 
 def overwrite_pruned(
@@ -195,12 +215,18 @@ def overwrite_pruned(
     if root_has_data or (emptied and not all(_dir_safe(v) for v in emptied)):
         # unaffected partitions ∪ rewrite ≡ the final table (for the
         # merge feed this equals the old keys-anti-join ∪ upserts form:
-        # untouched partitions carry no feed keys and no upserts)
-        aff_df = spark.createDataFrame(
-            [(v,) for v in affected_vals], target.select(part_col).schema
+        # untouched partitions carry no feed keys and no upserts).
+        # The affected set is already a driver-side value list, so the
+        # membership test is a LITERAL predicate — crucially NULL-SAFE
+        # where a left_anti join on the partition column is not: the
+        # NULL partition is exactly where this static path lands
+        # (round-12 review — the join form silently RESURRECTED
+        # feed-deleted NULL-partition rows).
+        keep = ~F.coalesce(
+            _part_membership(part_col, affected_vals), F.lit(False)
         )
         full = (
-            target.join(F.broadcast(aff_df), part_col, "left_anti")
+            target.where(keep)
             .unionByName(rewrite.select(*target.columns))
             .localCheckpoint(eager=True)
         )

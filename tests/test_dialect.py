@@ -1770,10 +1770,15 @@ def test_extract_field_rewrites():
         translate("select extract(DAY_OF_WEEK from ts) from t")
     ) == "select (weekday(ts) + 1) from t"
     # SECOND: Presto drops the fraction (bigint); Spark extract keeps
-    # it as decimal(8,6) — second() truncates identically
+    # it as decimal(8,6) — the cast truncates toward zero and stays
+    # valid for interval operands too (round-12 review: second() would
+    # reject what native extract accepts)
     assert _norm(translate("select extract(second from ts) from t")) == (
-        "select second(ts) from t"
+        "select cast(extract(second from ts) as bigint) from t"
     )
+    assert _norm(
+        translate("select extract(second from (ts2 - ts1)) from t")
+    ) == "select cast(extract(second from (ts2 - ts1)) as bigint) from t"
     # YOW spellings: Spark only accepts YEAROFWEEK
     assert _norm(
         translate("select extract(year_of_week from ts) from t")
@@ -1921,3 +1926,19 @@ def test_mr_define_assertion_mode_fires_on_overlap(spark):
             presto_sql(spark, q.format(b_op="<=")).collect()
     finally:
         _d.set_mr_define_assertions(False)
+
+
+def test_named_window_reference_refuses_on_rewritten_shapes():
+    """Round-12 review: OVER <named window> cannot be relocated onto
+    the collect_list (only an inline OVER (...) can) — refuse loudly
+    instead of emitting invalid `transform(...) over w`."""
+    for fn in ("array_agg(x order by y)", "min_by(x, y, 3)"):
+        with pytest.raises(ValueError, match="named window"):
+            translate(
+                f"select {fn} over w from t window w as (partition by g)"
+            )
+    # native shapes keep named-window use untouched
+    out = translate(
+        "select array_agg(x) over w from t window w as (partition by g)"
+    )
+    assert "array_agg(x) over w" in out

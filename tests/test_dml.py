@@ -335,3 +335,100 @@ def test_insert_values_and_truncate(spark, wh):
     assert df.count() == 0 and df.columns == ["k", "g"]
     with pytest.raises(ValueError, match="not a writable table"):
         dialect.sql(spark, "truncate table dml_fx")
+
+
+def test_null_partition_delete_and_survivors(spark, wh):
+    """Round-12 review (confirmed live before the fix): partition-column
+    joins are null-BLIND, so a DELETE touching the NULL partition
+    (a) silently no-op'd on the doomed rows and (b) once the rewrite
+    ran, dropped the partition's SURVIVORS.  Membership is now a
+    literal NULL-safe predicate on both the dml and merge_apply
+    paths."""
+    dialect.sql(
+        spark,
+        "create table t_np with (partitioned_by = array['g']) as "
+        "select k, g, v from dml_fx",
+    )
+    # k=4 lives in the NULL partition; add a second NULL-partition row
+    dialect.sql(spark, "insert into t_np values (6, null, 60.0)")
+    n = dialect.sql(spark, "delete from t_np where k = 4").collect()[0][0]
+    assert n == 1
+    got = [r[0] for r in _state(spark, "t_np")]
+    assert got == [1, 2, 3, 5, 6]  # doomed row gone, NULL survivor kept
+    # UPDATE inside the NULL partition round-trips too (columns stay
+    # in declared order: k, g, v)
+    dialect.sql(spark, "update t_np set v = v + 1 where k = 6")
+    got = {r[0]: r[2] for r in _state(spark, "t_np")}
+    assert got[6] == 61.0 and got[5] == 50.0
+
+
+def test_merge_apply_null_partition_feed(spark, tmp_path):
+    """merge_apply itself with a NULL-partition feed: the doomed row
+    leaves, the NULL-partition survivor stays, other partitions
+    untouched (the static fallback path — NULL fails the dir-name
+    allowlist)."""
+    from pyspark.sql import functions as F
+
+    from sparketl.operators.etl import merge_apply
+
+    path = str(tmp_path / "nulltab")
+    spark.createDataFrame(
+        [(1, None, 1.0), (2, "b", 2.0), (3, None, 3.0)],
+        "k long, g string, v double",
+    ).write.partitionBy("g").parquet(path)
+    feed = spark.createDataFrame(
+        [(1, None, 1.0, "D")], "k long, g string, v double, __op string"
+    )
+    merge_apply(spark, path, feed, "k", "g")
+    got = sorted(
+        (r.k, r.g) for r in spark.read.parquet(path).select("k", "g").collect()
+    )
+    assert got == [(2, "b"), (3, None)]
+
+
+def test_merge_partition_column_update_refused(spark, wh):
+    dialect.sql(
+        spark,
+        "create table t_mp with (partitioned_by = array['g']) as "
+        "select k, g, v from dml_fx",
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        dialect.sql(
+            spark,
+            "merge into t_mp using (select 1 as mk) m on t_mp.k = mk "
+            "when matched then update set g = 'zz'",
+        )
+
+
+def test_delete_update_zero_match_is_noop(spark, wh):
+    dialect.sql(spark, "create table t_zm as select k, g from dml_fx")
+    path = dml.table_path(spark, "t_zm")
+    before = sorted(os.listdir(path))
+    assert dialect.sql(
+        spark, "delete from t_zm where k > 999"
+    ).collect()[0][0] == 0
+    assert dialect.sql(
+        spark, "update t_zm set g = 'x' where k > 999"
+    ).collect()[0][0] == 0
+    assert sorted(os.listdir(path)) == before  # no rewrite happened
+
+
+def test_partitioned_column_order_and_truncate_insert_cycle(spark, wh):
+    """Round-12 review follow-ups: (a) a partitioned re-read puts the
+    partition column LAST — the handle pins the DECLARED order so CTAS
+    column order survives and INSERT's positional matching stays
+    stable; (b) INSERT into a truncated partitioned table must clear
+    the schema-bearing root file before writing partition dirs (mixed
+    layouts are unreadable)."""
+    dialect.sql(
+        spark,
+        "create table t_ord with (partitioned_by = array['g']) as "
+        "select k, g, v from dml_fx",
+    )
+    assert dialect.sql(spark, "select * from t_ord").columns == ["k", "g", "v"]
+    # positional insert follows the DECLARED order (k, g, v)
+    dialect.sql(spark, "insert into t_ord values (7, 'z', 70.0)")
+    assert (7, "z", 70.0) in _state(spark, "t_ord")
+    dialect.sql(spark, "truncate table t_ord")
+    dialect.sql(spark, "insert into t_ord values (8, 'q', 80.0)")
+    assert _state(spark, "t_ord") == [(8, "q", 80.0)]
