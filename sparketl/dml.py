@@ -92,11 +92,16 @@ __all__ = [
 class _Handle:
     path: str
     part_col: str | None = None
-    #: declared column order — a partitioned parquet re-read appends
-    #: the partition column LAST, which would silently reorder the
-    #: table after CTAS (and shift INSERT's positional matching);
-    #: _refresh re-selects this order (round-12 review)
-    cols: tuple | None = None
+    #: declared schema — a partitioned parquet re-read appends the
+    #: partition column LAST (reordering the table after CTAS and
+    #: shifting INSERT's positional matching) AND re-infers the
+    #: partition column's TYPE from the directory strings (a string
+    #: partition column with numeric-looking values silently comes
+    #: back int; '01' would come back 1 — lossy).  _refresh reads with
+    #: this schema, which fixes both: Spark parses partition values as
+    #: the DECLARED type and emits columns in the declared order
+    #: (round-12 reviews 1 + 2).
+    schema: "object | None" = None
 
 
 _WRITABLES: "weakref.WeakKeyDictionary[SparkSession, dict[str, _Handle]]" = (
@@ -144,9 +149,15 @@ def _resolve(spark: SparkSession, name: str) -> _Handle:
 
 def _refresh(spark: SparkSession, name: str) -> None:
     h = _handles(spark)[name]
-    df = spark.read.parquet(h.path)
-    if h.cols:
-        df = df.select(*h.cols)
+    reader = spark.read
+    if h.schema is not None:
+        # the user schema pins the partition column's TYPE (otherwise
+        # re-inferred from directory strings); the ORDER still needs
+        # the select — Spark appends partition columns last regardless
+        reader = reader.schema(h.schema)
+    df = reader.parquet(h.path)
+    if h.schema is not None:
+        df = df.select(*[f.name for f in h.schema.fields])
     df.createOrReplaceTempView(name)
     # REPLACING a same-named view is invisible to the catalog cache
     # (no version counter) — clear explicitly, as documented at sql()
@@ -241,17 +252,18 @@ def _checkpointed(df: DataFrame) -> DataFrame:
 
 
 def _write_full(spark: SparkSession, h: _Handle, final: DataFrame) -> None:
-    """Static full-table overwrite, preserving the readable-empty-table
-    contract (an empty partitionBy write emits no schema file)."""
+    """Static full-table overwrite for UNPARTITIONED targets (every
+    partitioned write-back goes through overwrite_pruned — a
+    partitionBy arm here would be dead code implying safety it does
+    not have), preserving the readable-empty-table contract (an empty
+    partitioned write emits no schema file)."""
+    assert h.part_col is None, "partitioned targets use overwrite_pruned"
     if not final.head(1):
         spark.createDataFrame([], final.schema).write.mode(
             "overwrite"
         ).parquet(h.path)
         return
-    w = final.write.mode("overwrite")
-    if h.part_col:
-        w = w.partitionBy(h.part_col)
-    w.parquet(h.path)
+    final.write.mode("overwrite").parquet(h.path)
 
 
 def _write_back(
@@ -260,13 +272,18 @@ def _write_back(
     h: _Handle,
     final: DataFrame,
     touched_parts: DataFrame | None,
+    materialized: bool = False,
 ) -> None:
     """Copy-on-write write-back: pruned to the touched partitions when
     the target is partitioned (overwrite_pruned — the merge_apply
-    write-back), full static overwrite otherwise."""
+    write-back), full static overwrite otherwise.  ``materialized``
+    skips the checkpoint when ``final`` is already a pure projection
+    of checkpoints (MERGE) — re-materializing would copy the whole
+    result a second time."""
     from sparketl.operators.etl import _part_membership, overwrite_pruned
 
-    final = _checkpointed(final)
+    if not materialized:
+        final = _checkpointed(final)
     if h.part_col is None or touched_parts is None:
         _write_full(spark, h, final)
     else:
@@ -346,10 +363,14 @@ def _insert(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
                 f"dml: INSERT column list names {len(cols)} columns but "
                 f"the query produces {len(src.columns)}"
             )
+    # positional matching must survive DUPLICATE source output names
+    # (`select k, g as k` is valid Trino — round-12 review 2): rename
+    # the source columns positionally to unique names first
+    src = src.toDF(*[f"__ins_c{i}" for i in range(len(src.columns))])
     pos = {c: i for i, c in enumerate(cols)}
     proj = [
         (
-            F.col(src.columns[pos[f.name.lower()]])
+            F.col(f"__ins_c{pos[f.name.lower()]}")
             if f.name.lower() in pos
             else F.lit(None)
         )
@@ -359,6 +380,12 @@ def _insert(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
     ]
     out = _checkpointed(src.select(*proj))
     n = out.count()
+    if n == 0:
+        # empty incremental load: skip the write entirely — on an
+        # EMPTY partitioned table the overwrite branch below would
+        # delete the schema-bearing root file and write nothing,
+        # leaving the directory unreadable (round-12 review 2)
+        return _rows_frame(spark, 0)
     w = out.write.mode("append")
     if h.part_col:
         w = w.partitionBy(h.part_col)
@@ -454,7 +481,7 @@ def _create(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
     if no_data:
         df = df.limit(0)
     path = os.path.join(_dml_base_dir(spark), name)
-    h = _Handle(path=path, part_col=part_col, cols=tuple(df.columns))
+    h = _Handle(path=path, part_col=part_col, schema=df.schema)
     df = _checkpointed(df)
     n = df.count()
     if n == 0:
@@ -754,25 +781,35 @@ def _merge(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
     )
 
 
+def _clause_then(body: str) -> "re.Match | None":
+    """The THEN that terminates a WHEN clause's AND condition: at paren
+    depth 0 AND outside any CASE ... END — an unparenthesized CASE in
+    the condition carries its own depth-0 THENs (round-12 review 2)."""
+    dep = _depths(body)
+    case_depth = 0
+    for t in re.finditer(r"\b(then|case|end)\b", body, re.IGNORECASE):
+        if dep[t.start()] != 0:
+            continue
+        word = t.group(1).lower()
+        if word == "case":
+            case_depth += 1
+        elif word == "end":
+            case_depth = max(0, case_depth - 1)
+        elif case_depth == 0:
+            return t
+    return None
+
+
 def _parse_merge_clause(body: str, is_not_matched: bool) -> dict:
     """One WHEN clause: ``[AND cond] THEN UPDATE SET .../DELETE/INSERT
     [(cols)] VALUES (...)``."""
     cond = None
-    cm = re.match(r"and\b(.*?)\bthen\b", body, re.IGNORECASE | re.DOTALL)
+    cm = re.match(r"and\b", body, re.IGNORECASE)
     if cm:
-        # the THEN must sit at depth 0 of the condition text
-        dep = _depths(body)
-        tm = next(
-            (
-                t
-                for t in re.finditer(r"\bthen\b", body, re.IGNORECASE)
-                if dep[t.start()] == 0
-            ),
-            None,
-        )
+        tm = _clause_then(body)
         if tm is None:
             raise ValueError(f"dml: MERGE clause missing THEN: '{body}'")
-        cond = body[cm.start() + 3 : tm.start()].strip()
+        cond = body[cm.end() : tm.start()].strip()
         action = body[tm.end() :].strip()
     else:
         tm = re.match(r"then\b", body, re.IGNORECASE)
@@ -868,21 +905,6 @@ def _merge_apply_clauses(
     ).localCheckpoint(eager=True)
     s = src_df.withColumn("__sm", F.lit(1)).alias(salias)
     joined = t.alias(talias).join(s, F.expr(tx(on_cond)), "left")
-    # Trino: "one MERGE target row matched more than one source row"
-    multi = (
-        joined.where(F.col("__sm").isNotNull())
-        .groupBy("__tid")
-        .count()
-        .where(F.col("count") > 1)
-        .limit(1)
-        .count()
-    )
-    if multi:
-        raise ValueError(
-            "dml: MERGE failed — a target row matches more than one "
-            "source row (Trino's one-source-row rule); deduplicate the "
-            "source or tighten the ON condition"
-        )
     matched_clauses = [c for c in clauses if c["kind"] in ("update", "delete")]
     insert_clauses = [c for c in clauses if c["kind"] == "insert"]
     # an UPDATE SET on the partition column would move rows between
@@ -908,7 +930,27 @@ def _merge_apply_clauses(
         if c["cond"]:
             cond = cond & F.expr(tx(c["cond"])).eqNullSafe(F.lit(True))
         act = F.when(cond, F.lit(i)).otherwise(act)
-    staged = joined.withColumn("__act", act)
+    # ONE materialization of the join: the guard, the survivors, the
+    # delete count and the touched partitions all derive from this
+    # checkpoint instead of re-running the join per consumer (round-12
+    # review 2); it also breaks the self-merge lineage (USING the
+    # target itself) before the overwrite.
+    staged = joined.withColumn("__act", act).localCheckpoint(eager=True)
+    # Trino: "one MERGE target row matched more than one source row"
+    multi = (
+        staged.where(F.col("__sm").isNotNull())
+        .groupBy("__tid")
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if multi:
+        raise ValueError(
+            "dml: MERGE failed — a target row matches more than one "
+            "source row (Trino's one-source-row rule); deduplicate the "
+            "source or tighten the ON condition"
+        )
     # surviving target rows with per-clause update CASEs applied
     proj = []
     for col in tgt_cols:
@@ -932,11 +974,13 @@ def _merge_apply_clauses(
         else F.lit(True)
     ).select(*proj, F.col("__act").isNotNull().alias("__touched"))
     # NOT MATCHED inserts: source rows with no target match
-    unmatched = src_df.alias(salias).join(
-        t.alias(talias), F.expr(tx(on_cond)), "left_anti"
-    )
+    # (checkpointed too: with a self-merge the source reads the
+    # directory being overwritten)
     inserts = None
     if insert_clauses:
+        unmatched = src_df.alias(salias).join(
+            t.alias(talias), F.expr(tx(on_cond)), "left_anti"
+        ).localCheckpoint(eager=True)
         iact = F.lit(None).cast("int")
         for i in reversed(range(len(insert_clauses))):
             c = insert_clauses[i]
@@ -981,10 +1025,11 @@ def _merge_apply_clauses(
         inserts = frames[0]
         for fr in frames[1:]:
             inserts = inserts.unionByName(fr)
+    # every input below is a projection of a checkpoint — no further
+    # materialization needed (the write-back is told so)
     final_tagged = (
         survivors.unionByName(inserts) if inserts is not None else survivors
     )
-    final_tagged = _checkpointed(final_tagged)
     # affected-row count = rows a clause actually touched, plus deletes
     n_deleted = (
         staged.where(F.col("__act").isin(*delete_ids)).count()
@@ -1007,5 +1052,5 @@ def _merge_apply_clauses(
         if h.part_col
         else None
     )
-    _write_back(spark, name, h, final, touched)
+    _write_back(spark, name, h, final, touched, materialized=True)
     return _rows_frame(spark, n_touched + n_deleted)

@@ -432,3 +432,53 @@ def test_partitioned_column_order_and_truncate_insert_cycle(spark, wh):
     dialect.sql(spark, "truncate table t_ord")
     dialect.sql(spark, "insert into t_ord values (8, 'q', 80.0)")
     assert _state(spark, "t_ord") == [(8, "q", 80.0)]
+
+
+def test_review2_regressions(spark, wh):
+    """Round-12 review, pass 2 (each confirmed live pre-fix):
+    (a) a zero-row INSERT into an EMPTY partitioned table must not
+        destroy the schema-bearing root file;
+    (b) INSERT matches source columns BY POSITION even when the query
+        produces duplicate output names (`select k, g as k`);
+    (c) a string partition column with numeric-looking values keeps
+        its DECLARED type across re-reads (partition-value inference
+        would silently retype it int);
+    (d) an unparenthesized CASE inside a MERGE AND condition must not
+        mis-split at the CASE's own THEN."""
+    # (a)
+    dialect.sql(
+        spark,
+        "create table t_r2a with (partitioned_by = array['g']) as "
+        "select k, g from dml_fx with no data",
+    )
+    assert dialect.sql(
+        spark, "insert into t_r2a select k, g from dml_fx where k > 999"
+    ).collect()[0][0] == 0
+    df = dialect.sql(spark, "select * from t_r2a")
+    assert df.count() == 0 and df.columns == ["k", "g"]
+    # (b)
+    dialect.sql(spark, "create table t_r2b as select k, g from dml_fx")
+    dialect.sql(
+        spark, "insert into t_r2b select k + 50, cast(k as varchar) as k "
+        "from dml_fx where k = 1"
+    )
+    assert (51, "1") in _state(spark, "t_r2b")
+    # (c)
+    dialect.sql(
+        spark,
+        "create table t_r2c with (partitioned_by = array['g']) as "
+        "select k, cast(k as varchar) as g from dml_fx",
+    )
+    df = dialect.sql(spark, "select * from t_r2c")
+    assert df.schema["g"].dataType.simpleString() == "string"
+    assert ("1") in {r[1] for r in df.collect()}
+    # (d)
+    dialect.sql(spark, "create table t_r2d as select k, v from dml_fx")
+    n = dialect.sql(
+        spark,
+        """merge into t_r2d using (select 2 as mk) m on t_r2d.k = mk
+           when matched and case when m.mk > 0 then true else false end
+           then update set v = 0.0""",
+    ).collect()[0][0]
+    assert n == 1
+    assert {r[0]: r[1] for r in _state(spark, "t_r2d")}[2] == 0.0
