@@ -853,6 +853,78 @@ def _minmax_by_n_parts(which: str):
     return make
 
 
+_WINDOW_DEF_RE = re.compile(
+    r"\bwindow\s+([A-Za-z_]\w*)\s+as\s*\(", re.IGNORECASE
+)
+_WINDOW_CHAIN_RE = re.compile(
+    r"\s*,\s*([A-Za-z_]\w*)\s+as\s*\(", re.IGNORECASE
+)
+#: tokens that can legally LEAD a window specification body — anything
+#: else in first position is a window-name reference (Trino window
+#: inheritance: ``WINDOW w2 AS (w1 ORDER BY ...)``).
+_WINDOW_SPEC_LEADS = frozenset({"partition", "order", "rows", "range", "groups"})
+
+
+def _named_window_specs(masked: str) -> dict[str, str | None]:
+    """``WINDOW <name> AS (<spec>)`` definitions anywhere in the masked
+    statement, lowercased name -> fully-inlined spec text.  Chained
+    definitions (``WINDOW a AS (...), b AS (...)``) are walked; a spec
+    leading with another window's name (Trino window inheritance) is
+    expanded recursively.  A name defined twice (same name in two SELECT
+    scopes — this textual resolver cannot tell which one an ``OVER
+    <name>`` means), a cycle, or inheritance through either maps to
+    None; callers refuse on None exactly as on an undefined name."""
+    raw: dict[str, str | None] = {}
+    for m in _WINDOW_DEF_RE.finditer(masked):
+        name, op = m.group(1), m.end() - 1
+        while True:
+            cp = _match_paren(masked, op)
+            key = name.lower()
+            raw[key] = None if key in raw else masked[op + 1 : cp].strip()
+            cm = _WINDOW_CHAIN_RE.match(masked, cp + 1)
+            if not cm:
+                break
+            name, op = cm.group(1), cm.end() - 1
+
+    def resolve(key: str, chain: frozenset) -> str | None:
+        spec = raw.get(key)
+        if spec is None:
+            return None
+        fm = re.match(r"([A-Za-z_]\w*)\b", spec)
+        if not fm or fm.group(1).lower() in _WINDOW_SPEC_LEADS:
+            return spec
+        parent = fm.group(1).lower()
+        if parent in chain or parent not in raw:
+            return None
+        base = resolve(parent, chain | {parent})
+        if base is None:
+            return None
+        return f"{base} {spec[fm.end():].lstrip()}".strip()
+
+    return {k: resolve(k, frozenset({k})) for k in raw}
+
+
+def _inherit_window_spec(masked: str, over: str) -> str:
+    """Expand a window-spec body whose FIRST token is a window-name
+    reference (``OVER (w ORDER BY ...)`` — Trino window inheritance,
+    which Spark's OVER ( ... ) grammar does not accept) into the fully
+    inline form.  Bodies already leading with a spec keyword (or empty
+    ``OVER ()``) pass through unchanged; an unresolvable reference
+    refuses loudly rather than emitting SQL Spark will reject."""
+    fm = re.match(r"\s*([A-Za-z_]\w*)\b", over)
+    if not fm or fm.group(1).lower() in _WINDOW_SPEC_LEADS:
+        return over
+    base = _named_window_specs(masked).get(fm.group(1).lower())
+    if base is None:
+        raise ValueError(
+            f"dialect: window inheritance from '{fm.group(1)}' cannot "
+            "be resolved — the named window is undefined, defined more "
+            "than once in the statement, or inherits through a cycle; "
+            "inline the window definition"
+        )
+    return f"{base} {over[fm.end():].lstrip()}".strip()
+
+
 def _rewrite_agg_over_calls(masked: str, name: str, parts_fn) -> str:
     """Like _rewrite_calls, but for aggregate rewrites that compose a
     POST-PROCESSING expression around a bare aggregate: ``parts_fn
@@ -879,18 +951,38 @@ def _rewrite_agg_over_calls(masked: str, name: str, parts_fn) -> str:
         while k < len(masked) and masked[k].isspace():
             k += 1
         post = _POSTFIX_CLAUSE_RE.match(masked, k)
-        if post is None and re.match(
-            r"(?:(?:ignore|respect)\s+nulls\s+)?over\b", masked[k:],
-            re.IGNORECASE,
-        ):
-            # OVER <named window>: relocating would need the WINDOW
-            # clause resolved; emitting the bare wrap produces invalid
-            # `transform(...) over w` (round-12 review) — refuse loudly
-            raise ValueError(
-                f"dialect: this {name}(...) form OVER <named window> "
-                "is refused — the rewrite can only relocate an inline "
-                "OVER (...) clause; inline the window definition"
+        if post is None:
+            om = re.match(
+                r"((?:ignore|respect)\s+nulls\s+)?over\s+([A-Za-z_]\w*)\b",
+                masked[k:],
+                re.IGNORECASE,
             )
+            if om:
+                if om.group(1):
+                    raise ValueError(
+                        f"dialect: {name}(...) IGNORE/RESPECT NULLS OVER "
+                        "is refused — Spark's collect_list-based rewrite "
+                        "has no null-skipping mode"
+                    )
+                # OVER <named window>: the rewrite relocates the window
+                # clause onto the collect_list, which needs the inline
+                # spec — resolve it from the statement's WINDOW clause
+                # and splice it in, then reprocess this same call.
+                spec = _named_window_specs(masked).get(om.group(2).lower())
+                if spec is None:
+                    raise ValueError(
+                        f"dialect: this {name}(...) OVER {om.group(2)} "
+                        "cannot be rewritten — the named window is "
+                        "undefined, defined more than once in the "
+                        "statement, or inherits through a cycle; inline "
+                        "the window definition"
+                    )
+                masked = (
+                    masked[: k + om.start(2)]
+                    + f"({spec})"
+                    + masked[k + om.end(2) :]
+                )
+                continue
         if post and post.group(1).lower() == "over":
             if post.group(0).lower().lstrip().startswith(("ignore", "respect")):
                 raise ValueError(
@@ -899,7 +991,7 @@ def _rewrite_agg_over_calls(masked: str, name: str, parts_fn) -> str:
                     "no null-skipping mode"
                 )
             ocp = _match_paren(masked, post.end() - 1)
-            over = masked[post.end() : ocp]
+            over = _inherit_window_spec(masked, masked[post.end() : ocp])
             repl = wrap(f"{agg} over ({over})")
             masked = masked[: m.start()] + repl + masked[ocp + 1 :]
         elif post:

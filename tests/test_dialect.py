@@ -1928,17 +1928,83 @@ def test_mr_define_assertion_mode_fires_on_overlap(spark):
         _d.set_mr_define_assertions(False)
 
 
-def test_named_window_reference_refuses_on_rewritten_shapes():
-    """Round-12 review: OVER <named window> cannot be relocated onto
-    the collect_list (only an inline OVER (...) can) — refuse loudly
-    instead of emitting invalid `transform(...) over w`."""
+def test_named_window_inlines_on_rewritten_shapes():
+    """Round-12: OVER <named window> on a compound-aggregate rewrite is
+    resolved from the statement's WINDOW clause and relocated inline
+    (refusing was the round-12-review stopgap)."""
     for fn in ("array_agg(x order by y)", "min_by(x, y, 3)"):
-        with pytest.raises(ValueError, match="named window"):
-            translate(
-                f"select {fn} over w from t window w as (partition by g)"
-            )
+        out = translate(
+            f"select {fn} over w from t window w as (partition by g)"
+        )
+        assert "over (partition by g)" in out
+        assert "over w" not in out.replace("over w as", "")
     # native shapes keep named-window use untouched
     out = translate(
         "select array_agg(x) over w from t window w as (partition by g)"
     )
     assert "array_agg(x) over w" in out
+
+
+def test_named_window_inheritance_and_refusals():
+    """Trino window inheritance (`w2 AS (w1 ORDER BY ...)`, and the
+    inline `OVER (w1 ORDER BY ...)` form) expands to the full spec;
+    undefined, doubly-defined, or cyclic names refuse loudly."""
+    out = translate(
+        "select min_by(x, y, 3) over w2 from t "
+        "window w1 as (partition by g), w2 as (w1 order by y)"
+    )
+    assert "over (partition by g order by y)" in out
+    out = translate(
+        "select array_agg(x order by y) over (w1 order by y) from t "
+        "window w1 as (partition by g)"
+    )
+    assert "over (partition by g order by y)" in out
+    with pytest.raises(ValueError, match="undefined"):
+        translate("select min_by(x, y, 3) over w9 from t")
+    with pytest.raises(ValueError, match="more than once"):
+        translate(
+            "select array_agg(x order by y) over w from "
+            "(select * from t window w as (order by y)) "
+            "window w as (partition by g)"
+        )
+    with pytest.raises(ValueError, match="cycle|more than once|undefined"):
+        translate(
+            "select min_by(x, y, 3) over w1 from t "
+            "window w1 as (w2 order by y), w2 as (w1 partition by g)"
+        )
+    with pytest.raises(ValueError, match="null-skipping"):
+        translate(
+            "select array_agg(x order by y) ignore nulls over w from t "
+            "window w as (partition by g)"
+        )
+
+
+def test_exec_named_window_array_agg_matches_duckdb(spark, duck):
+    """Live parity for the named-window relocation: Presto
+    `array_agg(x ORDER BY ...) OVER w` with `WINDOW w AS (...)` vs
+    DuckDB's windowed list() over the same named window with the
+    whole-partition frame spelled explicitly."""
+    got = presto_sql(
+        spark,
+        """
+        select o_orderkey,
+               array_agg(o_orderkey order by o_orderdate, o_orderkey)
+                   over w as arr
+        from orders where o_orderkey < 200
+        window w as (partition by o_custkey)
+        order by o_orderkey
+        """,
+    ).collect()
+    want = duck.execute(
+        """
+        select o_orderkey, list(o_orderkey) over w as arr
+        from orders where o_orderkey < 200
+        window w as (partition by o_custkey order by o_orderdate,
+                     o_orderkey rows between unbounded preceding
+                     and unbounded following)
+        order by o_orderkey
+        """
+    ).fetchall()
+    assert [(r.o_orderkey, r.arr) for r in got] == [
+        (k, list(a)) for k, a in want
+    ]
