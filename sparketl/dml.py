@@ -22,6 +22,13 @@ dialect schema cache cleared — the catalog exposes no version counter
 to observe), so subsequent statements and plain SELECTs through
 ``dialect.sql()`` see the new state.
 
+``CREATE [OR REPLACE] VIEW`` stores the body TEXT and re-translates it
+after every table mutation (Spark temp views pin an analyzed plan, so
+a view registered once would keep serving pre-INSERT file listings) —
+the logical-view contract a catalog gives.  DROP of a table or view
+with dependent views refuses loudly rather than leaving the dependents
+broken; CREATE MATERIALIZED VIEW refuses with a pointer to CTAS.
+
 Semantics notes (each pinned by tests / the declared-face oracles):
 - ``DELETE ... WHERE p`` removes rows where ``p`` IS TRUE — rows where
   ``p`` evaluates NULL survive (composed as ``(p) is not true``).
@@ -134,6 +141,52 @@ def table_path(spark: SparkSession, name: str) -> str:
     return _resolve(spark, name).path
 
 
+#: per-session logical views: name -> ORIGINAL Presto query text.
+#: Stored as text (not a DataFrame) so every re-registration re-runs
+#: the dialect translation against the CURRENT table state — a
+#: DataFrame captured at CREATE VIEW time would pin the file listing
+#: of the tables underneath it and silently miss later DML.
+_VIEW_DEFS: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _views(spark: SparkSession) -> dict[str, str]:
+    v = _VIEW_DEFS.get(spark)
+    if v is None:
+        v = {}
+        _VIEW_DEFS[spark] = v
+    return v
+
+
+def _view_dependents(spark: SparkSession, name: str) -> list[str]:
+    """Views whose body mentions ``name`` as a bare word (scanned on
+    the MASKED text so string literals don't count).  Word-level
+    over-collection (a column spelled like the table) is accepted:
+    refusing a DROP loudly beats letting the view break at its next
+    re-registration."""
+    pat = re.compile(rf"\b{re.escape(name)}\b", re.IGNORECASE)
+    return sorted(
+        v
+        for v, q in _views(spark).items()
+        if v != name and pat.search(_mask(q)[0])
+    )
+
+
+def _refresh_views(spark: SparkSession) -> None:
+    """Re-register every logical view in creation order (so a view
+    over a view re-analyzes after its base).  Called after each table
+    mutation: Spark temp views hold an ANALYZED plan, so a view
+    registered before an INSERT would keep serving the old file
+    listing without this."""
+    views = _views(spark)
+    if not views:
+        return
+    for vname, vq in views.items():
+        _d.sql(spark, vq).createOrReplaceTempView(vname)
+    _d.clear_schema_cache()
+
+
 def _resolve(spark: SparkSession, name: str) -> _Handle:
     h = _handles(spark).get(name.lower())
     if h is None:
@@ -162,6 +215,7 @@ def _refresh(spark: SparkSession, name: str) -> None:
     # REPLACING a same-named view is invisible to the catalog cache
     # (no version counter) — clear explicitly, as documented at sql()
     _d.clear_schema_cache()
+    _refresh_views(spark)
 
 
 # ---------------------------------------------------------------------------
@@ -224,9 +278,10 @@ def execute(spark: SparkSession, stmt: str) -> DataFrame:
     if handler is None:
         raise ValueError(
             f"dml: unsupported statement leader '{kw}' — supported: "
-            "INSERT INTO, CREATE TABLE [IF NOT EXISTS] ... AS, DELETE "
-            "FROM, UPDATE, MERGE INTO, DROP TABLE, TRUNCATE TABLE "
-            "(plus SELECT-shaped queries through dialect.sql())"
+            "INSERT INTO, CREATE TABLE [IF NOT EXISTS] ... AS, CREATE "
+            "[OR REPLACE] VIEW ... AS, DELETE FROM, UPDATE, MERGE INTO, "
+            "DROP TABLE, DROP VIEW, TRUNCATE TABLE (plus SELECT-shaped "
+            "queries through dialect.sql())"
         )
     return handler(spark, masked, lits)
 
@@ -435,12 +490,64 @@ def _dml_base_dir(spark: SparkSession) -> str:
     return base
 
 
+_VIEW_RE = re.compile(
+    rf"^create\s+(or\s+replace\s+)?view\s+({_IDENT})\s+as\b", re.IGNORECASE
+)
+
+
+def _create_view(
+    spark: SparkSession, m: "re.Match", masked: str, lits: list[str]
+) -> DataFrame:
+    """Trino CREATE [OR REPLACE] VIEW — a LOGICAL view: the body text
+    is stored and re-translated against the current table state after
+    every mutation (_refresh_views), so the view always reflects the
+    latest DML, exactly as a catalog view would.  Validation is eager
+    (Trino validates the body at creation): the body is analyzed once
+    here, so a typo fails at CREATE VIEW, not first use."""
+    or_replace = m.group(1) is not None
+    name = m.group(2).lower()
+    query = _unmask_raw(masked[m.end() :], lits).strip()
+    if is_dml(query):
+        raise ValueError("dml: a view body must be a SELECT-shaped query")
+    views = _views(spark)
+    if name in _handles(spark):
+        raise ValueError(
+            f"dml: '{name}' is a table — a view cannot shadow it; "
+            "DROP TABLE first or pick another name"
+        )
+    if name not in views and spark.catalog.tableExists(name):
+        raise ValueError(
+            f"dml: '{name}' already exists as a fixture view/table "
+            "outside the DML catalog — shadowing it is refused; pick "
+            "another name"
+        )
+    if name in views and not or_replace:
+        raise ValueError(
+            f"dml: view '{name}' already exists — use CREATE OR "
+            "REPLACE VIEW"
+        )
+    _d.sql(spark, query).createOrReplaceTempView(name)
+    views[name] = query
+    _d.clear_schema_cache()
+    return _rows_frame(spark, 0)
+
+
 def _create(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
+    if re.match(r"^create\s+materialized\s+view\b", masked, re.IGNORECASE):
+        raise ValueError(
+            "dml: CREATE MATERIALIZED VIEW is refused — materialize "
+            "with CREATE TABLE ... AS <query> and refresh by "
+            "re-running it (plain parquet has no incremental refresh)"
+        )
+    vm = _VIEW_RE.match(masked)
+    if vm:
+        return _create_view(spark, vm, masked, lits)
     m = _CTAS_RE.match(masked)
     if not m:
         raise ValueError(
             "dml: cannot parse CREATE — expected CREATE TABLE "
-            "[IF NOT EXISTS] <name> [WITH (...)] AS <query>"
+            "[IF NOT EXISTS] <name> [WITH (...)] AS <query> or "
+            "CREATE [OR REPLACE] VIEW <name> AS <query>"
         )
     if_not_exists = m.group(1) is not None
     name = m.group(2).lower()
@@ -560,14 +667,46 @@ def _truncate(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
 
 
 def _drop(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
+    vm = re.match(
+        rf"^drop\s+view\s+(if\s+exists\s+)?({_IDENT})\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if vm:
+        name = vm.group(2).lower()
+        views = _views(spark)
+        if name not in views:
+            if vm.group(1):
+                return _rows_frame(spark, 0)
+            raise ValueError(f"dml: '{name}' is not a DML-created view")
+        dep = _view_dependents(spark, name)
+        if dep:
+            raise ValueError(
+                f"dml: cannot DROP VIEW '{name}' — view(s) "
+                f"{', '.join(dep)} reference it; drop those first"
+            )
+        views.pop(name)
+        spark.catalog.dropTempView(name)
+        _d.clear_schema_cache()
+        return _rows_frame(spark, 0)
     m = re.match(
         rf"^drop\s+table\s+(if\s+exists\s+)?({_IDENT})\s*$",
         masked,
         re.IGNORECASE,
     )
     if not m:
-        raise ValueError("dml: expected DROP TABLE [IF EXISTS] <name>")
+        raise ValueError(
+            "dml: expected DROP TABLE [IF EXISTS] <name> or "
+            "DROP VIEW [IF EXISTS] <name>"
+        )
     name = m.group(2).lower()
+    if name in _handles(spark):
+        dep = _view_dependents(spark, name)
+        if dep:
+            raise ValueError(
+                f"dml: cannot DROP TABLE '{name}' — view(s) "
+                f"{', '.join(dep)} reference it; DROP VIEW first"
+            )
     h = _handles(spark).pop(name, None)
     if h is None:
         if m.group(1):

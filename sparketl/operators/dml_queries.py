@@ -342,3 +342,69 @@ def sql_merge_into(spark, sf_dir):
                    {_MONEY_SPARK.format(c="o_totalprice")} as total_price
             from dml_mrg group by o_orderpriority""",
     )
+
+
+@query(
+    "sql_create_view",
+    oracle="""
+        with base as (
+            select cast(n_nationkey as bigint) as k, n_name as name,
+                   cast(n_regionkey as bigint) as rk
+            from nation
+            union all
+            select cast(s_suppkey + 100 as bigint),
+                   s_name, cast(s_nationkey as bigint)
+            from supplier where s_suppkey <= 10
+        ),
+        -- the replaced view definition: even keys only, joined to region
+        viewed as (
+            select b.k, r.r_name
+            from base b join region r on b.rk = r.r_regionkey
+            where b.k % 2 = 0
+        )
+        select r_name, count(*) as n_rows,
+               cast(min(k) as bigint) as min_k,
+               cast(max(k) as bigint) as max_k
+        from viewed group by r_name
+    """,
+)
+def sql_create_view(spark, sf_dir):
+    """#2.9 Trino ``CREATE [OR REPLACE] VIEW`` through the statement
+    front door: a LOGICAL view over a DML table — the body re-analyzes
+    after every mutation, so the INSERT issued *after* CREATE VIEW
+    shows through it (the oracle pins that), and CREATE OR REPLACE
+    swaps the definition in place.  The face selects through the
+    replaced view re-reading the post-INSERT table state.
+
+    Scale: a view is statement-text plus a driver-side re-translation
+    per mutation — zero executor cost, no materialization; the read
+    plan is the body's plan with full pushdown/pruning, identical to
+    pasting the body inline.
+    """
+    _setup(spark, sf_dir, "view")
+    _run(
+        spark,
+        "drop view if exists dml_v",
+        "drop table if exists dml_vt",
+        """create table dml_vt as
+           select cast(n_nationkey as bigint) as k, n_name as name,
+                  cast(n_regionkey as bigint) as rk
+           from nation""",
+        """create view dml_v as
+           select b.k, r.r_name
+           from dml_vt b join region r on b.rk = r.r_regionkey""",
+        """insert into dml_vt
+           select s_suppkey + 100, s_name, s_nationkey
+           from supplier where s_suppkey <= 10""",
+        """create or replace view dml_v as
+           select b.k, r.r_name
+           from dml_vt b join region r on b.rk = r.r_regionkey
+           where b.k % 2 = 0""",
+    )
+    return dialect.sql(
+        spark,
+        """select r_name, count(*) as n_rows,
+                  cast(min(k) as bigint) as min_k,
+                  cast(max(k) as bigint) as max_k
+           from dml_v group by r_name""",
+    )

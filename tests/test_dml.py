@@ -482,3 +482,71 @@ def test_review2_regressions(spark, wh):
     ).collect()[0][0]
     assert n == 1
     assert {r[0]: r[1] for r in _state(spark, "t_r2d")}[2] == 0.0
+
+
+def test_create_view_reflects_later_dml(spark, wh):
+    """A view is LOGICAL: it re-translates after every table mutation,
+    so INSERT/UPDATE on the base table show through; CREATE OR REPLACE
+    swaps the definition in place."""
+    dialect.sql(spark, "create table t_vb as select k, g, v from dml_fx")
+    dialect.sql(
+        spark, "create view v_even as select k, v from t_vb where k % 2 = 0"
+    )
+    assert _state(spark, "v_even") == [(2, 20.0), (4, 40.0)]
+    dialect.sql(
+        spark, "insert into t_vb select k + 10, g, v from dml_fx where k <= 2"
+    )
+    assert _state(spark, "v_even") == [(2, 20.0), (4, 40.0), (12, 20.0)]
+    dialect.sql(spark, "update t_vb set v = v + 1 where k = 2")
+    assert (2, 21.0) in _state(spark, "v_even")
+    dialect.sql(
+        spark,
+        "create or replace view v_even as "
+        "select k, v from t_vb where k % 2 = 1",
+    )
+    assert (1, 10.0) in _state(spark, "v_even")
+    # view over view, creation-order re-registration
+    dialect.sql(
+        spark, "create view v_top as select max(k) as mk from v_even"
+    )
+    dialect.sql(
+        spark, "insert into t_vb select 99, 'z', 0.0 from dml_fx where k = 1"
+    )
+    assert _state(spark, "v_top") == [(99,)]
+
+
+def test_view_refusals_and_drop(spark, wh):
+    dialect.sql(spark, "create table t_vr as select k from dml_fx")
+    dialect.sql(spark, "create view v_r as select k from t_vr")
+    # duplicate without OR REPLACE
+    with pytest.raises(ValueError, match="OR\\s+REPLACE"):
+        dialect.sql(spark, "create view v_r as select k from t_vr")
+    # shadowing a table / a fixture view
+    with pytest.raises(ValueError, match="is a table"):
+        dialect.sql(spark, "create view t_vr as select k from t_vr")
+    with pytest.raises(ValueError, match="fixture"):
+        dialect.sql(spark, "create view dml_fx as select 1 as x")
+    # DML-bodied view, materialized view
+    with pytest.raises(ValueError, match="SELECT-shaped"):
+        dialect.sql(spark, "create view v_bad as delete from t_vr")
+    with pytest.raises(ValueError, match="MATERIALIZED"):
+        dialect.sql(
+            spark, "create materialized view mv as select k from t_vr"
+        )
+    # dependency refusals: table under a view, view under a view
+    with pytest.raises(ValueError, match="v_r"):
+        dialect.sql(spark, "drop table t_vr")
+    dialect.sql(spark, "create view v_r2 as select k from v_r")
+    with pytest.raises(ValueError, match="v_r2"):
+        dialect.sql(spark, "drop view v_r")
+    # eager validation: a typo fails at CREATE VIEW time
+    with pytest.raises(Exception):
+        dialect.sql(spark, "create view v_typo as select nope from t_vr")
+    assert "v_typo" not in dml._views(spark)
+    # drop in dependency order, then the table
+    dialect.sql(spark, "drop view v_r2")
+    dialect.sql(spark, "drop view v_r")
+    dialect.sql(spark, "drop table t_vr")
+    assert dialect.sql(spark, "drop view if exists v_r").collect()[0][0] == 0
+    with pytest.raises(ValueError, match="not a DML-created view"):
+        dialect.sql(spark, "drop view v_r")
