@@ -223,7 +223,9 @@ def _refresh(spark: SparkSession, name: str) -> None:
 # ---------------------------------------------------------------------------
 
 _DML_LEAD = re.compile(
-    r"^\s*(insert|create|delete|update|merge|drop|truncate)\b", re.IGNORECASE
+    r"^\s*(insert|create|delete|update|merge|drop|truncate|alter|show"
+    r"|describe|desc)\b",
+    re.IGNORECASE,
 )
 
 
@@ -274,13 +276,18 @@ def execute(spark: SparkSession, stmt: str) -> DataFrame:
         "merge": _merge,
         "drop": _drop,
         "truncate": _truncate,
+        "alter": _alter,
+        "show": _show,
+        "describe": _describe,
+        "desc": _describe,
     }.get(kw)
     if handler is None:
         raise ValueError(
             f"dml: unsupported statement leader '{kw}' — supported: "
             "INSERT INTO, CREATE TABLE [IF NOT EXISTS] ... AS, CREATE "
             "[OR REPLACE] VIEW ... AS, DELETE FROM, UPDATE, MERGE INTO, "
-            "DROP TABLE, DROP VIEW, TRUNCATE TABLE (plus SELECT-shaped "
+            "DROP TABLE, DROP VIEW, TRUNCATE TABLE, ALTER TABLE, SHOW "
+            "TABLES, SHOW COLUMNS FROM, DESCRIBE (plus SELECT-shaped "
             "queries through dialect.sql())"
         )
     return handler(spark, masked, lits)
@@ -1193,3 +1200,277 @@ def _merge_apply_clauses(
     )
     _write_back(spark, name, h, final, touched, materialized=True)
     return _rows_frame(spark, n_touched + n_deleted)
+
+
+# ---------------------------------------------------------------------------
+# ALTER TABLE / SHOW / DESCRIBE
+# ---------------------------------------------------------------------------
+
+#: Trino type name -> Spark DDL type for ALTER TABLE ADD COLUMN.  Only
+#: scalar types an ALTER would add; parameterized decimal passes its
+#: precision/scale through; varchar/char lengths drop (Spark strings
+#: are unbounded, same direction the dialect's cast mapping takes).
+_TRINO_TO_SPARK_TYPE = {
+    "boolean": "boolean",
+    "tinyint": "tinyint",
+    "smallint": "smallint",
+    "integer": "int",
+    "int": "int",
+    "bigint": "bigint",
+    "real": "float",
+    "double": "double",
+    "varchar": "string",
+    "char": "string",
+    "date": "date",
+    "timestamp": "timestamp",
+    "decimal": "decimal",
+}
+
+
+def _spark_type_for(trino_type: str) -> str:
+    m = re.match(
+        rf"^({_IDENT})\s*(\(\s*\d+(?:\s*,\s*\d+)?\s*\))?\s*$",
+        trino_type.strip(),
+    )
+    if not m:
+        raise ValueError(f"dml: cannot parse column type '{trino_type}'")
+    base = _TRINO_TO_SPARK_TYPE.get(m.group(1).lower())
+    if base is None:
+        raise ValueError(
+            f"dml: unsupported ALTER column type '{m.group(1)}' — "
+            f"supported: {', '.join(sorted(_TRINO_TO_SPARK_TYPE))}"
+        )
+    if base == "decimal":
+        return f"decimal{m.group(2) or '(10,0)'}"
+    return base
+
+
+def _declared_schema(spark: SparkSession, h: _Handle, name: str):
+    """The handle's pinned schema, inferring (and pinning) it from the
+    current table when the handle was adopted without one."""
+    if h.schema is None:
+        h.schema = spark.table(name).schema
+    return h.schema
+
+
+def _alter(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
+    """Trino ALTER TABLE subset, each arm with the honest parquet cost:
+
+    - ``RENAME TO``: catalog-only (the backing directory keeps its
+      original name — the handle carries the path).
+    - ``ADD COLUMN [IF NOT EXISTS] c type``: metadata-only — the pinned
+      schema grows and parquet readers null-fill columns absent from
+      data files.  Re-adding a name still present in the FILES (from an
+      earlier DROP COLUMN) refuses: name-matched reads would resurrect
+      the old values; CTAS-rewrite the table to really shed a column.
+    - ``DROP COLUMN [IF EXISTS] c``: metadata-only (the Hive-connector
+      shape) — bytes stay in the files, reads prune the column.
+    - ``RENAME COLUMN a TO b``: full copy-on-write rewrite — parquet
+      matches columns BY NAME, so a metadata rename would null out
+      every existing row; the honest cost is a table rewrite, stated
+      here rather than hidden.
+    """
+    m = re.match(
+        rf"^alter\s+table\s+({_IDENT})\s+(.*)$",
+        masked,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError("dml: expected ALTER TABLE <name> <action>")
+    name = m.group(1).lower()
+    action = m.group(2).strip()
+    h = _resolve(spark, name)
+    schema = _declared_schema(spark, h, name)
+    cols = {f.name.lower() for f in schema.fields}
+
+    rm = re.match(rf"^rename\s+to\s+({_IDENT})\s*$", action, re.IGNORECASE)
+    if rm:
+        new = rm.group(1).lower()
+        dep = _view_dependents(spark, name)
+        if dep:
+            raise ValueError(
+                f"dml: cannot rename '{name}' — view(s) {', '.join(dep)} "
+                "reference it; drop or redefine those first"
+            )
+        if new in _handles(spark) or spark.catalog.tableExists(new):
+            raise ValueError(f"dml: '{new}' already exists")
+        _handles(spark)[new] = _handles(spark).pop(name)
+        spark.catalog.dropTempView(name)
+        _refresh(spark, new)
+        return _rows_frame(spark, 0)
+
+    am = re.match(
+        rf"^add\s+column\s+(if\s+not\s+exists\s+)?({_IDENT})\s+(.+)$",
+        action,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if am:
+        col = am.group(2).lower()
+        if col in cols:
+            if am.group(1):
+                return _rows_frame(spark, 0)
+            raise ValueError(
+                f"dml: column '{col}' already exists in '{name}'"
+            )
+        # mergeSchema: the default schema inference reads ONE footer,
+        # which would miss a column present only in later part files
+        file_cols = {
+            f.name.lower()
+            for f in spark.read.option("mergeSchema", "true")
+            .parquet(h.path)
+            .schema.fields
+        }
+        if col in file_cols:
+            raise ValueError(
+                f"dml: column '{col}' still exists in '{name}''s data "
+                "files (dropped earlier?) — re-adding it would resurrect "
+                "the old values; rewrite the table (CREATE TABLE ... AS) "
+                "to shed it first"
+            )
+        from pyspark.sql.types import StructField, StructType
+        from pyspark.sql.types import _parse_datatype_string
+
+        dtype = _parse_datatype_string(
+            _spark_type_for(_unmask_raw(am.group(3), lits))
+        )
+        h.schema = StructType(
+            list(schema.fields) + [StructField(am.group(2), dtype, True)]
+        )
+        _refresh(spark, name)
+        return _rows_frame(spark, 0)
+
+    dm = re.match(
+        rf"^drop\s+column\s+(if\s+exists\s+)?({_IDENT})\s*$",
+        action,
+        re.IGNORECASE,
+    )
+    if dm:
+        col = dm.group(2).lower()
+        if col not in cols:
+            if dm.group(1):
+                return _rows_frame(spark, 0)
+            raise ValueError(f"dml: column '{col}' does not exist in '{name}'")
+        if h.part_col and col == h.part_col.lower():
+            raise ValueError(
+                f"dml: cannot drop '{col}' — it is the partition column "
+                "(the directory layout is keyed on it); CTAS-rewrite to "
+                "change partitioning"
+            )
+        if len(schema.fields) == 1:
+            raise ValueError("dml: cannot drop the only column")
+        from pyspark.sql.types import StructType
+
+        h.schema = StructType(
+            [f for f in schema.fields if f.name.lower() != col]
+        )
+        _refresh(spark, name)
+        return _rows_frame(spark, 0)
+
+    rc = re.match(
+        rf"^rename\s+column\s+({_IDENT})\s+to\s+({_IDENT})\s*$",
+        action,
+        re.IGNORECASE,
+    )
+    if rc:
+        old, new = rc.group(1).lower(), rc.group(2).lower()
+        if old not in cols:
+            raise ValueError(f"dml: column '{old}' does not exist in '{name}'")
+        if new in cols:
+            raise ValueError(f"dml: column '{new}' already exists in '{name}'")
+        if h.part_col and old == h.part_col.lower():
+            raise ValueError(
+                f"dml: cannot rename partition column '{old}' — the "
+                "directory layout is keyed on it; CTAS-rewrite to change "
+                "partitioning"
+            )
+        actual_old = next(
+            f.name for f in schema.fields if f.name.lower() == old
+        )
+        df = _checkpointed(
+            spark.table(name).withColumnRenamed(actual_old, rc.group(2))
+        )
+        from pyspark.sql.types import StructField, StructType
+
+        h.schema = StructType(
+            [
+                StructField(rc.group(2), f.dataType, f.nullable)
+                if f.name.lower() == old
+                else f
+                for f in schema.fields
+            ]
+        )
+        if not df.head(1):
+            spark.createDataFrame([], h.schema).write.mode(
+                "overwrite"
+            ).parquet(h.path)
+        else:
+            w = df.write.mode("overwrite")
+            if h.part_col:
+                w = w.partitionBy(h.part_col)
+            w.parquet(h.path)
+        _refresh(spark, name)
+        return _rows_frame(spark, 0)
+
+    raise ValueError(
+        "dml: unsupported ALTER TABLE action — supported: RENAME TO, "
+        "ADD COLUMN [IF NOT EXISTS] <c> <type>, DROP COLUMN [IF EXISTS] "
+        "<c>, RENAME COLUMN <a> TO <b>"
+    )
+
+
+#: Spark simpleString -> Trino type name for SHOW COLUMNS / DESCRIBE.
+_SPARK_TO_TRINO_TYPE = {
+    "string": "varchar",
+    "long": "bigint",
+    "int": "integer",
+    "short": "smallint",
+    "byte": "tinyint",
+    "float": "real",
+    "binary": "varbinary",
+    "timestamp_ntz": "timestamp",
+}
+
+
+def _columns_frame(spark: SparkSession, name: str) -> DataFrame:
+    """Trino SHOW COLUMNS / DESCRIBE result shape: (column, type,
+    extra, comment).  Scalar Spark types map to their Trino spellings;
+    nested types keep Spark's simpleString (documented divergence —
+    Trino's row/map grammar differs and nothing downstream parses
+    this column)."""
+    if not spark.catalog.tableExists(name):
+        raise ValueError(f"dml: table or view '{name}' does not exist")
+    h = _handles(spark).get(name)
+    part = h.part_col.lower() if h and h.part_col else None
+    rows = []
+    for f in spark.table(name).schema.fields:
+        s = f.dataType.simpleString()
+        t = _SPARK_TO_TRINO_TYPE.get(s, s)
+        extra = "partition key" if f.name.lower() == part else ""
+        rows.append((f.name, t, extra, ""))
+    return spark.createDataFrame(
+        rows, "column string, type string, extra string, comment string"
+    )
+
+
+def _show(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
+    if re.match(r"^show\s+tables\s*$", masked, re.IGNORECASE):
+        names = sorted(t.name for t in spark.catalog.listTables())
+        return spark.createDataFrame(
+            [(n,) for n in names], "table string"
+        )
+    m = re.match(
+        rf"^show\s+columns\s+from\s+({_IDENT})\s*$", masked, re.IGNORECASE
+    )
+    if m:
+        return _columns_frame(spark, m.group(1).lower())
+    raise ValueError(
+        "dml: supported SHOW forms: SHOW TABLES, SHOW COLUMNS FROM "
+        "<table> (Trino's session/catalog SHOWs have no equivalent here)"
+    )
+
+
+def _describe(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
+    m = re.match(rf"^desc(?:ribe)?\s+({_IDENT})\s*$", masked, re.IGNORECASE)
+    if not m:
+        raise ValueError("dml: expected DESCRIBE <table>")
+    return _columns_frame(spark, m.group(1).lower())

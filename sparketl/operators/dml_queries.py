@@ -408,3 +408,73 @@ def sql_create_view(spark, sf_dir):
                   cast(max(k) as bigint) as max_k
            from dml_v group by r_name""",
     )
+
+
+@query(
+    "sql_alter_table",
+    oracle="""
+        with base as (
+            select cast(p_partkey as bigint) as k, p_name as name,
+                   p_retailprice as price
+            from part where p_partkey <= 200
+        ),
+        -- ADD COLUMN tag (null for pre-existing rows), INSERT tagged
+        -- rows, RENAME COLUMN price -> amount (values preserved by the
+        -- rewrite), DROP COLUMN name, RENAME TO
+        ins as (
+            select cast(p_partkey + 1000 as bigint) as k, p_name as name,
+                   p_retailprice * 2 as price, 'new' as tag
+            from part where p_partkey <= 30
+        ),
+        final as (
+            select k, price as amount, cast(null as varchar) as tag
+            from base
+            union all
+            select k, price as amount, tag from ins
+        )
+        select tag, count(*) as n_rows,
+               round(sum(cast(round(amount * 100) as bigint))
+                     / cast(100 as double), 6) as total_amount,
+               cast(min(k) as bigint) as min_k
+        from final group by tag
+    """,
+)
+def sql_alter_table(spark, sf_dir):
+    """#2.9 Trino ``ALTER TABLE`` through the statement front door:
+    ADD COLUMN (metadata-only — parquet readers null-fill the column
+    for pre-existing part files, pinned by the NULL tag group), RENAME
+    COLUMN (the honest full copy-on-write — parquet matches by name,
+    so a metadata rename would null the column; values surviving the
+    rename is what the oracle checks), DROP COLUMN (metadata-only
+    projection), and RENAME TO (catalog-only).  The face reads the
+    final state through the RENAMED table name.
+
+    Scale: ADD/DROP COLUMN and RENAME TO are O(1) driver-side catalog
+    edits regardless of table size — the 100 TB schema-evolution path;
+    only RENAME COLUMN pays a rewrite, and the docstring/refusal text
+    says so rather than hiding it.
+    """
+    _setup(spark, sf_dir, "alt")
+    _run(
+        spark,
+        "drop table if exists dml_alt",
+        "drop table if exists dml_alt2",
+        """create table dml_alt as
+           select cast(p_partkey as bigint) as k, p_name as name,
+                  p_retailprice as price
+           from part where p_partkey <= 200""",
+        "alter table dml_alt add column tag varchar",
+        """insert into dml_alt
+           select p_partkey + 1000, p_name, p_retailprice * 2, 'new'
+           from part where p_partkey <= 30""",
+        "alter table dml_alt rename column price to amount",
+        "alter table dml_alt drop column name",
+        "alter table dml_alt rename to dml_alt2",
+    )
+    return dialect.sql(
+        spark,
+        f"""select tag, count(*) as n_rows,
+                   {_MONEY_SPARK.format(c="amount")} as total_amount,
+                   cast(min(k) as bigint) as min_k
+            from dml_alt2 group by tag""",
+    )

@@ -550,3 +550,90 @@ def test_view_refusals_and_drop(spark, wh):
     assert dialect.sql(spark, "drop view if exists v_r").collect()[0][0] == 0
     with pytest.raises(ValueError, match="not a DML-created view"):
         dialect.sql(spark, "drop view v_r")
+
+
+def test_alter_table_add_drop_columns(spark, wh):
+    dialect.sql(spark, "create table t_al as select k, g, v from dml_fx")
+    # ADD COLUMN is metadata-only: existing rows null-fill
+    dialect.sql(spark, "alter table t_al add column note varchar")
+    assert dialect.sql(spark, "select * from t_al").columns == [
+        "k", "g", "v", "note",
+    ]
+    assert all(r[3] is None for r in _state(spark, "t_al"))
+    # new column is writable
+    dialect.sql(
+        spark,
+        "insert into t_al select 100, 'x', 1.0, 'hello' from dml_fx "
+        "where k = 1",
+    )
+    assert (100, "x", 1.0, "hello") in _state(spark, "t_al")
+    assert (
+        dialect.sql(
+            spark, "alter table t_al add column if not exists note varchar"
+        ).collect()[0][0]
+        == 0
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        dialect.sql(spark, "alter table t_al add column note varchar")
+    # DROP COLUMN is metadata-only; re-adding the name refuses (the
+    # bytes are still in the files and would resurrect)
+    dialect.sql(spark, "alter table t_al drop column note")
+    assert dialect.sql(spark, "select * from t_al").columns == ["k", "g", "v"]
+    with pytest.raises(ValueError, match="resurrect"):
+        dialect.sql(spark, "alter table t_al add column note varchar")
+    with pytest.raises(ValueError, match="does not exist"):
+        dialect.sql(spark, "alter table t_al drop column nope")
+    dialect.sql(spark, "alter table t_al drop column if exists nope")
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        dialect.sql(spark, "alter table t_al set properties foo = 1")
+
+
+def test_alter_table_renames(spark, wh):
+    dialect.sql(
+        spark,
+        "create table t_ar with (partitioned_by = array['g']) as "
+        "select k, v, g from dml_fx",
+    )
+    # RENAME COLUMN is a full rewrite (parquet matches by name)
+    dialect.sql(spark, "alter table t_ar rename column v to amount")
+    assert dialect.sql(spark, "select * from t_ar").columns == [
+        "k", "amount", "g",
+    ]
+    assert (1, 10.0, "a") in _state(spark, "t_ar")
+    with pytest.raises(ValueError, match="partition column"):
+        dialect.sql(spark, "alter table t_ar rename column g to grp")
+    with pytest.raises(ValueError, match="partition column"):
+        dialect.sql(spark, "alter table t_ar drop column g")
+    # RENAME TO moves the catalog entry; dependent views refuse it
+    dialect.sql(spark, "create view v_ar as select k from t_ar")
+    with pytest.raises(ValueError, match="v_ar"):
+        dialect.sql(spark, "alter table t_ar rename to t_ar2")
+    dialect.sql(spark, "drop view v_ar")
+    dialect.sql(spark, "alter table t_ar rename to t_ar2")
+    assert (1, 10.0, "a") in _state(spark, "t_ar2")
+    with pytest.raises(ValueError, match="not a writable table"):
+        dml.table_path(spark, "t_ar")
+    # further DML lands on the renamed table
+    dialect.sql(spark, "delete from t_ar2 where k = 1")
+    assert (1, 10.0, "a") not in _state(spark, "t_ar2")
+
+
+def test_show_tables_columns_describe(spark, wh):
+    dialect.sql(
+        spark,
+        "create table t_sh with (partitioned_by = array['g']) as "
+        "select k, v, g from dml_fx",
+    )
+    tables = {r[0] for r in dialect.sql(spark, "show tables").collect()}
+    assert "t_sh" in tables and "dml_fx" in tables
+    cols = dialect.sql(spark, "show columns from t_sh").collect()
+    assert [(r.column, r.type) for r in cols] == [
+        ("k", "bigint"), ("v", "double"), ("g", "varchar"),
+    ]
+    assert [r.extra for r in cols] == ["", "", "partition key"]
+    assert dialect.sql(spark, "describe t_sh").collect() == cols
+    assert dialect.sql(spark, "desc dml_fx").count() == 3
+    with pytest.raises(ValueError, match="does not exist"):
+        dialect.sql(spark, "describe no_such_table")
+    with pytest.raises(ValueError, match="SHOW forms"):
+        dialect.sql(spark, "show session")
