@@ -2972,29 +2972,81 @@ def _mr_sym_case(preds: dict[str, str], order: list[str], lits: list[str]) -> st
     return f"case{guard}{body} else '.' end"
 
 
-def _shadowed_names(masked: str) -> set[str]:
-    """Names REDEFINED inside the query text: `... AS name` aliases
-    (select items, CTE/derived-table columns) and lambda parameters.
-    A redefined name may carry a different class than the same-named
-    catalog column (``cast(l_quantity as double) as l_quantity`` in a
-    derived table), so the resolver must treat it as unresolvable —
-    refusing loudly instead of typing it from the catalog (round-11
-    review).  Over-collection is safe (cast target types, table
-    aliases — they only REMOVE resolution); bare aliases without AS
-    are the documented residual gap."""
-    names = {m.group(1).lower() for m in _AS_ALIAS_RE.finditer(masked)}
+#: SQL type words that follow CAST's AS — never treated as alias
+#: definitions (they'd otherwise harvest the cast OPERAND as their
+#: defining expression).
+_TYPE_WORDS = frozenset({
+    "boolean", "tinyint", "smallint", "int", "integer", "bigint",
+    "real", "double", "decimal", "numeric", "float", "varchar", "char",
+    "string", "varbinary", "binary", "date", "timestamp", "time",
+    "interval", "array", "map", "row", "struct", "json", "uuid",
+})
+
+
+def _alias_classes(masked: str, colcls: dict[str, str]) -> dict[str, str]:
+    """Division classes for names the statement REDEFINES (the ADVICE
+    r11 narrowing of the blunt shadow-to-ambiguous rule): each
+    ``<expr> AS name`` alias is classed from its DEFINING expression,
+    and a name whose candidate meanings — every definition in the
+    statement plus the same-named catalog column, if one exists — all
+    agree on a class gets that class.  Anything else (a disagreeing
+    pair, an unresolvable definition, a table/derived-table alias,
+    a lambda parameter) maps to 'ambig', which the strict resolver
+    refuses exactly as before.  This turns ``count(*) as cnt`` /
+    ``x*(1-y) as volume`` into typed operands of a later `/`, and lets
+    the same-name rename ``l_quantity / 2 as l_quantity`` through
+    (both meanings class fractional), while anything genuinely
+    two-faced still refuses loudly.
+
+    The defining expression is recovered textually: back from the AS
+    to the previous same-depth comma or the enclosing paren, then
+    leading SELECT/DISTINCT/ALL keywords stripped.  Spans that still
+    carry clause keywords (table aliases harvest ``from t``, set-op
+    branches harvest whole queries) simply fail _expr_class → 'ambig',
+    i.e. the pre-narrowing behavior."""
+    dep = _depths(masked)
+    cand: dict[str, set] = {}
+    for m in _AS_ALIAS_RE.finditer(masked):
+        name = m.group(1).lower()
+        if name in _TYPE_WORDS:
+            continue
+        d = dep[m.start()]
+        j = m.start() - 1
+        start = 0
+        while j >= 0:
+            if dep[j] < d or (masked[j] == "," and dep[j] == d):
+                start = j + 1
+                break
+            j -= 1
+        expr = masked[start : m.start()].strip()
+        while True:
+            lm = re.match(r"(select|distinct|all)\b\s*", expr, re.IGNORECASE)
+            if not lm:
+                break
+            expr = expr[lm.end() :]
+        cand.setdefault(name, set()).add(
+            _expr_class(expr, colcls) if expr else None
+        )
     for m in _LAMBDA_PARAMS_RE.finditer(masked):
         group = m.group(1) or m.group(2)
-        names.update(p.strip().lower() for p in group.split(","))
-    return names
+        for p in group.split(","):
+            cand.setdefault(p.strip().lower(), set()).add(None)
+    out: dict[str, str] = {}
+    for name, classes in cand.items():
+        if name in colcls:
+            classes = classes | {colcls[name]}
+        only = next(iter(classes)) if len(classes) == 1 else None
+        out[name] = only if only in ("int", "frac") else "ambig"
+    return out
 
 
 def _rewrite_int_division(masked: str, colcls: dict[str, str], strict: bool) -> str:
     """Rewrite every int/int `/` to Spark `div`; leave fractional
     divisions; refuse (strict) or leave (lenient) unresolvable ones."""
-    shadowed = _shadowed_names(masked) & set(colcls)
-    if shadowed:
-        colcls = {**colcls, **{n: "ambig" for n in shadowed}}
+    adjusted = _alias_classes(masked, colcls)
+    shadowed = {n for n, c in adjusted.items() if c == "ambig"}
+    if adjusted:
+        colcls = {**colcls, **adjusted}
     i = 0
     while True:
         i = masked.find("/", i)
@@ -3043,10 +3095,10 @@ def _rewrite_int_division(masked: str, colcls: dict[str, str], strict: bool) -> 
                 (
                     "  Note: "
                     + ", ".join(f"'{n}'" for n in hit)
-                    + " is aliased elsewhere in this statement "
-                    "(`... as <name>` / lambda parameter), which makes "
-                    "the name's type ambiguous here even though a "
-                    "same-named catalog column exists — rename the "
+                    + " is (re)defined in this statement (`... as "
+                    "<name>` / lambda parameter) and its candidate "
+                    "meanings do not agree on one numeric class, so "
+                    "the name's type is ambiguous here — rename the "
                     "alias or cast this operand explicitly."
                 )
                 if hit
@@ -3134,13 +3186,14 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
         # probed live; ADVICE r11).  Placeholder name because
         # _rewrite_calls re-scans its own replacement (a direct
         # `sign(` would recurse on the still-int argument).  Uses the
-        # same shadow-adjusted classes as the division pass, so an
-        # aliased name degrades to 'ambig' → left as-is → a downstream
-        # `/` over it refuses rather than guesses.
+        # same alias-adjusted classes as the division pass, so an
+        # aliased name carries its agreed class (or degrades to
+        # 'ambig' → left as-is → a downstream `/` over it refuses
+        # rather than guesses).
         shadow_cls = colcls
-        _shadow = _shadowed_names(masked) & set(colcls)
-        if _shadow:
-            shadow_cls = {**colcls, **{n: "ambig" for n in _shadow}}
+        _adj = _alias_classes(masked, colcls)
+        if _adj:
+            shadow_cls = {**colcls, **_adj}
         masked = _rewrite_calls(
             masked, "sign",
             lambda a: (

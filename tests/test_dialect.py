@@ -1873,20 +1873,37 @@ def test_permute_past_last_refuses_with_operator_pointer():
     assert "__mr_s0" in out  # the lead-window rewrite fired
 
 
-def test_int_division_shadowed_alias_refusal_names_the_alias():
-    """ADVICE r11: the same-name rename pattern (`l_quantity / 2 as
-    l_quantity`) refuses — conservative by design (Spark lateral
-    column aliases vs Presto scoping) — and the message now NAMES the
-    shadowed alias so the fix is obvious."""
-    with pytest.raises(ValueError, match="aliased elsewhere"):
+def test_int_division_alias_class_narrowing():
+    """ADVICE r11 narrowing: a redefined name whose candidate meanings
+    (catalog column + every `AS name` definition) AGREE on a class is
+    resolved instead of refused; disagreement still refuses, and the
+    message NAMES the two-faced alias so the fix is obvious."""
+    # same-name rename: both meanings of `a` are integral → translates
+    out = translate("select a / 2 as a from t", schema={"a": "bigint"})
+    assert "a div 2" in " ".join(out.split())
+    # alias defined from an aggregate — no catalog entry needed
+    out = translate(
+        "select x / cnt from (select x, count(*) as cnt from t group by x)",
+        schema={"x": "bigint"},
+    )
+    assert "x div cnt" in " ".join(out.split())
+    # a fractional alias makes the division non-integer: no rewrite
+    out = translate(
+        "select tot / n from (select sum(v) as tot, count(*) as n from t)",
+        schema={"v": "double"},
+    )
+    assert "div" not in out
+    # disagreeing meanings refuse, naming the alias
+    with pytest.raises(ValueError, match=r"\(re\)defined"):
         translate(
-            "select a / 2 as a from t", schema={"a": "bigint"}
+            "select a / 2 from (select cast(a as double) as a from t)",
+            schema={"a": "bigint"},
         )
-    # a refusal NOT caused by shadowing carries no alias note
+    # a refusal NOT caused by redefinition carries no alias note
     try:
         translate("select a / mystery from t", schema={"a": "bigint"})
     except ValueError as e:
-        assert "aliased elsewhere" not in str(e)
+        assert "(re)defined" not in str(e)
 
 
 def test_mr_define_assertion_mode_fires_on_overlap(spark):
