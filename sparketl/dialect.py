@@ -1366,6 +1366,77 @@ _UNNEST_TAIL_RE = re.compile(
 )
 
 
+_OFFSET_FETCH_RE = re.compile(
+    r"(?:offset\s+(\d+)\s+(?:rows?\s+)?)?"
+    r"fetch\s+(?:first|next)\s+(?:(\d+)\s+)?rows?\s+(only|with\s+ties)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_fetch_first(masked: str) -> str:
+    """ANSI/Trino ``[OFFSET n [ROWS]] FETCH {FIRST|NEXT} [k] ROWS
+    ONLY`` → Spark ``LIMIT k [OFFSET n]`` (Spark's grammar wants LIMIT
+    before OFFSET — the opposite of Trino's clause order, so both are
+    rewritten together when adjacent; a bare OFFSET without FETCH is
+    left alone, Spark accepts it natively).  ``WITH TIES`` refuses:
+    Spark has no ties-aware limit."""
+
+    def repl(m: "re.Match") -> str:
+        if m.group(3).lower().startswith("with"):
+            raise ValueError(
+                "dialect: FETCH ... WITH TIES is refused — Spark has no "
+                "ties-aware limit; express it as rank() over the ORDER "
+                "BY key filtered <= n"
+            )
+        k = m.group(2) or "1"
+        return (
+            f"limit {k} offset {m.group(1)}" if m.group(1) else f"limit {k}"
+        )
+
+    return _OFFSET_FETCH_RE.sub(repl, masked)
+
+
+_TABLESAMPLE_RE = re.compile(
+    r"\btablesample\s+(bernoulli|system)\s*\(\s*([0-9]+(?:\.[0-9]+)?)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_tablesample(masked: str) -> str:
+    """Trino ``TABLESAMPLE BERNOULLI(p)`` / ``SYSTEM(p)`` → Spark
+    ``TABLESAMPLE (p PERCENT)``.  BERNOULLI is the same row-level
+    Bernoulli sample on both engines; SYSTEM (block sampling, which
+    Trino documents as implementation-defined) degrades to row-level —
+    every SYSTEM guarantee still holds, the sample is just
+    finer-grained.  Nondeterministic on both engines, so faces using
+    it are rows-only, like sample_bernoulli."""
+    return _TABLESAMPLE_RE.sub(
+        lambda m: f"tablesample ({m.group(2)} percent)", masked
+    )
+
+
+def _rewrite_row_constructor(masked: str) -> str:
+    """Presto ``ROW(a, b, ...)`` value constructor → Spark
+    ``struct(a, b, ...)`` (field access `.field` works identically on
+    the result).  ``CAST(... AS ROW(...))`` — Presto's way of NAMING
+    the fields — refuses loudly (Spark casts cannot target a struct
+    type built this way); the message points at named_struct."""
+    pat = re.compile(r"\brow\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(masked, pos)
+        if not m:
+            return masked
+        if re.search(r"\bas\s*$", masked[: m.start()], re.IGNORECASE):
+            raise ValueError(
+                "dialect: CAST(... AS ROW(...)) is refused — Spark casts "
+                "cannot target a ROW type; name the fields with "
+                "named_struct('f1', v1, ...) instead"
+            )
+        masked = masked[: m.start()] + "struct" + masked[m.end() - 1 :]
+        pos = m.start() + len("struct")
+
+
 def _rewrite_unnest(masked: str) -> str:
     """Presto UNNEST forms → Spark LATERAL VIEW:
 
@@ -3206,6 +3277,9 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
         masked = re.sub(r"\b__sparketl_sign\s*\(", "sign(", masked)
 
     masked = _rewrite_match_recognize(masked, lits)
+    masked = _rewrite_fetch_first(masked)
+    masked = _rewrite_tablesample(masked)
+    masked = _rewrite_row_constructor(masked)
     masked = _rewrite_unnest(masked)
     masked = _rewrite_array_literals(masked)
     masked = _rewrite_calls(masked, "map", _map_ctor)

@@ -224,7 +224,7 @@ def _refresh(spark: SparkSession, name: str) -> None:
 
 _DML_LEAD = re.compile(
     r"^\s*(insert|create|delete|update|merge|drop|truncate|alter|show"
-    r"|describe|desc)\b",
+    r"|describe|desc|prepare|execute|deallocate)\b",
     re.IGNORECASE,
 )
 
@@ -280,6 +280,9 @@ def execute(spark: SparkSession, stmt: str) -> DataFrame:
         "show": _show,
         "describe": _describe,
         "desc": _describe,
+        "prepare": _prepare,
+        "execute": _execute,
+        "deallocate": _deallocate,
     }.get(kw)
     if handler is None:
         raise ValueError(
@@ -1474,3 +1477,91 @@ def _describe(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
     if not m:
         raise ValueError("dml: expected DESCRIBE <table>")
     return _columns_frame(spark, m.group(1).lower())
+
+
+# ---------------------------------------------------------------------------
+# PREPARE / EXECUTE / DEALLOCATE
+# ---------------------------------------------------------------------------
+
+#: per-session prepared statements: name -> ORIGINAL statement text.
+_PREPARED_DEFS: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _prepared(spark: SparkSession) -> dict[str, str]:
+    p = _PREPARED_DEFS.get(spark)
+    if p is None:
+        p = {}
+        _PREPARED_DEFS[spark] = p
+    return p
+
+
+def _prepare(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
+    """Trino ``PREPARE name FROM statement`` — stores the statement
+    TEXT (re-translated at each EXECUTE, so it sees the table state of
+    execution time, like views).  Validation is deferred to EXECUTE:
+    the statement may carry ``?`` parameters that make it unanalyzable
+    now, and a DML body must not run as a side effect of preparing."""
+    m = re.match(
+        rf"^prepare\s+({_IDENT})\s+from\s+(.+)$",
+        masked,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError("dml: expected PREPARE <name> FROM <statement>")
+    _prepared(spark)[m.group(1).lower()] = _unmask_raw(
+        m.group(2), lits
+    ).strip()
+    return _rows_frame(spark, 0)
+
+
+def _execute(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
+    """Trino ``EXECUTE name [USING v1, v2, ...]`` — positional ``?``
+    parameters in the prepared text are replaced by the USING values
+    (each spliced parenthesized, scanned on masked text so a ``?``
+    inside a string literal is never a parameter)."""
+    m = re.match(
+        rf"^execute\s+({_IDENT})\s*(?:\busing\b(.*))?$",
+        masked,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(
+            "dml: expected EXECUTE <name> [USING <value>, ...]"
+        )
+    name = m.group(1).lower()
+    stmt = _prepared(spark).get(name)
+    if stmt is None:
+        raise ValueError(f"dml: no prepared statement '{name}'")
+    pmasked, plits = _mask(stmt)
+    slots = [i for i, c in enumerate(pmasked) if c == "?"]
+    args = (
+        [_unmask_raw(a, lits) for a in _split_args(m.group(2))]
+        if m.group(2) and m.group(2).strip()
+        else []
+    )
+    if len(slots) != len(args):
+        raise ValueError(
+            f"dml: prepared statement '{name}' has {len(slots)} "
+            f"parameter(s) but EXECUTE supplies {len(args)}"
+        )
+    for i, a in zip(reversed(slots), reversed(args)):
+        pmasked = f"{pmasked[:i]}({a.strip()}){pmasked[i + 1:]}"
+    return _d.sql(spark, _unmask_raw(pmasked, plits))
+
+
+def _deallocate(
+    spark: SparkSession, masked: str, lits: list[str]
+) -> DataFrame:
+    m = re.match(
+        rf"^deallocate\s+(?:prepare\s+)?({_IDENT})\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError("dml: expected DEALLOCATE [PREPARE] <name>")
+    name = m.group(1).lower()
+    if _prepared(spark).pop(name, None) is None:
+        raise ValueError(f"dml: no prepared statement '{name}'")
+    return _rows_frame(spark, 0)

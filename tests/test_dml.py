@@ -637,3 +637,94 @@ def test_show_tables_columns_describe(spark, wh):
         dialect.sql(spark, "describe no_such_table")
     with pytest.raises(ValueError, match="SHOW forms"):
         dialect.sql(spark, "show session")
+
+
+def test_prepare_execute_deallocate(spark, wh):
+    dialect.sql(spark, "create table t_pe as select k, g, v from dml_fx")
+    # parameterless prepared SELECT
+    dialect.sql(spark, "prepare q_all from select k, v from t_pe")
+    assert dialect.sql(spark, "execute q_all").count() == 5
+    # positional ? parameters, spliced from USING
+    dialect.sql(
+        spark,
+        "prepare q_rng from select k from t_pe where v between ? and ? "
+        "and g <> ?",
+    )
+    got = sorted(
+        r[0]
+        for r in dialect.sql(
+            spark, "execute q_rng using 15.0, 45.0, 'b'"
+        ).collect()
+    )
+    # k=4 has g NULL: NULL <> 'b' is NULL -> excluded (Trino semantics)
+    assert got == [3]
+    # a ? inside a string literal is NOT a parameter
+    dialect.sql(
+        spark, "prepare q_lit from select count(*) as c from t_pe where g = '?'"
+    )
+    assert dialect.sql(spark, "execute q_lit").collect()[0][0] == 0
+    # prepared DML re-executes against current state
+    dialect.sql(spark, "prepare q_del from delete from t_pe where k = ?")
+    assert dialect.sql(spark, "execute q_del using 1").collect()[0][0] == 1
+    assert dialect.sql(spark, "execute q_del using 1").collect()[0][0] == 0
+    # arity mismatch and unknown names refuse
+    with pytest.raises(ValueError, match="parameter"):
+        dialect.sql(spark, "execute q_rng using 1.0")
+    with pytest.raises(ValueError, match="no prepared statement"):
+        dialect.sql(spark, "execute nope")
+    dialect.sql(spark, "deallocate prepare q_rng")
+    with pytest.raises(ValueError, match="no prepared statement"):
+        dialect.sql(spark, "execute q_rng using 1.0, 2.0, 'x'")
+    with pytest.raises(ValueError, match="no prepared statement"):
+        dialect.sql(spark, "deallocate q_rng")
+
+
+def test_fetch_first_tablesample_row(spark, wh):
+    # FETCH FIRST / OFFSET ... FETCH NEXT → LIMIT [OFFSET]
+    got = [
+        r[0]
+        for r in dialect.sql(
+            spark,
+            "select k from dml_fx order by k fetch first 2 rows only",
+        ).collect()
+    ]
+    assert got == [1, 2]
+    got = [
+        r[0]
+        for r in dialect.sql(
+            spark,
+            "select k from dml_fx order by k offset 2 rows "
+            "fetch next 2 rows only",
+        ).collect()
+    ]
+    assert got == [3, 4]
+    # FETCH FIRST ROW ONLY defaults to 1
+    assert (
+        dialect.sql(
+            spark, "select k from dml_fx order by k fetch first row only"
+        ).count()
+        == 1
+    )
+    with pytest.raises(ValueError, match="WITH TIES"):
+        dialect.sql(
+            spark,
+            "select k from dml_fx order by v fetch first 2 rows with ties",
+        )
+    # TABLESAMPLE BERNOULLI runs (nondeterministic — bound-check only)
+    n = dialect.sql(
+        spark, "select count(*) as c from dml_fx tablesample bernoulli (50)"
+    ).collect()[0][0]
+    assert 0 <= n <= 5
+    # ROW(...) constructor → struct; field access works
+    # struct() names fields after source columns (Trino's ROW()
+    # fields are anonymous — dot access needs the field name here)
+    r = dialect.sql(
+        spark,
+        "select row(k, g).k as kk from dml_fx where k = 1",
+    ).collect()
+    assert [x[0] for x in r] == [1]
+    with pytest.raises(ValueError, match="ROW"):
+        dialect.sql(
+            spark,
+            "select cast(row(1, 2) as row(x bigint, y bigint)) from dml_fx",
+        )
