@@ -125,6 +125,10 @@ RELATIONAL = [
     # map-side combinable bucket counts) and the PERMUTE window face
     "approx_pctl_sketch_merge",
     "row_pattern_permute",
+    # round 12: PERMUTE under SKIP PAST LAST ROW — the greedy
+    # non-overlap chain as a partition-level mapInPandas kernel over
+    # candidates (one Python call per Spark partition, not per group)
+    "row_pattern_permute_pastlast",
 ]
 
 #: relational third decade (``--rel --x100``): the sub-lane run over

@@ -3217,7 +3217,21 @@ def _catalog_column_classes(spark: SparkSession) -> dict[str, str]:
         return hit[1]
     out: dict[str, str] = {}
     for name in names:
-        for f in spark.table(name).schema.fields:
+        try:
+            fields = spark.table(name).schema.fields
+        except Exception as e:  # noqa: BLE001 - narrowed by message below
+            # An entry that VANISHED between listTables() and the read
+            # (another thread's DROP/RENAME — the concurrent-bench DML
+            # faces do this constantly) is equivalent to never having
+            # been listed: skip it; a statement that still references
+            # it fails loudly in Spark's own analysis.  Anything else
+            # (a BROKEN but extant view) keeps raising — it must not
+            # silently drop a schema that would have forced 'ambig'
+            # (round-11 review).
+            if "TABLE_OR_VIEW_NOT_FOUND" in str(e):
+                continue
+            raise
+        for f in fields:
             cls = _classify_type_name(f.dataType.simpleString())
             key = f.name.lower()
             prev = out.get(key)

@@ -182,7 +182,9 @@ def _refresh_views(spark: SparkSession) -> None:
     views = _views(spark)
     if not views:
         return
-    for vname, vq in views.items():
+    # snapshot: another thread's CREATE/DROP VIEW must not blow up
+    # this iteration (concurrent pipeline stages share the session)
+    for vname, vq in list(views.items()):
         _d.sql(spark, vq).createOrReplaceTempView(vname)
     _d.clear_schema_cache()
 

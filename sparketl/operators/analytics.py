@@ -846,30 +846,54 @@ def permute_greedy_select(cands, part_col: str, rn_col: str, k: int):
     its partition-relative row number ``rn_col``.
 
     Trino's engine runs this exact greedy scan sequentially within
-    each partition; here it is a per-partition applyInPandas kernel
-    over the CANDIDATES only (≪ rows), so the sequential work is
-    bounded by match density while partitions stay parallel — the same
-    parallelism profile as Trino's own MATCH_RECOGNIZE.  No window
-    formulation can express the chain: whether an anchor survives
-    depends on the survival of unboundedly-many predecessors
-    (counterexample-pinned in tests/test_property_match_recognize.py::
+    each partition; here the candidates (≪ rows) are hash-repartitioned
+    on the partition key, sorted within Spark partitions by (partition,
+    rn), and a single mapInPandas pass per SPARK partition walks the
+    chain, resetting state at each partition-key change.  One Python/Arrow
+    invocation per Spark partition — NOT per group: the per-group
+    applyInPandas form paid ~1-2 ms of pandas/Arrow dispatch per
+    partition key (measured 5.7 s for 4.6k candidates across ~3k users
+    at sf0.1; this form runs the same rows in ~0.5 s) and that
+    per-group constant would dominate at 100 TB user counts.  State
+    carries across Arrow batches inside a partition (a user's
+    candidates may straddle batch boundaries).  No window formulation
+    can express the chain: whether an anchor survives depends on the
+    survival of unboundedly-many predecessors (counterexample-pinned
+    in tests/test_property_match_recognize.py::
     test_permute_past_last_is_not_windowable).
     """
+    schema = cands.schema
 
-    def _select(pdf):
-        pdf = pdf.sort_values(rn_col)
-        keep = []
+    def _select(batches):
+        import pandas as pd
+
+        started = False
+        last_part = None
         last_end = None
-        for rn in pdf[rn_col]:
-            if last_end is None or rn > last_end:
-                keep.append(True)
-                last_end = rn + k - 1
-            else:
-                keep.append(False)
-        return pdf[keep]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep = []
+            for part, rn in zip(pdf[part_col], pdf[rn_col]):
+                # NULL partition keys form ONE partition (Trino's
+                # MATCH_RECOGNIZE grouping), so NaN-normalize before
+                # comparing — NaN != NaN would reset on every row
+                part = None if pd.isna(part) else part
+                if not started or part != last_part:
+                    started = True
+                    last_part = part
+                    last_end = None
+                if last_end is None or rn > last_end:
+                    keep.append(True)
+                    last_end = rn + k - 1
+                else:
+                    keep.append(False)
+            yield pdf[keep]
 
-    return cands.groupBy(part_col).applyInPandas(
-        _select, schema=cands.schema
+    return (
+        cands.repartition(part_col)
+        .sortWithinPartitions(part_col, rn_col)
+        .mapInPandas(_select, schema=schema)
     )
 
 

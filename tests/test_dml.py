@@ -728,3 +728,33 @@ def test_fetch_first_tablesample_row(spark, wh):
             spark,
             "select cast(row(1, 2) as row(x bigint, y bigint)) from dml_fx",
         )
+
+
+def test_duckdb_same_statement_view_differential(spark, wh):
+    """Views + later DML, executed as the SAME statement text natively
+    in DuckDB on the same starting rows — the view-through-mutation
+    read must match byte-for-byte."""
+    import duckdb
+
+    stmts = [
+        "create view v_dd as select k, v from t_vd where k % 2 = 0",
+        "insert into t_vd select k + 10, g, v * 2 from t_vd where k <= 2",
+        "update t_vd set v = v + 0.5 where k = 2",
+        "create or replace view v_dd as "
+        "select k, v from t_vd where k % 2 = 1",
+        "delete from t_vd where k = 5",
+    ]
+    dialect.sql(spark, "create table t_vd as select k, g, v from dml_fx")
+    for s in stmts:
+        dialect.sql(spark, s)
+    got = _state(spark, "v_dd")
+    con = duckdb.connect()
+    con.sql(
+        "create table t_vd as select * from (values "
+        "(1, 'a', 10.0), (2, 'b', 20.0), (3, 'a', 30.0), "
+        "(4, null, 40.0), (5, 'c', 50.0)) t(k, g, v)"
+    )
+    for s in stmts:
+        con.sql(s)
+    want = sorted(tuple(r) for r in con.sql("select * from v_dd").fetchall())
+    assert got == want
