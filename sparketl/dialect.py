@@ -1415,12 +1415,41 @@ def _rewrite_tablesample(masked: str) -> str:
     )
 
 
+def _row_type_to_struct(body: str) -> str:
+    """A Presto ROW type's field list (``name type, ...``) → the Spark
+    ``struct<name: type, ...>`` spelling; nested ROW types recurse.
+    Anonymous fields (``ROW(bigint, varchar)``) refuse — Spark struct
+    casts need field names, and naming is the entire point of the
+    Presto CAST-to-ROW idiom."""
+    fields = []
+    for it in _split_args(body):
+        it = it.strip()
+        fm = re.match(r"([A-Za-z_]\w*)\s+(.+)$", it, re.DOTALL)
+        if not fm:
+            raise ValueError(
+                "dialect: CAST to an anonymous ROW type is refused — "
+                "Spark struct casts need field names: ROW(name type, ...)"
+            )
+        name, typ = fm.group(1), fm.group(2).strip()
+        rm = re.match(r"row\s*\(", typ, re.IGNORECASE)
+        if rm:
+            cp = _match_paren(typ, rm.end() - 1)
+            if cp != len(typ) - 1:
+                raise ValueError(
+                    f"dialect: cannot parse ROW type field '{it}'"
+                )
+            typ = _row_type_to_struct(typ[rm.end() : cp])
+        fields.append(f"{name}: {typ}")
+    return "struct<" + ", ".join(fields) + ">"
+
+
 def _rewrite_row_constructor(masked: str) -> str:
     """Presto ``ROW(a, b, ...)`` value constructor → Spark
     ``struct(a, b, ...)`` (field access `.field` works identically on
-    the result).  ``CAST(... AS ROW(...))`` — Presto's way of NAMING
-    the fields — refuses loudly (Spark casts cannot target a struct
-    type built this way); the message points at named_struct."""
+    the result), and the field-NAMING idiom ``CAST(... AS ROW(f1 t1,
+    ...))`` → ``CAST(... AS struct<f1: t1, ...>)`` — Spark's struct
+    cast renames fields and casts leaves, the same semantics (nested
+    ROW types recurse; anonymous ROW types refuse)."""
     pat = re.compile(r"\brow\s*\(", re.IGNORECASE)
     pos = 0
     while True:
@@ -1428,11 +1457,11 @@ def _rewrite_row_constructor(masked: str) -> str:
         if not m:
             return masked
         if re.search(r"\bas\s*$", masked[: m.start()], re.IGNORECASE):
-            raise ValueError(
-                "dialect: CAST(... AS ROW(...)) is refused — Spark casts "
-                "cannot target a ROW type; name the fields with "
-                "named_struct('f1', v1, ...) instead"
-            )
+            cp = _match_paren(masked, m.end() - 1)
+            spark_t = _row_type_to_struct(masked[m.end() : cp])
+            masked = masked[: m.start()] + spark_t + masked[cp + 1 :]
+            pos = m.start() + len(spark_t)
+            continue
         masked = masked[: m.start()] + "struct" + masked[m.end() - 1 :]
         pos = m.start() + len("struct")
 

@@ -723,10 +723,25 @@ def test_fetch_first_tablesample_row(spark, wh):
         "select row(k, g).k as kk from dml_fx where k = 1",
     ).collect()
     assert [x[0] for x in r] == [1]
-    with pytest.raises(ValueError, match="ROW"):
+    # CAST-to-ROW (Presto's field-naming idiom) → struct cast; nested
+    # types recurse; anonymous ROW types refuse
+    r = dialect.sql(
+        spark,
+        "select cast(row(k, v) as row(kk bigint, vv double)).kk as kk "
+        "from dml_fx where k = 2",
+    ).collect()
+    assert [x[0] for x in r] == [2]
+    r = dialect.sql(
+        spark,
+        "select cast(row(1, row(2.5, 'q')) as "
+        "row(a bigint, b row(c double, d varchar))).b.c as c from dml_fx "
+        "where k = 1",
+    ).collect()
+    assert [x[0] for x in r] == [2.5]
+    with pytest.raises(ValueError, match="anonymous ROW"):
         dialect.sql(
             spark,
-            "select cast(row(1, 2) as row(x bigint, y bigint)) from dml_fx",
+            "select cast(row(1, 2) as row(bigint, bigint)) from dml_fx",
         )
 
 
