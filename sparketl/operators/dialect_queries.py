@@ -221,3 +221,53 @@ def sql_recursive_gapfill(spark, sf_dir):
     metadata-sized, so this plan is scan-bound at 100 TB."""
     load_tables(spark, sf_dir)
     return spark.sql(_RECURSIVE_TEXT)
+
+
+@query(
+    "sql_trino_isms",
+    oracle="""
+        select o_orderkey,
+               o_totalprice as price,
+               o_orderpriority as prio,
+               array_to_string(list(cast(o_orderkey as varchar)) over w,
+                               ',') as win_keys
+        from orders
+        window w as (partition by o_orderstatus order by o_orderkey
+                     rows between 1 preceding and current row)
+        order by o_orderkey
+        limit 40 offset 5
+    """,
+)
+def sql_trino_isms(spark, sf_dir):
+    """#2.9 round-12 Trino-ism bundle, one statement through
+    ``dialect.sql()``: ``OFFSET n FETCH NEXT k ROWS ONLY`` (→ LIMIT k
+    OFFSET n — Spark wants the clauses in the opposite order), the
+    ``CAST(ROW(...) AS ROW(name type, ...))`` field-naming idiom (→
+    struct cast; the face projects scalar fields back OUT of the
+    struct so the oracle compares plain columns), ordered
+    ``array_agg(...) OVER`` a NAMED WINDOW resolved from the statement
+    WINDOW clause, and window inheritance — against DuckDB's native
+    windowed list() over the same named window.
+
+    Scale: pure projection + one bounded-frame window over
+    o_orderstatus; LIMIT/OFFSET fuse into a single
+    TakeOrderedAndProject-class plan after the global sort."""
+    load_tables(spark, sf_dir)
+    return dialect.sql(
+        spark,
+        """
+        select o_orderkey,
+               cast(row(o_totalprice, o_orderpriority)
+                    as row(p double, pr varchar)).p as price,
+               cast(row(o_totalprice, o_orderpriority)
+                    as row(p double, pr varchar)).pr as prio,
+               array_join(array_agg(cast(o_orderkey as varchar)
+                                 order by o_orderkey) over (w), ',')
+                   as win_keys
+        from orders
+        window w as (partition by o_orderstatus order by o_orderkey
+                     rows between 1 preceding and current row)
+        order by o_orderkey
+        offset 5 rows fetch next 40 rows only
+        """,
+    )
