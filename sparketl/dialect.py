@@ -1396,6 +1396,38 @@ def _rewrite_fetch_first(masked: str) -> str:
     return _OFFSET_FETCH_RE.sub(repl, masked)
 
 
+#: the exclusion clause is the LAST element of a window specification,
+#: so requiring the closing paren keeps a column actually named
+#: `exclude` (`select exclude group by ...`) out of the match.
+_FRAME_EXCLUDE_RE = re.compile(
+    r"\s*\bexclude\s+(no\s+others|current\s+row|group|ties)\s*(?=\))",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_frame_exclude(masked: str) -> str:
+    """SQL:2011 window frame exclusion: ``EXCLUDE NO OTHERS`` is the
+    default semantics on every engine — strip it; the real exclusion
+    modes (CURRENT ROW / GROUP / TIES) have no Spark frame syntax and
+    refuse toward the engine operators that implement them as window
+    compositions (operators/windows.py win_frame_exclude* /
+    win_groups_exclude, SURVEY.md §2 #155/#160)."""
+
+    def repl(m: "re.Match") -> str:
+        mode = " ".join(m.group(1).split()).lower()
+        if mode == "no others":
+            return ""
+        raise ValueError(
+            f"dialect: window frame EXCLUDE {mode.upper()} is refused — "
+            "Spark frames have no exclusion syntax; use the engine "
+            "composition operators (sparketl.operators.windows, the "
+            "win_frame_exclude / win_groups_exclude faces) which "
+            "implement exclusion as frame-sum differences"
+        )
+
+    return _FRAME_EXCLUDE_RE.sub(repl, masked)
+
+
 _TABLESAMPLE_RE = re.compile(
     r"\btablesample\s+(bernoulli|system)\s*\(\s*([0-9]+(?:\.[0-9]+)?)\s*\)",
     re.IGNORECASE,
@@ -3321,6 +3353,7 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
 
     masked = _rewrite_match_recognize(masked, lits)
     masked = _rewrite_fetch_first(masked)
+    masked = _rewrite_frame_exclude(masked)
     masked = _rewrite_tablesample(masked)
     masked = _rewrite_row_constructor(masked)
     masked = _rewrite_unnest(masked)

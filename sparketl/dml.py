@@ -226,7 +226,8 @@ def _refresh(spark: SparkSession, name: str) -> None:
 
 _DML_LEAD = re.compile(
     r"^\s*(insert|create|delete|update|merge|drop|truncate|alter|show"
-    r"|describe|desc|prepare|execute|deallocate)\b",
+    r"|describe|desc|prepare|execute|deallocate|set|reset|use|analyze"
+    r"|comment|grant|revoke|call|start|commit|rollback)\b",
     re.IGNORECASE,
 )
 
@@ -286,6 +287,8 @@ def execute(spark: SparkSession, stmt: str) -> DataFrame:
         "execute": _execute,
         "deallocate": _deallocate,
     }.get(kw)
+    if handler is None and kw in _SESSION_STMT_REFUSALS:
+        raise ValueError(_SESSION_STMT_REFUSALS[kw])
     if handler is None:
         raise ValueError(
             f"dml: unsupported statement leader '{kw}' — supported: "
@@ -1567,3 +1570,41 @@ def _deallocate(
     if _prepared(spark).pop(name, None) is None:
         raise ValueError(f"dml: no prepared statement '{name}'")
     return _rows_frame(spark, 0)
+
+
+#: Trino session/catalog statements an ETL script may lead with that
+#: have NO equivalent here — each refuses with statement-specific
+#: guidance instead of the generic unsupported-leader error, so a
+#: pasted script fails on its FIRST line with an actionable message.
+_SESSION_STMT_REFUSALS = {
+    "set": (
+        "dml: SET SESSION is refused — there is no Trino session here; "
+        "set the matching Spark conf on the SparkSession "
+        "(spark.conf.set) before calling dialect.sql()"
+    ),
+    "reset": (
+        "dml: RESET SESSION is refused — use spark.conf.unset on the "
+        "matching Spark conf"
+    ),
+    "use": (
+        "dml: USE <catalog>.<schema> is refused — this engine has one "
+        "flat temp-view namespace; register tables with "
+        "sparketl.dml.register_table or sparketl.tables.load_tables"
+    ),
+    "analyze": (
+        "dml: ANALYZE is refused — Spark computes statistics at read "
+        "time (AQE) and parquet footers carry min/max; there is no "
+        "stats store to populate"
+    ),
+    "comment": "dml: COMMENT ON is refused — no persistent catalog",
+    "grant": "dml: GRANT is refused — no access-control catalog here",
+    "revoke": "dml: REVOKE is refused — no access-control catalog here",
+    "call": "dml: CALL is refused — no stored procedures",
+    "start": (
+        "dml: START TRANSACTION is refused — parquet copy-on-write "
+        "statements are atomic per statement, not transactional; "
+        "Trino's hive connector refuses multi-statement writes too"
+    ),
+    "commit": "dml: COMMIT is refused — no transaction in progress (see START TRANSACTION)",
+    "rollback": "dml: ROLLBACK is refused — no transaction in progress (see START TRANSACTION)",
+}

@@ -2025,3 +2025,38 @@ def test_exec_named_window_array_agg_matches_duckdb(spark, duck):
     assert [(r.o_orderkey, r.arr) for r in got] == [
         (k, list(a)) for k, a in want
     ]
+
+
+def test_frame_exclude_and_session_statement_refusals():
+    """Round 12: EXCLUDE NO OTHERS (the default semantics) strips;
+    the real exclusion modes refuse toward the engine composition
+    operators; Trino session statements refuse with statement-specific
+    guidance via the DML leader."""
+    out = translate(
+        "select sum(x) over (order by y rows between 1 preceding and "
+        "current row exclude no others) from t"
+    )
+    assert "exclude" not in out.lower()
+    for mode in ("current row", "group", "ties"):
+        with pytest.raises(ValueError, match="EXCLUDE"):
+            translate(
+                f"select sum(x) over (order by y rows between 1 "
+                f"preceding and current row exclude {mode}) from t"
+            )
+    # a column actually NAMED exclude is untouched (no closing paren)
+    out = translate("select exclude from t group by exclude")
+    assert "exclude" in out
+    from sparketl import dml
+
+    # session statements refuse during parse, before touching the
+    # catalog — no Spark session needed
+    for stmt, frag in [
+        ("set session join_distribution_type = 'BROADCAST'", "spark.conf"),
+        ("use hive.warehouse", "namespace"),
+        ("analyze lineitem", "statistics"),
+        ("start transaction", "atomic per statement"),
+        ("grant select on t to role r", "access-control"),
+    ]:
+        assert dml.is_dml(stmt)
+        with pytest.raises(ValueError, match=frag):
+            dml.execute(None, stmt)
