@@ -1393,7 +1393,12 @@ def _rewrite_fetch_first(masked: str) -> str:
             f"limit {k} offset {m.group(1)}" if m.group(1) else f"limit {k}"
         )
 
-    return _OFFSET_FETCH_RE.sub(repl, masked)
+    masked = _OFFSET_FETCH_RE.sub(repl, masked)
+    # standalone Trino `OFFSET n ROWS` (no FETCH): Spark's OFFSET
+    # clause takes a bare count — drop the noise word
+    return re.sub(
+        r"\b(offset\s+\d+)\s+rows?\b", r"\1", masked, flags=re.IGNORECASE
+    )
 
 
 #: the exclusion clause is the LAST element of a window specification,
@@ -3803,6 +3808,17 @@ def sql(spark: SparkSession, presto_sql: str) -> DataFrame:
             raise ValueError(
                 "dialect: EXPLAIN (TYPE/FORMAT ...) options are refused "
                 "— plain EXPLAIN returns Spark's FORMATTED physical plan"
+            )
+        from sparketl import dml as _dml
+
+        if _dml.is_dml(inner):
+            # Spark would "plan" the unparseable DML text into an
+            # error-carrying row — refuse instead (round-12 review)
+            raise ValueError(
+                "dialect: EXPLAIN of a DML/DDL statement is refused — "
+                "DML executes through the front door without a Spark "
+                "plan to show; EXPLAIN the statement's SELECT body "
+                "instead"
             )
         return spark.sql(
             "EXPLAIN FORMATTED "

@@ -1522,28 +1522,44 @@ def _prepare(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
 
 
 def _execute(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
-    """Trino ``EXECUTE name [USING v1, v2, ...]`` — positional ``?``
-    parameters in the prepared text are replaced by the USING values
+    """Trino ``EXECUTE name [USING v1, v2, ...]`` and ``EXECUTE
+    IMMEDIATE '<statement>' [USING ...]`` — positional ``?`` parameters
+    in the prepared/immediate text are replaced by the USING values
     (each spliced parenthesized, scanned on masked text so a ``?``
     inside a string literal is never a parameter)."""
-    m = re.match(
-        rf"^execute\s+({_IDENT})\s*(?:\busing\b(.*))?$",
+    im = re.match(
+        "^execute\\s+immediate\\s+(\x00\\d+\x00)\\s*(?:\\busing\\b(.*))?$",
         masked,
         re.IGNORECASE | re.DOTALL,
     )
-    if not m:
-        raise ValueError(
-            "dml: expected EXECUTE <name> [USING <value>, ...]"
+    if im:
+        lit = _unmask_raw(im.group(1), lits).strip()
+        # the statement arrives as a Trino string literal: strip the
+        # quotes and undo '' escaping
+        stmt = lit[1:-1].replace("''", "'")
+        name = "<immediate>"
+        using_text = im.group(2)
+    else:
+        m = re.match(
+            rf"^execute\s+({_IDENT})\s*(?:\busing\b(.*))?$",
+            masked,
+            re.IGNORECASE | re.DOTALL,
         )
-    name = m.group(1).lower()
-    stmt = _prepared(spark).get(name)
-    if stmt is None:
-        raise ValueError(f"dml: no prepared statement '{name}'")
+        if not m:
+            raise ValueError(
+                "dml: expected EXECUTE <name> [USING <value>, ...] or "
+                "EXECUTE IMMEDIATE '<statement>' [USING ...]"
+            )
+        name = m.group(1).lower()
+        stmt = _prepared(spark).get(name)
+        if stmt is None:
+            raise ValueError(f"dml: no prepared statement '{name}'")
+        using_text = m.group(2)
     pmasked, plits = _mask(stmt)
     slots = [i for i, c in enumerate(pmasked) if c == "?"]
     args = (
-        [_unmask_raw(a, lits) for a in _split_args(m.group(2))]
-        if m.group(2) and m.group(2).strip()
+        [_unmask_raw(a, lits) for a in _split_args(using_text)]
+        if using_text and using_text.strip()
         else []
     )
     if len(slots) != len(args):

@@ -28,6 +28,9 @@ sql_update against unpartitioned ones.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from sparketl import dialect, dml
 from sparketl.registry import query
 from sparketl.sources.connectors import _scratch_dir
@@ -41,7 +44,28 @@ _MONEY_SPARK = (
 
 def _setup(spark, sf_dir, face: str) -> None:
     load_tables(spark, sf_dir)
-    dml.set_base_dir(spark, _scratch_dir(sf_dir, f"dml_{face}"))
+    # per-PROCESS warehouse: the driver's gate, the pytest oracle
+    # sweep, and a user's shell can run the same face CONCURRENTLY in
+    # separate processes — a shared deterministic directory lets one
+    # process overwrite the table files another is mid-read on
+    # (observed as a flaky sql_merge_into mismatch when check.py and
+    # the full pytest overlapped).  In-process concurrency is safe
+    # without this: the writable catalog keys tables by name.
+    base = _scratch_dir(sf_dir, f"dml_{face}_{os.getpid()}")
+    # reap warehouses left by DEAD processes (alive ones may be
+    # mid-run — removing theirs would reintroduce the race)
+    parent, prefix = os.path.dirname(base), f"dml_{face}_"
+    if os.path.isdir(parent):
+        for d in os.listdir(parent):
+            pid = d[len(prefix) :]
+            if (
+                d.startswith(prefix)
+                and d != os.path.basename(base)
+                and pid.isdigit()
+                and not os.path.exists(f"/proc/{pid}")
+            ):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    dml.set_base_dir(spark, base)
 
 
 def _run(spark, *stmts: str):

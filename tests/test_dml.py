@@ -705,6 +705,24 @@ def test_fetch_first_tablesample_row(spark, wh):
         ).count()
         == 1
     )
+    # standalone OFFSET n ROWS (no FETCH) — Spark wants the bare count
+    got = [
+        r[0]
+        for r in dialect.sql(
+            spark, "select k from dml_fx order by k offset 3 rows"
+        ).collect()
+    ]
+    assert got == [4, 5]
+    # a window frame's `rows between` is untouched by the offset strip
+    assert (
+        dialect.sql(
+            spark,
+            "select sum(k) over (order by k rows between 1 preceding "
+            "and current row) as s from dml_fx order by s desc "
+            "offset 1 row fetch next 1 rows only",
+        ).collect()[0][0]
+        == 7
+    )
     with pytest.raises(ValueError, match="WITH TIES"):
         dialect.sql(
             spark,
@@ -773,3 +791,34 @@ def test_duckdb_same_statement_view_differential(spark, wh):
         con.sql(s)
     want = sorted(tuple(r) for r in con.sql("select * from v_dd").fetchall())
     assert got == want
+
+
+def test_execute_immediate_and_explain_dml_refusal(spark, wh):
+    dialect.sql(spark, "create table t_ei as select k, v from dml_fx")
+    got = [
+        r[0]
+        for r in dialect.sql(
+            spark,
+            "execute immediate "
+            "'select k from t_ei where v > ? order by k' using 25.0",
+        ).collect()
+    ]
+    assert got == [3, 4, 5]
+    # '' escaping inside the immediate literal
+    assert (
+        dialect.sql(
+            spark, "execute immediate 'select ''x?'' as s'"
+        ).collect()[0][0]
+        == "x?"
+    )
+    # immediate DML executes too
+    assert (
+        dialect.sql(
+            spark, "execute immediate 'delete from t_ei where k = 1'"
+        ).collect()[0][0]
+        == 1
+    )
+    with pytest.raises(ValueError, match="parameter"):
+        dialect.sql(spark, "execute immediate 'select ?' ")
+    with pytest.raises(ValueError, match="EXPLAIN of a DML"):
+        dialect.sql(spark, "explain delete from t_ei where k = 2")
