@@ -904,6 +904,55 @@ def _named_window_specs(masked: str) -> dict[str, str | None]:
     return {k: resolve(k, frozenset({k})) for k in raw}
 
 
+def _expand_window_inheritance(masked: str) -> str:
+    """Make every WINDOW-clause definition and OVER body SELF-CONTAINED
+    (round-12 review): Spark's window grammar accepts a bare name, a
+    parenthesized name, or a full inline spec — but NOT Trino's
+    inheritance forms ``WINDOW w2 AS (w1 ORDER BY ...)`` / ``OVER (w1
+    ORDER BY ...)``, which reached Spark as parse errors.  Definitions
+    whose spec leads with another window's name are replaced by their
+    fully-resolved spec; OVER bodies that lead with a name AND carry
+    more clauses are expanded the same way (a body that IS just a name
+    stays — Spark parses ``OVER (w)`` natively).  Unresolvable
+    references (undefined/duplicated/cyclic) refuse loudly."""
+    if not re.search(r"\bwindow\b|\bover\s*\(", masked, re.IGNORECASE):
+        return masked
+    specs = _named_window_specs(masked)
+    spans: list[tuple[int, int, str]] = []
+    for m in _WINDOW_DEF_RE.finditer(masked):
+        name, op = m.group(1), m.end() - 1
+        while True:
+            cp = _match_paren(masked, op)
+            body = masked[op + 1 : cp].strip()
+            fm = re.match(r"([A-Za-z_]\w*)\b", body)
+            if fm and fm.group(1).lower() not in _WINDOW_SPEC_LEADS:
+                resolved = specs.get(name.lower())
+                if resolved is None:
+                    raise ValueError(
+                        f"dialect: window '{name}' inherits from an "
+                        "undefined, doubly-defined, or cyclic window "
+                        "name — inline the definition"
+                    )
+                spans.append((op + 1, cp, resolved))
+            cm = _WINDOW_CHAIN_RE.match(masked, cp + 1)
+            if not cm:
+                break
+            name, op = cm.group(1), cm.end() - 1
+    for om in re.finditer(r"\bover\s*\(", masked, re.IGNORECASE):
+        cp = _match_paren(masked, om.end() - 1)
+        body = masked[om.end() : cp].strip()
+        fm = re.match(r"([A-Za-z_]\w*)\b", body)
+        if (
+            fm
+            and fm.group(1).lower() not in _WINDOW_SPEC_LEADS
+            and fm.end() < len(body)  # bare `over (w)` parses natively
+        ):
+            spans.append((om.end(), cp, _inherit_window_spec(masked, body)))
+    for s, e, rep in sorted(spans, reverse=True):
+        masked = masked[:s] + rep + masked[e:]
+    return masked
+
+
 def _inherit_window_spec(masked: str, over: str) -> str:
     """Expand a window-spec body whose FIRST token is a window-name
     reference (``OVER (w ORDER BY ...)`` — Trino window inheritance,
@@ -1393,7 +1442,24 @@ def _rewrite_fetch_first(masked: str) -> str:
             f"limit {k} offset {m.group(1)}" if m.group(1) else f"limit {k}"
         )
 
+    # prepared-statement parameters splice as `(N)` — unwrap a fully
+    # parenthesized lone integer after the count keywords so the digit
+    # patterns below (and Spark's LIMIT literal grammar) see plain N
+    masked = re.sub(
+        r"\b(offset|first|next|limit)\s+\(\s*(\d+)\s*\)",
+        r"\1 \2",
+        masked,
+        flags=re.IGNORECASE,
+    )
     masked = _OFFSET_FETCH_RE.sub(repl, masked)
+    # Trino's clause order also allows OFFSET before a plain LIMIT —
+    # Spark wants LIMIT first
+    masked = re.sub(
+        r"\boffset\s+(\d+)\s+(?:rows?\s+)?limit\s+(\d+|all)\b",
+        lambda m: f"limit {m.group(2)} offset {m.group(1)}",
+        masked,
+        flags=re.IGNORECASE,
+    )
     # standalone Trino `OFFSET n ROWS` (no FETCH): Spark's OFFSET
     # clause takes a bare count — drop the noise word
     return re.sub(
@@ -3177,10 +3243,18 @@ def _alias_classes(masked: str, colcls: dict[str, str]) -> dict[str, str]:
     return out
 
 
-def _rewrite_int_division(masked: str, colcls: dict[str, str], strict: bool) -> str:
+def _rewrite_int_division(
+    masked: str,
+    colcls: dict[str, str],
+    strict: bool,
+    adjusted: "dict[str, str] | None" = None,
+) -> str:
     """Rewrite every int/int `/` to Spark `div`; leave fractional
-    divisions; refuse (strict) or leave (lenient) unresolvable ones."""
-    adjusted = _alias_classes(masked, colcls)
+    divisions; refuse (strict) or leave (lenient) unresolvable ones.
+    ``adjusted`` takes a precomputed _alias_classes dict (the sign
+    pass already harvested the same statement — round-12 review)."""
+    if adjusted is None:
+        adjusted = _alias_classes(masked, colcls)
     shadowed = {n for n, c in adjusted.items() if c == "ambig"}
     if adjusted:
         colcls = {**colcls, **adjusted}
@@ -3353,13 +3427,19 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
                 else None
             ),
         )
-        masked = _rewrite_int_division(masked, colcls, strict=True)
+        # reuse the harvest: the sign rewrite only wraps calls (its
+        # inserted `as bigint` is a type word the harvest skips), so
+        # the alias map is unchanged
+        masked = _rewrite_int_division(
+            masked, colcls, strict=True, adjusted=_adj
+        )
         masked = re.sub(r"\b__sparketl_sign\s*\(", "sign(", masked)
 
     masked = _rewrite_match_recognize(masked, lits)
     masked = _rewrite_fetch_first(masked)
     masked = _rewrite_frame_exclude(masked)
     masked = _rewrite_tablesample(masked)
+    masked = _expand_window_inheritance(masked)
     masked = _rewrite_row_constructor(masked)
     masked = _rewrite_unnest(masked)
     masked = _rewrite_array_literals(masked)

@@ -173,20 +173,73 @@ def _view_dependents(spark: SparkSession, name: str) -> list[str]:
     )
 
 
-def _refresh_views(spark: SparkSession) -> None:
-    """Re-register every logical view in creation order (so a view
-    over a view re-analyzes after its base).  Called after each table
-    mutation: Spark temp views hold an ANALYZED plan, so a view
+def _transitive_dependents(spark: SparkSession, name: str) -> list[str]:
+    """Views that (directly or through other views) reference ``name``,
+    in creation order — the set a mutation of ``name`` must re-register
+    (a view over a view re-analyzes after its base because creation
+    order is preserved)."""
+    views = list(_views(spark).items())
+    hit = {name}
+    out: list[str] = []
+    for vname, vq in views:  # creation order; deps only point backward
+        masked_q = _mask(vq)[0]
+        if any(
+            re.search(rf"\b{re.escape(h)}\b", masked_q, re.IGNORECASE)
+            for h in hit
+        ):
+            hit.add(vname)
+            out.append(vname)
+    return out
+
+
+def _refresh_views(spark: SparkSession, changed: str | None = None) -> None:
+    """Re-register the logical views a mutation invalidates, in
+    creation order.  Spark temp views hold an ANALYZED plan, so a view
     registered before an INSERT would keep serving the old file
-    listing without this."""
+    listing without this.  ``changed`` narrows the work to the
+    (transitive) dependents of the mutated table — with N unrelated
+    views a DML statement no longer pays N re-translations (round-12
+    review); ``changed=None`` refreshes everything (register_table
+    adoption, where the base set is unknown).
+
+    A view whose re-registration FAILS (its base changed shape
+    underneath it — reachable despite the ALTER/DROP dependency
+    refusals, e.g. via register_table swapping a schema) is DROPPED
+    from the catalog and reported in one loud error, rather than
+    wedging every later DML statement on unrelated tables (round-12
+    review)."""
     views = _views(spark)
     if not views:
         return
-    # snapshot: another thread's CREATE/DROP VIEW must not blow up
-    # this iteration (concurrent pipeline stages share the session)
-    for vname, vq in list(views.items()):
-        _d.sql(spark, vq).createOrReplaceTempView(vname)
+    todo = (
+        _transitive_dependents(spark, changed)
+        if changed is not None
+        else [v for v, _ in list(views.items())]
+    )
+    if not todo:
+        return
+    broken: list[tuple[str, str]] = []
+    for vname in todo:
+        vq = views.get(vname)
+        if vq is None:
+            continue  # concurrently dropped
+        try:
+            _d.sql(spark, vq).createOrReplaceTempView(vname)
+        except Exception as e:  # noqa: BLE001 - reported loudly below
+            broken.append((vname, str(e).split("\n", 1)[0][:200]))
+            views.pop(vname, None)
+            try:
+                spark.catalog.dropTempView(vname)
+            except Exception:  # noqa: BLE001 - already gone
+                pass
     _d.clear_schema_cache()
+    if broken:
+        raise ValueError(
+            "dml: view(s) no longer analyze against their mutated "
+            "base and were DROPPED: "
+            + "; ".join(f"'{v}' ({err})" for v, err in broken)
+            + " — recreate them with CREATE VIEW against the new shape"
+        )
 
 
 def _resolve(spark: SparkSession, name: str) -> _Handle:
@@ -217,7 +270,7 @@ def _refresh(spark: SparkSession, name: str) -> None:
     # REPLACING a same-named view is invisible to the catalog cache
     # (no version counter) — clear explicitly, as documented at sql()
     _d.clear_schema_cache()
-    _refresh_views(spark)
+    _refresh_views(spark, changed=name)
 
 
 # ---------------------------------------------------------------------------
@@ -540,6 +593,15 @@ def _create_view(
         raise ValueError(
             f"dml: view '{name}' already exists — use CREATE OR "
             "REPLACE VIEW"
+        )
+    if re.search(rf"\b{re.escape(name)}\b", _mask(query)[0], re.IGNORECASE):
+        # a self-referencing body would silently re-compose over its
+        # PREVIOUS self on every _refresh_views pass, compounding the
+        # transformation once per mutation (round-12 review); Trino
+        # errors on recursive views too
+        raise ValueError(
+            f"dml: view '{name}' references itself — recursive views "
+            "are not supported; SELECT from the base table instead"
         )
     _d.sql(spark, query).createOrReplaceTempView(name)
     views[name] = query
@@ -1358,6 +1420,16 @@ def _alter(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
             if dm.group(1):
                 return _rows_frame(spark, 0)
             raise ValueError(f"dml: column '{col}' does not exist in '{name}'")
+        dep = _view_dependents(spark, name)
+        if dep:
+            # same invariant as DROP TABLE: a half-applied ALTER under
+            # a dependent view would break the view's next re-analysis
+            # (round-12 review)
+            raise ValueError(
+                f"dml: cannot DROP COLUMN on '{name}' — view(s) "
+                f"{', '.join(dep)} reference the table; drop or "
+                "redefine those first"
+            )
         if h.part_col and col == h.part_col.lower():
             raise ValueError(
                 f"dml: cannot drop '{col}' — it is the partition column "
@@ -1385,6 +1457,13 @@ def _alter(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
             raise ValueError(f"dml: column '{old}' does not exist in '{name}'")
         if new in cols:
             raise ValueError(f"dml: column '{new}' already exists in '{name}'")
+        dep = _view_dependents(spark, name)
+        if dep:
+            raise ValueError(
+                f"dml: cannot RENAME COLUMN on '{name}' — view(s) "
+                f"{', '.join(dep)} reference the table; drop or "
+                "redefine those first"
+            )
         if h.part_col and old == h.part_col.lower():
             raise ValueError(
                 f"dml: cannot rename partition column '{old}' — the "
@@ -1427,12 +1506,12 @@ def _alter(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
 
 
 #: Spark simpleString -> Trino type name for SHOW COLUMNS / DESCRIBE.
+#: Keys are DataType.simpleString() SPELLINGS (LongType already prints
+#: 'bigint', ShortType 'smallint', ByteType 'tinyint' — only the
+#: spellings that differ need entries).
 _SPARK_TO_TRINO_TYPE = {
     "string": "varchar",
-    "long": "bigint",
     "int": "integer",
-    "short": "smallint",
-    "byte": "tinyint",
     "float": "real",
     "binary": "varbinary",
     "timestamp_ntz": "timestamp",

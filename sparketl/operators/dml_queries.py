@@ -62,10 +62,24 @@ def _setup(spark, sf_dir, face: str) -> None:
                 d.startswith(prefix)
                 and d != os.path.basename(base)
                 and pid.isdigit()
-                and not os.path.exists(f"/proc/{pid}")
+                and not _pid_alive(int(pid))
             ):
                 shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     dml.set_base_dir(spark, base)
+
+
+def _pid_alive(pid: int) -> bool:
+    """Portable liveness probe — /proc existence would report every
+    pid dead on non-procfs platforms (macOS) and reap LIVE processes'
+    warehouses (round-12 review).  kill(pid, 0) sends no signal;
+    EPERM means alive-but-not-ours."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
 
 
 def _run(spark, *stmts: str):

@@ -822,3 +822,84 @@ def test_execute_immediate_and_explain_dml_refusal(spark, wh):
         dialect.sql(spark, "execute immediate 'select ?' ")
     with pytest.raises(ValueError, match="EXPLAIN of a DML"):
         dialect.sql(spark, "explain delete from t_ei where k = 2")
+
+
+def test_review3_view_alter_guards(spark, wh):
+    """Round-12 review: (a) ALTER DROP/RENAME COLUMN under a dependent
+    view refuses (a half-applied ALTER would break the view and wedge
+    later DML); (b) a self-referencing CREATE OR REPLACE VIEW refuses
+    (it would re-compose over its previous self on every mutation);
+    (c) a view whose base is swapped underneath it (register_table) is
+    dropped with one loud error instead of wedging unrelated DML."""
+    dialect.sql(spark, "create table t_rv as select k, g, v from dml_fx")
+    dialect.sql(spark, "create view v_rv as select g from t_rv")
+    with pytest.raises(ValueError, match="v_rv"):
+        dialect.sql(spark, "alter table t_rv drop column g")
+    with pytest.raises(ValueError, match="v_rv"):
+        dialect.sql(spark, "alter table t_rv rename column g to h")
+    # ADD COLUMN cannot break a view — allowed
+    dialect.sql(spark, "alter table t_rv add column note varchar")
+    # (b) self-reference
+    with pytest.raises(ValueError, match="references itself"):
+        dialect.sql(
+            spark, "create or replace view v_rv as select g from v_rv"
+        )
+    # (c) swap the base's schema underneath the view
+    other = spark.createDataFrame([(1,)], "zzz long")
+    path = dml.table_path(spark, "t_rv")
+    import os as _os
+
+    newdir = _os.path.join(_os.path.dirname(path), "t_rv_swap")
+    other.write.mode("overwrite").parquet(newdir)
+    with pytest.raises(ValueError, match="DROPPED"):
+        dml.register_table(spark, "t_rv", newdir)
+    # the broken view is gone; unrelated DML proceeds
+    assert "v_rv" not in dml._views(spark)
+    dialect.sql(spark, "create table t_rv2 as select 1 as one")
+    assert dialect.sql(spark, "select * from t_rv2").count() == 1
+
+
+def test_review3_window_inheritance_executes(spark, wh):
+    """Round-12 review: inheritance must survive to EXECUTION — the
+    WINDOW-clause definition itself is expanded (Spark cannot parse
+    `w2 AS (w1 ORDER BY ...)`), for both rewritten compound aggregates
+    and native window functions."""
+    got = dialect.sql(
+        spark,
+        "select k, min_by(k, v, 2) over w2 as mk, sum(k) over w2 as sk "
+        "from dml_fx "
+        "window w1 as (partition by g), w2 as (w1 order by v) "
+        "order by k",
+    ).collect()
+    assert [r.k for r in got] == [1, 2, 3, 4, 5]
+    assert got[2].mk == [1, 3] and got[2].sk == 4  # g='a': k=1 then 3
+    # use-site inheritance on a native function
+    got = {
+        r.k: r.s
+        for r in dialect.sql(
+            spark,
+            "select k, sum(v) over (w1 order by k) as s from dml_fx "
+            "window w1 as (partition by g)",
+        ).collect()
+    }
+    assert got[3] == 40.0 and got[1] == 10.0  # g='a' running sums
+
+
+def test_review3_offset_limit_order_and_spliced_params(spark, wh):
+    got = [
+        r[0]
+        for r in dialect.sql(
+            spark, "select k from dml_fx order by k offset 2 rows limit 2"
+        ).collect()
+    ]
+    assert got == [3, 4]
+    dialect.sql(
+        spark,
+        "prepare q_pg from select k from dml_fx order by k "
+        "offset ? rows fetch first ? rows only",
+    )
+    got = [
+        r[0]
+        for r in dialect.sql(spark, "execute q_pg using 1, 2").collect()
+    ]
+    assert got == [2, 3]
