@@ -947,7 +947,21 @@ def _expand_window_inheritance(masked: str) -> str:
             and fm.group(1).lower() not in _WINDOW_SPEC_LEADS
             and fm.end() < len(body)  # bare `over (w)` parses natively
         ):
-            spans.append((om.end(), cp, _inherit_window_spec(masked, body)))
+            # reuse the one specs resolution computed above —
+            # _inherit_window_spec would re-walk every definition per
+            # OVER body (round-12 second review)
+            base = specs.get(fm.group(1).lower())
+            if base is None:
+                raise ValueError(
+                    f"dialect: window inheritance from '{fm.group(1)}' "
+                    "cannot be resolved — the named window is "
+                    "undefined, defined more than once in the "
+                    "statement, or inherits through a cycle; inline "
+                    "the window definition"
+                )
+            spans.append(
+                (om.end(), cp, f"{base} {body[fm.end():].lstrip()}".strip())
+            )
     for s, e, rep in sorted(spans, reverse=True):
         masked = masked[:s] + rep + masked[e:]
     return masked

@@ -174,58 +174,91 @@ def _view_dependents(spark: SparkSession, name: str) -> list[str]:
 
 
 def _transitive_dependents(spark: SparkSession, name: str) -> list[str]:
-    """Views that (directly or through other views) reference ``name``,
-    in creation order — the set a mutation of ``name`` must re-register
-    (a view over a view re-analyzes after its base because creation
-    order is preserved)."""
-    views = list(_views(spark).items())
+    """Views that (directly or through other views) reference ``name``
+    — the set a mutation of ``name`` must re-register.  Discovery is a
+    FIXPOINT, not a single creation-order pass: CREATE OR REPLACE can
+    make an earlier-created view depend on a later one (round-12
+    second review), so a one-directional walk would miss dependents.
+    Order is not meaningful here; _refresh_order sorts topologically."""
+    bodies = {v: _mask(q)[0] for v, q in list(_views(spark).items())}
     hit = {name}
+    changed = True
+    while changed:
+        changed = False
+        for v, mq in bodies.items():
+            if v not in hit and any(
+                re.search(rf"\b{re.escape(h)}\b", mq, re.IGNORECASE)
+                for h in hit
+            ):
+                hit.add(v)
+                changed = True
+    return [v for v in bodies if v in hit]
+
+
+def _refresh_order(views: dict[str, str], todo: list[str]) -> list[str]:
+    """Topological refresh order over ``todo`` — bases before the
+    views that mention them, so each re-analysis sees its dependencies'
+    FRESH registrations regardless of creation order (CREATE OR
+    REPLACE can invert it).  A cycle (only creatable via replace swaps
+    that individually analyze fine) raises loudly."""
+    deps: dict[str, set] = {}
+    for v in todo:
+        mq = _mask(views[v])[0]
+        deps[v] = {
+            o
+            for o in todo
+            if o != v and re.search(rf"\b{re.escape(o)}\b", mq, re.IGNORECASE)
+        }
     out: list[str] = []
-    for vname, vq in views:  # creation order; deps only point backward
-        masked_q = _mask(vq)[0]
-        if any(
-            re.search(rf"\b{re.escape(h)}\b", masked_q, re.IGNORECASE)
-            for h in hit
-        ):
-            hit.add(vname)
-            out.append(vname)
+    while deps:
+        ready = sorted(v for v, d in deps.items() if not d)
+        if not ready:
+            raise ValueError(
+                "dml: cyclic view definitions detected among "
+                + ", ".join(sorted(deps))
+                + " — DROP VIEW one of them to break the cycle"
+            )
+        for v in ready:
+            out.append(v)
+            deps.pop(v)
+        for d in deps.values():
+            d.difference_update(ready)
     return out
 
 
-def _refresh_views(spark: SparkSession, changed: str | None = None) -> None:
-    """Re-register the logical views a mutation invalidates, in
-    creation order.  Spark temp views hold an ANALYZED plan, so a view
-    registered before an INSERT would keep serving the old file
-    listing without this.  ``changed`` narrows the work to the
-    (transitive) dependents of the mutated table — with N unrelated
-    views a DML statement no longer pays N re-translations (round-12
-    review); ``changed=None`` refreshes everything (register_table
-    adoption, where the base set is unknown).
+def _refresh_views(spark: SparkSession, changed: str) -> None:
+    """Re-register the logical views a mutation of ``changed``
+    invalidates, bases first.  Spark temp views hold an ANALYZED plan,
+    so a view registered before an INSERT would keep serving the old
+    file listing without this; narrowing to the transitive dependents
+    keeps a DML statement from paying N re-translations for N
+    unrelated views (round-12 review).
 
-    A view whose re-registration FAILS (its base changed shape
-    underneath it — reachable despite the ALTER/DROP dependency
-    refusals, e.g. via register_table swapping a schema) is DROPPED
-    from the catalog and reported in one loud error, rather than
-    wedging every later DML statement on unrelated tables (round-12
-    review)."""
+    A view that no longer ANALYZES (its base changed shape underneath
+    it — reachable despite the ALTER/DROP dependency refusals, e.g.
+    via register_table swapping a schema) is DROPPED from the catalog
+    and reported in one loud error, rather than wedging every later
+    DML statement on unrelated tables.  Only analysis-class failures
+    drop the definition — a transient execution/gateway error re-raises
+    with the stored definition intact (round-12 second review)."""
     views = _views(spark)
     if not views:
         return
-    todo = (
-        _transitive_dependents(spark, changed)
-        if changed is not None
-        else [v for v, _ in list(views.items())]
-    )
+    todo = _transitive_dependents(spark, changed)
     if not todo:
         return
     broken: list[tuple[str, str]] = []
-    for vname in todo:
+    for vname in _refresh_order(dict(views), todo):
         vq = views.get(vname)
         if vq is None:
             continue  # concurrently dropped
         try:
             _d.sql(spark, vq).createOrReplaceTempView(vname)
-        except Exception as e:  # noqa: BLE001 - reported loudly below
+        except Exception as e:  # noqa: BLE001 - classified below
+            from pyspark.errors import AnalysisException
+
+            if not isinstance(e, (AnalysisException, ValueError)):
+                raise
             broken.append((vname, str(e).split("\n", 1)[0][:200]))
             views.pop(vname, None)
             try:
@@ -594,18 +627,39 @@ def _create_view(
             f"dml: view '{name}' already exists — use CREATE OR "
             "REPLACE VIEW"
         )
-    if re.search(rf"\b{re.escape(name)}\b", _mask(query)[0], re.IGNORECASE):
-        # a self-referencing body would silently re-compose over its
-        # PREVIOUS self on every _refresh_views pass, compounding the
-        # transformation once per mutation (round-12 review); Trino
-        # errors on recursive views too
-        raise ValueError(
-            f"dml: view '{name}' references itself — recursive views "
-            "are not supported; SELECT from the base table instead"
-        )
+    if name in views:
+        # self-reference check, EXACTLY: analyze the new body with the
+        # OLD registration temporarily dropped — a body selecting from
+        # the view itself fails with not-found on this very name
+        # (word-level matching false-refused a same-named output alias
+        # or column; round-12 second review).  A self-referencing
+        # replace accepted here would silently re-compose over its
+        # previous self on every refresh, compounding per mutation.
+        spark.catalog.dropTempView(name)
+        try:
+            _d.sql(spark, query)
+        except Exception as e:  # noqa: BLE001 - restore, classify below
+            _d.sql(spark, views[name]).createOrReplaceTempView(name)
+            _d.clear_schema_cache()
+            msg = str(e)
+            if "TABLE_OR_VIEW_NOT_FOUND" in msg and re.search(
+                rf"`{re.escape(name)}`", msg
+            ):
+                raise ValueError(
+                    f"dml: view '{name}' references itself — recursive "
+                    "views are not supported; SELECT from the base "
+                    "table instead"
+                ) from e
+            raise
     _d.sql(spark, query).createOrReplaceTempView(name)
+    replacing = name in views
     views[name] = query
     _d.clear_schema_cache()
+    if replacing:
+        # views OVER the replaced one pinned its old analyzed plan —
+        # re-register them now (round-12 second review); a mutual
+        # cycle created by the swap surfaces loudly in _refresh_order
+        _refresh_views(spark, changed=name)
     return _rows_frame(spark, 0)
 
 

@@ -903,3 +903,52 @@ def test_review3_offset_limit_order_and_spliced_params(spark, wh):
         for r in dialect.sql(spark, "execute q_pg using 1, 2").collect()
     ]
     assert got == [2, 3]
+
+
+def test_review4_view_replace_semantics(spark, wh):
+    """Round-12 second review: (a) a replaced view's DEPENDENTS
+    re-register immediately; (b) a view replaced to depend on a
+    LATER-created view still refreshes after base DML (fixpoint
+    discovery + topological order, not creation order); (c) an output
+    alias sharing the view's name is NOT a self-reference; (d) a
+    mutual cycle created by replace swaps errors loudly."""
+    dialect.sql(spark, "create table t_r4 as select k, g, v from dml_fx")
+    dialect.sql(spark, "create view v_r4a as select k, v from t_r4")
+    dialect.sql(spark, "create view v_r4b as select k, v from t_r4")
+    # (b)+(a): re-point the EARLIER view at the later one, then mutate
+    dialect.sql(
+        spark, "create or replace view v_r4a as select k, v from v_r4b"
+    )
+    dialect.sql(spark, "insert into t_r4 select 99, 'z', 9.0 from dml_fx "
+                       "where k = 1")
+    assert (99, 9.0) in _state(spark, "v_r4a")  # stale before the fix
+    # (a) direct: replacing the base view shows through the dependent
+    dialect.sql(
+        spark,
+        "create or replace view v_r4b as select k, v from t_r4 "
+        "where k % 2 = 1",
+    )
+    assert all(k % 2 == 1 for k, _ in _state(spark, "v_r4a"))
+    # (c) same-named output alias is legal, on create AND on replace
+    dialect.sql(
+        spark,
+        "create view daily_total as select g, sum(v) as daily_total "
+        "from t_r4 group by g",
+    )
+    dialect.sql(
+        spark,
+        "create or replace view daily_total as select g, "
+        "sum(v) + 0 as daily_total from t_r4 group by g",
+    )
+    # genuine self-reference still refuses
+    with pytest.raises(ValueError, match="references itself"):
+        dialect.sql(
+            spark,
+            "create or replace view daily_total as "
+            "select g, daily_total from daily_total",
+        )
+    # (d) mutual cycle via swap errors loudly on the replace
+    with pytest.raises(ValueError, match="cyclic"):
+        dialect.sql(
+            spark, "create or replace view v_r4b as select k, v from v_r4a"
+        )
