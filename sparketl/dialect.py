@@ -3365,7 +3365,23 @@ def _catalog_column_classes(spark: SparkSession) -> dict[str, str]:
     A catalog entry that fails to read raises — a broken view must not
     silently drop the table whose schema would have forced 'ambig'
     (round-11 review)."""
-    names = tuple(sorted(t.name for t in spark.catalog.listTables()))
+    # catalog enumeration races concurrent DROP/RENAME in other
+    # threads (the concurrent-bench DML faces do this constantly):
+    # listTables() itself has been observed to die with
+    # PARSE_EMPTY_STATEMENT mid-mutation (traceback pinned it to the
+    # listing call, not the per-table reads) — retry the listing a
+    # few times; the catalog stabilizes between statements.  Falsy
+    # names are filtered and the same parse error on a per-table read
+    # is treated like a vanished entry below.
+    for _attempt in range(3):
+        try:
+            names = tuple(
+                sorted(t.name for t in spark.catalog.listTables() if t.name)
+            )
+            break
+        except Exception as e:  # noqa: BLE001 - narrowed by message
+            if "PARSE_EMPTY_STATEMENT" not in str(e) or _attempt == 2:
+                raise
     hit = _COLCLS_CACHE.get(spark)
     if hit is not None and hit[0] == names:
         return hit[1]
@@ -3375,14 +3391,15 @@ def _catalog_column_classes(spark: SparkSession) -> dict[str, str]:
             fields = spark.table(name).schema.fields
         except Exception as e:  # noqa: BLE001 - narrowed by message below
             # An entry that VANISHED between listTables() and the read
-            # (another thread's DROP/RENAME — the concurrent-bench DML
-            # faces do this constantly) is equivalent to never having
-            # been listed: skip it; a statement that still references
-            # it fails loudly in Spark's own analysis.  Anything else
-            # (a BROKEN but extant view) keeps raising — it must not
-            # silently drop a schema that would have forced 'ambig'
-            # (round-11 review).
-            if "TABLE_OR_VIEW_NOT_FOUND" in str(e):
+            # (another thread's DROP/RENAME) is equivalent to never
+            # having been listed: skip it; a statement that still
+            # references it fails loudly in Spark's own analysis.
+            # Anything else (a BROKEN but extant view) keeps raising —
+            # it must not silently drop a schema that would have
+            # forced 'ambig' (round-11 review).
+            if "TABLE_OR_VIEW_NOT_FOUND" in str(
+                e
+            ) or "PARSE_EMPTY_STATEMENT" in str(e):
                 continue
             raise
         for f in fields:
