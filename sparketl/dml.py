@@ -1604,10 +1604,51 @@ def _show(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
     )
     if m:
         return _columns_frame(spark, m.group(1).lower())
+    m = re.match(
+        rf"^show\s+create\s+(table|view)\s+({_IDENT})\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if m:
+        return _show_create(spark, m.group(1).lower(), m.group(2).lower())
     raise ValueError(
         "dml: supported SHOW forms: SHOW TABLES, SHOW COLUMNS FROM "
-        "<table> (Trino's session/catalog SHOWs have no equivalent here)"
+        "<table>, SHOW CREATE TABLE/VIEW <name> (Trino's "
+        "session/catalog SHOWs have no equivalent here)"
     )
+
+
+def _show_create(spark: SparkSession, kind: str, name: str) -> DataFrame:
+    """Trino SHOW CREATE TABLE/VIEW shape: one (create_statement) row.
+    Views print their STORED body (the text every refresh re-runs);
+    tables print a column-definition DDL reconstructed from the pinned
+    schema plus the partitioned_by property — informational (this
+    engine's CREATE TABLE is CTAS-only, stated in the emitted
+    comment)."""
+    views = _views(spark)
+    if kind == "view":
+        vq = views.get(name)
+        if vq is None:
+            raise ValueError(f"dml: '{name}' is not a DML-created view")
+        stmt = f"CREATE VIEW {name} AS\n{vq}"
+    else:
+        h = _resolve(spark, name)
+        cols = ",\n".join(
+            f"   {f.name} "
+            + _SPARK_TO_TRINO_TYPE.get(
+                f.dataType.simpleString(), f.dataType.simpleString()
+            )
+            for f in _declared_schema(spark, h, name).fields
+        )
+        props = ["format = 'PARQUET'"]
+        if h.part_col:
+            props.append(f"partitioned_by = ARRAY['{h.part_col}']")
+        stmt = (
+            f"CREATE TABLE {name} (\n{cols}\n)\nWITH ({', '.join(props)})"
+            "\n-- reconstructed from the pinned schema; create tables "
+            "here with CREATE TABLE ... AS <query>"
+        )
+    return spark.createDataFrame([(stmt,)], "create_statement string")
 
 
 def _describe(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:

@@ -952,3 +952,23 @@ def test_review4_view_replace_semantics(spark, wh):
         dialect.sql(
             spark, "create or replace view v_r4b as select k, v from v_r4a"
         )
+
+
+def test_show_create_table_and_view(spark, wh):
+    dialect.sql(
+        spark,
+        "create table t_sc with (partitioned_by = array['g']) as "
+        "select k, v, g from dml_fx",
+    )
+    dialect.sql(spark, "create view v_sc as select k from t_sc")
+    ddl = dialect.sql(spark, "show create table t_sc").collect()[0][0]
+    assert "CREATE TABLE t_sc" in ddl
+    assert "k bigint" in ddl and "g varchar" in ddl
+    assert "partitioned_by = ARRAY['g']" in ddl
+    vddl = dialect.sql(spark, "show create view v_sc").collect()[0][0]
+    assert vddl.startswith("CREATE VIEW v_sc AS")
+    assert "select k from t_sc" in vddl
+    with pytest.raises(ValueError, match="not a DML-created view"):
+        dialect.sql(spark, "show create view nope")
+    with pytest.raises(ValueError, match="not a writable table"):
+        dialect.sql(spark, "show create table dml_fx")
