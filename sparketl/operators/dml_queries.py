@@ -187,6 +187,72 @@ def sql_ctas(spark, sf_dir):
 
 
 @query(
+    "sql_create_table",
+    oracle="""
+        with ins_positional as (
+            select cast(n_nationkey as bigint) as k, n_name as name,
+                   cast(n_nationkey as double) * 1.5 as price,
+                   case when n_regionkey % 2 = 0 then 'even'
+                        else 'odd' end as g
+            from nation
+        ),
+        ins_named as (
+            select cast(s_suppkey + 100 as bigint), cast(null as varchar),
+                   cast(null as double), 'sup'
+            from supplier where s_suppkey <= 15
+        ),
+        final as (
+            select * from ins_positional union all select * from ins_named
+        )
+        select g, count(*) as n_rows, sum(price) as total_price,
+               cast(min(k) as bigint) as min_k,
+               cast(max(k) as bigint) as max_k
+        from final group by g
+    """,
+)
+def sql_create_table(spark, sf_dir):
+    """#2.9 plain schema-only ``CREATE TABLE t (col type, ...) WITH
+    (partitioned_by = ARRAY['col'])`` — the empty-table DDL every ETL
+    script leads with (round 13, VERDICT r12 #1) — followed by the
+    INSERTs that fill it: a positional insert (values cast to the
+    DECLARED types, including the partition column) and a named-column
+    insert (unnamed columns NULL).  The face aggregates the final
+    state re-read from the partitioned directory layout, proving the
+    declared-schema pin survives the empty-root → partition-directory
+    transition and keeps the declared column order and types.
+
+    Scale: the DDL is one O(1) driver-side empty schema-bearing write;
+    the INSERTs are pure appends — no rewrite of existing data.
+    """
+    _setup(spark, sf_dir, "ct")
+    _run(
+        spark,
+        "drop table if exists dml_ct",
+        """create table dml_ct (
+               k bigint,
+               name varchar COMMENT 'display name',
+               price double,
+               g varchar
+           ) with (partitioned_by = array['g'])""",
+        """insert into dml_ct
+           select n_nationkey, n_name,
+                  cast(n_nationkey as double) * 1.5,
+                  case when n_regionkey % 2 = 0 then 'even'
+                       else 'odd' end
+           from nation""",
+        """insert into dml_ct (k, g)
+           select s_suppkey + 100, 'sup'
+           from supplier where s_suppkey <= 15""",
+    )
+    return dialect.sql(
+        spark,
+        """select g, count(*) as n_rows, sum(price) as total_price,
+                  min(k) as min_k, max(k) as max_k
+           from dml_ct group by g""",
+    )
+
+
+@query(
     "sql_delete",
     oracle="""
         with tgt as (

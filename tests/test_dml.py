@@ -972,3 +972,92 @@ def test_show_create_table_and_view(spark, wh):
         dialect.sql(spark, "show create view nope")
     with pytest.raises(ValueError, match="not a writable table"):
         dialect.sql(spark, "show create table dml_fx")
+
+
+def test_create_table_declared_schema(spark, wh):
+    """Round 13 (VERDICT r12 #1): plain schema-only CREATE TABLE."""
+    dialect.sql(
+        spark,
+        "create table t_decl (k bigint, name varchar COMMENT 'n', "
+        "price decimal(10,2), g varchar) "
+        "with (partitioned_by = array['g'])",
+    )
+    assert spark.table("t_decl").columns == ["k", "name", "price", "g"]
+    assert spark.table("t_decl").count() == 0
+    # idempotent under IF NOT EXISTS, refuses without
+    dialect.sql(spark, "create table if not exists t_decl (k bigint)")
+    with pytest.raises(ValueError, match="already exists"):
+        dialect.sql(spark, "create table t_decl (k bigint)")
+    # INSERT casts to the DECLARED types (incl. the partition column)
+    dialect.sql(
+        spark,
+        "insert into t_decl values (1, 'a', 2.5, 'x'), (2, 'b', 3.75, 'y')",
+    )
+    got = _state(spark, "t_decl")
+    assert [(r[0], r[1], float(r[2]), r[3]) for r in got] == [
+        (1, "a", 2.5, "x"),
+        (2, "b", 3.75, "y"),
+    ]
+    # declared column order survives the partitioned re-read
+    assert spark.table("t_decl").columns == ["k", "name", "price", "g"]
+    # SHOW CREATE round-trips the DECLARED DDL without the
+    # reconstructed caveat
+    ddl = dialect.sql(spark, "show create table t_decl").collect()[0][0]
+    assert "reconstructed" not in ddl
+    assert "k bigint" in ddl and "price decimal(10,2)" in ddl
+    assert "partitioned_by = ARRAY['g']" in ddl
+    # ... and the emitted DDL is itself runnable
+    dialect.sql(spark, "drop table t_decl")
+    dialect.sql(spark, ddl)
+    assert spark.table("t_decl").columns == ["k", "name", "price", "g"]
+
+
+def test_create_table_declared_refusals(spark, wh):
+    with pytest.raises(ValueError, match="NOT NULL"):
+        dialect.sql(spark, "create table t_nn (k bigint not null)")
+    with pytest.raises(ValueError, match="duplicate column"):
+        dialect.sql(spark, "create table t_dup (k bigint, K varchar)")
+    with pytest.raises(ValueError, match="not among the declared"):
+        dialect.sql(
+            spark,
+            "create table t_np (k bigint) "
+            "with (partitioned_by = array['g'])",
+        )
+    with pytest.raises(ValueError, match="cannot parse column type"):
+        dialect.sql(spark, "create table t_bt (k array(bigint))")
+    with pytest.raises(ValueError, match="unsupported column type"):
+        dialect.sql(spark, "create table t_bt2 (k uuid)")
+    with pytest.raises(ValueError, match="column-NAME list"):
+        dialect.sql(spark, "create table t_ta (k bigint) as select 1")
+    with pytest.raises(ValueError, match="trailing text"):
+        dialect.sql(spark, "create table t_tr (k bigint) garbage here")
+
+
+def test_ctas_column_name_list(spark, wh):
+    dialect.sql(
+        spark,
+        "create table t_cn (a, b) as select k, g from dml_fx where k <= 2",
+    )
+    assert spark.table("t_cn").columns == ["a", "b"]
+    assert _state(spark, "t_cn") == [(1, "a"), (2, "b")]
+    with pytest.raises(ValueError, match="names 3 column"):
+        dialect.sql(spark, "create table t_cm (a, b, c) as select 1, 2")
+
+
+def test_alter_add_column_star_view_guard(spark, wh):
+    """ADVICE r12: ADD COLUMN under a dependent `select *` view would
+    silently grow the view (Trino views pin their columns)."""
+    dialect.sql(spark, "create table t_ag as select k, g from dml_fx")
+    dialect.sql(spark, "create view v_ag_star as select * from t_ag")
+    with pytest.raises(ValueError, match="expand a `\\*`"):
+        dialect.sql(spark, "alter table t_ag add column extra bigint")
+    dialect.sql(spark, "drop view v_ag_star")
+    # a view naming explicit columns does NOT block ADD COLUMN
+    dialect.sql(spark, "create view v_ag_cols as select k from t_ag")
+    dialect.sql(spark, "alter table t_ag add column extra bigint")
+    assert spark.table("t_ag").columns == ["k", "g", "extra"]
+    assert dialect.sql(spark, "select k from v_ag_cols").count() == 5
+    # count(*) in a dependent view is NOT an expanding star
+    dialect.sql(spark, "create view v_ag_cnt as select count(*) as n from t_ag")
+    dialect.sql(spark, "alter table t_ag add column extra2 bigint")
+    assert "extra2" in spark.table("t_ag").columns
