@@ -3364,44 +3364,45 @@ def _catalog_column_classes(spark: SparkSession) -> dict[str, str]:
     classes across tables maps to 'ambig' (treated as unresolvable).
     A catalog entry that fails to read raises — a broken view must not
     silently drop the table whose schema would have forced 'ambig'
-    (round-11 review)."""
-    # catalog enumeration races concurrent DROP/RENAME in other
-    # threads (the concurrent-bench DML faces do this constantly):
-    # listTables() itself has been observed to die with
-    # PARSE_EMPTY_STATEMENT mid-mutation (traceback pinned it to the
-    # listing call, not the per-table reads) — retry the listing a
-    # few times; the catalog stabilizes between statements.  Falsy
-    # names are filtered and the same parse error on a per-table read
-    # is treated like a vanished entry below.
-    for _attempt in range(3):
-        try:
-            names = tuple(
-                sorted(t.name for t in spark.catalog.listTables() if t.name)
-            )
-            break
-        except Exception as e:  # noqa: BLE001 - narrowed by message
-            if "PARSE_EMPTY_STATEMENT" not in str(e) or _attempt == 2:
+    (round-11 review).
+
+    Enumeration and the per-table schema reads run under
+    ``session.CATALOG_LOCK``, which every engine-side catalog MUTATION
+    (dml registers/drops, load_tables re-pins) also holds — that
+    deletes the mid-listing PARSE_EMPTY_STATEMENT race the old
+    3-attempt retry papered over (round 13, VERDICT r12 #7).  The
+    vanished-entry skip stays as a belt for catalog mutations made
+    OUTSIDE the engine (a user thread's own createOrReplaceTempView
+    is not obliged to take the lock)."""
+    from sparketl.session import CATALOG_LOCK
+
+    with CATALOG_LOCK:
+        names = tuple(
+            sorted(t.name for t in spark.catalog.listTables() if t.name)
+        )
+        hit = _COLCLS_CACHE.get(spark)
+        if hit is not None and hit[0] == names:
+            return hit[1]
+        out: dict[str, str] = {}
+        fields_by_name = {}
+        for name in names:
+            try:
+                fields_by_name[name] = spark.table(name).schema.fields
+            except Exception as e:  # noqa: BLE001 - narrowed below
+                # An entry that VANISHED between listTables() and the
+                # read (an unlocked external thread's DROP/RENAME) is
+                # equivalent to never having been listed: skip it; a
+                # statement that still references it fails loudly in
+                # Spark's own analysis.  Anything else (a BROKEN but
+                # extant view) keeps raising — it must not silently
+                # drop a schema that would have forced 'ambig'
+                # (round-11 review).
+                if "TABLE_OR_VIEW_NOT_FOUND" in str(
+                    e
+                ) or "PARSE_EMPTY_STATEMENT" in str(e):
+                    continue
                 raise
-    hit = _COLCLS_CACHE.get(spark)
-    if hit is not None and hit[0] == names:
-        return hit[1]
-    out: dict[str, str] = {}
-    for name in names:
-        try:
-            fields = spark.table(name).schema.fields
-        except Exception as e:  # noqa: BLE001 - narrowed by message below
-            # An entry that VANISHED between listTables() and the read
-            # (another thread's DROP/RENAME) is equivalent to never
-            # having been listed: skip it; a statement that still
-            # references it fails loudly in Spark's own analysis.
-            # Anything else (a BROKEN but extant view) keeps raising —
-            # it must not silently drop a schema that would have
-            # forced 'ambig' (round-11 review).
-            if "TABLE_OR_VIEW_NOT_FOUND" in str(
-                e
-            ) or "PARSE_EMPTY_STATEMENT" in str(e):
-                continue
-            raise
+    for name, fields in fields_by_name.items():
         for f in fields:
             cls = _classify_type_name(f.dataType.simpleString())
             key = f.name.lower()

@@ -73,6 +73,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparketl import dialect as _d
+from sparketl.session import CATALOG_LOCK
 from sparketl.dialect import (
     _catalog_column_classes,
     _depths,
@@ -261,7 +262,9 @@ def _refresh_views(spark: SparkSession, changed: str) -> None:
         if vq is None:
             continue  # concurrently dropped
         try:
-            _d.sql(spark, vq).createOrReplaceTempView(vname)
+            vdf = _d.sql(spark, vq)
+            with CATALOG_LOCK:
+                vdf.createOrReplaceTempView(vname)
         except Exception as e:  # noqa: BLE001 - classified below
             from pyspark.errors import AnalysisException
 
@@ -270,7 +273,8 @@ def _refresh_views(spark: SparkSession, changed: str) -> None:
             broken.append((vname, str(e).split("\n", 1)[0][:200]))
             views.pop(vname, None)
             try:
-                spark.catalog.dropTempView(vname)
+                with CATALOG_LOCK:
+                    spark.catalog.dropTempView(vname)
             except Exception:  # noqa: BLE001 - already gone
                 pass
     _d.clear_schema_cache()
@@ -308,7 +312,8 @@ def _refresh(spark: SparkSession, name: str) -> None:
     df = reader.parquet(h.path)
     if h.schema is not None:
         df = df.select(*[f.name for f in h.schema.fields])
-    df.createOrReplaceTempView(name)
+    with CATALOG_LOCK:
+        df.createOrReplaceTempView(name)
     # REPLACING a same-named view is invisible to the catalog cache
     # (no version counter) — clear explicitly, as documented at sql()
     _d.clear_schema_cache()
@@ -645,11 +650,14 @@ def _create_view(
         # or column; round-12 second review).  A self-referencing
         # replace accepted here would silently re-compose over its
         # previous self on every refresh, compounding per mutation.
-        spark.catalog.dropTempView(name)
+        with CATALOG_LOCK:
+            spark.catalog.dropTempView(name)
         try:
             _d.sql(spark, query)
         except Exception as e:  # noqa: BLE001 - restore, classify below
-            _d.sql(spark, views[name]).createOrReplaceTempView(name)
+            old_df = _d.sql(spark, views[name])
+            with CATALOG_LOCK:
+                old_df.createOrReplaceTempView(name)
             _d.clear_schema_cache()
             msg = str(e)
             if "TABLE_OR_VIEW_NOT_FOUND" in msg and re.search(
@@ -661,7 +669,9 @@ def _create_view(
                     "table instead"
                 ) from e
             raise
-    _d.sql(spark, query).createOrReplaceTempView(name)
+    new_df = _d.sql(spark, query)
+    with CATALOG_LOCK:
+        new_df.createOrReplaceTempView(name)
     replacing = name in views
     views[name] = query
     _d.clear_schema_cache()
@@ -944,7 +954,8 @@ def _drop(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
                 f"{', '.join(dep)} reference it; drop those first"
             )
         views.pop(name)
-        spark.catalog.dropTempView(name)
+        with CATALOG_LOCK:
+            spark.catalog.dropTempView(name)
         _d.clear_schema_cache()
         return _rows_frame(spark, 0)
     m = re.match(
@@ -970,7 +981,8 @@ def _drop(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
         if m.group(1):
             return _rows_frame(spark, 0)
         raise ValueError(f"dml: '{name}' is not a writable table")
-    spark.catalog.dropTempView(name)
+    with CATALOG_LOCK:
+        spark.catalog.dropTempView(name)
     _d.clear_schema_cache()
     jvm = spark._jvm  # noqa: SLF001 - Hadoop FS, same JVM as the writes
     p = jvm.org.apache.hadoop.fs.Path(h.path)
@@ -1549,7 +1561,8 @@ def _alter(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
         if new in _handles(spark) or spark.catalog.tableExists(new):
             raise ValueError(f"dml: '{new}' already exists")
         _handles(spark)[new] = _handles(spark).pop(name)
-        spark.catalog.dropTempView(name)
+        with CATALOG_LOCK:
+            spark.catalog.dropTempView(name)
         _refresh(spark, new)
         return _rows_frame(spark, 0)
 
@@ -1747,7 +1760,11 @@ def _columns_frame(spark: SparkSession, name: str) -> DataFrame:
 
 def _show(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
     if re.match(r"^show\s+tables\s*$", masked, re.IGNORECASE):
-        names = sorted(t.name for t in spark.catalog.listTables())
+        # under CATALOG_LOCK: the same mid-mutation listing race the
+        # schema classing had (ADVICE r12 — SHOW TABLES lacked even
+        # the old retry)
+        with CATALOG_LOCK:
+            names = sorted(t.name for t in spark.catalog.listTables())
         return spark.createDataFrame(
             [(n,) for n in names], "table string"
         )

