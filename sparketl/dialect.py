@@ -1436,13 +1436,161 @@ _OFFSET_FETCH_RE = re.compile(
 )
 
 
+_TIES_RE = re.compile(
+    r"(offset\s+\d+\s+(?:rows?\s+)?)?"
+    r"fetch\s+(?:first|next)\s+(?:(\d+)\s+)?rows?\s+with\s+ties",
+    re.IGNORECASE,
+)
+_ORDER_BY_RE = re.compile(r"\border\s+by\b", re.IGNORECASE)
+
+
+def _split_top_commas(text: str) -> list[str]:
+    """Split ``text`` at depth-0 commas."""
+    tdep = _depths(text)
+    items, start = [], 0
+    for i, c in enumerate(text):
+        if c == "," and tdep[i] == 0:
+            items.append(text[start:i])
+            start = i + 1
+    items.append(text[start:])
+    return items
+
+
+def _rewrite_with_ties(masked: str) -> str:
+    """``ORDER BY k FETCH FIRST n ROWS WITH TIES`` → a ``rank() <= n``
+    subquery (VERDICT r12 #3).  Spark has no ties-aware limit, but the
+    semantics are exactly rank-over-the-ORDER-BY-key.
+
+    Two splice shapes, because Trino's ORDER BY sees BOTH the scope's
+    output aliases and its input columns while a Spark window sees only
+    one of them at a time:
+
+    - plain SELECT scope: the rank column is injected into the scope's
+      own select list (so keys naming non-projected input columns — a
+      Trino-legal shape — resolve), with key references to the scope's
+      own ``expr AS alias`` select items textually substituted by their
+      definitions (Spark refuses lateral column aliases inside window
+      specs);
+    - DISTINCT or set-operation scope: injecting would change the
+      DISTINCT/branch semantics, so the whole body is wrapped and
+      ranked from outside — keys must be output columns there, which is
+      exactly what Trino requires of those scopes too.
+
+    Both shapes filter ``__ties_rk <= n``, drop the helper with Spark's
+    ``* EXCEPT``, and ORDER BY the rank itself (monotone in the keys, so
+    the output is key-ordered like Trino's; order among ties is
+    unspecified in both engines).  Refusals match Trino's own errors:
+    no ORDER BY in the scope, ordinal keys (rank over an integer
+    literal would rank by a constant), and OFFSET+TIES (offset applies
+    pre-rank; not composable textually)."""
+    while True:
+        # innermost-first keeps depths stable across the splice
+        dep = _depths(masked)
+        best = None
+        for m in _TIES_RE.finditer(masked):
+            if best is None or dep[m.start()] > dep[best.start()]:
+                best = m
+        if best is None:
+            return masked
+        m = best
+        d = dep[m.start()]
+        if m.group(1):
+            raise ValueError(
+                "dialect: OFFSET ... FETCH ... WITH TIES is refused — "
+                "the offset applies before the tie-extended limit and "
+                "the composition is not expressible as one rank() "
+                "filter; apply the OFFSET in an outer query"
+            )
+        ob = None
+        for om in _ORDER_BY_RE.finditer(masked, 0, m.start()):
+            if dep[om.start()] == d and min(
+                dep[om.start() : m.start()]
+            ) >= d:
+                ob = om
+        if ob is None:
+            raise ValueError(
+                "dialect: FETCH ... WITH TIES requires ORDER BY in the "
+                "same query scope (Trino errors here too)"
+            )
+        keys = masked[ob.end() : m.start()].strip()
+        if any(
+            re.match(r"\s*\d+\s*(asc|desc|nulls|$)", it, re.IGNORECASE)
+            for it in _split_top_commas(keys)
+        ):
+            raise ValueError(
+                "dialect: FETCH ... WITH TIES with ordinal ORDER BY "
+                "keys is refused — rank() over an integer literal "
+                "would rank by a constant; name the column instead"
+            )
+        s = 0
+        if d > 0:
+            j = ob.start() - 1
+            while j >= 0 and not (masked[j] == "(" and dep[j] == d - 1):
+                j -= 1
+            s = j + 1
+        body = masked[s : ob.start()].strip()
+        n = m.group(2) or "1"
+        sel = re.match(r"\s*select\s+(distinct\b|all\b)?", body, re.IGNORECASE)
+        setop = any(
+            dep[om.start()] == d
+            for om in _SETOP_RE.finditer(masked, s, ob.start())
+        )
+        frm = None
+        if sel and not setop and not (
+            sel.group(1) and sel.group(1).lower() == "distinct"
+        ):
+            bdep = _depths(body)
+            for fm in re.finditer(r"\bfrom\b", body, re.IGNORECASE):
+                if bdep[fm.start()] == 0:
+                    frm = fm
+                    break
+        if frm is not None:
+            # inject shape: rank in the scope's own select list, with
+            # same-scope select aliases substituted into the keys
+            aliases: dict[str, str] = {}
+            for item in _split_top_commas(body[sel.end() : frm.start()]):
+                am = re.match(
+                    r"(.+?)\s+as\s+(\w+)\s*$", item.strip(),
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if am and am.group(2).lower() not in _TYPE_WORDS:
+                    aliases[am.group(2).lower()] = am.group(1).strip()
+            kx = keys
+            for name, expr in aliases.items():
+                kx = re.sub(
+                    rf"(?<![\w.]){re.escape(name)}(?![\w.(])",
+                    f"({expr})",
+                    kx,
+                    flags=re.IGNORECASE,
+                )
+            aug = (
+                body[: frm.start()]
+                + f", rank() over (order by {kx}) as __ties_rk "
+                + body[frm.start() :]
+            )
+        else:
+            # wrap shape: DISTINCT / set-operation scopes — keys must be
+            # output columns (Trino requires the same of these scopes)
+            aug = (
+                f"select __tq.*, rank() over (order by {keys}) as "
+                f"__ties_rk from ({body}) as __tq"
+            )
+        masked = (
+            masked[:s]
+            + f"select * except(__ties_rk) from ({aug}) "
+            f"where __ties_rk <= {n} order by __ties_rk"
+            + masked[m.end() :]
+        )
+
+
 def _rewrite_fetch_first(masked: str) -> str:
     """ANSI/Trino ``[OFFSET n [ROWS]] FETCH {FIRST|NEXT} [k] ROWS
     ONLY`` → Spark ``LIMIT k [OFFSET n]`` (Spark's grammar wants LIMIT
     before OFFSET — the opposite of Trino's clause order, so both are
     rewritten together when adjacent; a bare OFFSET without FETCH is
-    left alone, Spark accepts it natively).  ``WITH TIES`` refuses:
-    Spark has no ties-aware limit."""
+    left alone, Spark accepts it natively).  ``WITH TIES`` rewrites to
+    a rank() subquery first (`_rewrite_with_ties`); reaching the ONLY
+    regex with a TIES match means the pre-pass could not place it."""
 
     def repl(m: "re.Match") -> str:
         if m.group(3).lower().startswith("with"):
@@ -1465,6 +1613,7 @@ def _rewrite_fetch_first(masked: str) -> str:
         masked,
         flags=re.IGNORECASE,
     )
+    masked = _rewrite_with_ties(masked)
     masked = _OFFSET_FETCH_RE.sub(repl, masked)
     # Trino's clause order also allows OFFSET before a plain LIMIT —
     # Spark wants LIMIT first
@@ -3200,6 +3349,36 @@ _TYPE_WORDS = frozenset({
 })
 
 
+_SETOP_RE = re.compile(r"\b(union|intersect|except)\b", re.IGNORECASE)
+
+
+def _setop_in_scope(
+    masked: str, dep: list[int], pos: int, d: int
+) -> bool:
+    """True when the query scope enclosing ``pos`` (the span between
+    its enclosing parens at depth d-1, or the whole statement at
+    d == 0) contains a UNION/INTERSECT/EXCEPT at depth d — i.e. the
+    scope is one branch of a set operation, so an alias harvested here
+    describes only that branch's expression, not the unified column
+    type (ADVICE r12)."""
+    lo, hi = 0, len(masked)
+    if d > 0:
+        j = pos - 1
+        while j >= 0 and not (masked[j] == "(" and dep[j] == d - 1):
+            j -= 1
+        lo = j + 1
+        k = pos
+        while k < len(masked) and not (
+            masked[k] == ")" and dep[k] == d - 1
+        ):
+            k += 1
+        hi = k
+    return any(
+        dep[m.start()] == d
+        for m in _SETOP_RE.finditer(masked, lo, hi)
+    )
+
+
 def _alias_classes(masked: str, colcls: dict[str, str]) -> dict[str, str]:
     """Division classes for names the statement REDEFINES (the ADVICE
     r11 narrowing of the blunt shadow-to-ambiguous rule): each
@@ -3220,7 +3399,17 @@ def _alias_classes(masked: str, colcls: dict[str, str]) -> dict[str, str]:
     leading SELECT/DISTINCT/ALL keywords stripped.  Spans that still
     carry clause keywords (table aliases harvest ``from t``, set-op
     branches harvest whole queries) simply fail _expr_class → 'ambig',
-    i.e. the pre-narrowing behavior."""
+    i.e. the pre-narrowing behavior.
+
+    Set-operation scopes (ADVICE r12): an ``AS name`` inside a scope
+    that also contains a same-depth UNION/INTERSECT/EXCEPT defines only
+    ONE branch of the name — the other branches may supply the column
+    positionally with no alias at all (``select count(*) as x from a
+    union all select price from b`` → x is DOUBLE by Trino's
+    set-operation type unification, not bigint).  Harvesting would see
+    only the aliased branch and silently agree on 'int'; instead every
+    alias whose scope carries a same-depth set-op keyword is forced to
+    'ambig' so strict mode keeps refusing loudly."""
     dep = _depths(masked)
     cand: dict[str, set] = {}
     for m in _AS_ALIAS_RE.finditer(masked):
@@ -3228,6 +3417,9 @@ def _alias_classes(masked: str, colcls: dict[str, str]) -> dict[str, str]:
         if name in _TYPE_WORDS:
             continue
         d = dep[m.start()]
+        if _setop_in_scope(masked, dep, m.start(), d):
+            cand.setdefault(name, set()).update({None, "setop"})
+            continue
         j = m.start() - 1
         start = 0
         while j >= 0:

@@ -236,6 +236,94 @@ def test_exec_date_functions_match_duckdb(spark, duck):
     assert [(r.o_orderkey, r.d3, r.dow) for r in got] == [tuple(r) for r in want]
 
 
+def test_exec_fetch_with_ties_matches_duckdb(spark, duck):
+    """FETCH FIRST n ROWS WITH TIES executes via the rank() rewrite
+    (VERDICT r12 #3); DuckDB has no WITH TIES, so the oracle is its
+    native QUALIFY rank() — an independent engine computing the same
+    tie-extended limit."""
+    got = presto_sql(
+        spark,
+        """
+        select o_orderkey, o_orderpriority from orders
+        where o_orderkey < 300
+        order by o_orderpriority
+        fetch first 5 rows with ties
+        """,
+    ).collect()
+    want = duck.execute(
+        """
+        select o_orderkey, o_orderpriority from orders
+        where o_orderkey < 300
+        qualify rank() over (order by o_orderpriority) <= 5
+        """
+    ).fetchall()
+    assert len(got) > 5  # the tie extension actually fired
+    assert sorted((r.o_orderkey, r.o_orderpriority) for r in got) == sorted(
+        tuple(r) for r in want
+    )
+    # output column set is unchanged (__ties_rk is dropped)
+    assert [c for c in got[0].asDict()] == ["o_orderkey", "o_orderpriority"]
+    # multi-key ORDER BY with direction modifiers
+    got = presto_sql(
+        spark,
+        """
+        select o_custkey, count(*) as cnt from orders
+        group by o_custkey
+        order by cnt desc, o_custkey
+        fetch first 3 rows with ties
+        """,
+    ).collect()
+    want = duck.execute(
+        """
+        select o_custkey, count(*) as cnt from orders
+        group by o_custkey
+        qualify rank() over (order by cnt desc, o_custkey) <= 3
+        """
+    ).fetchall()
+    assert sorted((r.o_custkey, r.cnt) for r in got) == sorted(
+        tuple(r) for r in want
+    )
+    # DISTINCT scope takes the wrap shape (keys must be output columns,
+    # as Trino itself requires of DISTINCT + ORDER BY)
+    got = presto_sql(
+        spark,
+        """
+        select distinct o_orderpriority from orders
+        order by o_orderpriority fetch first 2 rows with ties
+        """,
+    ).collect()
+    want = duck.execute(
+        """
+        select o_orderpriority from
+          (select distinct o_orderpriority from orders)
+        qualify rank() over (order by o_orderpriority) <= 2
+        """
+    ).fetchall()
+    assert sorted(r.o_orderpriority for r in got) == sorted(
+        r[0] for r in want
+    )
+    # set-operation scope: ORDER BY applies to the union result
+    got = presto_sql(
+        spark,
+        """
+        select o_orderstatus as s from orders where o_orderkey < 100
+        union all
+        select o_orderpriority from orders where o_orderkey < 40
+        order by s fetch first 4 rows with ties
+        """,
+    ).collect()
+    want = duck.execute(
+        """
+        select s from (
+          select o_orderstatus as s from orders where o_orderkey < 100
+          union all
+          select o_orderpriority as s from orders where o_orderkey < 40
+        ) qualify rank() over (order by s) <= 4
+        """
+    ).fetchall()
+    assert sorted(r.s for r in got) == sorted(r[0] for r in want)
+
+
 def test_exec_string_functions_match_duckdb(spark, duck):
     got = presto_sql(
         spark,
@@ -1904,6 +1992,50 @@ def test_int_division_alias_class_narrowing():
         translate("select a / mystery from t", schema={"a": "bigint"})
     except ValueError as e:
         assert "(re)defined" not in str(e)
+
+
+def test_int_division_setop_scope_refuses():
+    """ADVICE r12: an alias defined inside a set-operation scope
+    describes only ONE branch — the other branch may supply the column
+    positionally with no alias (bigint UNION ALL double unifies to
+    double in Trino), so trusting the harvested branch would silently
+    truncate.  Any alias whose scope carries a same-depth
+    UNION/INTERSECT/EXCEPT is ambiguous; strict mode refuses."""
+    with pytest.raises(ValueError, match="cannot resolve"):
+        translate(
+            "select x / 2 from (select count(*) as x from a "
+            "union all select price from b)",
+            schema={"price": "double"},
+        )
+    # ... even when the aliased branch is textually LAST
+    with pytest.raises(ValueError, match="cannot resolve"):
+        translate(
+            "select x / 2 from (select price from b "
+            "union all select count(*) as x from a)",
+            schema={"price": "double"},
+        )
+    # INTERSECT / EXCEPT poison identically
+    for op in ("intersect", "except"):
+        with pytest.raises(ValueError, match="cannot resolve"):
+            translate(
+                f"select x / 2 from (select count(*) as x from a "
+                f"{op} select price from b)",
+                schema={"price": "double"},
+            )
+    # a set-op one level DEEPER does not poison the outer alias
+    out = translate(
+        "select cnt / 2 from (select count(*) as cnt from "
+        "(select 1 as k union all select 2 as k) u)",
+        schema={},
+    )
+    assert "cnt div 2" in " ".join(out.split())
+    # and a sibling subquery's set-op does not leak into this scope
+    out = translate(
+        "select cnt / 2 from (select count(*) as cnt from t) a join "
+        "(select 1 as k union all select 2 as k) b on true",
+        schema={},
+    )
+    assert "cnt div 2" in " ".join(out.split())
 
 
 def test_mr_define_assertion_mode_fires_on_overlap(spark):

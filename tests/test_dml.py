@@ -728,11 +728,15 @@ def test_fetch_first_tablesample_row(spark, wh):
         ).collect()[0][0]
         == 7
     )
-    with pytest.raises(ValueError, match="WITH TIES"):
-        dialect.sql(
+    # WITH TIES now executes via the rank() rewrite (VERDICT r12 #3)
+    got = [
+        r[0]
+        for r in dialect.sql(
             spark,
             "select k from dml_fx order by v fetch first 2 rows with ties",
-        )
+        ).collect()
+    ]
+    assert got == [1, 2]
     # TABLESAMPLE BERNOULLI runs (nondeterministic — bound-check only)
     n = dialect.sql(
         spark, "select count(*) as c from dml_fx tablesample bernoulli (50)"
