@@ -1639,27 +1639,120 @@ _FRAME_EXCLUDE_RE = re.compile(
 )
 
 
-def _rewrite_frame_exclude(masked: str) -> str:
-    """SQL:2011 window frame exclusion: ``EXCLUDE NO OTHERS`` is the
-    default semantics on every engine — strip it; the real exclusion
-    modes (CURRENT ROW / GROUP / TIES) have no Spark frame syntax and
-    refuse toward the engine operators that implement them as window
-    compositions (operators/windows.py win_frame_exclude* /
-    win_groups_exclude, SURVEY.md §2 #155/#160)."""
+#: frames whose bounds exclude the current row anyway — EXCLUDE
+#: CURRENT ROW is then a no-op and is simply stripped
+_FRAME_SANS_CURRENT_RE = re.compile(
+    r"between\s+(?:unbounded|\d+)\s+preceding\s+and\s+\d+\s+preceding"
+    r"|between\s+\d+\s+following\s+and\s+(?:unbounded|\d+)\s+following",
+    re.IGNORECASE,
+)
 
-    def repl(m: "re.Match") -> str:
-        mode = " ".join(m.group(1).split()).lower()
-        if mode == "no others":
-            return ""
+
+def _rewrite_frame_exclude(
+    masked: str, colcls: "dict[str, str] | None" = None
+) -> str:
+    """SQL:2011 window frame exclusion (VERDICT r12 #5).  ``EXCLUDE NO
+    OTHERS`` is the default semantics on every engine — strip it.
+    ``EXCLUDE CURRENT ROW`` auto-composes for EXACT carriers, where
+    full-frame-aggregate-minus-own-contribution is value-identical to
+    the native clause:
+
+    - ``count(*)`` → ``count(*) over (frame) - 1``
+    - ``count(x)`` → minus 1 only when x is non-null on this row
+    - ``sum(x)`` with x classed integral (needs the catalog schema) →
+      ``sum - coalesce(x, 0)``, NULL-gated on the excluded frame's
+      non-null count (the same two edge repairs the engine face
+      win_frame_exclude documents: empty/all-null excluded frame →
+      NULL, NULL current row subtracts nothing)
+
+    Frames whose bounds already exclude the current row (both ends
+    PRECEDING / both FOLLOWING) make the clause a no-op — stripped.
+    Float/avg/distinct shapes and EXCLUDE GROUP/TIES keep the loud
+    refusal toward the engine composition operators
+    (operators/windows.py win_frame_exclude* / win_groups_exclude,
+    SURVEY.md §2 #155/#160): their subtraction is inexact (floats) or
+    needs a peer-frame aggregate the textual splice can't see."""
+    matches = list(_FRAME_EXCLUDE_RE.finditer(masked))
+    if not matches:
+        return masked
+    dep = _depths(masked)
+
+    def refuse(mode: str) -> None:
         raise ValueError(
-            f"dialect: window frame EXCLUDE {mode.upper()} is refused — "
-            "Spark frames have no exclusion syntax; use the engine "
+            f"dialect: window frame EXCLUDE {mode.upper()} is refused "
+            "for this aggregate — only count(*)/count(x)/integer-sum "
+            "EXCLUDE CURRENT ROW auto-compose exactly; use the engine "
             "composition operators (sparketl.operators.windows, the "
             "win_frame_exclude / win_groups_exclude faces) which "
             "implement exclusion as frame-sum differences"
         )
 
-    return _FRAME_EXCLUDE_RE.sub(repl, masked)
+    for m in reversed(matches):
+        mode = " ".join(m.group(1).split()).lower()
+        if mode == "no others":
+            masked = masked[: m.start()] + masked[m.end() :]
+            continue
+        d = dep[m.start()]
+        spec_open = m.start() - 1
+        while spec_open >= 0 and not (
+            masked[spec_open] == "(" and dep[spec_open] == d - 1
+        ):
+            spec_open -= 1
+        spec = masked[spec_open + 1 : m.start()].strip()
+        if mode == "current row" and _FRAME_SANS_CURRENT_RE.search(spec):
+            masked = masked[: m.start()] + masked[m.end() :]
+            continue
+        if mode != "current row":
+            refuse(mode)
+        # the aggregate that owns this OVER: `<fn>(<args>) over (`
+        j = spec_open - 1
+        while j >= 0 and masked[j].isspace():
+            j -= 1
+        if j < 3 or masked[j - 3 : j + 1].lower() != "over":
+            refuse(mode)
+        j -= 4
+        while j >= 0 and masked[j].isspace():
+            j -= 1
+        if j < 0 or masked[j] != ")":
+            refuse(mode)
+        rp = j
+        lp = rp - 1
+        while lp >= 0 and not (
+            masked[lp] == "(" and dep[lp] == dep[rp]
+        ):
+            lp -= 1
+        fend = lp
+        fstart = lp
+        while fstart > 0 and (
+            masked[fstart - 1].isalnum() or masked[fstart - 1] == "_"
+        ):
+            fstart -= 1
+        fn = masked[fstart:fend].strip().lower()
+        arg = masked[lp + 1 : rp].strip()
+        if re.match(r"distinct\b", arg, re.IGNORECASE):
+            refuse(mode)
+        if fn == "count" and arg in ("*", "1"):
+            repl_expr = f"(count({arg}) over ({spec}) - 1)"
+        elif fn == "count":
+            repl_expr = (
+                f"(count({arg}) over ({spec}) - "
+                f"(case when ({arg}) is null then 0 else 1 end))"
+            )
+        elif fn == "sum" and colcls is not None and (
+            _expr_class(arg, colcls) == "int"
+        ):
+            repl_expr = (
+                f"(case when count({arg}) over ({spec}) - "
+                f"(case when ({arg}) is null then 0 else 1 end) > 0 "
+                f"then sum({arg}) over ({spec}) - coalesce({arg}, 0) "
+                f"else null end)"
+            )
+        else:
+            refuse(mode)
+        # replace `<fn>(<args>) over (<spec> exclude ...)` inclusive of
+        # the spec's closing paren (m.end() sits just before it)
+        masked = masked[:fstart] + repl_expr + masked[m.end() + 1 :]
+    return masked
 
 
 _TABLESAMPLE_RE = re.compile(
@@ -3661,7 +3754,9 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
 
     masked = _rewrite_match_recognize(masked, lits)
     masked = _rewrite_fetch_first(masked)
-    masked = _rewrite_frame_exclude(masked)
+    masked = _rewrite_frame_exclude(
+        masked, colcls if schema is not None else None
+    )
     masked = _rewrite_tablesample(masked)
     masked = _expand_window_inheritance(masked)
     masked = _rewrite_row_constructor(masked)

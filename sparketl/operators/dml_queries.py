@@ -449,6 +449,102 @@ def sql_merge_into(spark, sf_dir):
 
 
 @query(
+    "sql_update_subquery",
+    oracle="""
+        with tgt as (
+            select cast(c_custkey as bigint) as c_custkey, c_acctbal,
+                   cast(c_nationkey as bigint) as c_nationkey
+            from customer where c_custkey <= 600
+        ),
+        upd as (
+            -- UPDATE: correlated scalar subquery in SET, IN-subquery
+            -- in WHERE
+            select c_custkey,
+                   case when c_custkey in (select o_custkey from orders
+                                           where o_totalprice > 150000)
+                        then c_acctbal + (select count(*) from orders o
+                                          where o.o_custkey = tgt.c_custkey)
+                        else c_acctbal end as c_acctbal,
+                   c_nationkey
+            from tgt
+        ),
+        del as (
+            -- DELETE: correlated NOT EXISTS — survivors are rows where
+            -- the predicate is not true
+            select * from upd
+            where not (not exists (select 1 from orders o
+                                   where o.o_custkey = upd.c_custkey)
+                       and c_acctbal < 500)
+        ),
+        mrg as (
+            -- MERGE: scalar-subquery AND condition on the WHEN clause
+            select del.c_custkey,
+                   case when s.k is not null
+                             and del.c_acctbal <
+                                 (select max(c_acctbal) / 2 from customer)
+                        then del.c_acctbal + s.cnt * 10
+                        else del.c_acctbal end as c_acctbal,
+                   del.c_nationkey
+            from del left join (select o_custkey as k, count(*) as cnt
+                                from orders group by o_custkey) s
+              on del.c_custkey = s.k
+        )
+        select c_nationkey, count(*) as n_rows,
+               round(sum(cast(round(c_acctbal * 100) as bigint))
+                     / cast(100 as double), 6) as bal
+        from mrg group by c_nationkey
+    """,
+)
+def sql_update_subquery(spark, sf_dir):
+    """#2.9 correlated-subquery DML matrix (VERDICT r12 #4) as pasted
+    statement text: UPDATE with a CORRELATED scalar subquery in SET and
+    an IN-subquery in WHERE; DELETE with a correlated NOT EXISTS;
+    MERGE with a scalar-subquery AND condition on a WHEN MATCHED
+    clause.  Every subquery rides Spark SQL's native decorrelation —
+    the front door splices predicates/assignments verbatim into
+    projections, so correlation resolves against the target's own FROM.
+
+    Scale: Catalyst decorrelates each scalar/EXISTS subquery into a
+    join on the correlation key (aggregated-build shapes), so the plan
+    is joins + the copy-on-write write-back — no per-row re-execution.
+    The MERGE threshold uses max()/2 (order-independent) so the
+    condition is bit-deterministic across engines.
+    """
+    _setup(spark, sf_dir, "sub")
+    _run(
+        spark,
+        "drop table if exists dml_sub",
+        """create table dml_sub as
+           select cast(c_custkey as bigint) as c_custkey, c_acctbal,
+                  cast(c_nationkey as bigint) as c_nationkey
+           from customer where c_custkey <= 600""",
+        """update dml_sub
+           set c_acctbal = c_acctbal +
+               (select count(*) from orders o
+                where o.o_custkey = dml_sub.c_custkey)
+           where c_custkey in (select o_custkey from orders
+                               where o_totalprice > 150000)""",
+        """delete from dml_sub
+           where not exists (select 1 from orders o
+                             where o.o_custkey = dml_sub.c_custkey)
+             and c_acctbal < 500""",
+        """merge into dml_sub as t
+           using (select o_custkey as k, count(*) as cnt
+                  from orders group by o_custkey) as s
+           on t.c_custkey = s.k
+           when matched and t.c_acctbal <
+                (select max(c_acctbal) / 2 from customer) then
+                update set c_acctbal = t.c_acctbal + s.cnt * 10""",
+    )
+    return dialect.sql(
+        spark,
+        f"""select c_nationkey, count(*) as n_rows,
+                   {_MONEY_SPARK.format(c="c_acctbal")} as bal
+            from dml_sub group by c_nationkey""",
+    )
+
+
+@query(
     "sql_create_view",
     oracle="""
         with base as (

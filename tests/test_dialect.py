@@ -324,6 +324,61 @@ def test_exec_fetch_with_ties_matches_duckdb(spark, duck):
     assert sorted(r.s for r in got) == sorted(r[0] for r in want)
 
 
+def test_exec_frame_exclude_current_row_matches_duckdb(spark, duck):
+    """EXCLUDE CURRENT ROW auto-composes for exact carriers (VERDICT
+    r12 #5): count(*), count(x), and integer-class sum(x) run through
+    the front door and must match DuckDB executing the NATIVE SQL:2011
+    clause on the same rows."""
+    frame = (
+        "partition by l_orderkey order by l_linenumber "
+        "rows between 2 preceding and 2 following exclude current row"
+    )
+    src = f"""
+        select l_orderkey, l_linenumber,
+               count(*) over ({frame}) as c_star,
+               count(l_linenumber) over ({frame}) as c_col,
+               sum(l_linenumber) over ({frame}) as s_int
+        from lineitem where l_orderkey < 200
+        order by l_orderkey, l_linenumber
+    """
+    got = presto_sql(spark, src).collect()
+    want = duck.execute(src).fetchall()
+    assert len(got) == len(want) > 0
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # NULL edges: a NULL current row subtracts nothing; an excluded
+    # frame whose neighbors are all NULL yields NULL (not 0)
+    null_src = """
+        select l_orderkey, l_linenumber,
+               sum(nullif(l_linenumber, 2)) over (
+                   partition by l_orderkey order by l_linenumber
+                   rows between 1 preceding and 1 following
+                   exclude current row) as s,
+               count(nullif(l_linenumber, 2)) over (
+                   partition by l_orderkey order by l_linenumber
+                   rows between 1 preceding and 1 following
+                   exclude current row) as c
+        from lineitem where l_orderkey < 200
+        order by l_orderkey, l_linenumber
+    """
+    got = presto_sql(spark, null_src).collect()
+    want = duck.execute(null_src).fetchall()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # frame that never contains the current row: the clause is a no-op
+    # for ANY aggregate (stripped, not refused)
+    src2 = """
+        select l_orderkey, l_linenumber,
+               sum(l_extendedprice) over (
+                   partition by l_orderkey order by l_linenumber
+                   rows between 3 preceding and 1 preceding
+                   exclude current row) as s
+        from lineitem where l_orderkey < 100
+        order by l_orderkey, l_linenumber
+    """
+    got = presto_sql(spark, src2).collect()
+    want = duck.execute(src2).fetchall()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
 def test_exec_string_functions_match_duckdb(spark, duck):
     got = presto_sql(
         spark,
