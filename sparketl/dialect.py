@@ -899,7 +899,20 @@ def _named_window_specs(masked: str) -> dict[str, str | None]:
         base = resolve(parent, chain | {parent})
         if base is None:
             return None
-        return f"{base} {spec[fm.end():].lstrip()}".strip()
+        extra = spec[fm.end() :].strip()
+        if extra and re.search(
+            r"\b(rows|range|groups)\b", base, re.IGNORECASE
+        ):
+            # SQL:2011 / Trino: a window with a frame cannot be
+            # inherited from with additional clauses — appending them
+            # after the frame would be unparseable anyway (round 13)
+            raise ValueError(
+                f"dialect: window inheritance from '{parent}' is "
+                "invalid — the parent window specifies a frame, which "
+                "SQL:2011/Trino forbid inheriting from; inline the "
+                "full specification"
+            )
+        return f"{base} {extra}".strip()
 
     return {k: resolve(k, frozenset({k})) for k in raw}
 
@@ -958,6 +971,12 @@ def _expand_window_inheritance(masked: str) -> str:
                     "undefined, defined more than once in the "
                     "statement, or inherits through a cycle; inline "
                     "the window definition"
+                )
+            if re.search(r"\b(rows|range|groups)\b", base, re.IGNORECASE):
+                raise ValueError(
+                    f"dialect: OVER ({fm.group(1)} ...) inherits from a "
+                    "window that specifies a frame — SQL:2011/Trino "
+                    "forbid this; inline the full specification"
                 )
             spans.append(
                 (om.end(), cp, f"{base} {body[fm.end():].lstrip()}".strip())
@@ -1637,6 +1656,68 @@ _FRAME_EXCLUDE_RE = re.compile(
     r"\s*\bexclude\s+(no\s+others|current\s+row|group|ties)\s*(?=\))",
     re.IGNORECASE,
 )
+
+
+_REAL_EXCLUDE_RE = re.compile(
+    r"\bexclude\s+(current\s+row|group|ties)\s*$", re.IGNORECASE
+)
+
+
+def _inline_excluding_windows(masked: str) -> str:
+    """A named WINDOW definition carrying a real EXCLUDE mode cannot be
+    composed in place — the exclusion rewrite needs the OWNING
+    aggregate, and one definition may serve many (round 13).  Inline
+    such definitions into their plain ``OVER w`` / ``OVER (w)`` users
+    and drop them from the WINDOW clause, so `_rewrite_frame_exclude`
+    sees only inline specs.  Runs AFTER `_expand_window_inheritance`,
+    so every definition is already self-contained and every inheriting
+    OVER body is already expanded.  A hot definition still referenced
+    from another WINDOW definition cannot remain (its text is gone) —
+    inheritance expansion guarantees none are."""
+    if not re.search(r"\bwindow\b", masked, re.IGNORECASE) or not re.search(
+        r"\bexclude\b", masked, re.IGNORECASE
+    ):
+        return masked
+    specs = _named_window_specs(masked)
+    hot = {
+        k: v
+        for k, v in specs.items()
+        if v and _REAL_EXCLUDE_RE.search(v)
+    }
+    if not hot:
+        return masked
+    for name, spec in hot.items():
+        masked = re.sub(
+            rf"\bover\s*\(\s*{name}\s*\)|\bover\s+{name}\b",
+            f"over ({spec})",
+            masked,
+            flags=re.IGNORECASE,
+        )
+    # rebuild each WINDOW clause keeping only the cold definitions
+    out, pos = [], 0
+    for m in _WINDOW_DEF_RE.finditer(masked):
+        if m.start() < pos:
+            continue  # a chain element already consumed
+        defs = []
+        name, op = m.group(1), m.end() - 1
+        end = op
+        while True:
+            cp = _match_paren(masked, op)
+            defs.append((name, masked[op + 1 : cp].strip()))
+            end = cp + 1
+            cm = _WINDOW_CHAIN_RE.match(masked, cp + 1)
+            if not cm:
+                break
+            name, op = cm.group(1), cm.end() - 1
+        kept = [
+            f"{n} as ({s})" for n, s in defs if n.lower() not in hot
+        ]
+        out.append(masked[pos : m.start()])
+        if kept:
+            out.append("window " + ", ".join(kept))
+        pos = end
+    out.append(masked[pos:])
+    return "".join(out)
 
 
 #: frames whose bounds exclude the current row anyway — EXCLUDE
@@ -3754,11 +3835,14 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
 
     masked = _rewrite_match_recognize(masked, lits)
     masked = _rewrite_fetch_first(masked)
+    # window inheritance expands BEFORE the exclusion rewrite so a
+    # named window carrying EXCLUDE is self-contained and inlinable
+    masked = _expand_window_inheritance(masked)
+    masked = _inline_excluding_windows(masked)
     masked = _rewrite_frame_exclude(
         masked, colcls if schema is not None else None
     )
     masked = _rewrite_tablesample(masked)
-    masked = _expand_window_inheritance(masked)
     masked = _rewrite_row_constructor(masked)
     masked = _rewrite_unnest(masked)
     masked = _rewrite_array_literals(masked)

@@ -271,3 +271,54 @@ def sql_trino_isms(spark, sf_dir):
         offset 5 rows fetch next 40 rows only
         """,
     )
+
+
+@query(
+    "sql_ties_exclude",
+    oracle="""
+        select o_custkey, c_neighbors, s_int from (
+            select o_custkey, o_orderpriority,
+                   count(*) over w as c_neighbors,
+                   cast(sum(o_orderkey % 100) over w as bigint) as s_int
+            from orders
+            where o_orderkey < 2000
+            window w as (partition by o_orderstatus
+                         order by o_orderdate, o_orderkey
+                         rows between 3 preceding and 3 following
+                         exclude current row)
+        )
+        qualify rank() over (order by o_orderpriority) <= 20
+    """,
+)
+def sql_ties_exclude(spark, sf_dir):
+    """#2.9 round-13 SELECT-side additions in one statement through
+    ``dialect.sql()``: ``FETCH FIRST k ROWS WITH TIES`` (→ rank() <= k
+    over the ORDER BY key, tie-extended — the low-cardinality priority
+    key guarantees the extension actually fires at every SF) and
+    window frame ``EXCLUDE CURRENT ROW`` on exact carriers carried by
+    a NAMED window (inlined into both owning aggregates, then composed
+    per owner: count(*) − 1; integer-sum − own contribution).  The
+    DuckDB oracle runs its NATIVE EXCLUDE clause and QUALIFY rank() —
+    an independent engine computing both semantics natively.
+
+    Scale: one bounded-frame window pass partitioned by status plus
+    one global rank for the tie-extended limit (the rank's single
+    partition is fine: its input is the FILTERED slice, and Trino's
+    own WITH TIES is a global sort too)."""
+    load_tables(spark, sf_dir)
+    return dialect.sql(
+        spark,
+        """
+        select o_custkey,
+               count(*) over w as c_neighbors,
+               cast(sum(o_orderkey % 100) over w as bigint) as s_int
+        from orders
+        where o_orderkey < 2000
+        window w as (partition by o_orderstatus
+                     order by o_orderdate, o_orderkey
+                     rows between 3 preceding and 3 following
+                     exclude current row)
+        order by o_orderpriority
+        fetch first 20 rows with ties
+        """,
+    )

@@ -363,6 +363,21 @@ def test_exec_frame_exclude_current_row_matches_duckdb(spark, duck):
     got = presto_sql(spark, null_src).collect()
     want = duck.execute(null_src).fetchall()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # a NAMED window carrying the EXCLUDE is inlined into its users
+    # first (one definition, two aggregates), then composed per owner
+    named = """
+        select l_orderkey, l_linenumber,
+               count(*) over w as c_star,
+               sum(l_linenumber) over w as s_int
+        from lineitem where l_orderkey < 150
+        window w as (partition by l_orderkey order by l_linenumber
+                     rows between 2 preceding and 2 following
+                     exclude current row)
+        order by l_orderkey, l_linenumber
+    """
+    got = presto_sql(spark, named).collect()
+    want = duck.execute(named).fetchall()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
     # frame that never contains the current row: the clause is a no-op
     # for ANY aggregate (stripped, not refused)
     src2 = """
@@ -2212,6 +2227,33 @@ def test_exec_named_window_array_agg_matches_duckdb(spark, duck):
     assert [(r.o_orderkey, r.arr) for r in got] == [
         (k, list(a)) for k, a in want
     ]
+
+
+def test_window_inheritance_framed_parent_refuses():
+    """SQL:2011/Trino forbid inheriting from a window that specifies a
+    frame — appending the child's clauses after the frame would emit
+    unparseable SQL (caught round 13 via the named-EXCLUDE inlining)."""
+    with pytest.raises(ValueError, match="frame"):
+        translate(
+            "select count(*) over (w order by k) from t "
+            "window w as (partition by g rows 2 preceding)"
+        )
+    with pytest.raises(ValueError, match="frame"):
+        translate(
+            "select sum(v) over w2 from t window "
+            "w as (order by k rows 2 preceding), w2 as (w order by v)"
+        )
+    # frameless parents still inherit fine, in both positions
+    out = translate(
+        "select sum(v) over (w order by k) from t "
+        "window w as (partition by g)"
+    )
+    assert "over (partition by g order by k)" in out
+    out = translate(
+        "select sum(v) over w2 from t "
+        "window w as (partition by g), w2 as (w order by k)"
+    )
+    assert "w2 as (partition by g order by k)" in out
 
 
 def test_frame_exclude_and_session_statement_refusals():
