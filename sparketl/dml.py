@@ -327,7 +327,8 @@ def _refresh(spark: SparkSession, name: str) -> None:
 _DML_LEAD = re.compile(
     r"^\s*(insert|create|delete|update|merge|drop|truncate|alter|show"
     r"|describe|desc|prepare|execute|deallocate|set|reset|use|analyze"
-    r"|comment|grant|revoke|call|start|commit|rollback)\b",
+    r"|comment|grant|revoke|call|start|commit|rollback"
+    r"|refresh\s+materialized)\b",
     re.IGNORECASE,
 )
 
@@ -690,6 +691,11 @@ def _create(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
             "with CREATE TABLE ... AS <query> and refresh by "
             "re-running it (plain parquet has no incremental refresh)"
         )
+    if re.match(r"^create\s+(schema|database)\b", masked, re.IGNORECASE):
+        raise ValueError(
+            "dml: CREATE SCHEMA is refused — this engine has one flat "
+            "namespace; table names carry no schema qualifier"
+        )
     vm = _VIEW_RE.match(masked)
     if vm:
         return _create_view(spark, vm, masked, lits)
@@ -812,6 +818,13 @@ def _create_declared(
     here would ENFORCE it on later INSERTs, and a constraint that is
     silently not checked is worse than no constraint.
 
+    A ``LIKE <table> [INCLUDING|EXCLUDING PROPERTIES]`` element
+    (round 13) splices the source table's columns in place, mixable
+    with plain definitions exactly as Trino allows; INCLUDING
+    PROPERTIES also carries the source's partitioned_by when the
+    statement names none itself (the only table property this engine
+    stores).
+
     Scale: O(1) driver-side — one empty schema-bearing parquet write,
     no executor data path.
     """
@@ -827,8 +840,33 @@ def _create_declared(
             "IF NOT EXISTS"
         )
     fields: list[StructField] = []
+    like_part: str | None = None
     for raw in _split_args(col_defs):
         c = raw.strip()
+        lm = re.match(
+            rf"like\s+({_IDENT})"
+            r"(?:\s+(including|excluding)\s+properties)?\s*$",
+            c,
+            re.IGNORECASE,
+        )
+        if lm:
+            src = lm.group(1).lower()
+            try:
+                src_schema = spark.table(src).schema
+            except Exception as e:
+                raise ValueError(
+                    f"dml: CREATE TABLE ... LIKE references "
+                    f"'{src}', which cannot be read: {e}"
+                ) from None
+            fields.extend(
+                StructField(f.name, f.dataType, True)
+                for f in src_schema.fields
+            )
+            if (lm.group(2) or "").lower() == "including":
+                src_h = _handles(spark).get(src)
+                if src_h is not None and src_h.part_col:
+                    like_part = src_h.part_col
+            continue
         if re.search(r"\bnot\s+null\b", c, re.IGNORECASE):
             raise ValueError(
                 "dml: NOT NULL column constraints are refused — this "
@@ -855,6 +893,8 @@ def _create_declared(
         )
     if len({f.name.lower() for f in fields}) != len(fields):
         raise ValueError(f"dml: duplicate column name in CREATE TABLE {name}")
+    if part_col is None:
+        part_col = like_part
     if part_col and part_col not in {f.name.lower() for f in fields}:
         raise ValueError(
             f"dml: partitioned_by column '{part_col}' is not among the "
@@ -935,6 +975,11 @@ def _truncate(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
 
 
 def _drop(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
+    if re.match(r"^drop\s+(schema|database)\b", masked, re.IGNORECASE):
+        raise ValueError(
+            "dml: DROP SCHEMA is refused — this engine has one flat "
+            "namespace; DROP TABLE/VIEW the objects individually"
+        )
     vm = re.match(
         rf"^drop\s+view\s+(if\s+exists\s+)?({_IDENT})\s*$",
         masked,
@@ -1519,6 +1564,43 @@ def _declared_schema(spark: SparkSession, h: _Handle, name: str):
     return h.schema
 
 
+def _alter_view_rename(
+    spark: SparkSession, name: str, new: str
+) -> DataFrame:
+    """Trino ALTER VIEW RENAME TO (round 13): catalog-only — the
+    stored body moves to the new name and re-registers; dependent
+    views reference the OLD name in their body text, so the rename
+    refuses while any exist (same guard as ALTER TABLE RENAME)."""
+    views = _views(spark)
+    if name not in views:
+        raise ValueError(
+            f"dml: '{name}' is not a DML-catalog view"
+            + (" (it is a table — use ALTER TABLE RENAME TO)"
+               if name in _handles(spark) else "")
+        )
+    dep = _view_dependents(spark, name)
+    if dep:
+        raise ValueError(
+            f"dml: cannot rename view '{name}' — view(s) "
+            f"{', '.join(dep)} reference it; drop or redefine those "
+            "first"
+        )
+    if (
+        new in _handles(spark)
+        or new in views
+        or spark.catalog.tableExists(new)
+    ):
+        raise ValueError(f"dml: '{new}' already exists")
+    body = views.pop(name)
+    views[new] = body
+    df = _d.sql(spark, body)
+    with CATALOG_LOCK:
+        spark.catalog.dropTempView(name)
+        df.createOrReplaceTempView(new)
+    _d.clear_schema_cache()
+    return _rows_frame(spark, 0)
+
+
 def _alter(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
     """Trino ALTER TABLE subset, each arm with the honest parquet cost:
 
@@ -1536,13 +1618,30 @@ def _alter(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
       every existing row; the honest cost is a table rewrite, stated
       here rather than hidden.
     """
+    vm = re.match(
+        rf"^alter\s+view\s+({_IDENT})\s+rename\s+to\s+({_IDENT})\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if vm:
+        return _alter_view_rename(
+            spark, vm.group(1).lower(), vm.group(2).lower()
+        )
+    if re.match(r"^alter\s+view\b", masked, re.IGNORECASE):
+        raise ValueError(
+            "dml: only ALTER VIEW <name> RENAME TO <new> is supported "
+            "— change a view's body with CREATE OR REPLACE VIEW"
+        )
     m = re.match(
         rf"^alter\s+table\s+({_IDENT})\s+(.*)$",
         masked,
         re.IGNORECASE | re.DOTALL,
     )
     if not m:
-        raise ValueError("dml: expected ALTER TABLE <name> <action>")
+        raise ValueError(
+            "dml: expected ALTER TABLE <name> <action> or ALTER VIEW "
+            "<name> RENAME TO <new>"
+        )
     name = m.group(1).lower()
     action = m.group(2).strip()
     h = _resolve(spark, name)
@@ -1759,6 +1858,9 @@ def _columns_frame(spark: SparkSession, name: str) -> DataFrame:
 
 
 def _show(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
+    if re.match(r"^show\s+schemas\s*$", masked, re.IGNORECASE):
+        # one flat namespace — Trino's result shape, one row
+        return spark.createDataFrame([("default",)], "schema string")
     if re.match(r"^show\s+tables\s*$", masked, re.IGNORECASE):
         # under CATALOG_LOCK: the same mid-mutation listing race the
         # schema classing had (ADVICE r12 — SHOW TABLES lacked even
@@ -1781,8 +1883,8 @@ def _show(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
     if m:
         return _show_create(spark, m.group(1).lower(), m.group(2).lower())
     raise ValueError(
-        "dml: supported SHOW forms: SHOW TABLES, SHOW COLUMNS FROM "
-        "<table>, SHOW CREATE TABLE/VIEW <name> (Trino's "
+        "dml: supported SHOW forms: SHOW SCHEMAS, SHOW TABLES, SHOW "
+        "COLUMNS FROM <table>, SHOW CREATE TABLE/VIEW <name> (Trino's "
         "session/catalog SHOWs have no equivalent here)"
     )
 
@@ -1962,6 +2064,12 @@ _SESSION_STMT_REFUSALS = {
     "grant": "dml: GRANT is refused — no access-control catalog here",
     "revoke": "dml: REVOKE is refused — no access-control catalog here",
     "call": "dml: CALL is refused — no stored procedures",
+    "refresh": (
+        "dml: REFRESH MATERIALIZED VIEW is refused — there are no "
+        "materialized views here (CREATE MATERIALIZED VIEW refuses "
+        "too); materialize with CREATE TABLE ... AS and refresh by "
+        "re-running it"
+    ),
     "start": (
         "dml: START TRANSACTION is refused — parquet copy-on-write "
         "statements are atomic per statement, not transactional; "

@@ -1189,3 +1189,76 @@ def test_correlated_subquery_dml_matrix(spark, wh):
             "(select 1 from sub_s s2 where s2.k = sub_t.k)"
         ),
     )
+
+
+def test_create_table_like(spark, wh):
+    """Round 13: CREATE TABLE (LIKE t [INCLUDING PROPERTIES]) splices
+    the source's columns, mixable with plain definitions; INCLUDING
+    PROPERTIES carries the source's partitioned_by."""
+    dialect.sql(
+        spark,
+        "create table t_src with (partitioned_by = array['g']) as "
+        "select k, g, v from dml_fx",
+    )
+    # plain LIKE: columns only, no partitioning carried
+    dialect.sql(spark, "create table t_l1 (like t_src)")
+    df = dialect.sql(spark, "select * from t_l1")
+    assert df.columns == ["k", "g", "v"] and df.count() == 0
+    assert dml._handles(spark)["t_l1"].part_col is None
+    # INCLUDING PROPERTIES carries partitioned_by
+    dialect.sql(
+        spark, "create table t_l2 (like t_src including properties)"
+    )
+    assert dml._handles(spark)["t_l2"].part_col == "g"
+    dialect.sql(spark, "insert into t_l2 select k, g, v from dml_fx")
+    assert os.path.isdir(os.path.join(dml.table_path(spark, "t_l2"), "g=a"))
+    # mixed with plain definitions, and an explicit partitioned_by wins
+    dialect.sql(
+        spark,
+        "create table t_l3 (id bigint, like t_src including properties, "
+        "note varchar) with (partitioned_by = array['note'])",
+    )
+    df = dialect.sql(spark, "select * from t_l3")
+    assert df.columns == ["id", "k", "g", "v", "note"]
+    assert dml._handles(spark)["t_l3"].part_col == "note"
+    # duplicate column via LIKE refuses
+    with pytest.raises(ValueError, match="duplicate column"):
+        dialect.sql(spark, "create table t_l4 (k bigint, like t_src)")
+    # unknown source refuses loudly
+    with pytest.raises(ValueError, match="cannot be read"):
+        dialect.sql(spark, "create table t_l5 (like nope_t)")
+
+
+def test_alter_view_rename_and_namespace_statements(spark, wh):
+    """Round 13 grammar completions: ALTER VIEW RENAME TO, SHOW
+    SCHEMAS, and loud single-namespace refusals for CREATE/DROP SCHEMA
+    and REFRESH MATERIALIZED VIEW."""
+    dialect.sql(spark, "create table t_avr as select k, v from dml_fx")
+    dialect.sql(spark, "create view v_avr as select k from t_avr where k > 2")
+    dialect.sql(spark, "alter view v_avr rename to v_avr2")
+    assert [r[0] for r in _state(spark, "v_avr2")] == [3, 4, 5]
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|not found"):
+        dialect.sql(spark, "select * from v_avr").collect()
+    # the renamed view still refreshes through later DML
+    dialect.sql(spark, "delete from t_avr where k = 5")
+    assert [r[0] for r in _state(spark, "v_avr2")] == [3, 4]
+    # a view with dependents refuses the rename
+    dialect.sql(spark, "create view v_dep as select * from v_avr2")
+    with pytest.raises(ValueError, match="reference it"):
+        dialect.sql(spark, "alter view v_avr2 rename to v_x")
+    # renaming a table via ALTER VIEW refuses with redirect
+    with pytest.raises(ValueError, match="ALTER TABLE RENAME"):
+        dialect.sql(spark, "alter view t_avr rename to t_y")
+    # other ALTER VIEW arms refuse with guidance
+    with pytest.raises(ValueError, match="CREATE OR REPLACE VIEW"):
+        dialect.sql(spark, "alter view v_avr2 set authorization bob")
+    # SHOW SCHEMAS: the single flat namespace
+    assert [tuple(r) for r in dialect.sql(spark, "show schemas").collect()] \
+        == [("default",)]
+    for stmt, frag in [
+        ("create schema s1", "flat"),
+        ("drop schema s1", "flat"),
+        ("refresh materialized view mv", "re-running"),
+    ]:
+        with pytest.raises(ValueError, match=frag):
+            dialect.sql(spark, stmt)
