@@ -61,8 +61,14 @@ TAGS: dict[str, tuple[str, float, str]] = {
     "approx_top_k_sketch": (
         "sketch", 0.16, "frequent-items sketch vs oracle's exact top-k contract"),
     "llm_ann_recall_eval": (
-        "composite", 0.83, "harness runs two declared queries plus referents "
-        "to score recall — a multi-query by construction"),
+        "composite", 3.4, "harness re-runs BOTH declared paths it scores "
+        "(brute-force top-5 + LSH ANN, ~0.8s each sequentially) plus the "
+        "recall join — a multi-query by construction, and alphabetically "
+        "FIRST in the ANN family so it also pays the family's cold "
+        "caches in the sequential artifact (isolated warm re-measure "
+        "r13: 1.8-2.2s; seq artifact 3.41s; the old 0.83s recording was "
+        "a warm-cache bench-order artifact, below the components' own "
+        "summed cost)"),
     "llm_curation_pipeline_v2": (
         "composite", 0.95, "classifier gate + sig dedup + per-source quota "
         "report chained: ~5 jobs (scan+fold, cache write, keeper agg, "
