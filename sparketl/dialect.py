@@ -3727,14 +3727,33 @@ _COLCLS_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 #: materializes a Dataset (~0.5s measured) — concurrent queries
 #: serialized behind it (5x wall on the 8-face probe).  Now the engine
 #: PUSHES each mutation's schema into the cache at mutation time (it
-#:  has the DataFrame in hand — zero JVM re-reads), drops show up as
-#: per-name evictions, and the expensive catalog DISCOVERY pass runs
-#: only after a FULL clear (load_tables, or external
-#: createOrReplaceTempView callers honoring the documented
-#: clear_schema_cache() contract).
+#: has the DataFrame in hand — zero JVM re-reads), drops show up as
+#: per-name evictions, and freshness is probed per classing via the
+#: ~1ms listLocalTempViews name set, so external temp views are still
+#: auto-discovered.
 _FIELDS_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
-#: sessions whose catalog has been discovered since the last full clear
-_DISCOVERED: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def _temp_view_names(spark) -> "list[str]":
+    """Lowercased local-temp-view names — the engine's entire catalog
+    namespace.  Uses the session catalog's listLocalTempViews (a plain
+    Seq of identifiers, ~1ms) instead of spark.catalog.listTables(),
+    which materializes a whole Dataset per call (~0.2-0.5s measured —
+    the round-13 concurrency regression); falls back to the public API
+    if the internal one moves."""
+    try:
+        seq = (
+            spark._jsparkSession.sessionState()  # noqa: SLF001
+            .catalog()
+            .listLocalTempViews("*")
+        )
+        return sorted(
+            seq.apply(i).table().lower() for i in range(seq.size())
+        )
+    except Exception:  # noqa: BLE001 - internal API moved; public path
+        return sorted(
+            t.name.lower() for t in spark.catalog.listTables() if t.name
+        )
 
 
 def clear_schema_cache(name: str | None = None) -> None:
@@ -3742,17 +3761,16 @@ def clear_schema_cache(name: str | None = None) -> None:
     that table/view's cached fields are dropped (a DROP-shaped
     eviction; the aggregated class map rebuilds from the remaining
     cached fields — pure python, no catalog calls); with no argument
-    everything is dropped AND the next classing re-discovers the
-    catalog via listTables, the right call when many registrations
-    changed at once (load_tables) or the changed set is unknown
-    (external createOrReplaceTempView callers)."""
+    everything is dropped and re-read on the next classing, the right
+    call when many registrations changed at once (load_tables) or a
+    same-named view was REPLACED outside the engine (a name-set probe
+    cannot see an in-place schema change)."""
     from sparketl.session import CATALOG_LOCK
 
     with CATALOG_LOCK:
         _COLCLS_CACHE.clear()
         if name is None:
             _FIELDS_CACHE.clear()
-            _DISCOVERED.clear()
         else:
             low = name.lower()
             for d in _FIELDS_CACHE.values():
@@ -3784,71 +3802,60 @@ def _catalog_column_classes(spark: SparkSession) -> dict[str, str]:
     silently drop the table whose schema would have forced 'ambig'
     (round-11 review).
 
-    The catalog is DISCOVERED (listTables + per-entry schema reads)
-    exactly once per full ``clear_schema_cache()``; between
-    discoveries the engine's own mutations keep the per-name cache
-    current by PUSHING schemas (``update_schema_cache``) and evicting
-    drops, so the steady-state call here is a pure-python fold over
-    cached fields.  This replaced the list-every-churn design twice
-    over: the old 3-attempt retry papered over a mid-listing
-    PARSE_EMPTY_STATEMENT race (r11-12), the round-13 CATALOG_LOCK
-    deleted the race but serialized concurrent queries behind ~0.5s
-    listTables materializations (5x wall on the 8-face DML probe) —
-    push-based invalidation removes the listTables from the hot path
-    entirely (VERDICT r12 #7's actual suggestion).  Discovery and the
-    mutation pushes still share ``session.CATALOG_LOCK``; the
-    vanished-entry skip stays as a belt for catalog mutations made
-    OUTSIDE the engine (a user thread's own createOrReplaceTempView
-    is not obliged to take the lock — it IS obliged to call
-    clear_schema_cache(), the documented contract)."""
+    Freshness probe: the temp-view NAME SET, enumerated via the
+    session catalog's listLocalTempViews (~1ms — the public
+    listTables() materializes a Dataset per call, ~0.2-0.5s, which
+    under the round-13 CATALOG_LOCK serialized concurrent queries 5x
+    on the 8-face DML probe).  Schemas are PUSH-maintained: engine
+    mutations store the DataFrame schema they just registered
+    (``update_schema_cache``) and evict drops, so a name-set change
+    costs a schema read only for names the engine did not push
+    (external temp views — auto-discovered here, same semantics as the
+    original listTables design).  Probe + pushes share
+    ``session.CATALOG_LOCK``; the vanished-entry skip stays as a belt
+    for catalog mutations made OUTSIDE the engine (a user thread's own
+    createOrReplaceTempView is not obliged to take the lock).  An
+    in-place external REPLACE (same name, new schema) is invisible to
+    a name-set probe — those callers call clear_schema_cache(), the
+    documented contract, unchanged since r10."""
     from sparketl.session import CATALOG_LOCK
 
     with CATALOG_LOCK:
+        names = tuple(_temp_view_names(spark))
+        hit = _COLCLS_CACHE.get(spark)
+        if hit is not None and hit[0] == names:
+            return hit[1]
         fcache = _FIELDS_CACHE.get(spark)
         if fcache is None:
             fcache = {}
             _FIELDS_CACHE[spark] = fcache
-        if spark not in _DISCOVERED:
-            # one catalog discovery per FULL clear: listTables
-            # materializes a Dataset (~0.5s) and must not run per
-            # statement — engine mutations keep the cache current via
-            # update_schema_cache / per-name evictions instead
-            names = [
-                t.name.lower()
-                for t in spark.catalog.listTables()
-                if t.name
-            ]
-            for name in names:
-                if name in fcache:
+        for name in names:
+            if name in fcache:
+                # engine mutations pushed this schema (or a prior
+                # classing read it) — no catalog round-trip
+                continue
+            try:
+                fcache[name] = tuple(
+                    (f.name, f.dataType.simpleString())
+                    for f in spark.table(name).schema.fields
+                )
+            except Exception as e:  # noqa: BLE001 - narrowed below
+                # An entry that VANISHED between the name listing and
+                # the read (an unlocked external thread's DROP/RENAME)
+                # is equivalent to never having been listed: skip it;
+                # a statement that still references it fails loudly in
+                # Spark's own analysis.  Anything else (a BROKEN but
+                # extant view) keeps raising — it must not silently
+                # drop a schema that would have forced 'ambig'
+                # (round-11 review).
+                if "TABLE_OR_VIEW_NOT_FOUND" in str(
+                    e
+                ) or "PARSE_EMPTY_STATEMENT" in str(e):
                     continue
-                try:
-                    fcache[name] = tuple(
-                        (f.name, f.dataType.simpleString())
-                        for f in spark.table(name).schema.fields
-                    )
-                except Exception as e:  # noqa: BLE001 - narrowed below
-                    # An entry that VANISHED between listTables() and
-                    # the read (an unlocked external thread's
-                    # DROP/RENAME) is equivalent to never having been
-                    # listed: skip it; a statement that still
-                    # references it fails loudly in Spark's own
-                    # analysis.  Anything else (a BROKEN but extant
-                    # view) keeps raising — it must not silently drop
-                    # a schema that would have forced 'ambig'
-                    # (round-11 review).
-                    if "TABLE_OR_VIEW_NOT_FOUND" in str(
-                        e
-                    ) or "PARSE_EMPTY_STATEMENT" in str(e):
-                        continue
-                    raise
-            # discovery is also the reconciliation point for names
-            # dropped OUTSIDE the engine
-            for stale in set(fcache) - set(names):
-                del fcache[stale]
-            _DISCOVERED[spark] = True
-        hit = _COLCLS_CACHE.get(spark)
-        if hit is not None:
-            return hit
+                raise
+        # names dropped OUTSIDE the engine must not linger
+        for stale in set(fcache) - set(names):
+            del fcache[stale]
         out: dict[str, str] = {}
         for fields in fcache.values():
             for cname, tname in fields:
@@ -3859,7 +3866,7 @@ def _catalog_column_classes(spark: SparkSession) -> dict[str, str]:
                     out[key] = cls
                 elif prev != cls:
                     out[key] = "ambig"
-        _COLCLS_CACHE[spark] = out
+        _COLCLS_CACHE[spark] = (names, out)
     return out
 
 

@@ -1262,3 +1262,52 @@ def test_alter_view_rename_and_namespace_statements(spark, wh):
     ]:
         with pytest.raises(ValueError, match=frag):
             dialect.sql(spark, stmt)
+
+
+def test_scphema_cache_push_and_discovery(spark, wh):
+    """Round 13 push-based classing cache: engine mutations keep the
+    int-division classing current WITHOUT catalog listings or schema
+    re-reads — pushes on create/refresh/alter, evictions on
+    drop/rename — while the cheap name-set probe still auto-discovers
+    external temp views (no clear_schema_cache call needed for a NEW
+    external name; in-place replaces keep the documented clear
+    contract)."""
+    # engine CTAS pushes the new table's schema: its bigint column
+    # narrows a division immediately (no full clear in between)
+    dialect.sql(
+        spark,
+        "create table t_scp as select k as big_sc_col, v from dml_fx",
+    )
+    out = dialect.translate(
+        "select big_sc_col / 2 from t_scp",
+        schema=dialect._catalog_column_classes(spark),
+    )
+    assert "div" in out
+    # ALTER ADD COLUMN re-pushes the grown schema
+    dialect.sql(spark, "alter table t_scp add column added_sc bigint")
+    cls = dialect._catalog_column_classes(spark)
+    assert cls.get("added_sc") == "int"
+    # DROP evicts: the column class disappears without a full clear
+    dialect.sql(spark, "drop table t_scp")
+    cls = dialect._catalog_column_classes(spark)
+    assert "big_sc_col" not in cls
+    # a NEW external temp view is auto-discovered by the name-set
+    # probe — no clear_schema_cache call required
+    spark.createDataFrame([(1,)], "ext_scp_col long").createOrReplaceTempView(
+        "t_scpp_ext"
+    )
+    cls = dialect._catalog_column_classes(spark)
+    assert cls.get("ext_scp_col") == "int"
+    # an external DROP is reconciled by the same probe
+    spark.catalog.dropTempView("t_scpp_ext")
+    cls = dialect._catalog_column_classes(spark)
+    assert "ext_scp_col" not in cls
+    # ALTER TABLE RENAME evicts the old name and pushes the new one
+    dialect.sql(spark, "create table t_scpp_a as select k as ren_sc from dml_fx")
+    dialect.sql(spark, "alter table t_scpp_a rename to t_scpp_b")
+    cls = dialect._catalog_column_classes(spark)
+    assert cls.get("ren_sc") == "int"
+    from sparketl.dialect import _FIELDS_CACHE
+
+    assert "t_scpp_a" not in _FIELDS_CACHE.get(spark, {})
+    assert "t_scpp_b" in _FIELDS_CACHE.get(spark, {})
