@@ -900,8 +900,13 @@ def _named_window_specs(masked: str) -> dict[str, str | None]:
         if base is None:
             return None
         extra = spec[fm.end() :].strip()
+        # anchored to clause position (ADVICE r13): a bare \b(rows|
+        # range|groups)\b would match a COLUMN named `range` inside
+        # `partition by range` and spuriously refuse a frameless parent
         if extra and re.search(
-            r"\b(rows|range|groups)\b", base, re.IGNORECASE
+            r"\b(rows|range|groups)\s+(between|unbounded|current|\d+)\b",
+            base,
+            re.IGNORECASE,
         ):
             # SQL:2011 / Trino: a window with a frame cannot be
             # inherited from with additional clauses — appending them
@@ -972,7 +977,14 @@ def _expand_window_inheritance(masked: str) -> str:
                     "statement, or inherits through a cycle; inline "
                     "the window definition"
                 )
-            if re.search(r"\b(rows|range|groups)\b", base, re.IGNORECASE):
+            # clause-position anchored, like the WINDOW-clause check
+            # above (ADVICE r13): a column named rows/range/groups in
+            # the parent's PARTITION BY is not a frame
+            if re.search(
+                r"\b(rows|range|groups)\s+(between|unbounded|current|\d+)\b",
+                base,
+                re.IGNORECASE,
+            ):
                 raise ValueError(
                     f"dialect: OVER ({fm.group(1)} ...) inherits from a "
                     "window that specifies a frame — SQL:2011/Trino "
@@ -1549,16 +1561,32 @@ def _rewrite_with_ties(masked: str) -> str:
             s = j + 1
         body = masked[s : ob.start()].strip()
         n = m.group(2) or "1"
+        prologue = ""
+        if re.match(r"with\b", body, re.IGNORECASE):
+            # CTE scope (ADVICE r13): the inject/wrap decision belongs
+            # to the final top-level SELECT after the CTE prologue —
+            # routing the whole WITH body into the wrap shape made
+            # Trino-legal non-projected rank keys die unresolved
+            pdep = _depths(body)
+            sm0 = next(
+                (
+                    x
+                    for x in re.finditer(r"\bselect\b", body, re.IGNORECASE)
+                    if pdep[x.start()] == 0
+                ),
+                None,
+            )
+            if sm0 is not None:
+                prologue, body = body[: sm0.start()], body[sm0.start() :]
         sel = re.match(r"\s*select\s+(distinct\b|all\b)?", body, re.IGNORECASE)
+        bdep = _depths(body)
         setop = any(
-            dep[om.start()] == d
-            for om in _SETOP_RE.finditer(masked, s, ob.start())
+            bdep[om.start()] == 0 for om in _SETOP_RE.finditer(body)
         )
         frm = None
         if sel and not setop and not (
             sel.group(1) and sel.group(1).lower() == "distinct"
         ):
-            bdep = _depths(body)
             for fm in re.finditer(r"\bfrom\b", body, re.IGNORECASE):
                 if bdep[fm.start()] == 0:
                     frm = fm
@@ -1583,7 +1611,8 @@ def _rewrite_with_ties(masked: str) -> str:
                     flags=re.IGNORECASE,
                 )
             aug = (
-                body[: frm.start()]
+                prologue
+                + body[: frm.start()]
                 + f", rank() over (order by {kx}) as __ties_rk "
                 + body[frm.start() :]
             )
@@ -1592,7 +1621,7 @@ def _rewrite_with_ties(masked: str) -> str:
             # output columns (Trino requires the same of these scopes)
             aug = (
                 f"select __tq.*, rank() over (order by {keys}) as "
-                f"__ties_rk from ({body}) as __tq"
+                f"__ties_rk from ({prologue}{body}) as __tq"
             )
         masked = (
             masked[:s]
@@ -1721,10 +1750,14 @@ def _inline_excluding_windows(masked: str) -> str:
 
 
 #: frames whose bounds exclude the current row anyway — EXCLUDE
-#: CURRENT ROW is then a no-op and is simply stripped
+#: CURRENT ROW is then a no-op and is simply stripped.  The bound
+#: ADJACENT to the current row must be nonzero (ADVICE r13): `0
+#: PRECEDING`/`0 FOLLOWING` IS the current row, so `3 PRECEDING AND 0
+#: PRECEDING` contains it and must fall through to the exact
+#: composition / refusal paths, not the strip.
 _FRAME_SANS_CURRENT_RE = re.compile(
-    r"between\s+(?:unbounded|\d+)\s+preceding\s+and\s+\d+\s+preceding"
-    r"|between\s+\d+\s+following\s+and\s+(?:unbounded|\d+)\s+following",
+    r"between\s+(?:unbounded|\d+)\s+preceding\s+and\s+[1-9]\d*\s+preceding"
+    r"|between\s+[1-9]\d*\s+following\s+and\s+(?:unbounded|\d+)\s+following",
     re.IGNORECASE,
 )
 
@@ -3730,8 +3763,23 @@ _COLCLS_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 #: has the DataFrame in hand — zero JVM re-reads), drops show up as
 #: per-name evictions, and freshness is probed per classing via the
 #: ~1ms listLocalTempViews name set, so external temp views are still
-#: auto-discovered.
+#: auto-discovered.  Entries are ``(origin, fields)`` with origin
+#: 'push' (engine-registered — authoritative, re-pushed on every
+#: mutation) or 'probe' (externally created, schema read here); on a
+#: name-set CHANGE the probe-origin entries are evicted and re-read,
+#: so an externally REPLACED same-name view self-heals at the next
+#: external create/drop (ADVICE r13) — a replace with NO name-set
+#: change ever remains invisible and keeps the documented
+#: clear_schema_cache() contract.
 _FIELDS_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+#: name set seen at the last classing rebuild — the probe-origin
+#: eviction trigger (distinct from _COLCLS_CACHE's snapshot, which is
+#: also cleared by every engine push)
+_PROBE_NAMES_CACHE: "_weakref.WeakKeyDictionary" = (
+    _weakref.WeakKeyDictionary()
+)
 
 
 def _temp_view_names(spark) -> "list[str]":
@@ -3788,8 +3836,11 @@ def update_schema_cache(spark, name: str, schema) -> None:
         if fcache is None:
             fcache = {}
             _FIELDS_CACHE[spark] = fcache
-        fcache[name.lower()] = tuple(
-            (f.name, f.dataType.simpleString()) for f in schema.fields
+        fcache[name.lower()] = (
+            "push",
+            tuple(
+                (f.name, f.dataType.simpleString()) for f in schema.fields
+            ),
         )
         _COLCLS_CACHE.clear()
 
@@ -3829,15 +3880,28 @@ def _catalog_column_classes(spark: SparkSession) -> dict[str, str]:
         if fcache is None:
             fcache = {}
             _FIELDS_CACHE[spark] = fcache
+        prev = _PROBE_NAMES_CACHE.get(spark)
+        if prev is not None and prev != names:
+            # name-set CHANGE (external create/drop reached the probe):
+            # evict probe-origin schemas so an externally REPLACED
+            # same-name view is re-read now rather than serving stale
+            # classes forever (ADVICE r13); push-origin entries stay —
+            # the engine re-pushes on every mutation of its own objects
+            for k in [k for k, v in fcache.items() if v[0] == "probe"]:
+                del fcache[k]
+        _PROBE_NAMES_CACHE[spark] = names
         for name in names:
             if name in fcache:
                 # engine mutations pushed this schema (or a prior
                 # classing read it) — no catalog round-trip
                 continue
             try:
-                fcache[name] = tuple(
-                    (f.name, f.dataType.simpleString())
-                    for f in spark.table(name).schema.fields
+                fcache[name] = (
+                    "probe",
+                    tuple(
+                        (f.name, f.dataType.simpleString())
+                        for f in spark.table(name).schema.fields
+                    ),
                 )
             except Exception as e:  # noqa: BLE001 - narrowed below
                 # An entry that VANISHED between the name listing and
@@ -3857,7 +3921,7 @@ def _catalog_column_classes(spark: SparkSession) -> dict[str, str]:
         for stale in set(fcache) - set(names):
             del fcache[stale]
         out: dict[str, str] = {}
-        for fields in fcache.values():
+        for _origin, fields in fcache.values():
             for cname, tname in fields:
                 cls = _classify_type_name(tname)
                 key = cname.lower()
@@ -4348,7 +4412,13 @@ def sql(spark: SparkSession, presto_sql: str) -> DataFrame:
     loader invalidates the cache, but code that REPLACES a temp view
     with a different schema under the same name outside
     sparketl.tables must call ``clear_schema_cache()`` (the catalog
-    exposes no version counter to observe).
+    exposes no version counter to observe; a later external
+    create/drop also self-heals it, since a name-set change re-reads
+    externally-discovered schemas).  Scope: the resolver's namespace
+    is the session's LOCAL temp views — the engine's entire catalog —
+    so columns living only in global temp views or external-catalog
+    tables do not participate in `/` classing (qualify or cast those
+    operands explicitly).
 
     Requires the default ``spark.sql.parser.escapedStringLiterals=false``:
     ``_unmask``'s backslash doubling compensates for Spark's escaping

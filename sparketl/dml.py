@@ -1593,9 +1593,14 @@ def _alter_view_rename(
         or spark.catalog.tableExists(new)
     ):
         raise ValueError(f"dml: '{new}' already exists")
-    body = views.pop(name)
-    views[new] = body
+    body = views[name]
+    # analyze BEFORE mutating either catalog (ADVICE r13): if the body
+    # no longer analyzes (a base table dropped externally), the rename
+    # must leave both the DML view dict and the Spark temp view
+    # untouched — the same restore-on-failure care _create_view takes
     df = _d.sql(spark, body)
+    views.pop(name)
+    views[new] = body
     with CATALOG_LOCK:
         spark.catalog.dropTempView(name)
         df.createOrReplaceTempView(new)

@@ -98,6 +98,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         dfs[name] = df
         with CATALOG_LOCK:
             df.createOrReplaceTempView(name)
+        # PUSH the schema (round 14): push-origin entries are
+        # authoritative and survive the probe-origin eviction the
+        # classing cache performs on name-set changes — without this,
+        # every external create/drop would re-read all base-table
+        # schemas on the next classing rebuild
+        dialect.update_schema_cache(spark, name, df.schema)
 
     _CATALOG_CACHE[key] = dfs
     return dfs

@@ -394,6 +394,111 @@ def test_exec_frame_exclude_current_row_matches_duckdb(spark, duck):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_exec_frame_exclude_zero_offset_bound_matches_duckdb(spark, duck):
+    """ADVICE r13 (medium): ``0 PRECEDING`` / ``0 FOLLOWING`` IS the
+    current row, so a frame like ``3 PRECEDING AND 0 PRECEDING EXCLUDE
+    CURRENT ROW`` must COMPOSE (subtract the current row's
+    contribution) — the old no-op regex silently STRIPPED the clause
+    and returned values that still included the current row."""
+    load_tables(spark, SF_DIR)
+    for frame in (
+        "rows between 3 preceding and 0 preceding",
+        "rows between 0 following and 3 following",
+    ):
+        src = f"""
+            select l_orderkey, l_linenumber,
+                   count(*) over (partition by l_orderkey
+                       order by l_linenumber {frame}
+                       exclude current row) as c,
+                   sum(l_linenumber) over (partition by l_orderkey
+                       order by l_linenumber {frame}
+                       exclude current row) as s
+            from lineitem where l_orderkey < 200
+            order by l_orderkey, l_linenumber
+        """
+        got = presto_sql(spark, src).collect()
+        want = duck.execute(src).fetchall()
+        assert len(got) == len(want) > 0
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # an INEXACT carrier on a 0-offset frame must refuse (it used to
+    # slip through the strip), while a truly current-row-free frame on
+    # the same carrier still strips
+    with pytest.raises(ValueError, match="EXCLUDE CURRENT ROW"):
+        presto_sql(
+            spark,
+            """
+            select sum(l_extendedprice) over (
+                partition by l_orderkey order by l_linenumber
+                rows between 3 preceding and 0 preceding
+                exclude current row) as s
+            from lineitem where l_orderkey < 100
+            """,
+        )
+
+
+def test_exec_with_ties_cte_scope_matches_duckdb(spark, duck):
+    """ADVICE r13: a CTE-prefixed scope whose ORDER BY key is NOT
+    projected (Trino-legal for a plain final SELECT) must take the
+    inject shape on the final SELECT — the old wrap shape emitted
+    rank() over a column absent from the wrapper and died unresolved."""
+    load_tables(spark, SF_DIR)
+    got = presto_sql(
+        spark,
+        """
+        with c as (
+          select o_orderkey, o_orderpriority from orders
+          where o_orderkey < 300
+        )
+        select o_orderkey from c
+        order by o_orderpriority
+        fetch first 5 rows with ties
+        """,
+    ).collect()
+    want = duck.execute(
+        """
+        with c as (
+          select o_orderkey, o_orderpriority from orders
+          where o_orderkey < 300
+        )
+        select o_orderkey from c
+        qualify rank() over (order by o_orderpriority) <= 5
+        """
+    ).fetchall()
+    assert len(got) > 5  # ties actually extended past n
+    assert sorted(r.o_orderkey for r in got) == sorted(r[0] for r in want)
+    assert list(got[0].asDict()) == ["o_orderkey"]
+
+
+def test_window_inheritance_column_named_range_not_framed(spark):
+    """ADVICE r13: frame detection in window inheritance must anchor on
+    clause position — a parent window whose PARTITION BY column is
+    literally named ``range`` is frameless and inheritable."""
+    load_tables(spark, SF_DIR)
+    got = presto_sql(
+        spark,
+        """
+        select rk from (
+          select row_number() over (w order by l_linenumber) as rk
+          from (select l_orderkey as range, l_linenumber from lineitem
+                where l_orderkey < 50) t
+          window w as (partition by range)
+        ) order by rk limit 3
+        """,
+    ).collect()
+    assert [r.rk for r in got] == [1, 1, 1]
+    # a parent that DOES carry a frame still refuses inheritance
+    with pytest.raises(ValueError, match="inherit"):
+        presto_sql(
+            spark,
+            """
+            select sum(l_linenumber) over (w order by l_linenumber)
+            from lineitem
+            window w as (partition by l_orderkey
+                         rows between 1 preceding and current row)
+            """,
+        )
+
+
 def test_exec_string_functions_match_duckdb(spark, duck):
     got = presto_sql(
         spark,

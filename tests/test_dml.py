@@ -1311,3 +1311,59 @@ def test_scphema_cache_push_and_discovery(spark, wh):
 
     assert "t_scpp_a" not in _FIELDS_CACHE.get(spark, {})
     assert "t_scpp_b" in _FIELDS_CACHE.get(spark, {})
+    dialect.sql(spark, "drop table t_scpp_b")
+
+
+def test_schema_cache_probe_eviction_self_heals_external_replace(spark, wh):
+    """ADVICE r13: an externally REPLACED same-name view (invisible to
+    the name-set probe at replace time) must self-heal at the next
+    name-set change — probe-origin cache entries are evicted and
+    re-read, so the stale class cannot outlive the next external
+    create/drop.  Engine-pushed entries survive the eviction."""
+    spark.createDataFrame([(1,)], "heal_col long").createOrReplaceTempView(
+        "t_heal_ext"
+    )
+    cls = dialect._catalog_column_classes(spark)
+    assert cls.get("heal_col") == "int"
+    # in-place external replace: same name, column goes fractional —
+    # invisible right now (name set unchanged), per the documented
+    # clear_schema_cache contract
+    spark.createDataFrame(
+        [(1.5,)], "heal_col double"
+    ).createOrReplaceTempView("t_heal_ext")
+    assert dialect._catalog_column_classes(spark).get("heal_col") == "int"
+    # ANY later name-set change re-reads probe-origin schemas
+    spark.createDataFrame([(1,)], "other_col long").createOrReplaceTempView(
+        "t_heal_trigger"
+    )
+    assert dialect._catalog_column_classes(spark).get("heal_col") == "frac"
+    spark.catalog.dropTempView("t_heal_ext")
+    spark.catalog.dropTempView("t_heal_trigger")
+
+
+def test_alter_view_rename_broken_body_leaves_catalogs_untouched(spark, wh):
+    """ADVICE r13: ALTER VIEW RENAME analyzes the stored body BEFORE
+    mutating either catalog — a body broken by an external base-table
+    drop must leave the view intact under its OLD name in both the DML
+    view dict and the Spark temp-view catalog."""
+    dialect.sql(spark, "create table t_avrb as select k from dml_fx")
+    dialect.sql(spark, "create view v_avrb as select k from t_avrb")
+    # break the body OUTSIDE the engine (the engine's own DROP TABLE
+    # refuses while dependent views exist)
+    spark.catalog.dropTempView("t_avrb")
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|not found"):
+        dialect.sql(spark, "alter view v_avrb rename to v_avrb2")
+    from sparketl.dml import _views
+
+    assert "v_avrb" in _views(spark) and "v_avrb2" not in _views(spark)
+    assert spark.catalog.tableExists("v_avrb")
+    assert not spark.catalog.tableExists("v_avrb2")
+    # restore the base and confirm the old name still works end-to-end
+    dialect.sql(spark, "create table t_avrb2 as select k from dml_fx")
+    spark.table("t_avrb2").createOrReplaceTempView("t_avrb")
+    assert dialect.sql(spark, "select count(*) as c from v_avrb").collect()[
+        0
+    ].c > 0
+    dialect.sql(spark, "drop view v_avrb")
+    dialect.sql(spark, "drop table t_avrb2")
+    spark.catalog.dropTempView("t_avrb")
