@@ -116,6 +116,11 @@ def main() -> None:
         "llm_dedup_components",
         "llm_dedup_apply",
     )
+    ANN_EVAL_TRIO = (
+        "llm_similarity_topk",
+        "llm_similarity_ann_lsh",
+        "llm_ann_recall_eval",
+    )
     HEAVY = [
         "stream_stateful_sessions",
         "llm_contamination_ngram",
@@ -130,11 +135,15 @@ def main() -> None:
         "llm_pq_adc_search",
         "udf_grouped_map_apply",
         "stream_static_enrich",
-        "llm_similarity_topk",
-        "llm_ann_recall_eval",
+        # ANN evaluation trio (r14, VERDICT r13 #5): the two scored
+        # paths run first and memoize their query-set-sized result
+        # frames (_ANN_EVAL_MEMO), the evaluation face then joins the
+        # cached frames instead of re-running both corpus passes —
+        # adjacency + skipped clearCache keep the cached data alive
+        # exactly across the trio, same contract as DEDUP_TRIO.
+        *ANN_EVAL_TRIO,
         "exact_percentile_median",
         "llm_embed_cosine_neardup",
-        "llm_similarity_ann_lsh",
     ]
     heavy_names = [n for n in HEAVY if n in registry.QUERIES]
     cheap_names = sorted(n for n in registry.QUERIES if n not in set(HEAVY))
@@ -187,19 +196,22 @@ def main() -> None:
         # member.  Each timed pass clears both caches up front, so
         # every pass pays the full subtree exactly once — shared, not
         # amortized away.
+        keep_cache = set(DEDUP_TRIO[:-1]) | set(ANN_EVAL_TRIO[:-1])
         for n in heavy_names:
-            run_one(n, clear_cache=n not in DEDUP_TRIO[:-1])
+            run_one(n, clear_cache=n not in keep_cache)
 
     def run_suite() -> float:
         from sparketl.operators.curation import clear_cc_memo
-        from sparketl.operators.llm import clear_cen_cache
+        from sparketl.operators.llm import clear_ann_eval_memo, clear_cen_cache
 
         # every timed pass pays every shared subtree exactly once: CC
-        # labels, the IVF/PQ centroid codebook, and all cached frames
-        # (review round 6: a warm codebook let pass 2+ skip the
-        # collect job, understating the per-query min for the family)
+        # labels, the IVF/PQ centroid codebook, the ANN evaluation
+        # component frames, and all cached frames (review round 6: a
+        # warm codebook let pass 2+ skip the collect job, understating
+        # the per-query min for the family)
         clear_cc_memo()
         clear_cen_cache()
+        clear_ann_eval_memo()
         spark.catalog.clearCache()
         t_suite = time.perf_counter()
         if n_threads <= 1:

@@ -238,10 +238,14 @@ def main() -> None:
                 # min-of-passes for llm_dedup_components / the ivf
                 # family is a memo hit, not a standalone measurement.
                 from sparketl.operators.curation import clear_cc_memo
-                from sparketl.operators.llm import clear_cen_cache
+                from sparketl.operators.llm import (
+                    clear_ann_eval_memo,
+                    clear_cen_cache,
+                )
 
                 clear_cc_memo()
                 clear_cen_cache()
+                clear_ann_eval_memo()
                 spark.catalog.clearCache()
                 before = stage_totals(spark)
                 t0 = time.perf_counter()

@@ -1762,6 +1762,32 @@ _FRAME_SANS_CURRENT_RE = re.compile(
 )
 
 
+#: the frame clause inside a window specification (frame keyword
+#: anchored to clause position — a column named rows/range/groups in
+#: PARTITION BY must not match)
+_FRAME_CLAUSE_RE = re.compile(
+    r"\b(rows|range|groups)\s+(?=between\b|unbounded\b|current\b|\d)",
+    re.IGNORECASE,
+)
+
+
+#: a RANGE frame PROVABLY containing the current row (and therefore,
+#: RANGE peers being at key-distance 0, the ENTIRE peer group) — the
+#: condition under which EXCLUDE GROUP/TIES compose as full-frame
+#: aggregate minus peer-frame aggregate.  A ROWS frame never
+#: qualifies: peers may extend beyond its row-offset bounds, and
+#: SQL:2011 excludes only peers INSIDE the frame.
+_RANGE_HAS_CURRENT_RE = re.compile(
+    r"^range\s+(?:"
+    r"between\s+(?:current\s+row|(?:unbounded|\d+)\s+preceding|0\s+following)"
+    r"\s+and\s+(?:current\s+row|(?:unbounded|\d+)\s+following|0\s+preceding)"
+    r"|(?:unbounded|\d+)\s+preceding"
+    r"|current\s+row"
+    r")\s*$",
+    re.IGNORECASE,
+)
+
+
 def _rewrite_frame_exclude(
     masked: str, colcls: "dict[str, str] | None" = None
 ) -> str:
@@ -1779,13 +1805,25 @@ def _rewrite_frame_exclude(
       win_frame_exclude documents: empty/all-null excluded frame →
       NULL, NULL current row subtracts nothing)
 
+    ``EXCLUDE GROUP``/``TIES`` (round 14, VERDICT r13 #6) auto-compose
+    for the same exact carriers when the frame is a RANGE frame
+    containing the current row — there the peer group (key-distance 0)
+    provably sits inside the frame, and exclusion is full-frame
+    aggregate minus the RANGE(0,0) peer-frame aggregate, NULL-gated on
+    the remaining non-null count exactly like the engine faces
+    (operators/windows.py _excluded_frame_cols); TIES adds the current
+    row's own contribution back.  A ROWS frame never composes: peers
+    may extend past its row-offset bounds and SQL:2011 excludes only
+    peers INSIDE the frame, which a textual splice cannot see.
+
     Frames whose bounds already exclude the current row (both ends
-    PRECEDING / both FOLLOWING) make the clause a no-op — stripped.
-    Float/avg/distinct shapes and EXCLUDE GROUP/TIES keep the loud
-    refusal toward the engine composition operators
-    (operators/windows.py win_frame_exclude* / win_groups_exclude,
-    SURVEY.md §2 #155/#160): their subtraction is inexact (floats) or
-    needs a peer-frame aggregate the textual splice can't see."""
+    PRECEDING / both FOLLOWING, nonzero near bound) make CURRENT ROW a
+    no-op — stripped; on RANGE frames they exclude the whole peer
+    group too, so GROUP/TIES strip there as well.  Float/avg/distinct
+    shapes, ROWS/GROUPS-frame GROUP/TIES, and default frames keep the
+    loud refusal toward the engine composition operators
+    (win_frame_exclude* / win_groups_exclude, SURVEY.md §2
+    #155/#160)."""
     matches = list(_FRAME_EXCLUDE_RE.finditer(masked))
     if not matches:
         return masked
@@ -1794,11 +1832,15 @@ def _rewrite_frame_exclude(
     def refuse(mode: str) -> None:
         raise ValueError(
             f"dialect: window frame EXCLUDE {mode.upper()} is refused "
-            "for this aggregate — only count(*)/count(x)/integer-sum "
-            "EXCLUDE CURRENT ROW auto-compose exactly; use the engine "
-            "composition operators (sparketl.operators.windows, the "
-            "win_frame_exclude / win_groups_exclude faces) which "
-            "implement exclusion as frame-sum differences"
+            "for this aggregate/frame — count(*)/count(x)/integer-sum "
+            "auto-compose exactly (CURRENT ROW on any frame; "
+            "GROUP/TIES on RANGE frames containing the current row, "
+            "where the peer group provably sits inside the frame); "
+            "ROWS-frame GROUP/TIES and float/avg/distinct carriers "
+            "need the engine composition operators "
+            "(sparketl.operators.windows, the win_frame_exclude / "
+            "win_groups_exclude faces), which implement exclusion as "
+            "frame-sum differences"
         )
 
     for m in reversed(matches):
@@ -1813,11 +1855,37 @@ def _rewrite_frame_exclude(
         ):
             spec_open -= 1
         spec = masked[spec_open + 1 : m.start()].strip()
+        fm = _FRAME_CLAUSE_RE.search(spec)
+        frame_txt = spec[fm.start() :].strip() if fm else ""
         if mode == "current row" and _FRAME_SANS_CURRENT_RE.search(spec):
             masked = masked[: m.start()] + masked[m.end() :]
             continue
-        if mode != "current row":
-            refuse(mode)
+        if mode in ("group", "ties"):
+            if frame_txt.lower().startswith(
+                "range"
+            ) and _FRAME_SANS_CURRENT_RE.search(frame_txt):
+                # RANGE frame with a nonzero near bound: peers are all
+                # at key-distance 0, outside the frame — GROUP
+                # excludes nothing, strip (a ROWS frame may still hold
+                # peers even without the current row, so no strip
+                # there).  TIES on such a frame REFUSES: engines
+                # disagree whether "retaining the current row" re-ADDS
+                # it to a frame that never contained it (DuckDB does,
+                # probed live), so a silent choice would diverge.
+                if mode == "group":
+                    masked = masked[: m.start()] + masked[m.end() :]
+                    continue
+                raise ValueError(
+                    "dialect: EXCLUDE TIES on a frame that does not "
+                    "contain the current row is refused — engines "
+                    "disagree whether the current row is re-added to "
+                    "the frame; spell the intended frame explicitly"
+                )
+            if fm is None or not _RANGE_HAS_CURRENT_RE.match(frame_txt):
+                # ROWS/GROUPS frames (peers may extend past the
+                # bounds), default frames, and exotic shapes keep the
+                # loud refusal
+                refuse(mode)
         # the aggregate that owns this OVER: `<fn>(<args>) over (`
         j = spec_open - 1
         while j >= 0 and masked[j].isspace():
@@ -1845,24 +1913,75 @@ def _rewrite_frame_exclude(
         arg = masked[lp + 1 : rp].strip()
         if re.match(r"distinct\b", arg, re.IGNORECASE):
             refuse(mode)
-        if fn == "count" and arg in ("*", "1"):
-            repl_expr = f"(count({arg}) over ({spec}) - 1)"
-        elif fn == "count":
-            repl_expr = (
-                f"(count({arg}) over ({spec}) - "
-                f"(case when ({arg}) is null then 0 else 1 end))"
-            )
-        elif fn == "sum" and colcls is not None and (
-            _expr_class(arg, colcls) == "int"
-        ):
-            repl_expr = (
-                f"(case when count({arg}) over ({spec}) - "
-                f"(case when ({arg}) is null then 0 else 1 end) > 0 "
-                f"then sum({arg}) over ({spec}) - coalesce({arg}, 0) "
-                f"else null end)"
-            )
+        if mode == "current row":
+            if fn == "count" and arg in ("*", "1"):
+                repl_expr = f"(count({arg}) over ({spec}) - 1)"
+            elif fn == "count":
+                repl_expr = (
+                    f"(count({arg}) over ({spec}) - "
+                    f"(case when ({arg}) is null then 0 else 1 end))"
+                )
+            elif fn == "sum" and colcls is not None and (
+                _expr_class(arg, colcls) == "int"
+            ):
+                repl_expr = (
+                    f"(case when count({arg}) over ({spec}) - "
+                    f"(case when ({arg}) is null then 0 else 1 end) > 0 "
+                    f"then sum({arg}) over ({spec}) - coalesce({arg}, 0) "
+                    f"else null end)"
+                )
+            else:
+                refuse(mode)
         else:
-            refuse(mode)
+            # GROUP/TIES on a RANGE frame containing the current row
+            # (checked above): the peer group IS the RANGE(0,0) frame
+            # over the same partition/order, so exclusion composes as
+            # full-frame aggregate minus peer-frame aggregate — the
+            # same NULL-gated subtraction the engine faces run
+            # (operators/windows.py _excluded_frame_cols); TIES adds
+            # the current row's own contribution back
+            peer = (
+                f"{spec[: fm.start()].strip()} "
+                "range between current row and current row"
+            )
+            self_n = f"(case when ({arg}) is null then 0 else 1 end)"
+            if fn == "count" and arg in ("*", "1"):
+                rest = (
+                    f"count({arg}) over ({spec}) - "
+                    f"count({arg}) over ({peer})"
+                )
+                repl_expr = (
+                    f"({rest})" if mode == "group" else f"({rest} + 1)"
+                )
+            elif fn == "count":
+                rest = (
+                    f"count({arg}) over ({spec}) - "
+                    f"count({arg}) over ({peer})"
+                )
+                repl_expr = (
+                    f"({rest})"
+                    if mode == "group"
+                    else f"({rest} + {self_n})"
+                )
+            elif fn == "sum" and colcls is not None and (
+                _expr_class(arg, colcls) == "int"
+            ):
+                nv = (
+                    f"count({arg}) over ({spec}) - "
+                    f"count({arg}) over ({peer})"
+                )
+                tot = (
+                    f"sum({arg}) over ({spec}) - "
+                    f"coalesce(sum({arg}) over ({peer}), 0)"
+                )
+                if mode == "ties":
+                    nv = f"{nv} + {self_n}"
+                    tot = f"{tot} + coalesce({arg}, 0)"
+                repl_expr = (
+                    f"(case when {nv} > 0 then {tot} else null end)"
+                )
+            else:
+                refuse(mode)
         # replace `<fn>(<args>) over (<spec> exclude ...)` inclusive of
         # the spec's closing paren (m.end() sits just before it)
         masked = masked[:fstart] + repl_expr + masked[m.end() + 1 :]

@@ -87,6 +87,7 @@ from sparketl.operators.llm_ann import (  # noqa: F401
     _np_assign,
     _register_similarity_eval_and_quantize,
     _semdedup_drops,
+    clear_ann_eval_memo,
     clear_cen_cache,
     ivf_search_frame,
     kmeans_train,

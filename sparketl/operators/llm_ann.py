@@ -195,8 +195,17 @@ def llm_similarity_topk(spark, sf_dir):
     Scale: queries x corpus is a broadcast nested-loop with the small
     query set broadcast — corpus streams once, no shuffle of the big
     side; top-k per query is a bounded window.  This is the exact
-    baseline; llm_similarity_ann_lsh is the sublinear path.
+    baseline; llm_similarity_ann_lsh is the sublinear path.  The
+    query-set-sized RESULT frame is memoized per (session, sf_dir)
+    (`_ANN_EVAL_MEMO`) so the evaluation face scores it without
+    re-running the corpus pass (VERDICT r13 #5).
     """
+    return _eval_component(
+        spark, sf_dir, "topk", lambda: _topk_build(spark, sf_dir)
+    )
+
+
+def _topk_build(spark, sf_dir):
     from pyspark.sql import Window
 
     emb = table(spark, sf_dir, "embeddings")
@@ -300,8 +309,15 @@ def llm_similarity_ann_lsh(spark, sf_dir):
     multi-probe).  Although ANN is approximation-defined, the
     approximation itself is deterministic (sign of exact double dots
     against literal hyperplanes), so the oracle replays it exactly and
-    this query IS hash-graded.
+    this query IS hash-graded.  Result frame memoized like
+    llm_similarity_topk's (`_ANN_EVAL_MEMO`, VERDICT r13 #5).
     """
+    return _eval_component(
+        spark, sf_dir, "ann_lsh", lambda: _ann_lsh_build(spark, sf_dir)
+    )
+
+
+def _ann_lsh_build(spark, sf_dir):
     from pyspark.sql import Window
 
     emb = table(spark, sf_dir, "embeddings")
@@ -535,6 +551,37 @@ _CEN_CACHE: dict = {}
 def clear_cen_cache() -> None:
     """Drop memoized centroid codebooks (bench calls this per pass)."""
     _CEN_CACHE.clear()
+
+
+#: Spark-cached RESULT frames of the two ANN paths the evaluation face
+#: scores (round 14, VERDICT r13 #5): `llm_ann_recall_eval` composes
+#: llm_similarity_topk and llm_similarity_ann_lsh verbatim, so without
+#: reuse it re-ran both full paths every time (3.4s sequential).  The
+#: memoized frames are QUERY-SET-sized (|Q| x k rows — ~4k at sf0.1),
+#: so `.cache()` holds a few hundred KB; the expensive corpus work runs
+#: exactly once per (session, sf_dir) and every consumer — the faces
+#: themselves and the evaluation — reads the same materialization.
+#: Same immutable-sf_dir contract as _CEN_CACHE; bench clears it per
+#: timed pass so each pass pays the full build exactly once.
+_ANN_EVAL_MEMO: dict = {}
+
+
+def clear_ann_eval_memo() -> None:
+    """Unpersist + drop the memoized ANN component frames (bench calls
+    this per pass; plan tests call it to see the pre-cache plan)."""
+    for df in _ANN_EVAL_MEMO.values():
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 - session may be gone
+            pass
+    _ANN_EVAL_MEMO.clear()
+
+
+def _eval_component(spark, sf_dir, name: str, build):
+    key = (id(spark), sf_dir.rstrip("/"), name)
+    if key not in _ANN_EVAL_MEMO:
+        _ANN_EVAL_MEMO[key] = build().cache()
+    return _ANN_EVAL_MEMO[key]
 
 
 def _centroids(spark, sf_dir):

@@ -436,6 +436,71 @@ def test_exec_frame_exclude_zero_offset_bound_matches_duckdb(spark, duck):
         )
 
 
+def test_exec_frame_exclude_group_ties_matches_duckdb(spark, duck):
+    """VERDICT r13 #6: front-door EXCLUDE GROUP/TIES auto-compose for
+    exact carriers on RANGE frames containing the current row (peer
+    group provably inside the frame), matching DuckDB's NATIVE
+    SQL:2011 clauses; ROWS-frame GROUP/TIES keep the loud refusal
+    (peers may extend past row-offset bounds — not textually
+    composable), as do TIES on current-row-free frames (engines
+    disagree whether the current row is re-added)."""
+    load_tables(spark, SF_DIR)
+    for mode in ("group", "ties"):
+        for frame in (
+            "range between 2 preceding and 2 following",
+            "range between unbounded preceding and current row",
+            "range between current row and unbounded following",
+            "range 2 preceding",
+        ):
+            src = f"""
+                select l_orderkey, l_linenumber,
+                       count(*) over (partition by l_suppkey
+                           order by l_linenumber {frame}
+                           exclude {mode}) as c,
+                       count(nullif(l_linenumber, 2)) over (
+                           partition by l_suppkey
+                           order by l_linenumber {frame}
+                           exclude {mode}) as cn,
+                       sum(nullif(l_linenumber, 2)) over (
+                           partition by l_suppkey
+                           order by l_linenumber {frame}
+                           exclude {mode}) as s
+                from lineitem where l_orderkey < 400
+            """
+            got = sorted(tuple(r) for r in presto_sql(spark, src).collect())
+            want = sorted(tuple(r) for r in duck.execute(src).fetchall())
+            assert len(got) == len(want) > 0
+            assert got == want, (mode, frame)
+    # GROUP on a current-row-free RANGE frame is a no-op (peers are at
+    # key-distance 0, outside the frame) — stripped, matches native
+    src = """
+        select l_orderkey, l_linenumber,
+               count(*) over (partition by l_suppkey
+                   order by l_linenumber
+                   range between 3 preceding and 1 preceding
+                   exclude group) as c
+        from lineitem where l_orderkey < 200
+    """
+    got = sorted(tuple(r) for r in presto_sql(spark, src).collect())
+    want = sorted(tuple(r) for r in duck.execute(src).fetchall())
+    assert got == want
+    # refusals: ROWS-frame GROUP/TIES; TIES on a current-row-free frame
+    for bad in (
+        "rows between 2 preceding and 2 following exclude group",
+        "rows between 2 preceding and 2 following exclude ties",
+        "range between 3 preceding and 1 preceding exclude ties",
+    ):
+        with pytest.raises(ValueError, match="EXCLUDE"):
+            presto_sql(
+                spark,
+                f"""
+                select sum(l_linenumber) over (partition by l_suppkey
+                    order by l_linenumber {bad}) as s
+                from lineitem where l_orderkey < 100
+                """,
+            )
+
+
 def test_exec_with_ties_cte_scope_matches_duckdb(spark, duck):
     """ADVICE r13: a CTE-prefixed scope whose ORDER BY key is NOT
     projected (Trino-legal for a plain final SELECT) must take the

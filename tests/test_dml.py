@@ -405,6 +405,57 @@ def test_merge_partition_column_update_refused(spark, wh):
         )
 
 
+def test_merge_probe_prune_insert_into_pruned_partition(spark, wh):
+    """VERDICT r13 #1 (probe-side partition pruning): the matched
+    probe scans only partitions holding at least one source match.
+    Edges pinned here: (1) an INSERT landing in an EXISTING partition
+    that held no matches must keep that partition's surviving rows
+    (the repair scan re-enters them into the rewrite frame); (2) an
+    insert-only MERGE against a disjoint source (empty probe set)
+    leaves every existing row intact; (3) a NULL-partition match is
+    found by the pruning semi-join (collected set carries None)."""
+    dialect.sql(
+        spark,
+        "create table t_ppi with (partitioned_by = array['g']) as "
+        "select k, g, v from dml_fx",
+    )
+    # matches confined to partition 'a' (k=1); the INSERT lands k=9 in
+    # partition 'b', which held no matches — its row k=2 must survive
+    n = dialect.sql(
+        spark,
+        "merge into t_ppi as t using "
+        "(select 1 as sk, 'b' as sg union all select 9, 'b') as s "
+        "on t.k = s.sk "
+        "when matched then update set v = v + 0.5 "
+        "when not matched then insert (k, g, v) values (s.sk, s.sg, 99.0)",
+    ).collect()[0][0]
+    assert n == 2
+    got = {(r[0], r[1]): r[2] for r in _state(spark, "t_ppi")}
+    assert got[(1, "a")] == 10.5  # updated in the probed partition
+    assert got[(2, "b")] == 20.0  # survivor of the insert partition
+    assert got[(9, "b")] == 99.0  # the insert itself
+    assert len(got) == 6
+    # insert-only merge, disjoint source: probe set is EMPTY — all
+    # existing rows survive, the new row lands in a new partition
+    n = dialect.sql(
+        spark,
+        "merge into t_ppi as t using (select 77 as sk) as s on t.k = s.sk "
+        "when not matched then insert (k, g, v) values (sk, 'z', 7.0)",
+    ).collect()[0][0]
+    assert n == 1
+    got = _state(spark, "t_ppi")
+    assert len(got) == 7 and (77, "z", 7.0) in got
+    # NULL-partition match: the semi-join's collected set carries None
+    n = dialect.sql(
+        spark,
+        "merge into t_ppi as t using (select 4 as sk) as s on t.k = s.sk "
+        "when matched then update set v = -1.0",
+    ).collect()[0][0]
+    assert n == 1
+    got = {(r[0], r[1]): r[2] for r in _state(spark, "t_ppi")}
+    assert got[(4, None)] == -1.0
+
+
 def test_delete_update_zero_match_is_noop(spark, wh):
     dialect.sql(spark, "create table t_zm as select k, g from dml_fx")
     path = dml.table_path(spark, "t_zm")

@@ -84,8 +84,14 @@ def test_flagship_is_codegen_hash_agg(q):
 
 def test_similarity_topk_broadcasts_queries(q):
     # query set broadcast => corpus streams once, no corpus shuffle
+    # (memo cleared so the plan under test is the build, not a cached
+    # InMemoryRelation from an earlier test's run)
+    from sparketl.operators.llm import clear_ann_eval_memo
+
+    clear_ann_eval_memo()
     plan = plan_str(q("llm_similarity_topk"))
     assert "BroadcastNestedLoopJoin" in plan, plan
+    clear_ann_eval_memo()
 
 
 def test_no_cartesian_outside_declared_cross(spark):
