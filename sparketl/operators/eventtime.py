@@ -237,9 +237,12 @@ def stream_watermark_late_drop(spark, sf_dir):
 )
 def stream_dedup(spark, sf_dir):
     """#132 streaming dedup: first event per (user, type) in event-time
-    order — the deterministic formulation of dropDuplicates (Spark's
-    dropDuplicates keeps an arbitrary row; within a watermark the
-    streaming runner uses dropDuplicatesWithinWatermark)."""
+    order — the deterministic formulation of dropDuplicates.  The LIVE
+    readStream twin is streaming/runner.dedup_stream (round 14):
+    ``withWatermark + dropDuplicatesWithinWatermark``, state bounded
+    to the last-δ keys; its stream≡batch equivalence on a time-split
+    and its eviction/replay trade are pinned in
+    tests/test_streaming.py, mirroring the LOCF lane's proof."""
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events")
