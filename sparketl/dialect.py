@@ -3902,21 +3902,34 @@ _PROBE_NAMES_CACHE: "_weakref.WeakKeyDictionary" = (
 
 
 def _temp_view_names(spark) -> "list[str]":
-    """Lowercased local-temp-view names — the engine's entire catalog
-    namespace.  Uses the session catalog's listLocalTempViews (a plain
-    Seq of identifiers, ~1ms) instead of spark.catalog.listTables(),
-    which materializes a whole Dataset per call (~0.2-0.5s measured —
-    the round-13 concurrency regression); falls back to the public API
-    if the internal one moves."""
+    """Lowercased local-temp-view names plus the schema-qualified
+    catalog tables of non-default databases (round 14 — the DML
+    engine's CREATE SCHEMA namespace) — together, the engine's entire
+    catalog namespace.  Uses the session catalog's listLocalTempViews
+    and the external catalog's listDatabases/listTables (plain Seqs of
+    identifiers over in-memory maps, ~1ms) instead of
+    spark.catalog.listTables(), which materializes a whole Dataset per
+    call (~0.2-0.5s measured — the round-13 concurrency regression);
+    falls back to the public temp-view-only listing if the internal
+    API moves (qualified tables then simply sit outside the `/`
+    classing namespace, the documented pre-r14 scope)."""
     try:
-        seq = (
-            spark._jsparkSession.sessionState()  # noqa: SLF001
-            .catalog()
-            .listLocalTempViews("*")
+        cat = (
+            spark._jsparkSession.sessionState().catalog()  # noqa: SLF001
         )
-        return sorted(
-            seq.apply(i).table().lower() for i in range(seq.size())
-        )
+        seq = cat.listLocalTempViews("*")
+        names = [seq.apply(i).table().lower() for i in range(seq.size())]
+        ext = cat.externalCatalog()
+        dbs = ext.listDatabases()
+        for i in range(dbs.size()):
+            db = dbs.apply(i).lower()
+            if db == "default":
+                continue
+            ts = ext.listTables(db)
+            names.extend(
+                f"{db}.{ts.apply(j).lower()}" for j in range(ts.size())
+            )
+        return sorted(names)
     except Exception:  # noqa: BLE001 - internal API moved; public path
         return sorted(
             t.name.lower() for t in spark.catalog.listTables() if t.name
@@ -4064,6 +4077,27 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
     double `/` (the legacy, docstring-documented behavior); the
     ``sql()`` front door always passes the catalog schemas."""
     masked, lits = _mask(presto_sql)
+
+    # Trino catalog/default-schema table spellings (round 14, VERDICT
+    # r13 #2): `sparketl.s.t` → `s.t` (single-catalog engine) and
+    # `default.t` → `t` (the flat temp-view namespace IS the default
+    # schema — Spark would look for a catalog table default.t).  Both
+    # anchored so struct-field access `col.default`/`col.sparketl`
+    # never matches (the char before must not be a word char or dot);
+    # non-default schema references pass through untouched — they ARE
+    # Spark catalog tables.
+    masked = re.sub(
+        r"(?<![\w.`])sparketl\s*\.\s*(?=[A-Za-z_])",
+        "",
+        masked,
+        flags=re.IGNORECASE,
+    )
+    masked = re.sub(
+        r"(?<![\w.`])default\s*\.\s*(?=[A-Za-z_])",
+        "",
+        masked,
+        flags=re.IGNORECASE,
+    )
 
     if schema is not None:
         colcls = {

@@ -25,6 +25,20 @@ dialect schema cache cleared — the catalog exposes no version counter
 to observe), so subsequent statements and plain SELECTs through
 ``dialect.sql()`` see the new state.
 
+Namespaces (round 14, VERDICT r13 #2): ``CREATE SCHEMA`` creates a
+real Spark in-memory-catalog database, and every statement arm accepts
+``[catalog.]schema.table`` qualifiers (the one catalog is spelled
+``sparketl``; ``default`` is the flat temp-view namespace itself).
+Qualified tables are registered as EXTERNAL parquet catalog tables at
+``<base>/<schema>.db/<table>``, so qualified SELECT references resolve
+natively in Spark — no text rewriting.  ``USE <schema>`` sets the
+session's current schema; unqualified names then resolve flat-first,
+then current-schema (Spark's analyzer order, kept identical between
+the DML route and the SELECT route — see ``_use``).  ``DROP SCHEMA``
+is RESTRICT by default (Trino SCHEMA_NOT_EMPTY) with CASCADE routed
+through the engine's own DROP TABLE path.  Views stay flat-only
+(temp views cannot be database-qualified; CREATE VIEW s.v refuses).
+
 ``CREATE [OR REPLACE] VIEW`` stores the body TEXT and re-translates it
 after every table mutation (Spark temp views pin an analyzed plan, so
 a view registered once would keep serving pre-INSERT file listings) —
@@ -304,6 +318,10 @@ def _resolve(spark: SparkSession, name: str) -> _Handle:
 
 def _refresh(spark: SparkSession, name: str) -> None:
     h = _handles(spark)[name]
+    if "." in name:
+        _refresh_catalog_table(spark, name, h)
+        _refresh_views(spark, changed=name)
+        return
     reader = spark.read
     if h.schema is not None:
         # the user schema pins the partition column's TYPE (otherwise
@@ -320,6 +338,86 @@ def _refresh(spark: SparkSession, name: str) -> None:
     # documented at sql()
     _d.update_schema_cache(spark, name, df.schema)
     _refresh_views(spark, changed=name)
+
+
+def _qparts(name: str) -> tuple[str, str]:
+    sch, tbl = name.split(".", 1)
+    return sch, tbl
+
+
+def _qident_sql(name: str) -> str:
+    sch, tbl = _qparts(name)
+    return f"`{sch}`.`{tbl}`"
+
+
+def _refresh_catalog_table(spark: SparkSession, name: str, h: _Handle) -> None:
+    """Register/refresh a SCHEMA-QUALIFIED table (round 14, VERDICT
+    r13 #2) as a real Spark in-memory-catalog EXTERNAL table over the
+    handle's parquet directory — qualified SELECT references then
+    resolve natively (zero text rewriting, full pushdown/pruning, the
+    plan is the same parquet scan the flat temp views get).
+
+    The catalog entry is DROPPED AND REDECLARED on every refresh:
+    schema changes (ALTER ADD/DROP/RENAME COLUMN rewrites the pinned
+    handle schema) must reach the catalog definition, and the
+    in-memory catalog's create+repair is microseconds of driver-side
+    map updates.  On a production metastore this would be an
+    incremental ALTER + ADD/DROP PARTITION feed instead — the
+    per-statement MSCK (a filesystem listing of the table root) is the
+    local-mode trade, same class as the copy-on-write rewrite itself.
+
+    Partitioned tables follow the catalog convention: the partition
+    column is declared last (Spark moves it there regardless — unlike
+    the flat path, whose temp-view re-read pins the declared order via
+    h.schema)."""
+    with CATALOG_LOCK:
+        spark.sql(f"drop table if exists {_qident_sql(name)}")
+        schema = h.schema
+        if schema is None:
+            schema = spark.read.parquet(h.path).schema
+        data_cols = [
+            f for f in schema.fields
+            if not (h.part_col and f.name.lower() == h.part_col.lower())
+        ]
+        part_fields = [
+            f for f in schema.fields
+            if h.part_col and f.name.lower() == h.part_col.lower()
+        ]
+        from pyspark.sql.types import StructType
+
+        ordered = data_cols + part_fields
+        if h.schema is not None and [f.name for f in h.schema.fields] != [
+            f.name for f in ordered
+        ]:
+            # catalog tables keep partition keys LAST — realign the
+            # pinned handle schema (ALTER ADD COLUMN appends after the
+            # part col) so SHOW CREATE / INSERT positional order and
+            # SELECT * can never disagree
+            h.schema = StructType(ordered)
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in ordered
+        )
+        part = (
+            f" partitioned by (`{part_fields[0].name}`)"
+            if part_fields
+            else ""
+        )
+        spark.sql(
+            f"create table {_qident_sql(name)} ({ddl}) using parquet"
+            f"{part} location '{h.path}'"
+        )
+        if part_fields:
+            # SYNC both ADDS new partition directories and DROPS
+            # emptied ones (overwrite_pruned deletes emptied dirs)
+            spark.sql(
+                f"msck repair table {_qident_sql(name)} sync partitions"
+            )
+        spark.catalog.refreshTable(name)
+    # qualified tables participate in `/` classing exactly like flat
+    # ones: the name-set probe lists catalog tables of non-default
+    # schemas, so push the schema to keep the rebuild read-free
+    _d.update_schema_cache(spark, name, spark.table(name).schema)
 
 
 # ---------------------------------------------------------------------------
@@ -389,6 +487,7 @@ def execute(spark: SparkSession, stmt: str) -> DataFrame:
         "prepare": _prepare,
         "execute": _execute,
         "deallocate": _deallocate,
+        "use": _use,
     }.get(kw)
     if handler is None and kw in _SESSION_STMT_REFUSALS:
         raise ValueError(_SESSION_STMT_REFUSALS[kw])
@@ -398,9 +497,11 @@ def execute(spark: SparkSession, stmt: str) -> DataFrame:
             "INSERT INTO, CREATE TABLE [IF NOT EXISTS] (col type, ...) "
             "| ... AS <query>, CREATE "
             "[OR REPLACE] VIEW ... AS, DELETE FROM, UPDATE, MERGE INTO, "
-            "DROP TABLE, DROP VIEW, TRUNCATE TABLE, ALTER TABLE, SHOW "
-            "TABLES, SHOW COLUMNS FROM, DESCRIBE (plus SELECT-shaped "
-            "queries through dialect.sql())"
+            "DROP TABLE, DROP VIEW, TRUNCATE TABLE, ALTER TABLE, "
+            "CREATE/DROP SCHEMA, USE, SHOW SCHEMAS/TABLES, SHOW "
+            "COLUMNS FROM, DESCRIBE (plus SELECT-shaped "
+            "queries through dialect.sql()); table names may be "
+            "[catalog.]schema.table-qualified"
         )
     return handler(spark, masked, lits)
 
@@ -417,6 +518,75 @@ def _rows_frame(spark: SparkSession, n: int) -> DataFrame:
 
 
 _IDENT = r"[A-Za-z_][A-Za-z_0-9$]*"
+
+#: a possibly schema- (and catalog-) qualified table reference —
+#: ``t`` / ``schema.t`` / ``catalog.schema.t`` (round 14, VERDICT r13
+#: #2: the two-level namespace every pasted Trino ETL script opens
+#: with)
+_QIDENT = rf"{_IDENT}(?:\s*\.\s*{_IDENT}){{0,2}}"
+
+#: catalog spellings accepted (and stripped) on 3-part names — the
+#: engine IS one catalog; any other catalog name refuses loudly
+_CATALOG_ALIASES = ("sparketl", "spark_catalog")
+
+
+def _schema_exists(spark: SparkSession, schema: str) -> bool:
+    return schema == "default" or spark.catalog.databaseExists(schema)
+
+
+def _canon(spark: SparkSession, raw: str) -> str:
+    """Canonical handle key for a possibly-qualified table reference.
+
+    - ``catalog.schema.t``: the catalog must be one of
+      ``_CATALOG_ALIASES`` (single-catalog engine) and is stripped.
+    - ``schema.t``: the schema must exist (CREATE SCHEMA first);
+      ``default.t`` canonicalizes to flat ``t`` — the flat temp-view
+      namespace IS the default schema.
+    - ``t``: resolves like Spark's analyzer so the DML route and the
+      SELECT route can never disagree — the flat (temp-view) namespace
+      first, then the CURRENT schema set by USE.  (Trino would resolve
+      straight to the current schema; the divergence exists only when
+      a flat object shadows a current-schema table, and is documented
+      at the USE handler.)
+
+    Canonical keys for non-default schemas keep the dot
+    (``schema.table``) — they are real Spark in-memory-catalog tables,
+    so the SELECT path needs no rewriting at all.
+    """
+    parts = [p.strip().lower() for p in raw.split(".")]
+    if len(parts) == 3:
+        if parts[0] not in _CATALOG_ALIASES:
+            raise ValueError(
+                f"dml: unknown catalog '{parts[0]}' — this is a "
+                "single-catalog engine (spell it 'sparketl' or omit it)"
+            )
+        parts = parts[1:]
+    if len(parts) == 2:
+        sch, tbl = parts
+        if sch == "default":
+            return tbl
+        if not _schema_exists(spark, sch):
+            raise ValueError(
+                f"dml: schema '{sch}' does not exist — CREATE SCHEMA "
+                "it first (SHOW SCHEMAS lists the live ones)"
+            )
+        return f"{sch}.{tbl}"
+    name = parts[0]
+    if name in _handles(spark) or name in _views(spark):
+        # hot path: known flat objects skip the currentDatabase py4j
+        # round-trip entirely (one JVM call per statement otherwise)
+        return name
+    cur = spark.catalog.currentDatabase().lower()
+    if cur != "default":
+        return f"{cur}.{name}"
+    return name
+
+
+def _display_name(name: str) -> str:
+    """The logical (Trino-shaped) spelling of a canonical key — the
+    canonical form already IS the logical name; kept as a seam so
+    result shapes never leak a physical spelling."""
+    return name
 
 
 def _checkpointed(df: DataFrame) -> DataFrame:
@@ -489,7 +659,7 @@ def _write_back(
 # ---------------------------------------------------------------------------
 
 _INSERT_RE = re.compile(
-    rf"^insert\s+into\s+({_IDENT})\s*", re.IGNORECASE | re.DOTALL
+    rf"^insert\s+into\s+({_QIDENT})\s*", re.IGNORECASE | re.DOTALL
 )
 
 
@@ -500,7 +670,7 @@ def _insert(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
             "dml: cannot parse INSERT — expected "
             "INSERT INTO <table> [(col, ...)] <query>"
         )
-    name = m.group(1).lower()
+    name = _canon(spark, m.group(1))
     rest = masked[m.end() :].lstrip()
     cols: list[str] | None = None
     if rest.startswith("("):
@@ -580,7 +750,7 @@ def _insert(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CTAS_RE = re.compile(
-    rf"^create\s+table\s+(if\s+not\s+exists\s+)?({_IDENT})\s*",
+    rf"^create\s+table\s+(if\s+not\s+exists\s+)?({_QIDENT})\s*",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -609,8 +779,21 @@ def _dml_base_dir(spark: SparkSession) -> str:
     return base
 
 
+def _table_dir(spark: SparkSession, name: str) -> str:
+    """Backing directory of a canonical table key: flat tables at
+    ``<base>/<table>``, schema-qualified ones at
+    ``<base>/<schema>.db/<table>`` (the Spark warehouse convention —
+    and collision-free with flat names, which can never contain a
+    dot)."""
+    base = _dml_base_dir(spark)
+    if "." in name:
+        sch, tbl = _qparts(name)
+        return os.path.join(base, f"{sch}.db", tbl)
+    return os.path.join(base, name)
+
+
 _VIEW_RE = re.compile(
-    rf"^create\s+(or\s+replace\s+)?view\s+({_IDENT})\s+as\b", re.IGNORECASE
+    rf"^create\s+(or\s+replace\s+)?view\s+({_QIDENT})\s+as\b", re.IGNORECASE
 )
 
 
@@ -624,7 +807,14 @@ def _create_view(
     (Trino validates the body at creation): the body is analyzed once
     here, so a typo fails at CREATE VIEW, not first use."""
     or_replace = m.group(1) is not None
-    name = m.group(2).lower()
+    name = _canon(spark, m.group(2))
+    if "." in name:
+        raise ValueError(
+            "dml: CREATE VIEW into a non-default schema is not "
+            "supported — views live in the default (flat) namespace; "
+            "qualified names are for TABLES (CREATE TABLE "
+            f"{name} ... works)"
+        )
     query = _unmask_raw(masked[m.end() :], lits).strip()
     if is_dml(query):
         raise ValueError("dml: a view body must be a SELECT-shaped query")
@@ -686,6 +876,109 @@ def _create_view(
     return _rows_frame(spark, 0)
 
 
+def _schema_name(raw: str) -> str:
+    """Normalize a schema reference: strip an accepted catalog prefix,
+    refuse anything deeper."""
+    parts = [x.strip().lower() for x in raw.split(".")]
+    if len(parts) == 2:
+        if parts[0] not in _CATALOG_ALIASES:
+            raise ValueError(
+                f"dml: unknown catalog '{parts[0]}' — this is a "
+                "single-catalog engine (spell it 'sparketl' or omit it)"
+            )
+        parts = parts[1:]
+    if len(parts) != 1:
+        raise ValueError(f"dml: '{raw}' is not a schema name")
+    return parts[0]
+
+
+def _create_schema(
+    spark: SparkSession, if_not_exists: bool, raw: str, trailing: str
+) -> DataFrame:
+    """Trino CREATE SCHEMA [IF NOT EXISTS] (round 14, VERDICT r13 #2):
+    a real namespace — Spark's session-scoped in-memory catalog
+    database.  Tables created qualified (CREATE TABLE s.t AS ...) are
+    registered as external parquet tables in it, so qualified SELECT
+    references resolve natively.  WITH (location/authorization/...)
+    properties refuse: the engine owns the layout
+    (``<base>/<schema>.db/<table>``)."""
+    if trailing.strip():
+        raise ValueError(
+            "dml: CREATE SCHEMA properties are refused — the engine "
+            "owns schema locations (<dml base dir>/<schema>.db); "
+            "expected CREATE SCHEMA [IF NOT EXISTS] <name>"
+        )
+    sch = _schema_name(raw)
+    if sch == "default" or spark.catalog.databaseExists(sch):
+        if if_not_exists:
+            return _rows_frame(spark, 0)
+        raise ValueError(
+            f"dml: schema '{sch}' already exists — use CREATE SCHEMA "
+            "IF NOT EXISTS"
+        )
+    with CATALOG_LOCK:
+        spark.sql(f"create database `{sch}`")
+    return _rows_frame(spark, 0)
+
+
+def _drop_schema(
+    spark: SparkSession, if_exists: bool, raw: str, mode: str
+) -> DataFrame:
+    """Trino DROP SCHEMA [IF EXISTS] <s> [RESTRICT|CASCADE].  RESTRICT
+    (the default) refuses while the schema holds tables — Trino's
+    SCHEMA_NOT_EMPTY; CASCADE drops the schema's tables through the
+    engine's own DROP TABLE path first (handle cleanup, dependent-view
+    refusal, file deletion) and then the namespace."""
+    sch = _schema_name(raw)
+    if sch == "default":
+        raise ValueError("dml: the default schema cannot be dropped")
+    if not spark.catalog.databaseExists(sch):
+        if if_exists:
+            return _rows_frame(spark, 0)
+        raise ValueError(f"dml: schema '{sch}' does not exist")
+    members = sorted(
+        n for n in _handles(spark) if n.startswith(f"{sch}.")
+    )
+    if members and mode != "cascade":
+        raise ValueError(
+            f"dml: cannot drop schema '{sch}' — it contains "
+            f"table(s) {', '.join(members)} (Trino SCHEMA_NOT_EMPTY); "
+            "DROP TABLE them first or use DROP SCHEMA ... CASCADE"
+        )
+    for n in members:
+        _drop(spark, f"drop table {n}", [])
+    if spark.catalog.currentDatabase().lower() == sch:
+        spark.sql("use default")
+    with CATALOG_LOCK:
+        # cascade at the Spark level too: a table registered outside
+        # the engine's handle registry must not block the drop
+        spark.sql(f"drop database `{sch}` cascade")
+    return _rows_frame(spark, 0)
+
+
+def _use(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
+    """Trino USE [catalog.]<schema> (round 14): sets the CURRENT
+    schema.  Unqualified names then resolve like Spark's analyzer:
+    the flat (temp-view) namespace FIRST, then the current schema —
+    documented divergence from Trino, which would resolve straight to
+    the current schema even when a flat object shadows the name; the
+    order is kept identical between the DML route (_canon) and the
+    SELECT route (Spark's own resolution) so the two can never
+    disagree about which table a statement touched."""
+    m = re.match(rf"^use\s+({_QIDENT})\s*$", masked, re.IGNORECASE)
+    if not m:
+        raise ValueError("dml: expected USE [catalog.]<schema>")
+    sch = _schema_name(m.group(1))
+    if not _schema_exists(spark, sch):
+        raise ValueError(
+            f"dml: schema '{sch}' does not exist — CREATE SCHEMA it "
+            "first (SHOW SCHEMAS lists the live ones)"
+        )
+    with CATALOG_LOCK:
+        spark.sql(f"use `{sch}`")
+    return _rows_frame(spark, 0)
+
+
 def _create(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
     if re.match(r"^create\s+materialized\s+view\b", masked, re.IGNORECASE):
         raise ValueError(
@@ -693,10 +986,20 @@ def _create(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
             "with CREATE TABLE ... AS <query> and refresh by "
             "re-running it (plain parquet has no incremental refresh)"
         )
+    sm = re.match(
+        rf"^create\s+(?:schema|database)\s+(if\s+not\s+exists\s+)?"
+        rf"({_QIDENT})\s*(.*)$",
+        masked,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if sm:
+        return _create_schema(
+            spark, sm.group(1) is not None, sm.group(2), sm.group(3)
+        )
     if re.match(r"^create\s+(schema|database)\b", masked, re.IGNORECASE):
         raise ValueError(
-            "dml: CREATE SCHEMA is refused — this engine has one flat "
-            "namespace; table names carry no schema qualifier"
+            "dml: cannot parse CREATE SCHEMA — expected CREATE SCHEMA "
+            "[IF NOT EXISTS] <name>"
         )
     vm = _VIEW_RE.match(masked)
     if vm:
@@ -709,7 +1012,7 @@ def _create(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
             "CREATE [OR REPLACE] VIEW <name> AS <query>"
         )
     if_not_exists = m.group(1) is not None
-    name = m.group(2).lower()
+    name = _canon(spark, m.group(2))
     rest = masked[m.end() :].lstrip()
     col_defs: str | None = None
     if rest.startswith("("):
@@ -779,9 +1082,20 @@ def _create(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
             f"dml: partitioned_by column '{part_col}' is not produced "
             "by the CTAS query"
         )
+    if part_col and "." in name and df.columns[-1].lower() != part_col:
+        # catalog tables store partition keys LAST (Spark and Hive) —
+        # and Trino's hive connector refuses this exact shape too, so
+        # the refusal matches the modeled engine rather than silently
+        # reordering the user's columns
+        raise ValueError(
+            f"dml: CREATE TABLE {name} — partition column "
+            f"'{part_col}' must be the LAST column of a "
+            "schema-qualified table (Trino hive: 'Partition keys must "
+            "be the last columns'); reorder the CTAS select list"
+        )
     if no_data:
         df = df.limit(0)
-    path = os.path.join(_dml_base_dir(spark), name)
+    path = _table_dir(spark, name)
     h = _Handle(path=path, part_col=part_col, schema=df.schema)
     df = _checkpointed(df)
     n = df.count()
@@ -846,13 +1160,13 @@ def _create_declared(
     for raw in _split_args(col_defs):
         c = raw.strip()
         lm = re.match(
-            rf"like\s+({_IDENT})"
+            rf"like\s+({_QIDENT})"
             r"(?:\s+(including|excluding)\s+properties)?\s*$",
             c,
             re.IGNORECASE,
         )
         if lm:
-            src = lm.group(1).lower()
+            src = _canon(spark, lm.group(1))
             try:
                 src_schema = spark.table(src).schema
             except Exception as e:
@@ -902,8 +1216,19 @@ def _create_declared(
             f"dml: partitioned_by column '{part_col}' is not among the "
             "declared columns"
         )
+    if (
+        part_col
+        and "." in name
+        and fields[-1].name.lower() != part_col
+    ):
+        raise ValueError(
+            f"dml: CREATE TABLE {name} — partition column "
+            f"'{part_col}' must be the LAST declared column of a "
+            "schema-qualified table (Trino hive: 'Partition keys must "
+            "be the last columns')"
+        )
     schema = StructType(fields)
-    path = os.path.join(_dml_base_dir(spark), name)
+    path = _table_dir(spark, name)
     # the readable-empty contract: one schema-bearing root parquet
     # write (partition directories appear at the first INSERT, which
     # clears the root file — the _insert empty-table branch)
@@ -964,11 +1289,11 @@ def _truncate(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
     """Trino TRUNCATE TABLE — delete all rows, keep the table (the
     readable schema-bearing empty-table contract)."""
     m = re.match(
-        rf"^truncate\s+table\s+({_IDENT})\s*$", masked, re.IGNORECASE
+        rf"^truncate\s+table\s+({_QIDENT})\s*$", masked, re.IGNORECASE
     )
     if not m:
         raise ValueError("dml: expected TRUNCATE TABLE <name>")
-    name = m.group(1).lower()
+    name = _canon(spark, m.group(1))
     h = _resolve(spark, name)
     schema = spark.table(name).schema
     spark.createDataFrame([], schema).write.mode("overwrite").parquet(h.path)
@@ -977,10 +1302,23 @@ def _truncate(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
 
 
 def _drop(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
+    sm = re.match(
+        rf"^drop\s+(?:schema|database)\s+(if\s+exists\s+)?({_QIDENT})"
+        r"\s*(restrict|cascade)?\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if sm:
+        return _drop_schema(
+            spark,
+            sm.group(1) is not None,
+            sm.group(2),
+            (sm.group(3) or "restrict").lower(),
+        )
     if re.match(r"^drop\s+(schema|database)\b", masked, re.IGNORECASE):
         raise ValueError(
-            "dml: DROP SCHEMA is refused — this engine has one flat "
-            "namespace; DROP TABLE/VIEW the objects individually"
+            "dml: cannot parse DROP SCHEMA — expected DROP SCHEMA "
+            "[IF EXISTS] <name> [RESTRICT|CASCADE]"
         )
     vm = re.match(
         rf"^drop\s+view\s+(if\s+exists\s+)?({_IDENT})\s*$",
@@ -1006,7 +1344,7 @@ def _drop(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
         _d.clear_schema_cache(name)
         return _rows_frame(spark, 0)
     m = re.match(
-        rf"^drop\s+table\s+(if\s+exists\s+)?({_IDENT})\s*$",
+        rf"^drop\s+table\s+(if\s+exists\s+)?({_QIDENT})\s*$",
         masked,
         re.IGNORECASE,
     )
@@ -1015,7 +1353,7 @@ def _drop(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
             "dml: expected DROP TABLE [IF EXISTS] <name> or "
             "DROP VIEW [IF EXISTS] <name>"
         )
-    name = m.group(2).lower()
+    name = _canon(spark, m.group(2))
     if name in _handles(spark):
         dep = _view_dependents(spark, name)
         if dep:
@@ -1029,7 +1367,10 @@ def _drop(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
             return _rows_frame(spark, 0)
         raise ValueError(f"dml: '{name}' is not a writable table")
     with CATALOG_LOCK:
-        spark.catalog.dropTempView(name)
+        if "." in name:
+            spark.sql(f"drop table if exists {_qident_sql(name)}")
+        else:
+            spark.catalog.dropTempView(name)
     _d.clear_schema_cache(name)
     jvm = spark._jvm  # noqa: SLF001 - Hadoop FS, same JVM as the writes
     p = jvm.org.apache.hadoop.fs.Path(h.path)
@@ -1044,7 +1385,7 @@ def _drop(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
 
 def _delete(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
     m = re.match(
-        rf"^delete\s+from\s+({_IDENT})\s*(?:where\b(.*))?$",
+        rf"^delete\s+from\s+({_QIDENT})\s*(?:where\b(.*))?$",
         masked,
         re.IGNORECASE | re.DOTALL,
     )
@@ -1053,7 +1394,7 @@ def _delete(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
             "dml: cannot parse DELETE — expected "
             "DELETE FROM <table> [WHERE <predicate>]"
         )
-    name = m.group(1).lower()
+    name = _canon(spark, m.group(1))
     h = _resolve(spark, name)
     pred = (m.group(2) or "").strip()
     if not pred:
@@ -1089,7 +1430,7 @@ def _delete(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
 
 def _update(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
     m = re.match(
-        rf"^update\s+({_IDENT})\s+set\b(.*)$",
+        rf"^update\s+({_QIDENT})\s+set\b(.*)$",
         masked,
         re.IGNORECASE | re.DOTALL,
     )
@@ -1098,7 +1439,7 @@ def _update(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
             "dml: cannot parse UPDATE — expected "
             "UPDATE <table> SET col = expr[, ...] [WHERE <predicate>]"
         )
-    name = m.group(1).lower()
+    name = _canon(spark, m.group(1))
     h = _resolve(spark, name)
     body = m.group(2)
     # the WHERE splits at depth 0 only (a nested one belongs to a
@@ -1120,7 +1461,9 @@ def _update(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
         if not am:
             raise ValueError(f"dml: cannot parse SET assignment '{a}'")
         assigns.append((am.group(1).lower(), am.group(2).strip()))
-    tgt_cols = [f.name for f in spark.table(name).schema.fields]
+    tgt_fields = list(spark.table(name).schema.fields)
+    tgt_cols = [f.name for f in tgt_fields]
+    tgt_type = {f.name.lower(): f.dataType.simpleString() for f in tgt_fields}
     by_col = dict(assigns)
     if len(by_col) != len(assigns):
         raise ValueError("dml: a column is assigned twice in SET")
@@ -1133,18 +1476,26 @@ def _update(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
             "move between partitions; DELETE + INSERT instead"
         )
     # every RHS is evaluated against the OLD row: one projection, all
-    # CASEs over the source row (SET a = b, b = a swaps)
+    # CASEs over the source row (SET a = b, b = a swaps).  Each RHS is
+    # CAST to the column's declared type, as Trino coerces (and INSERT
+    # / MERGE here already did): without it, `SET v = 1.25` on a
+    # double column projects DECIMAL(3,2), parquet stores the
+    # unscaled int 125, and the schema-pinned re-read returns 125.0 —
+    # silent value corruption (round 14, found by the DDL property
+    # differential)
     sel = []
     for c in tgt_cols:
         e = by_col.get(c.lower())
         if e is None:
             sel.append(c)
-        elif pred is None:
-            sel.append(f"({_unmask_raw(e, lits)}) as {c}")
+            continue
+        rhs = f"cast(({_unmask_raw(e, lits)}) as {tgt_type[c.lower()]})"
+        if pred is None:
+            sel.append(f"{rhs} as {c}")
         else:
             sel.append(
                 f"case when ({_unmask_raw(pred, lits)}) is true then "
-                f"({_unmask_raw(e, lits)}) else {c} end as {c}"
+                f"{rhs} else {c} end as {c}"
             )
     where_true = (
         f" where ({_unmask_raw(pred, lits)}) is true" if pred else ""
@@ -1172,7 +1523,7 @@ def _update(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MERGE_HEAD_RE = re.compile(
-    rf"^merge\s+into\s+({_IDENT})(?:\s+(?:as\s+)?({_IDENT}))?\s+using\s+",
+    rf"^merge\s+into\s+({_QIDENT})(?:\s+(?:as\s+)?({_IDENT}))?\s+using\s+",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -1185,7 +1536,9 @@ def _merge(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
             "t] USING <table|(query)> [AS s] ON <cond> WHEN ..."
         )
     name = m.group(1).lower()
-    talias = (m.group(2) or name).lower()
+    # an unaliased QUALIFIED target is referenced by its bare table
+    # name in clause expressions (Trino resolution)
+    talias = (m.group(2) or name.rsplit(".", 1)[-1]).lower()
     h = _resolve(spark, name)
     rest = masked[m.end() :].lstrip()
     # source: identifier or (subquery), optional alias
@@ -1196,11 +1549,12 @@ def _merge(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
         src_df = _d.sql(spark, _unmask_raw(src_text, lits))
         salias = None
     else:
-        sm = re.match(rf"({_IDENT})\s*", rest)
+        sm = re.match(rf"({_QIDENT})\s*", rest)
         if not sm:
             raise ValueError("dml: cannot parse MERGE source")
-        src_df = spark.table(sm.group(1).lower())
-        salias = sm.group(1).lower()
+        src_name = _canon(spark, sm.group(1))
+        src_df = spark.table(src_name)
+        salias = src_name.rsplit(".", 1)[-1]
         rest = rest[sm.end() :].lstrip()
     am = re.match(rf"(?:as\s+)?({_IDENT})\s+", rest, re.IGNORECASE)
     if am and am.group(1).lower() not in ("on",):
@@ -1692,7 +2046,7 @@ def _alter(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
             "— change a view's body with CREATE OR REPLACE VIEW"
         )
     m = re.match(
-        rf"^alter\s+table\s+({_IDENT})\s+(.*)$",
+        rf"^alter\s+table\s+({_QIDENT})\s+(.*)$",
         masked,
         re.IGNORECASE | re.DOTALL,
     )
@@ -1701,15 +2055,15 @@ def _alter(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
             "dml: expected ALTER TABLE <name> <action> or ALTER VIEW "
             "<name> RENAME TO <new>"
         )
-    name = m.group(1).lower()
+    name = _canon(spark, m.group(1))
     action = m.group(2).strip()
     h = _resolve(spark, name)
     schema = _declared_schema(spark, h, name)
     cols = {f.name.lower() for f in schema.fields}
 
-    rm = re.match(rf"^rename\s+to\s+({_IDENT})\s*$", action, re.IGNORECASE)
+    rm = re.match(rf"^rename\s+to\s+({_QIDENT})\s*$", action, re.IGNORECASE)
     if rm:
-        new = rm.group(1).lower()
+        new = _canon(spark, rm.group(1))
         dep = _view_dependents(spark, name)
         if dep:
             raise ValueError(
@@ -1720,7 +2074,10 @@ def _alter(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
             raise ValueError(f"dml: '{new}' already exists")
         _handles(spark)[new] = _handles(spark).pop(name)
         with CATALOG_LOCK:
-            spark.catalog.dropTempView(name)
+            if "." in name:
+                spark.sql(f"drop table if exists {_qident_sql(name)}")
+            else:
+                spark.catalog.dropTempView(name)
         _d.clear_schema_cache(name)
         _refresh(spark, new)
         return _rows_frame(spark, 0)
@@ -1919,9 +2276,35 @@ def _columns_frame(spark: SparkSession, name: str) -> DataFrame:
 
 def _show(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
     if re.match(r"^show\s+schemas\s*$", masked, re.IGNORECASE):
-        # one flat namespace — Trino's result shape, one row
-        return spark.createDataFrame([("default",)], "schema string")
-    if re.match(r"^show\s+tables\s*$", masked, re.IGNORECASE):
+        # REAL namespace listing (round 14): the in-memory catalog's
+        # databases, Trino's one-column result shape
+        with CATALOG_LOCK:
+            names = sorted(d.name.lower() for d in spark.catalog.listDatabases())
+        return spark.createDataFrame([(n,) for n in names], "schema string")
+    tm = re.match(
+        rf"^show\s+tables(?:\s+(?:from|in)\s+({_QIDENT}))?\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if tm:
+        if tm.group(1):
+            sch = _schema_name(tm.group(1))
+            if not _schema_exists(spark, sch):
+                raise ValueError(f"dml: schema '{sch}' does not exist")
+            if sch == "default":
+                with CATALOG_LOCK:
+                    names = sorted(
+                        t.name for t in spark.catalog.listTables()
+                    )
+            else:
+                names = sorted(
+                    n.rsplit(".", 1)[-1]
+                    for n in _handles(spark)
+                    if n.startswith(f"{sch}.")
+                )
+            return spark.createDataFrame(
+                [(n,) for n in names], "table string"
+            )
         # under CATALOG_LOCK: the same mid-mutation listing race the
         # schema classing had (ADVICE r12 — SHOW TABLES lacked even
         # the old retry)
@@ -1931,17 +2314,19 @@ def _show(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
             [(n,) for n in names], "table string"
         )
     m = re.match(
-        rf"^show\s+columns\s+from\s+({_IDENT})\s*$", masked, re.IGNORECASE
+        rf"^show\s+columns\s+from\s+({_QIDENT})\s*$", masked, re.IGNORECASE
     )
     if m:
-        return _columns_frame(spark, m.group(1).lower())
+        return _columns_frame(spark, _canon(spark, m.group(1)))
     m = re.match(
-        rf"^show\s+create\s+(table|view)\s+({_IDENT})\s*$",
+        rf"^show\s+create\s+(table|view)\s+({_QIDENT})\s*$",
         masked,
         re.IGNORECASE,
     )
     if m:
-        return _show_create(spark, m.group(1).lower(), m.group(2).lower())
+        return _show_create(
+            spark, m.group(1).lower(), _canon(spark, m.group(2))
+        )
     raise ValueError(
         "dml: supported SHOW forms: SHOW SCHEMAS, SHOW TABLES, SHOW "
         "COLUMNS FROM <table>, SHOW CREATE TABLE/VIEW <name> (Trino's "
@@ -1986,10 +2371,10 @@ def _show_create(spark: SparkSession, kind: str, name: str) -> DataFrame:
 
 
 def _describe(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
-    m = re.match(rf"^desc(?:ribe)?\s+({_IDENT})\s*$", masked, re.IGNORECASE)
+    m = re.match(rf"^desc(?:ribe)?\s+({_QIDENT})\s*$", masked, re.IGNORECASE)
     if not m:
         raise ValueError("dml: expected DESCRIBE <table>")
-    return _columns_frame(spark, m.group(1).lower())
+    return _columns_frame(spark, _canon(spark, m.group(1)))
 
 
 # ---------------------------------------------------------------------------
@@ -2109,11 +2494,6 @@ _SESSION_STMT_REFUSALS = {
     "reset": (
         "dml: RESET SESSION is refused — use spark.conf.unset on the "
         "matching Spark conf"
-    ),
-    "use": (
-        "dml: USE <catalog>.<schema> is refused — this engine has one "
-        "flat temp-view namespace; register tables with "
-        "sparketl.dml.register_table or sparketl.tables.load_tables"
     ),
     "analyze": (
         "dml: ANALYZE is refused — Spark computes statistics at read "

@@ -2451,7 +2451,9 @@ def test_frame_exclude_and_session_statement_refusals():
     # catalog — no Spark session needed
     for stmt, frag in [
         ("set session join_distribution_type = 'BROADCAST'", "spark.conf"),
-        ("use hive.warehouse", "namespace"),
+        # USE is a real statement since round 14; a foreign catalog
+        # still refuses at parse time, before any session touch
+        ("use hive.warehouse", "unknown catalog"),
         ("analyze lineitem", "statistics"),
         ("start transaction", "atomic per statement"),
         ("grant select on t to role r", "access-control"),

@@ -1303,16 +1303,14 @@ def test_alter_view_rename_and_namespace_statements(spark, wh):
     # other ALTER VIEW arms refuse with guidance
     with pytest.raises(ValueError, match="CREATE OR REPLACE VIEW"):
         dialect.sql(spark, "alter view v_avr2 set authorization bob")
-    # SHOW SCHEMAS: the single flat namespace
-    assert [tuple(r) for r in dialect.sql(spark, "show schemas").collect()] \
-        == [("default",)]
-    for stmt, frag in [
-        ("create schema s1", "flat"),
-        ("drop schema s1", "flat"),
-        ("refresh materialized view mv", "re-running"),
-    ]:
-        with pytest.raises(ValueError, match=frag):
-            dialect.sql(spark, stmt)
+    # SHOW SCHEMAS is a REAL listing since round 14; default is always
+    # present (exact namespace lifecycle is covered by
+    # test_schema_namespace_lifecycle)
+    assert ("default",) in {
+        tuple(r) for r in dialect.sql(spark, "show schemas").collect()
+    }
+    with pytest.raises(ValueError, match="re-running"):
+        dialect.sql(spark, "refresh materialized view mv")
 
 
 def test_scphema_cache_push_and_discovery(spark, wh):
@@ -1418,3 +1416,130 @@ def test_alter_view_rename_broken_body_leaves_catalogs_untouched(spark, wh):
     dialect.sql(spark, "drop view v_avrb")
     dialect.sql(spark, "drop table t_avrb2")
     spark.catalog.dropTempView("t_avrb")
+
+
+def test_schema_namespace_lifecycle(spark, wh):
+    """Round 14 (VERDICT r13 #2): the two-level namespace end to end —
+    CREATE SCHEMA, qualified CTAS/INSERT/UPDATE/DELETE/MERGE/ALTER,
+    catalog-prefixed spellings, USE resolution order, SHOW forms, and
+    the DROP SCHEMA RESTRICT/CASCADE semantics."""
+    dialect.sql(spark, "drop schema if exists nsl cascade")
+    dialect.sql(spark, "drop schema if exists nsl2 cascade")
+    dialect.sql(spark, "create schema nsl")
+    dialect.sql(spark, "create schema if not exists nsl")
+    with pytest.raises(ValueError, match="already exists"):
+        dialect.sql(spark, "create schema nsl")
+    schemas = {r[0] for r in dialect.sql(spark, "show schemas").collect()}
+    assert {"default", "nsl"} <= schemas
+    # qualified CTAS + the full DML arm set
+    dialect.sql(spark, "create table nsl.t as select k, g, v from dml_fx")
+    dialect.sql(spark, "insert into nsl.t values (9, 'z', 90.0)")
+    dialect.sql(spark, "update nsl.t set v = v + 1 where k = 9")
+    dialect.sql(spark, "delete from nsl.t where k = 5")
+    dialect.sql(
+        spark,
+        "merge into nsl.t as t using (select 1 as mk) m on t.k = mk "
+        "when matched then update set v = 0.0",
+    )
+    got = {r[0]: r[2] for r in _state(spark, "nsl.t")}
+    assert got[9] == 91.0 and got[1] == 0.0 and 5 not in got
+    # catalog-prefixed spelling reaches the same table (SELECT + DML)
+    assert dialect.sql(
+        spark, "select count(*) as c from sparketl.nsl.t"
+    ).collect()[0].c == len(got)
+    with pytest.raises(ValueError, match="unknown catalog"):
+        dialect.sql(spark, "insert into hive.nsl.t values (1, 'x', 1.0)")
+    # SELECT-path unknown catalogs fail loudly in Spark's own analyzer
+    with pytest.raises(Exception, match="hive"):
+        dialect.sql(spark, "select 1 from hive.nsl.t").collect()
+    # a second schema; cross-schema join
+    dialect.sql(spark, "create schema nsl2")
+    dialect.sql(
+        spark, "create table nsl2.u as select k, v as w from nsl.t"
+    )
+    n = dialect.sql(
+        spark,
+        "select count(*) as c from nsl.t join nsl2.u using (k)",
+    ).collect()[0].c
+    assert n == len(got)
+    # ALTER on qualified names, including a cross-name RENAME
+    dialect.sql(spark, "alter table nsl2.u add column tag varchar")
+    dialect.sql(spark, "alter table nsl2.u rename to nsl2.u2")
+    assert dialect.sql(
+        spark, "select count(*) as c from nsl2.u2 where tag is null"
+    ).collect()[0].c == n
+    # SHOW TABLES FROM / DESCRIBE / SHOW CREATE on qualified names
+    assert [tuple(r) for r in dialect.sql(
+        spark, "show tables from nsl2"
+    ).collect()] == [("u2",)]
+    cols = [r[0] for r in dialect.sql(spark, "describe nsl2.u2").collect()]
+    assert cols == ["k", "w", "tag"]
+    assert "nsl2.u2" in dialect.sql(
+        spark, "show create table nsl2.u2"
+    ).collect()[0][0]
+    # USE: unqualified names resolve flat-first, then current schema
+    dialect.sql(spark, "use nsl2")
+    try:
+        assert dialect.sql(
+            spark, "select count(*) as c from u2"
+        ).collect()[0].c == n
+        # a flat name still shadows (documented Spark-order divergence)
+        assert dialect.sql(
+            spark, "select count(*) as c from dml_fx"
+        ).collect()[0].c == 5
+        # CTAS of a new unqualified name lands in the current schema
+        dialect.sql(spark, "create table c_here as select 1 as one")
+        assert dml.table_path(spark, "nsl2.c_here")
+    finally:
+        dialect.sql(spark, "use default")
+    with pytest.raises(ValueError, match="does not exist"):
+        dialect.sql(spark, "use nope_schema")
+    # DROP SCHEMA: RESTRICT refuses while non-empty; CASCADE removes
+    # tables through the engine path; default is undroppable
+    with pytest.raises(ValueError, match="SCHEMA_NOT_EMPTY"):
+        dialect.sql(spark, "drop schema nsl2")
+    dialect.sql(spark, "drop schema nsl2 cascade")
+    assert not spark.catalog.databaseExists("nsl2")
+    assert "nsl2.u2" not in dml._handles(spark)
+    with pytest.raises(ValueError, match="cannot be dropped"):
+        dialect.sql(spark, "drop schema default")
+    dialect.sql(spark, "drop table nsl.t")
+    dialect.sql(spark, "drop schema nsl")  # empty now: RESTRICT ok
+    assert "nsl" not in {
+        r[0] for r in dialect.sql(spark, "show schemas").collect()
+    }
+    # qualified references to a missing schema refuse with guidance
+    with pytest.raises(ValueError, match="CREATE SCHEMA"):
+        dialect.sql(spark, "create table nsl.zzz as select 1 as one")
+
+
+def test_schema_namespace_partitioned_and_classing(spark, wh):
+    """Qualified PARTITIONED tables: partition-last rule (Trino hive
+    parity), pruned copy-on-write via the catalog-table MSCK path, and
+    the `/` classing probe seeing qualified columns."""
+    dialect.sql(spark, "drop schema if exists nsp cascade")
+    dialect.sql(spark, "create schema nsp")
+    with pytest.raises(ValueError, match="LAST"):
+        dialect.sql(
+            spark,
+            "create table nsp.bad with (partitioned_by = array['g']) "
+            "as select k, g, v from dml_fx",
+        )
+    dialect.sql(
+        spark,
+        "create table nsp.p with (partitioned_by = array['g']) "
+        "as select k, v, g from dml_fx",
+    )
+    dialect.sql(spark, "delete from nsp.p where g = 'a'")
+    assert sorted(
+        (r.g or "") for r in dialect.sql(spark, "select g from nsp.p").collect()
+    ) == ["", "b", "c"]
+    dialect.sql(spark, "insert into nsp.p values (7, 70.0, 'c')")
+    assert dialect.sql(
+        spark, "select count(*) as c from nsp.p where g = 'c'"
+    ).collect()[0].c == 2
+    # qualified columns participate in int-division classing
+    assert dialect.sql(
+        spark, "select k / 2 as h from nsp.p where k = 7"
+    ).collect()[0].h == 3
+    dialect.sql(spark, "drop schema nsp cascade")
