@@ -4148,6 +4148,28 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
     masked = _rewrite_frame_exclude(
         masked, colcls if schema is not None else None
     )
+    # SQL:2011 GROUPS frame mode (round 14): Spark has no GROUPS
+    # grammar (the text would die as PARSE_SYNTAX_ERROR), and the
+    # definitional rewrite — dense_rank() the ORDER BY key, RANGE on
+    # the rank — needs a subquery a textual splice cannot place.
+    # Refuse loudly toward the engine composition (anchored to a
+    # frame-BOUND continuation — `groups between 1 preceding`, never a
+    # predicate over a column named groups like `groups between 1 and
+    # 5`).
+    if re.search(
+        r"\bgroups\s+(?:between\s+)?"
+        r"(?:unbounded\s+preceding|current\s+row|\d+\s+(?:preceding|following))",
+        masked,
+        re.IGNORECASE,
+    ):
+        raise ValueError(
+            "dialect: GROUPS frame mode is refused — Spark's window "
+            "grammar has no GROUPS; use the definitional composition "
+            "(dense_rank() over the ORDER BY key, then a RANGE frame "
+            "on the rank — sparketl.operators.windows "
+            "win_groups_frame/win_groups_frame_bounds/win_groups_exclude, "
+            "SURVEY.md §2 #160)"
+        )
     masked = _rewrite_tablesample(masked)
     masked = _rewrite_row_constructor(masked)
     masked = _rewrite_unnest(masked)
@@ -4549,6 +4571,70 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
     return _unmask(masked, lits)
 
 
+def _plan_with_metrics(node, depth: int = 0, out: "list[str] | None" = None):
+    """Render an EXECUTED SparkPlan tree with each operator's ACTUAL
+    SQLMetric values (rows out, scan bytes/files, shuffle bytes,
+    agg/pipeline times — the numbers the Spark SQL UI shows), walked
+    through the JVM handle.  AQE wrappers (AdaptiveSparkPlanExec and
+    the *QueryStageExec materialization points) are unwrapped via
+    ``executedPlan()`` / ``plan()`` — ``children()`` is empty on a
+    query stage, so the plain walk would stop at ResultQueryStage."""
+    out = [] if out is None else out
+    cls = node.getClass().getSimpleName()
+    pairs = []
+    it = node.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        v = kv._2().value()
+        if v:
+            pairs.append(f"{kv._1()}={v}")
+    out.append(
+        "   " * depth
+        + node.nodeName()
+        + (" [" + ", ".join(sorted(pairs)[:8]) + "]" if pairs else "")
+    )
+    if cls == "AdaptiveSparkPlanExec":
+        _plan_with_metrics(node.executedPlan(), depth + 1, out)
+        return out
+    if cls.endswith("QueryStageExec"):
+        _plan_with_metrics(node.plan(), depth + 1, out)
+        return out
+    ch = node.children()
+    for i in range(ch.size()):
+        _plan_with_metrics(ch.apply(i), depth + 1, out)
+    return out
+
+
+def _explain_analyze(spark: SparkSession, query_sql: str) -> DataFrame:
+    """Trino ``EXPLAIN ANALYZE <query>`` (round 14 — the last
+    'refuses' entry on the r13 missing list): EXECUTE the translated
+    query and return the FINAL adaptive physical plan annotated with
+    per-operator runtime metrics, as one ``(query_plan varchar)`` row
+    — Trino's one-column result shape.
+
+    The output is streamed through ``toLocalIterator`` and discarded
+    (one partition buffered at a time), so analyzing a large SELECT
+    never materializes the whole result on the driver — the executed
+    statement's cost is the statement's own distributed cost, as in
+    Trino.  With AQE on, the plan shown IS the runtime-replanned one
+    (coalesced shuffles, switched join strategies), which is exactly
+    the artifact a 100-TB plan review wants."""
+    import time as _time
+
+    df = spark.sql(
+        translate(query_sql, schema=_catalog_column_classes(spark))
+    )
+    t0 = _time.perf_counter()
+    n = sum(1 for _ in df.toLocalIterator())
+    wall = _time.perf_counter() - t0
+    lines = _plan_with_metrics(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+    text = (
+        f"Query executed in {wall:.3f}s, {n} output row(s)\n"
+        + "\n".join(lines)
+    )
+    return spark.createDataFrame([(text,)], "query_plan string")
+
+
 def sql(spark: SparkSession, presto_sql: str) -> DataFrame:
     """Run Presto-dialect SQL against the current Spark catalog.
 
@@ -4557,8 +4643,10 @@ def sql(spark: SparkSession, presto_sql: str) -> DataFrame:
     INTO, CREATE TABLE AS, DELETE, UPDATE, MERGE INTO, DROP TABLE)
     route to ``sparketl.dml`` (parquet-backed writable tables, pruned
     copy-on-write); ``EXPLAIN <query>`` returns Spark's FORMATTED plan
-    for the translated query (``EXPLAIN ANALYZE`` refuses — run the
-    query and read the UI/metrics instead).
+    for the translated query, and ``EXPLAIN ANALYZE <query>`` (round
+    14) EXECUTES it and returns the final adaptive plan annotated with
+    per-operator runtime metrics (`_explain_analyze`; DML statements
+    still refuse — they run without one Spark plan to annotate).
 
     Schema note: the integer-division resolver reads the catalog
     schemas once per (session, view-name set) — the engine's own
@@ -4590,11 +4678,17 @@ def sql(spark: SparkSession, presto_sql: str) -> DataFrame:
     em = re.match(r"\s*explain\b(\s+analyze\b)?", presto_sql, re.IGNORECASE)
     if em:
         if em.group(1):
-            raise ValueError(
-                "dialect: EXPLAIN ANALYZE is refused — it would execute "
-                "the statement; use plain EXPLAIN for the plan, or run "
-                "the query and read the Spark UI metrics"
-            )
+            inner = presto_sql[em.end() :]
+            from sparketl import dml as _dml
+
+            if _dml.is_dml(inner):
+                raise ValueError(
+                    "dialect: EXPLAIN ANALYZE of a DML/DDL statement "
+                    "is refused — DML executes through the front door "
+                    "without one Spark plan to annotate; EXPLAIN "
+                    "ANALYZE the statement's SELECT body instead"
+                )
+            return _explain_analyze(spark, inner)
         inner = presto_sql[em.end() :]
         om = re.match(
             r"\s*\(\s*(type|format)\s", inner, re.IGNORECASE

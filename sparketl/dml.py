@@ -36,8 +36,13 @@ session's current schema; unqualified names then resolve flat-first,
 then current-schema (Spark's analyzer order, kept identical between
 the DML route and the SELECT route — see ``_use``).  ``DROP SCHEMA``
 is RESTRICT by default (Trino SCHEMA_NOT_EMPTY) with CASCADE routed
-through the engine's own DROP TABLE path.  Views stay flat-only
-(temp views cannot be database-qualified; CREATE VIEW s.v refuses).
+through the engine's own DROP TABLE/VIEW paths.  ``CREATE VIEW s.v``
+creates a real Spark CATALOG view (re-analyzed per read, so it tracks
+later DML natively); its body may reference only catalog objects —
+the flat namespace is session temp views, which a catalog view cannot
+capture — and its dependent tracking is lazy (a base drop breaks it
+at next read, Trino's own behavior), both stated at
+``_create_catalog_view``.
 
 ``CREATE [OR REPLACE] VIEW`` stores the body TEXT and re-translates it
 after every table mutation (Spark temp views pin an analyzed plan, so
@@ -179,6 +184,24 @@ def _views(spark: SparkSession) -> dict[str, str]:
     if v is None:
         v = {}
         _VIEW_DEFS[spark] = v
+    return v
+
+
+#: schema-QUALIFIED views (round 14): name "s.v" -> ORIGINAL Presto
+#: body text, for SHOW CREATE round-trips.  The executable definition
+#: lives in the Spark catalog (a real catalog view over the schema's
+#: external tables — re-analyzed on every read, so it tracks later
+#: DML without the flat views' re-registration fixpoint).
+_QVIEW_DEFS: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _qviews(spark: SparkSession) -> dict[str, str]:
+    v = _QVIEW_DEFS.get(spark)
+    if v is None:
+        v = {}
+        _QVIEW_DEFS[spark] = v
     return v
 
 
@@ -797,6 +820,56 @@ _VIEW_RE = re.compile(
 )
 
 
+def _create_catalog_view(
+    spark: SparkSession, name: str, or_replace: bool, query: str
+) -> DataFrame:
+    """CREATE [OR REPLACE] VIEW <schema>.<v> (round 14): a real Spark
+    catalog view.  The TRANSLATED body is stored in the in-memory
+    catalog and RE-ANALYZED on every read, so the view tracks later
+    DML like the flat logical views do — without the re-registration
+    fixpoint, because the catalog does it natively.
+
+    Two documented divergences from the flat-view contract:
+    - the body may reference only CATALOG objects (schema-qualified
+      tables / other catalog views) — Spark refuses a permanent view
+      over a TEMP view, which is the entire flat namespace; the
+      refusal is re-raised with that guidance;
+    - dependent tracking is LAZY (a base drop breaks the view at its
+      next read — Trino's own behavior), not the flat views' eager
+      refusal.
+    The dialect translation (and its `/` classing) is applied ONCE at
+    creation; the stored text is Spark SQL."""
+    if is_dml(query):
+        raise ValueError("dml: a view body must be a SELECT-shaped query")
+    translated = _d.translate(
+        query, schema=_d._catalog_column_classes(spark)
+    )
+    rep = "or replace " if or_replace else ""
+    try:
+        with CATALOG_LOCK:
+            spark.sql(
+                f"create {rep}view {_qident_sql(name)} as {translated}"
+            )
+    except Exception as e:  # noqa: BLE001 - narrowed below
+        msg = str(e)
+        if "INVALID_TEMP_OBJ_REFERENCE" in msg or "temporary" in msg:
+            raise ValueError(
+                f"dml: CREATE VIEW {name} — a schema-qualified view "
+                "can only reference schema-qualified tables/views "
+                "(the flat namespace is session temp views, which a "
+                "catalog view cannot capture); qualify the base "
+                "tables or create a flat view instead"
+            ) from e
+        if "TABLE_OR_VIEW_ALREADY_EXISTS" in msg:
+            raise ValueError(
+                f"dml: view '{name}' already exists — use CREATE OR "
+                "REPLACE VIEW"
+            ) from e
+        raise
+    _qviews(spark)[name] = query
+    return _rows_frame(spark, 0)
+
+
 def _create_view(
     spark: SparkSession, m: "re.Match", masked: str, lits: list[str]
 ) -> DataFrame:
@@ -808,14 +881,9 @@ def _create_view(
     here, so a typo fails at CREATE VIEW, not first use."""
     or_replace = m.group(1) is not None
     name = _canon(spark, m.group(2))
-    if "." in name:
-        raise ValueError(
-            "dml: CREATE VIEW into a non-default schema is not "
-            "supported — views live in the default (flat) namespace; "
-            "qualified names are for TABLES (CREATE TABLE "
-            f"{name} ... works)"
-        )
     query = _unmask_raw(masked[m.end() :], lits).strip()
+    if "." in name:
+        return _create_catalog_view(spark, name, or_replace, query)
     if is_dml(query):
         raise ValueError("dml: a view body must be a SELECT-shaped query")
     views = _views(spark)
@@ -939,12 +1007,18 @@ def _drop_schema(
     members = sorted(
         n for n in _handles(spark) if n.startswith(f"{sch}.")
     )
-    if members and mode != "cascade":
+    vmembers = sorted(
+        n for n in _qviews(spark) if n.startswith(f"{sch}.")
+    )
+    if (members or vmembers) and mode != "cascade":
         raise ValueError(
             f"dml: cannot drop schema '{sch}' — it contains "
-            f"table(s) {', '.join(members)} (Trino SCHEMA_NOT_EMPTY); "
-            "DROP TABLE them first or use DROP SCHEMA ... CASCADE"
+            f"object(s) {', '.join(members + vmembers)} (Trino "
+            "SCHEMA_NOT_EMPTY); DROP them first or use DROP SCHEMA "
+            "... CASCADE"
         )
+    for n in vmembers:
+        _drop(spark, f"drop view {n}", [])
     for n in members:
         _drop(spark, f"drop table {n}", [])
     if spark.catalog.currentDatabase().lower() == sch:
@@ -1321,12 +1395,22 @@ def _drop(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
             "[IF EXISTS] <name> [RESTRICT|CASCADE]"
         )
     vm = re.match(
-        rf"^drop\s+view\s+(if\s+exists\s+)?({_IDENT})\s*$",
+        rf"^drop\s+view\s+(if\s+exists\s+)?({_QIDENT})\s*$",
         masked,
         re.IGNORECASE,
     )
     if vm:
-        name = vm.group(2).lower()
+        name = _canon(spark, vm.group(2))
+        if "." in name:
+            qv = _qviews(spark)
+            if name not in qv:
+                if vm.group(1):
+                    return _rows_frame(spark, 0)
+                raise ValueError(f"dml: '{name}' is not a DML-created view")
+            with CATALOG_LOCK:
+                spark.sql(f"drop view if exists {_qident_sql(name)}")
+            qv.pop(name, None)
+            return _rows_frame(spark, 0)
         views = _views(spark)
         if name not in views:
             if vm.group(1):
@@ -2299,7 +2383,8 @@ def _show(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
             else:
                 names = sorted(
                     n.rsplit(".", 1)[-1]
-                    for n in _handles(spark)
+                    for reg in (_handles(spark), _qviews(spark))
+                    for n in reg
                     if n.startswith(f"{sch}.")
                 )
             return spark.createDataFrame(
@@ -2343,7 +2428,7 @@ def _show_create(spark: SparkSession, kind: str, name: str) -> DataFrame:
     comment)."""
     views = _views(spark)
     if kind == "view":
-        vq = views.get(name)
+        vq = views.get(name) or _qviews(spark).get(name)
         if vq is None:
             raise ValueError(f"dml: '{name}' is not a DML-created view")
         stmt = f"CREATE VIEW {name} AS\n{vq}"

@@ -2445,6 +2445,17 @@ def test_frame_exclude_and_session_statement_refusals():
     # a column actually NAMED exclude is untouched (no closing paren)
     out = translate("select exclude from t group by exclude")
     assert "exclude" in out
+    # GROUPS frame mode refuses loudly toward the #160 composition
+    # (round 14) instead of dying as a Spark PARSE_SYNTAX_ERROR ...
+    with pytest.raises(ValueError, match="GROUPS frame"):
+        translate(
+            "select sum(x) over (order by y groups between 1 "
+            "preceding and 1 following) from t"
+        )
+    # ... while a column literally named groups in a BETWEEN predicate
+    # passes through (the refusal anchors on frame-bound words)
+    out = translate("select groups from t where groups between 1 and 5")
+    assert "groups" in out
     from sparketl import dml
 
     # session statements refuse during parse, before touching the

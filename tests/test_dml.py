@@ -261,10 +261,38 @@ def test_explain_carries_pushed_filter(spark, wh):
         ).collect()
     )
     assert "PushedFilters" in plan and "GreaterThan(k,3)" in plan
-    with pytest.raises(ValueError, match="EXPLAIN ANALYZE is refused"):
-        dialect.sql(spark, "explain analyze select 1")
     with pytest.raises(ValueError, match="options are refused"):
         dialect.sql(spark, "explain (type distributed) select 1")
+
+
+def test_explain_analyze_runs_and_annotates(spark, wh):
+    """Round 14: EXPLAIN ANALYZE executes the query and returns the
+    FINAL adaptive plan annotated with per-operator runtime metrics
+    (Trino's one-column result shape); DML statements still refuse."""
+    dialect.sql(spark, "create table t_ea as select k, g, v from dml_fx")
+    out = dialect.sql(
+        spark,
+        "explain analyze select g, count(*) as c from t_ea "
+        "where k > 1 group by g",
+    ).collect()
+    assert len(out) == 1 and out[0].__fields__ == ["query_plan"]
+    text = out[0].query_plan
+    # executed: the header carries the actual output-row count (4
+    # groups survive k > 1: 'a', 'b', 'c', NULL)
+    assert "4 output row(s)" in text
+    # annotated: actual rows flowed through the scan (4 of 5 pass)
+    assert "numOutputRows=4" in text
+    assert "HashAggregate" in text and "Scan parquet" in text
+    # the plan shown is the FINAL adaptive one
+    assert "AdaptiveSparkPlan" in text
+    # Presto-dialect text translates before executing (int division)
+    out2 = dialect.sql(
+        spark, "explain analyze select k / 2 as h from t_ea where k = 4"
+    ).collect()[0].query_plan
+    assert "1 output row(s)" in out2
+    with pytest.raises(ValueError, match="EXPLAIN ANALYZE of a DML"):
+        dialect.sql(spark, "explain analyze delete from t_ea where k = 1")
+    dialect.sql(spark, "drop table t_ea")
 
 
 def test_unsupported_statements_refuse(spark, wh):
@@ -1543,3 +1571,55 @@ def test_schema_namespace_partitioned_and_classing(spark, wh):
         spark, "select k / 2 as h from nsp.p where k = 7"
     ).collect()[0].h == 3
     dialect.sql(spark, "drop schema nsp cascade")
+
+
+def test_schema_namespace_qualified_views(spark, wh):
+    """Round 14: CREATE VIEW <schema>.<v> is a real Spark catalog view
+    — re-analyzed per read (tracks later DML), flat-base refusal,
+    SHOW forms, DROP SCHEMA member accounting, and the documented
+    lazy-dependency divergence from flat views."""
+    dialect.sql(spark, "drop schema if exists nsv cascade")
+    dialect.sql(spark, "create schema nsv")
+    dialect.sql(spark, "create table nsv.t as select k, v from dml_fx")
+    dialect.sql(
+        spark,
+        "create view nsv.v as select k, v * 2 as w from nsv.t where k <= 4",
+    )
+    assert {(r.k, r.w) for r in dialect.sql(
+        spark, "select * from nsv.v"
+    ).collect()} == {(1, 20.0), (2, 40.0), (3, 60.0), (4, 80.0)}
+    # the catalog re-analyzes per read: later DML is visible
+    dialect.sql(spark, "delete from nsv.t where k = 2")
+    assert {r.k for r in dialect.sql(
+        spark, "select * from nsv.v"
+    ).collect()} == {1, 3, 4}
+    # OR REPLACE; plain CREATE over an existing name refuses
+    dialect.sql(
+        spark, "create or replace view nsv.v as select k from nsv.t"
+    )
+    assert [c.lower() for c in dialect.sql(
+        spark, "select * from nsv.v"
+    ).columns] == ["k"]
+    with pytest.raises(ValueError, match="already exists"):
+        dialect.sql(spark, "create view nsv.v as select 1 as one")
+    # a body over the flat (temp-view) namespace refuses with guidance
+    with pytest.raises(ValueError, match="schema-qualified"):
+        dialect.sql(spark, "create view nsv.bad as select k from dml_fx")
+    # SHOW forms see it; SHOW CREATE round-trips the ORIGINAL text
+    assert ("v",) in {
+        tuple(r)
+        for r in dialect.sql(spark, "show tables from nsv").collect()
+    }
+    assert "select k from nsv.t" in dialect.sql(
+        spark, "show create view nsv.v"
+    ).collect()[0][0]
+    # RESTRICT drop counts the view as a member
+    dialect.sql(spark, "drop table nsv.t")  # lazy break, per contract
+    with pytest.raises(ValueError, match="SCHEMA_NOT_EMPTY"):
+        dialect.sql(spark, "drop schema nsv")
+    dialect.sql(spark, "drop view nsv.v")
+    dialect.sql(spark, "drop schema nsv")
+    # DROP VIEW IF EXISTS on a gone qualified name is a no-op
+    dialect.sql(spark, "create schema nsv")
+    dialect.sql(spark, "drop view if exists nsv.v")
+    dialect.sql(spark, "drop schema nsv")
