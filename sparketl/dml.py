@@ -2456,10 +2456,73 @@ def _show_create(spark: SparkSession, kind: str, name: str) -> DataFrame:
 
 
 def _describe(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
+    dm = re.match(
+        rf"^desc(?:ribe)?\s+(input|output)\s+({_IDENT})\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if dm:
+        return _describe_prepared(
+            spark, dm.group(1).lower(), dm.group(2).lower()
+        )
     m = re.match(rf"^desc(?:ribe)?\s+({_QIDENT})\s*$", masked, re.IGNORECASE)
     if not m:
-        raise ValueError("dml: expected DESCRIBE <table>")
+        raise ValueError(
+            "dml: expected DESCRIBE <table> or DESCRIBE INPUT/OUTPUT "
+            "<prepared-statement>"
+        )
     return _columns_frame(spark, _canon(spark, m.group(1)))
+
+
+def _describe_prepared(
+    spark: SparkSession, kind: str, name: str
+) -> DataFrame:
+    """Trino ``DESCRIBE INPUT`` / ``DESCRIBE OUTPUT`` over a prepared
+    statement (round 14).
+
+    INPUT: one ``(position, type)`` row per positional ``?``
+    (masked-text scan, so a ``?`` inside a string literal is never a
+    parameter) — types are 'unknown', as Trino itself reports wherever
+    the analyzer cannot pin one; this engine defers ALL parameter
+    typing to EXECUTE, where the spliced value's own type governs.
+
+    OUTPUT: the statement is ANALYZED (never executed) with each ``?``
+    spliced as NULL, and the result schema is returned in Trino's
+    column shape.  Simplifications, stated rather than faked: catalog
+    is always the engine's single 'sparketl'; schema/table lineage per
+    column is not tracked (blank); type_size is 0 (Trino's byte sizes
+    are engine-internal); aliased is true (every projected column).  A
+    DML statement reports Trino's DML result shape — the single
+    bigint 'rows' column — without running anything."""
+    stmt = _prepared(spark).get(name)
+    if stmt is None:
+        raise ValueError(f"dml: no prepared statement '{name}'")
+    pmasked, plits = _mask(stmt)
+    slots = [i for i, c in enumerate(pmasked) if c == "?"]
+    if kind == "input":
+        return spark.createDataFrame(
+            [(i, "unknown") for i in range(len(slots))],
+            "position int, type string",
+        )
+    out_schema = (
+        "column_name string, catalog string, schema string, "
+        "table string, type string, type_size int, aliased boolean"
+    )
+    if is_dml(stmt):
+        return spark.createDataFrame(
+            [("rows", "sparketl", "", "", "bigint", 0, True)], out_schema
+        )
+    for i in reversed(slots):
+        pmasked = f"{pmasked[:i]}(null){pmasked[i + 1:]}"
+    df = _d.sql(spark, _unmask_raw(pmasked, plits))
+    rows = []
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        t = _SPARK_TO_TRINO_TYPE.get(t, t)
+        if t == "void":
+            t = "unknown"
+        rows.append((f.name, "sparketl", "", "", t, 0, True))
+    return spark.createDataFrame(rows, out_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -1623,3 +1623,41 @@ def test_schema_namespace_qualified_views(spark, wh):
     dialect.sql(spark, "create schema nsv")
     dialect.sql(spark, "drop view if exists nsv.v")
     dialect.sql(spark, "drop schema nsv")
+
+
+def test_describe_input_output_prepared(spark, wh):
+    """Round 14: Trino DESCRIBE INPUT (one (position, type) row per ?,
+    0-based, literal-masked) and DESCRIBE OUTPUT (analyzed result
+    schema in Trino's column shape — never executed; a DML statement
+    reports the single bigint 'rows' column)."""
+    dialect.sql(spark, "create table t_dio as select k, v from dml_fx")
+    dialect.sql(
+        spark,
+        "prepare p_dio from select k, v * ? as s, '?' as lit from t_dio "
+        "where k > ?",
+    )
+    got = [tuple(r) for r in dialect.sql(
+        spark, "describe input p_dio"
+    ).collect()]
+    # two real parameters; the '?' inside the string literal is NOT one
+    assert got == [(0, "unknown"), (1, "unknown")]
+    out = [tuple(r) for r in dialect.sql(
+        spark, "describe output p_dio"
+    ).collect()]
+    assert [(r[0], r[4]) for r in out] == [
+        ("k", "bigint"), ("s", "double"), ("lit", "varchar")
+    ]
+    # DML statement: Trino's DML result shape, and nothing executes
+    dialect.sql(spark, "prepare p_dio_d from delete from t_dio where k = ?")
+    out = [tuple(r) for r in dialect.sql(
+        spark, "describe output p_dio_d"
+    ).collect()]
+    assert [(r[0], r[4]) for r in out] == [("rows", "bigint")]
+    assert dialect.sql(
+        spark, "select count(*) as c from t_dio"
+    ).collect()[0].c == 5
+    # zero-parameter INPUT is an empty set, as in Trino
+    dialect.sql(spark, "prepare p_dio_0 from select 1 as one")
+    assert dialect.sql(spark, "describe input p_dio_0").collect() == []
+    with pytest.raises(ValueError, match="no prepared statement"):
+        dialect.sql(spark, "describe output nope_stmt")
