@@ -144,12 +144,34 @@ def main() -> None:
             parts.append(
                 f"concurrent ratio **≈{headline.get('value') / tot:.2f}×**"
             )
-    print(
-        f"\nBASELINE.md row (paste above the round-2→3 history line):\n"
+    row = (
         f"| **Round-{n} refresh @ {nq} queries** | "
         + "; ".join(str(p) for p in parts)
         + " | bench confs as r3-r5 | measured (this round) |"
     )
+    if "--write-baseline" in sys.argv:
+        bl = os.path.join(REPO, "BASELINE.md")
+        with open(bl) as fh:
+            text = fh.read()
+        anchor = "| Round-2 → round-3 bench history |"
+        if f"**Round-{n} refresh" in text:
+            print(f"BASELINE.md already has a Round-{n} row — not duplicated")
+        elif anchor not in text:
+            print("BASELINE.md anchor row not found — row printed only")
+            print(row)
+        else:
+            if dry:
+                print(f"# would insert into BASELINE.md:\n{row}")
+            else:
+                with open(bl, "w") as fh:
+                    fh.write(text.replace(anchor, f"{row}\n{anchor}", 1))
+                _git_add(["BASELINE.md"], dry)
+                print(f"BASELINE.md: Round-{n} row inserted")
+    else:
+        print(
+            "\nBASELINE.md row (paste above the round-2→3 history "
+            "line, or re-run with --write-baseline):\n" + row
+        )
 
 
 if __name__ == "__main__":

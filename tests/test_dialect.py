@@ -394,6 +394,20 @@ def test_exec_frame_exclude_current_row_matches_duckdb(spark, duck):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_catalog_and_default_prefix_strip():
+    """Round 14: Trino table spellings `sparketl.s.t` (the single
+    catalog) and `default.t` (the flat namespace IS the default
+    schema) normalize in the SELECT path; struct-field access through
+    a column is anchored out."""
+    out = _norm(translate("select * from sparketl.s1.t join default.u using (k)"))
+    assert "from s1.t join u using (k)" in out
+    # `c.default`/`c.sparketl` are field accesses, not prefixes
+    out = translate("select c.default, c.sparketl from t c2")
+    assert "c.default" in out and "c.sparketl" in out
+    # chained: sparketl.default.t → t
+    assert "from t" in _norm(translate("select * from sparketl.default.t"))
+
+
 def test_exec_frame_exclude_zero_offset_bound_matches_duckdb(spark, duck):
     """ADVICE r13 (medium): ``0 PRECEDING`` / ``0 FOLLOWING`` IS the
     current row, so a frame like ``3 PRECEDING AND 0 PRECEDING EXCLUDE
