@@ -4554,6 +4554,24 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
         pat = rf"\b{name}\s*\(\s*\)"
         if re.search(pat, masked, flags=re.IGNORECASE):
             masked = re.sub(pat, make_const(lits), masked, flags=re.IGNORECASE)
+    # Trino session accessors (round 14, with the USE/schema support):
+    # NILADIC in Trino's grammar — current_schema maps to Spark's
+    # current_schema() (the () is required there), current_catalog is
+    # the engine's single catalog name as a constant.  Word-bounded and
+    # not already parenthesized, so a call form passes through too.
+    if re.search(r"\bcurrent_catalog\b", masked, re.IGNORECASE):
+        masked = re.sub(
+            r"\bcurrent_catalog\b(\s*\(\s*\))?",
+            _inject_lit(lits, "sparketl"),
+            masked,
+            flags=re.IGNORECASE,
+        )
+    masked = re.sub(
+        r"\bcurrent_schema\b(?!\s*\()",
+        "current_schema()",
+        masked,
+        flags=re.IGNORECASE,
+    )
     for name, repl in _SIMPLE_FN.items():
         masked = re.sub(rf"\b{name}\s*\(", repl + "(", masked, flags=re.IGNORECASE)
     masked = _rewrite_subscripts(masked)

@@ -394,6 +394,21 @@ def test_exec_frame_exclude_current_row_matches_duckdb(spark, duck):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_current_schema_catalog_accessors(spark):
+    """Round 14 (with USE): Trino's niladic current_schema /
+    current_catalog — the former maps to Spark's current_schema()
+    (parens required there), the latter is the engine's single
+    catalog name as a constant."""
+    row = presto_sql(
+        spark, "select current_schema as s, current_catalog as c"
+    ).collect()[0]
+    assert row.s == "default" and row.c == "sparketl"
+    assert _norm(translate("select current_schema")) == (
+        "select current_schema()"
+    )
+    assert "'sparketl'" in translate("select current_catalog")
+
+
 def test_catalog_and_default_prefix_strip():
     """Round 14: Trino table spellings `sparketl.s.t` (the single
     catalog) and `default.t` (the flat namespace IS the default
