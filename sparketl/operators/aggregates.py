@@ -127,10 +127,18 @@ def agg_basic_grouped(spark, sf_dir):
     )
 
 
+#: NOTE the money column carries NO trailing round(x, 6): the
+#: integer-cents sum divided by 100 is already exact to 2 decimals,
+#: and DuckDB's round(x, 6) itself CORRUPTS values past ~9e9 (it
+#: computes x*1e6 which exceeds 2^53 there, while Spark rounds via
+#: BigDecimal — found by the round-14 x100 gate, where this face's
+#: sums reach 4.8e11).  round(,6) stays only where it has a job:
+#: absorbing float accumulation noise on SMALL-magnitude aggregates.
 _FILTER_CLAUSE_SQL = """
     select l_returnflag,
-           round(sum(cast(round(l_extendedprice * 100) as bigint))
-                     filter (where l_discount > 0.05) / cast(100 as double), 6) as sum_discounted,
+           sum(cast(round(l_extendedprice * 100) as bigint))
+               filter (where l_discount > 0.05)
+               / cast(100 as double) as sum_discounted,
            count(*) filter (where l_quantity >= 30)               as n_bulk,
            round(avg(l_tax) filter (where l_linestatus = 'F'), 6) as avg_tax_f
     from lineitem
