@@ -1988,6 +1988,302 @@ def _rewrite_frame_exclude(
     return masked
 
 
+#: a GROUPS frame clause at spec position (same anchoring discipline
+#: as _FRAME_CLAUSE_RE: the keyword must lead a frame-bound
+#: continuation, so a COLUMN named `groups` in `groups between 1 and
+#: 5` never matches)
+_GROUPS_FRAME_KW_RE = re.compile(
+    r"\bgroups\s+(?=(?:between\s+)?"
+    r"(?:unbounded\s+preceding|current\s+row|\d+\s+(?:preceding|following)))",
+    re.IGNORECASE,
+)
+
+_GROUPS_REFUSE = (
+    "dialect: this GROUPS frame cannot be auto-composed — {why}. "
+    "Spark's window grammar has no GROUPS mode; the front door "
+    "rewrites it definitionally (dense_rank() over the window ORDER "
+    "BY in a derived table, then a RANGE frame on the rank — the "
+    "win_groups_frame/win_groups_frame_bounds/win_groups_exclude "
+    "engine faces, SURVEY.md §2 #160) for single-table-reference "
+    "SELECT blocks without GROUP BY; restructure the query or use "
+    "the engine operators"
+)
+
+#: block-level clause heads that terminate the FROM / WHERE segments
+_GROUPS_CLAUSE_RE = re.compile(
+    r"\b(where|group\s+by|having|window|qualify|order\s+by|limit|"
+    r"offset|fetch|union|intersect|except)\b",
+    re.IGNORECASE,
+)
+
+_GROUPS_IDENT = r"[A-Za-z_][\w$]*"
+_GROUPS_TBL_RE = re.compile(
+    rf"^({_GROUPS_IDENT}(?:\s*\.\s*{_GROUPS_IDENT}){{0,2}})"
+    rf"(?:\s+(?:as\s+)?({_GROUPS_IDENT}))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _enclosing_select(masked: str, dep: list, pos: int) -> "re.Match | None":
+    """The SELECT keyword whose block (paren scope) contains ``pos``:
+    the nearest preceding `select` at depth <= dep[pos] with no paren
+    closing below its own depth between the two (an expression may sit
+    inside extra non-subquery parens, so equal depth alone is not
+    enough)."""
+    best = None
+    for sm in re.finditer(r"\bselect\b", masked[:pos], re.IGNORECASE):
+        if dep[sm.start()] <= dep[pos]:
+            best = sm
+    while best is not None:
+        bd = dep[best.start()]
+        if min(dep[best.start() : pos + 1]) >= bd:
+            return best
+        prev = None
+        for sm in re.finditer(
+            r"\bselect\b", masked[: best.start()], re.IGNORECASE
+        ):
+            if dep[sm.start()] <= bd:
+                prev = sm
+        best = prev
+    return None
+
+
+def _rewrite_groups_frames(masked: str) -> str:
+    """SQL:2011 GROUPS frame mode → the definitional dense_rank+RANGE
+    composition (round 15, VERDICT r14 #2 — the last refusing SQL:2011
+    frame class; the composition itself has been hash-green as the
+    win_groups_frame* engine faces since round 14).
+
+    A GROUPS frame counts PEER GROUPS (rows tied on the window ORDER
+    BY), which Spark's grammar cannot spell.  But ``dense_rank()``
+    over the same partition/order numbers peer groups consecutively,
+    so a RANGE frame of the same bounds on the rank IS the GROUPS
+    frame — group-position distance ≡ dense-rank distance, with no
+    gaps by construction, for EVERY carrier aggregate (the frame
+    membership is identical; nothing is approximated).  The rank
+    cannot be computed in the same window stage (windows cannot nest),
+    so the block's FROM..WHERE is wrapped in a derived table that adds
+    one ``__setl_grp<i>`` column per distinct (partition, order) spec:
+
+        select a, sum(v) over (partition by p order by k
+                               groups between 1 preceding and 1 following)
+        from t where q
+    →
+        select a, sum(v) over (partition by p order by __setl_grp0
+                               range between 1 preceding and 1 following)
+        from (select *, dense_rank() over (partition by p order by k)
+                        as __setl_grp0
+              from t where q) as t
+
+    WHERE moves inside (window functions evaluate over the filtered
+    rows, so the ranks must too); the derived table is aliased with
+    the original alias (or the bare table name) so qualified column
+    references keep resolving; a bare ``*`` projection becomes
+    ``* except(<helpers>)`` so the result schema is unchanged.  An
+    EXCLUDE clause after the frame survives the rewrite verbatim and
+    then composes through _rewrite_frame_exclude — the rank-RANGE
+    frame contains the current row whenever the GROUPS frame did, and
+    its RANGE(0,0) peer frame IS the peer group (win_groups_exclude's
+    exact composition).
+
+    Refused loudly (toward the engine faces): multi-table/JOIN FROM
+    (the wrap cannot preserve two alias scopes), blocks with GROUP
+    BY/HAVING (ranks over aggregated output need an explicit
+    subquery), qualified-star projections, and GROUPS without a
+    window ORDER BY (SQL:2011 requires one)."""
+    for _ in range(32):
+        m = _GROUPS_FRAME_KW_RE.search(masked)
+        if m is None:
+            return masked
+        masked = _rewrite_groups_block(masked, m.start())
+    raise ValueError(
+        _GROUPS_REFUSE.format(why="the rewrite did not converge")
+    )
+
+
+def _rewrite_groups_block(masked: str, pos: int) -> str:
+    dep = _depths(masked)
+
+    def refuse(why: str) -> None:
+        raise ValueError(_GROUPS_REFUSE.format(why=why))
+
+    if dep[pos] == 0:
+        refuse("the GROUPS clause sits outside any window specification")
+    sel = _enclosing_select(masked, dep, pos)
+    if sel is None:
+        refuse("no enclosing SELECT block was found")
+    bd = dep[sel.start()]
+    end = len(masked)
+    for i in range(sel.end(), len(masked)):
+        if dep[i] < bd:
+            end = i
+            break
+    for km in _GROUPS_CLAUSE_RE.finditer(masked, sel.end(), end):
+        if dep[km.start()] == bd and km.group(1).lower() in (
+            "union",
+            "intersect",
+            "except",
+        ):
+            end = km.start()
+            break
+    # block-level clause map
+    from_m = None
+    for km in re.finditer(r"\bfrom\b", masked, re.IGNORECASE):
+        if sel.end() <= km.start() < end and dep[km.start()] == bd:
+            from_m = km
+            break
+    if from_m is None:
+        refuse("the SELECT block has no FROM clause")
+    clauses = [
+        km
+        for km in _GROUPS_CLAUSE_RE.finditer(masked, from_m.end(), end)
+        if dep[km.start()] == bd
+    ]
+    for km in clauses:
+        if km.group(1).lower().split()[0] in ("group", "having"):
+            refuse(
+                "the block aggregates (GROUP BY/HAVING) — rank the "
+                "aggregated output in an explicit subquery instead"
+            )
+    from_end = clauses[0].start() if clauses else end
+    where_start = where_end = None
+    if clauses and clauses[0].group(1).lower() == "where":
+        where_start = clauses[0].start()
+        where_end = clauses[1].start() if len(clauses) > 1 else end
+    fs = masked[from_m.end() : from_end].strip()
+    # single table reference: `name [as alias]` or `(subquery) [as a]`
+    alias = ""
+    if fs.startswith("("):
+        cp = _match_paren(fs, 0)
+        trail = fs[cp + 1 :].strip()
+        if trail:
+            am = re.match(
+                rf"^(?:as\s+)?({_GROUPS_IDENT})$", trail, re.IGNORECASE
+            )
+            if not am:
+                refuse(
+                    "the FROM clause is not a single table reference "
+                    f"(trailing text {trail[:40]!r})"
+                )
+            alias = am.group(1)
+    else:
+        tm = _GROUPS_TBL_RE.match(fs)
+        if not tm:
+            refuse(
+                "the FROM clause is not a single table reference "
+                "(joins/lists cannot be wrapped without breaking "
+                "alias scopes)"
+            )
+        alias = tm.group(2) or re.split(r"\s*\.\s*", tm.group(1))[-1]
+    # every GROUPS spec belonging to THIS block
+    specs = []
+    for gm in _GROUPS_FRAME_KW_RE.finditer(masked, sel.end(), end):
+        so = gm.start() - 1
+        while so >= 0 and not (
+            masked[so] == "(" and dep[so] == dep[gm.start()] - 1
+        ):
+            so -= 1
+        own = _enclosing_select(masked, dep, so)
+        if own is not None and own.start() == sel.start():
+            specs.append((so, _match_paren(masked, so)))
+    if not specs:  # the trigger belongs to a nested block — recurse there
+        return _rewrite_groups_block(masked, pos)
+    rank_cols: dict[str, tuple[str, str, str]] = {}
+    repls: list[tuple[int, int, str]] = []
+    for so, sc in specs:
+        st = masked[so + 1 : sc]
+        sdep = _depths(st)
+        om = next(
+            (
+                k
+                for k in re.finditer(
+                    r"\border\s+by\b", st, re.IGNORECASE
+                )
+                if sdep[k.start()] == 0
+            ),
+            None,
+        )
+        gm = next(
+            (
+                k
+                for k in _GROUPS_FRAME_KW_RE.finditer(st)
+                if sdep[k.start()] == 0
+            ),
+            None,
+        )
+        if gm is None:
+            continue  # a nested GROUPS (subquery inside the spec?) — next pass
+        if om is None or om.start() > gm.start():
+            refuse("a GROUPS frame requires a window ORDER BY")
+        part_txt = st[: om.start()].strip()
+        order_txt = st[om.start() : gm.start()].strip()
+        key = re.sub(r"\s+", " ", f"{part_txt}|{order_txt}".lower())
+        if key not in rank_cols:
+            rank_cols[key] = (
+                f"__setl_grp{len(rank_cols)}",
+                part_txt,
+                order_txt,
+            )
+        col = rank_cols[key][0]
+        new_spec = " ".join(
+            p
+            for p in (
+                part_txt,
+                f"order by {col}",
+                "range " + st[gm.end() :].strip(),
+            )
+            if p
+        )
+        repls.append((so + 1, sc, new_spec))
+    rank_defs = ", ".join(
+        f"dense_rank() over ({(p + ' ') if p else ''}{o}) as {c}"
+        for c, p, o in rank_cols.values()
+    )
+    helper_names = ", ".join(c for c, _p, _o in rank_cols.values())
+    # projection stars: bare `*` keeps its schema via EXCEPT; a
+    # qualified `a.*` would expose the helpers through the alias
+    sel_body_start = sel.end()
+    dm = re.match(
+        r"\s*(distinct|all)\b", masked[sel_body_start:], re.IGNORECASE
+    )
+    if dm:
+        sel_body_start += dm.end()
+    for star in re.finditer(r"\*", masked, re.IGNORECASE):
+        if not (sel_body_start <= star.start() < from_m.start()):
+            continue
+        if dep[star.start()] != bd:
+            continue
+        before = masked[sel_body_start : star.start()].rstrip()
+        after = masked[star.end() : from_m.start()].lstrip()
+        if before.endswith("."):
+            refuse(
+                "a qualified `alias.*` projection would expose the "
+                "injected rank helper columns"
+            )
+        if (before == "" or before.endswith(",")) and (
+            after == "" or after.startswith(",")
+        ):
+            repls.append(
+                (star.start(), star.end(), f"* except({helper_names})")
+            )
+    # wrap FROM [WHERE] into the rank-bearing derived table
+    inner_tail = (
+        " " + masked[where_start:where_end].strip()
+        if where_start is not None
+        else ""
+    )
+    region_end = where_end if where_start is not None else from_end
+    wrapped = (
+        f" from (select *, {rank_defs} from {fs}{inner_tail})"
+        + (f" as {alias}" if alias else "")
+        + " "
+    )
+    repls.append((from_m.start(), region_end, wrapped))
+    for s, e, rep in sorted(repls, reverse=True):
+        masked = masked[:s] + rep + masked[e:]
+    return masked
+
+
 _TABLESAMPLE_RE = re.compile(
     r"\btablesample\s+(bernoulli|system)\s*\(\s*([0-9]+(?:\.[0-9]+)?)\s*\)",
     re.IGNORECASE,
@@ -4085,19 +4381,23 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
     # anchored so struct-field access `col.default`/`col.sparketl`
     # never matches (the char before must not be a word char or dot);
     # non-default schema references pass through untouched — they ARE
-    # Spark catalog tables.
-    masked = re.sub(
-        r"(?<![\w.`])sparketl\s*\.\s*(?=[A-Za-z_])",
-        "",
-        masked,
-        flags=re.IGNORECASE,
-    )
-    masked = re.sub(
-        r"(?<![\w.`])default\s*\.\s*(?=[A-Za-z_])",
-        "",
-        masked,
-        flags=re.IGNORECASE,
-    )
+    # Spark catalog tables.  A query that declares the same word as a
+    # BARE identifier anywhere (`from t as sparketl` — any occurrence
+    # NOT followed by a dot is a declaration or bare use, since a
+    # catalog/schema prefix is always dotted) disables the strip for
+    # that word: rewriting `sparketl.x` under such an alias would
+    # silently change column resolution (ADVICE r14 #2).
+    for _pfx in ("sparketl", "default"):
+        if re.search(
+            rf"(?<![\w.`]){_pfx}\b(?!\s*\.)", masked, re.IGNORECASE
+        ):
+            continue
+        masked = re.sub(
+            rf"(?<![\w.`]){_pfx}\s*\.\s*(?=[A-Za-z_])",
+            "",
+            masked,
+            flags=re.IGNORECASE,
+        )
 
     if schema is not None:
         colcls = {
@@ -4145,31 +4445,15 @@ def translate(presto_sql: str, schema: dict[str, str] | None = None) -> str:
     # named window carrying EXCLUDE is self-contained and inlinable
     masked = _expand_window_inheritance(masked)
     masked = _inline_excluding_windows(masked)
+    # SQL:2011 GROUPS frame mode (round 15, VERDICT r14 #2): rewrite
+    # into the definitional dense_rank+RANGE composition BEFORE the
+    # exclusion pass, so GROUPS ... EXCLUDE GROUP/TIES then composes
+    # through the same machinery (the rank-RANGE peer frame IS the
+    # peer group).  Unhandleable shapes refuse loudly inside.
+    masked = _rewrite_groups_frames(masked)
     masked = _rewrite_frame_exclude(
         masked, colcls if schema is not None else None
     )
-    # SQL:2011 GROUPS frame mode (round 14): Spark has no GROUPS
-    # grammar (the text would die as PARSE_SYNTAX_ERROR), and the
-    # definitional rewrite — dense_rank() the ORDER BY key, RANGE on
-    # the rank — needs a subquery a textual splice cannot place.
-    # Refuse loudly toward the engine composition (anchored to a
-    # frame-BOUND continuation — `groups between 1 preceding`, never a
-    # predicate over a column named groups like `groups between 1 and
-    # 5`).
-    if re.search(
-        r"\bgroups\s+(?:between\s+)?"
-        r"(?:unbounded\s+preceding|current\s+row|\d+\s+(?:preceding|following))",
-        masked,
-        re.IGNORECASE,
-    ):
-        raise ValueError(
-            "dialect: GROUPS frame mode is refused — Spark's window "
-            "grammar has no GROUPS; use the definitional composition "
-            "(dense_rank() over the ORDER BY key, then a RANGE frame "
-            "on the rank — sparketl.operators.windows "
-            "win_groups_frame/win_groups_frame_bounds/win_groups_exclude, "
-            "SURVEY.md §2 #160)"
-        )
     masked = _rewrite_tablesample(masked)
     masked = _rewrite_row_constructor(masked)
     masked = _rewrite_unnest(masked)

@@ -322,3 +322,78 @@ def sql_ties_exclude(spark, sf_dir):
         fetch first 20 rows with ties
         """,
     )
+
+
+_GROUPS_TEXT = """
+    select user_id, event_id,
+           sum(cents) over (
+               partition by user_id order by hr
+               groups between 1 preceding and 1 following) as adj_sum,
+           count(*) over (
+               partition by user_id order by hr
+               groups between unbounded preceding and current row)
+               as run_rows,
+           count(*) over (
+               partition by user_id order by hr
+               groups between 1 preceding and 1 following
+               exclude group) as adj_other_rows
+    from (
+        select user_id, event_id,
+               cast(round(value * 100) as bigint) as cents,
+               date_trunc('hour', ts) as hr
+        from events
+    ) e
+"""
+
+
+@query(
+    "sql_groups_frame",
+    oracle="""
+        select user_id, event_id,
+               cast(sum(cents) over (
+                   partition by user_id order by g
+                   range between 1 preceding and 1 following)
+                   as bigint) as adj_sum,
+               count(*) over (
+                   partition by user_id order by g
+                   range between unbounded preceding and current row)
+                   as run_rows,
+               count(*) over (
+                   partition by user_id order by g
+                   range between 1 preceding and 1 following
+                   exclude group) as adj_other_rows
+        from (
+            select user_id, event_id, cents,
+                   dense_rank() over (
+                       partition by user_id order by hr) as g
+            from (
+                select user_id, event_id,
+                       cast(round(value * 100) as bigint) as cents,
+                       date_trunc('hour', ts) as hr
+                from events
+            )
+        )
+    """,
+)
+def sql_groups_frame(spark, sf_dir):
+    """SQL:2011 GROUPS frame mode through the SQL front door (round
+    15, VERDICT r14 #2 — the last refusing SQL:2011 frame class).
+    The pasted Trino text carries three GROUPS shapes — a bounded
+    ±1-groups frame, an unbounded-to-current running frame, and a
+    bounded frame with EXCLUDE GROUP — which the translator rewrites
+    definitionally: dense_rank() over the window ORDER BY in an
+    injected derived table, then the same bounds as a RANGE frame on
+    the rank (frame membership is identical — group-position distance
+    ≡ dense-rank distance), with the EXCLUDE composing through the
+    rank-RANGE peer frame (= the peer group).  Neither Spark nor
+    DuckDB parses GROUPS; the oracle runs the same definitional
+    formulation spelled by hand with DuckDB's NATIVE exclude clause.
+    Engine-side twin: win_groups_frame* (operators/windows.py, §2
+    #160).
+
+    Scale: all three frames share partitionBy(user_id), so Catalyst
+    plans ONE exchange for the rank stage and the frame stage re-sorts
+    within partitions without reshuffling; the bounded rank frames
+    buffer only adjacent groups."""
+    load_tables(spark, sf_dir)
+    return dialect.sql(spark, _GROUPS_TEXT)

@@ -7,6 +7,8 @@ quantization.  Split out of llm.py in round 8 — registry names and the
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import functions as F
 
 from sparketl.operators.llm_common import (  # noqa: F401
@@ -540,12 +542,15 @@ def llm_ivf_centroids(spark, sf_dir):
     )
 
 
-#: collected codebook cache for the IVF/PQ family, keyed by
-#: (session id, sf_dir) — see _centroids().  Contract (shared with
+#: collected codebook cache for the IVF/PQ family — a
+#: WeakKeyDictionary keyed on the SparkSession (inner dict keyed by
+#: sf_dir) so entries die with their session; a plain id(spark) key
+#: would both pin dead sessions and, worse, collide on id reuse after
+#: GC (ADVICE r14 #5) — see _centroids().  Contract (shared with
 #: curation._CC_MEMO and tables._CATALOG_CACHE): sf_dir contents are
 #: immutable for the life of the session; bench clears it per timed
 #: pass so every pass pays the codebook build exactly once.
-_CEN_CACHE: dict = {}
+_CEN_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def clear_cen_cache() -> None:
@@ -561,27 +566,32 @@ def clear_cen_cache() -> None:
 #: so `.cache()` holds a few hundred KB; the expensive corpus work runs
 #: exactly once per (session, sf_dir) and every consumer — the faces
 #: themselves and the evaluation — reads the same materialization.
-#: Same immutable-sf_dir contract as _CEN_CACHE; bench clears it per
-#: timed pass so each pass pays the full build exactly once.
-_ANN_EVAL_MEMO: dict = {}
+#: Same immutable-sf_dir contract as _CEN_CACHE, same
+#: WeakKeyDictionary-on-the-session shape (ADVICE r14 #5 — outside
+#: bench, which clears per pass, a plain dict pinned cached frames of
+#: dead sessions forever); bench clears it per timed pass so each
+#: pass pays the full build exactly once.
+_ANN_EVAL_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def clear_ann_eval_memo() -> None:
     """Unpersist + drop the memoized ANN component frames (bench calls
     this per pass; plan tests call it to see the pre-cache plan)."""
-    for df in _ANN_EVAL_MEMO.values():
-        try:
-            df.unpersist()
-        except Exception:  # noqa: BLE001 - session may be gone
-            pass
+    for per in _ANN_EVAL_MEMO.values():
+        for df in per.values():
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 - session may be gone
+                pass
     _ANN_EVAL_MEMO.clear()
 
 
 def _eval_component(spark, sf_dir, name: str, build):
-    key = (id(spark), sf_dir.rstrip("/"), name)
-    if key not in _ANN_EVAL_MEMO:
-        _ANN_EVAL_MEMO[key] = build().cache()
-    return _ANN_EVAL_MEMO[key]
+    per = _ANN_EVAL_MEMO.setdefault(spark, {})
+    key = (sf_dir.rstrip("/"), name)
+    if key not in per:
+        per[key] = build().cache()
+    return per[key]
 
 
 def _centroids(spark, sf_dir):
@@ -602,8 +612,8 @@ def _centroids(spark, sf_dir):
     a literal codebook in every consumer.  At 100 TB the centroid
     aggregation still runs distributed exactly as llm_ivf_centroids
     does; only its k x 64-scalar RESULT ever touches the driver."""
-    key = (id(spark), sf_dir)
-    if key not in _CEN_CACHE:
+    per = _CEN_CACHE.setdefault(spark, {})
+    if sf_dir not in per:
         emb = _parallel(table(spark, sf_dir, "embeddings"))
         cen = (
             emb.select("label", F.posexplode(F.col("embedding")).alias("i0", "v"))
@@ -620,10 +630,10 @@ def _centroids(spark, sf_dir):
                 ).alias("cvec")
             )
         )
-        _CEN_CACHE[key] = sorted(
+        per[sf_dir] = sorted(
             ((int(r.c_label), [float(x) for x in r.cvec]) for r in cen.collect())
         )
-    return _CEN_CACHE[key]
+    return per[sf_dir]
 
 
 def _dlit(v: float) -> str:

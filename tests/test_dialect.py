@@ -2474,15 +2474,26 @@ def test_frame_exclude_and_session_statement_refusals():
     # a column actually NAMED exclude is untouched (no closing paren)
     out = translate("select exclude from t group by exclude")
     assert "exclude" in out
-    # GROUPS frame mode refuses loudly toward the #160 composition
-    # (round 14) instead of dying as a Spark PARSE_SYNTAX_ERROR ...
-    with pytest.raises(ValueError, match="GROUPS frame"):
+    # GROUPS frame mode auto-composes since round 15 (the dense_rank+
+    # RANGE definitional rewrite — exec parity in test_exec_groups_*);
+    # a shape the rewrite cannot wrap (a JOIN FROM) refuses loudly
+    # toward the #160 composition instead of dying as a Spark
+    # PARSE_SYNTAX_ERROR
+    out = _norm(
         translate(
             "select sum(x) over (order by y groups between 1 "
             "preceding and 1 following) from t"
         )
+    )
+    assert "dense_rank() over (order by y)" in out
+    assert "range between 1 preceding and 1 following" in out
+    with pytest.raises(ValueError, match="GROUPS frame"):
+        translate(
+            "select sum(a.x) over (order by a.y groups between 1 "
+            "preceding and 1 following) from t a join u b on a.k = b.k"
+        )
     # ... while a column literally named groups in a BETWEEN predicate
-    # passes through (the refusal anchors on frame-bound words)
+    # passes through (the rewrite anchors on frame-bound words)
     out = translate("select groups from t where groups between 1 and 5")
     assert "groups" in out
     from sparketl import dml
@@ -2501,3 +2512,211 @@ def test_frame_exclude_and_session_statement_refusals():
         assert dml.is_dml(stmt)
         with pytest.raises(ValueError, match=frag):
             dml.execute(None, stmt)
+
+
+def test_exec_groups_frame_matches_duckdb(spark, duck):
+    """Round 15 (VERDICT r14 #2): pasted GROUPS frames execute through
+    the definitional dense_rank+RANGE rewrite and must match DuckDB
+    running the same definitional formulation (DuckDB has no GROUPS
+    mode either — 'GROUPS mode ... not implemented yet', probed) on
+    the same rows.  Peer groups are non-trivial: many lineitem rows
+    share an l_shipdate within an order key's partition-free window."""
+    load_tables(spark, SF_DIR)
+    got = presto_sql(
+        spark,
+        """
+        select l_orderkey, l_linenumber,
+               sum(l_linenumber) over (
+                   partition by l_orderkey order by l_shipdate
+                   groups between 1 preceding and 1 following) as s,
+               count(*) over (
+                   partition by l_orderkey order by l_shipdate
+                   groups between unbounded preceding and current row)
+                   as c,
+               max(l_linenumber) over (
+                   partition by l_orderkey order by l_shipdate
+                   groups 1 preceding) as m
+        from lineitem where l_orderkey < 300
+        order by l_orderkey, l_linenumber
+        """,
+    ).collect()
+    want = duck.execute(
+        """
+        select l_orderkey, l_linenumber,
+               sum(l_linenumber) over (
+                   partition by l_orderkey order by g
+                   range between 1 preceding and 1 following) as s,
+               count(*) over (
+                   partition by l_orderkey order by g
+                   range between unbounded preceding and current row)
+                   as c,
+               max(l_linenumber) over (
+                   partition by l_orderkey order by g
+                   range between 1 preceding and current row) as m
+        from (
+            select l_orderkey, l_linenumber,
+                   dense_rank() over (
+                       partition by l_orderkey order by l_shipdate) as g
+            from lineitem where l_orderkey < 300
+        )
+        order by l_orderkey, l_linenumber
+        """
+    ).fetchall()
+    assert len(got) == len(want) > 0
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_exec_groups_frame_where_and_alias_scope(spark, duck):
+    """The rewrite moves WHERE inside the rank-bearing derived table
+    (ranks must count only filtered rows) and re-aliases it so
+    qualified references keep resolving; a bare * projection keeps its
+    schema via EXCEPT."""
+    load_tables(spark, SF_DIR)
+    src = """
+        select l.l_orderkey, l.l_linenumber,
+               sum(l.l_linenumber) over (
+                   partition by l.l_orderkey order by l.l_shipdate
+                   groups between 1 preceding and 1 following) as s
+        from lineitem l
+        where l.l_orderkey < 200 and l.l_linenumber > 1
+        order by l.l_orderkey, l.l_linenumber
+    """
+    oracle = """
+        select l_orderkey, l_linenumber,
+               sum(l_linenumber) over (
+                   partition by l_orderkey order by g
+                   range between 1 preceding and 1 following) as s
+        from (
+            select l_orderkey, l_linenumber,
+                   dense_rank() over (
+                       partition by l_orderkey order by l_shipdate) as g
+            from lineitem where l_orderkey < 200 and l_linenumber > 1
+        )
+        order by l_orderkey, l_linenumber
+    """
+    got = presto_sql(spark, src).collect()
+    want = duck.execute(oracle).fetchall()
+    assert len(got) == len(want) > 0
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # bare-star projection: result schema = base columns + the measure
+    star = presto_sql(
+        spark,
+        """
+        select *, count(*) over (
+            order by n_regionkey groups between 1 preceding
+            and current row) as c
+        from nation
+        """,
+    )
+    base_cols = [f.name for f in spark.table("nation").schema.fields]
+    assert [c for c in star.columns] == base_cols + ["c"]
+    wantn = duck.execute(
+        """
+        select * exclude(g), count(*) over (
+            order by g range between 1 preceding and current row) as c
+        from (select *, dense_rank() over (order by n_regionkey) as g
+              from nation)
+        order by n_nationkey
+        """
+    ).fetchall()
+    gotn = sorted(
+        (tuple(r) for r in star.collect()), key=lambda t: t[0]
+    )
+    assert gotn == [tuple(r) for r in wantn]
+
+
+def test_exec_groups_frame_matches_engine_face(spark):
+    """The pasted-text spelling of SURVEY §2 #160 must produce exactly
+    the engine face's values (win_groups_frame — hash-green since
+    round 14): same hour-group ±1 sum per event."""
+    from sparketl.registry import QUERIES
+
+    load_tables(spark, SF_DIR)
+    face = {
+        (r.user_id, r.event_id): r.adj_group_sum
+        for r in QUERIES["win_groups_frame"](spark, SF_DIR).collect()
+    }
+    got = presto_sql(
+        spark,
+        """
+        select user_id, event_id,
+               sum(cast(round(value * 100) as bigint)) over (
+                   partition by user_id
+                   order by date_trunc('hour', ts)
+                   groups between 1 preceding and 1 following)
+                   as adj_group_sum
+        from events
+        """,
+    ).collect()
+    assert len(got) == len(face) > 0
+    for r in got:
+        assert face[(r.user_id, r.event_id)] == r.adj_group_sum
+
+
+def test_exec_groups_exclude_composes_matches_duckdb(spark, duck):
+    """GROUPS ... EXCLUDE GROUP/TIES: the rank-RANGE frame the rewrite
+    emits contains the current row, so the existing EXCLUDE composition
+    applies on top — DuckDB runs the same definitional rewrite with
+    its NATIVE exclude clause."""
+    load_tables(spark, SF_DIR)
+    src = """
+        select l_orderkey, l_linenumber,
+               count(*) over (
+                   partition by l_orderkey order by l_shipdate
+                   groups between 1 preceding and 1 following
+                   exclude group) as cg,
+               count(*) over (
+                   partition by l_orderkey order by l_shipdate
+                   groups between 1 preceding and 1 following
+                   exclude ties) as ct
+        from lineitem where l_orderkey < 200
+        order by l_orderkey, l_linenumber
+    """
+    got = presto_sql(spark, src).collect()
+    want = duck.execute(
+        """
+        select l_orderkey, l_linenumber,
+               count(*) over (
+                   partition by l_orderkey order by g
+                   range between 1 preceding and 1 following
+                   exclude group) as cg,
+               count(*) over (
+                   partition by l_orderkey order by g
+                   range between 1 preceding and 1 following
+                   exclude ties) as ct
+        from (
+            select l_orderkey, l_linenumber, l_shipdate,
+                   dense_rank() over (
+                       partition by l_orderkey order by l_shipdate) as g
+            from lineitem where l_orderkey < 200
+        )
+        order by l_orderkey, l_linenumber
+        """
+    ).fetchall()
+    assert len(got) == len(want) > 0
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_groups_frame_rewrite_refusals():
+    """Shapes the wrap cannot preserve refuse loudly toward the engine
+    faces — never a Spark parse error."""
+    with pytest.raises(ValueError, match="GROUPS frame"):
+        translate(
+            "select sum(x) over (order by y groups between 1 preceding "
+            "and 1 following) from t group by k"
+        )
+    with pytest.raises(ValueError, match="ORDER BY"):
+        translate(
+            "select sum(x) over (partition by p groups between 1 "
+            "preceding and 1 following) from t"
+        )
+    with pytest.raises(ValueError, match="GROUPS frame"):
+        translate(
+            "select t.*, sum(x) over (order by y groups between 1 "
+            "preceding and 1 following) from t"
+        )
+    with pytest.raises(ValueError, match="GROUPS frame"):
+        translate(
+            "select sum(x) over (order by y groups between 1 preceding "
+            "and 1 following) from t, u"
+        )

@@ -1661,3 +1661,118 @@ def test_describe_input_output_prepared(spark, wh):
     assert dialect.sql(spark, "describe input p_dio_0").collect() == []
     with pytest.raises(ValueError, match="no prepared statement"):
         dialect.sql(spark, "describe output nope_stmt")
+
+
+def test_merge_qualified_target_spellings(spark, wh):
+    """ADVICE r14 #1: MERGE was the only DML arm whose target skipped
+    _canon — every qualified/current-schema spelling of the target must
+    resolve exactly like INSERT/DELETE/UPDATE do."""
+    dialect.sql(spark, "drop schema if exists nsm cascade")
+    dialect.sql(spark, "create schema nsm")
+    dialect.sql(spark, "create table nsm.t as select k, v from dml_fx")
+
+    def _v(k):
+        return dialect.sql(
+            spark, f"select v from nsm.t where k = {k}"
+        ).collect()[0][0]
+
+    # catalog-prefixed target
+    dialect.sql(
+        spark,
+        "merge into sparketl.nsm.t as t using (select 1 as mk) m "
+        "on t.k = mk when matched then update set v = 111.0",
+    )
+    assert _v(1) == 111.0
+    # whitespace around the qualifying dot
+    dialect.sql(
+        spark,
+        "merge into nsm . t as t using (select 2 as mk) m "
+        "on t.k = mk when matched then update set v = 222.0",
+    )
+    assert _v(2) == 222.0
+    # USE + unqualified target resolves to the current schema
+    dialect.sql(spark, "use nsm")
+    try:
+        dialect.sql(
+            spark,
+            "merge into t using (select 3 as mk) m "
+            "on t.k = mk when matched then update set v = 333.0",
+        )
+    finally:
+        dialect.sql(spark, "use default")
+    assert _v(3) == 333.0
+    # default.<flat table> canonicalizes to the flat namespace
+    dialect.sql(spark, "create table mflat as select k, v from dml_fx")
+    dialect.sql(
+        spark,
+        "merge into default.mflat as t using (select 4 as mk) m "
+        "on t.k = mk when matched then update set v = 444.0",
+    )
+    assert dialect.sql(
+        spark, "select v from mflat where k = 4"
+    ).collect()[0][0] == 444.0
+    dialect.sql(spark, "drop table mflat")
+    dialect.sql(spark, "drop schema nsm cascade")
+
+
+def test_translate_prefix_strip_is_alias_aware(spark, wh):
+    """ADVICE r14 #2: the sparketl./default. catalog-prefix strip must
+    not rewrite references through a table ALIAS that happens to be
+    named `sparketl` or `default`."""
+    # no alias declared: the catalog prefix strips (both spellings)
+    assert "sparketl" not in dialect.translate(
+        "select * from sparketl.nsq.t"
+    )
+    assert (
+        dialect.translate("select default.k from default.tt")
+        == "select k from tt"
+    )
+    # an alias DECLARATION of the same word disables the strip
+    kept = dialect.translate(
+        "select sparketl.k from dml_fx as sparketl "
+        "join dml_fx u on sparketl.k = u.k"
+    )
+    assert "sparketl.k" in kept and "as sparketl" in kept
+    # and the aliased query still executes with alias resolution intact
+    assert dialect.sql(
+        spark,
+        "select count(*) as c from dml_fx as sparketl "
+        "join dml_fx u on sparketl.k = u.k",
+    ).collect()[0].c == 5
+
+
+def test_drop_if_exists_absorbs_missing_schema(spark, wh):
+    """ADVICE r14 #3: DROP TABLE/VIEW IF EXISTS s.t succeeds as a
+    no-op when schema s was never created (Trino); without IF EXISTS
+    the missing schema still refuses loudly."""
+    assert dialect.sql(
+        spark, "drop table if exists never_made.t"
+    ).collect()[0][0] == 0
+    assert dialect.sql(
+        spark, "drop view if exists never_made.v"
+    ).collect()[0][0] == 0
+    with pytest.raises(ValueError, match="CREATE SCHEMA"):
+        dialect.sql(spark, "drop table never_made.t")
+    with pytest.raises(ValueError, match="CREATE SCHEMA"):
+        dialect.sql(spark, "drop view never_made.v")
+    # an unknown CATALOG is not absorbed (Trino CATALOG_NOT_FOUND)
+    with pytest.raises(ValueError, match="unknown catalog"):
+        dialect.sql(spark, "drop table if exists hive.s.t")
+
+
+def test_drop_schema_restrict_sees_stray_catalog_tables(spark, wh):
+    """ADVICE r14 #4: RESTRICT must refuse when the schema holds a
+    table registered OUTSIDE the DML route (e.g. saveAsTable) — the
+    engine registries alone would let the spark-level cascade silently
+    delete it."""
+    dialect.sql(spark, "drop schema if exists nstray cascade")
+    dialect.sql(spark, "create schema nstray")
+    spark.createDataFrame([(1,)], "a long").write.saveAsTable(
+        "nstray.outsider"
+    )
+    try:
+        with pytest.raises(ValueError, match="nstray.outsider"):
+            dialect.sql(spark, "drop schema nstray restrict")
+    finally:
+        dialect.sql(spark, "drop schema nstray cascade")
+    assert not spark.catalog.databaseExists("nstray")

@@ -288,3 +288,20 @@ def test_round7_operator_plan_shapes(q):
     p = plan_str(q("llm_quality_classifier"))
     assert "Join" not in p and "Window" not in p, p
     assert "ROUND_ROBIN" in p or "RoundRobin" in p, p
+
+
+def test_ann_session_caches_are_weak(spark):
+    """ADVICE r14 #5: the ANN memo/codebook caches key a
+    WeakKeyDictionary on the SparkSession so entries die with their
+    session — a plain id(spark) dict both pinned dead sessions and
+    risked id-reuse collisions."""
+    import weakref
+
+    from sparketl.operators import llm_ann
+
+    assert isinstance(llm_ann._ANN_EVAL_MEMO, weakref.WeakKeyDictionary)
+    assert isinstance(llm_ann._CEN_CACHE, weakref.WeakKeyDictionary)
+    # the session in use is a valid weak key and round-trips
+    llm_ann._ANN_EVAL_MEMO.setdefault(spark, {})["probe"] = None
+    assert "probe" in llm_ann._ANN_EVAL_MEMO[spark]
+    del llm_ann._ANN_EVAL_MEMO[spark]["probe"]
