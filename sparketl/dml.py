@@ -529,6 +529,152 @@ def execute(spark: SparkSession, stmt: str) -> DataFrame:
     return handler(spark, masked, lits)
 
 
+#: statement leaders with a WRITABLE TARGET whose directory diff is
+#: the write-side story EXPLAIN ANALYZE reports
+_EA_TARGET_RES: "list[tuple[re.Pattern, str]]" = []
+
+
+def _ea_target_res():
+    if not _EA_TARGET_RES:
+        for pat, label in (
+            (r"^insert\s+into\s+({q})", "INSERT"),
+            (r"^delete\s+from\s+({q})", "DELETE"),
+            (r"^update\s+({q})", "UPDATE"),
+            (r"^merge\s+into\s+({q})", "MERGE"),
+            (
+                r"^create\s+table\s+(?:if\s+not\s+exists\s+)?({q})",
+                "CREATE TABLE",
+            ),
+            (r"^truncate\s+table\s+({q})", "TRUNCATE"),
+        ):
+            _EA_TARGET_RES.append(
+                (
+                    re.compile(pat.format(q=_QIDENT), re.IGNORECASE),
+                    label,
+                )
+            )
+    return _EA_TARGET_RES
+
+
+def _file_snapshot(path: str) -> dict[str, tuple[int, int]]:
+    """relpath -> (size, mtime_ns) of every data file under a table
+    root (marker/hidden files skipped) — the before/after halves of
+    the write-side diff.  Walks the LOCAL filesystem: the engine's
+    writable warehouse is a local directory by contract (set_base_dir);
+    a missing root (pre-CTAS) is an empty snapshot."""
+    out: dict[str, tuple[int, int]] = {}
+    root_path = path[len("file:") :] if path.startswith("file:") else path
+    for root, _dirs, files in os.walk(root_path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, f)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            out[os.path.relpath(p, root_path)] = (
+                st.st_size,
+                st.st_mtime_ns,
+            )
+    return out
+
+
+def explain_analyze(spark: SparkSession, stmt: str) -> DataFrame:
+    """Trino ``EXPLAIN ANALYZE`` of a DML/DDL statement (round 15,
+    VERDICT r14 #7 — was a loud refusal): EXECUTE the statement and
+    return its WRITE-SIDE story as the one-column ``(query_plan
+    varchar)`` row — rows affected, files and bytes written/removed,
+    partitions touched vs total, and the write strategy the engine
+    chose (append / pruned copy-on-write / full overwrite / initial
+    write).  A DML statement has no single Spark plan to annotate
+    (the front door composes scans, anti/semi joins, and a write per
+    statement), so the honest analyze artifact is the observed
+    directory diff of the target table — exactly what the
+    scale-stress harness measures externally (scripts/dml_stress),
+    now surfaced in-band.  Statements without a writable target
+    (CREATE VIEW, DROP, USE, ...) report kind, wall time, and result
+    rows only."""
+    import time as _time
+
+    masked, _lits = _mask(stmt)
+    masked_s = masked.strip()
+    kind = masked_s.split(None, 1)[0].upper() if masked_s else "?"
+    canon = None
+    for rx, label in _ea_target_res():
+        m = rx.match(masked_s)
+        if m:
+            kind = label
+            try:
+                canon = _canon(spark, m.group(1))
+            except ValueError:
+                canon = None  # execute() raises the proper refusal
+            break
+    h_pre = _handles(spark).get(canon) if canon else None
+    pre = _file_snapshot(h_pre.path) if h_pre else {}
+    t0 = _time.perf_counter()
+    res = execute(spark, stmt)
+    head = res.collect()
+    wall = _time.perf_counter() - t0
+    lines = [f"{kind}{f' {canon}' if canon else ''} — executed in {wall:.3f}s"]
+    if head and res.columns and res.columns[0] == "rows":
+        lines.append(f"rows affected: {head[0][0]}")
+    else:
+        lines.append(f"result rows: {len(head)}")
+    h_post = _handles(spark).get(canon) if canon else None
+    if h_post is None:
+        lines.append("no write-side metrics (statement has no table target)")
+    else:
+        post = _file_snapshot(h_post.path)
+        written = {
+            r: sz
+            for r, (sz, mt) in post.items()
+            if pre.get(r) != (sz, mt)
+        }
+        removed = sorted(set(pre) - set(post))
+        rewritten = sorted(r for r in written if r in pre)
+        part_of = lambda r: os.path.dirname(r)  # noqa: E731
+        all_parts = sorted(
+            {part_of(r) for r in post if "=" in part_of(r)}
+        )
+        touched = sorted(
+            {
+                part_of(r)
+                for r in (set(written) | set(removed))
+                if "=" in part_of(r)
+            }
+        )
+        lines.append(
+            f"files written: {len(written)} "
+            f"({sum(written.values())} bytes); files removed: "
+            f"{len(removed)}"
+        )
+        if all_parts or touched:
+            lines.append(
+                f"partitions touched: {len(touched)} of "
+                f"{len(all_parts)} [{', '.join(touched)}]"
+            )
+        else:
+            lines.append("partitions touched: unpartitioned table")
+        if not written and not removed:
+            strat = "no-op — nothing matched, no file touched"
+        elif not pre:
+            strat = "initial table write"
+        elif not removed and not rewritten:
+            strat = "append — no existing file rewritten"
+        elif all_parts and len(touched) < len(all_parts):
+            strat = (
+                "pruned copy-on-write — untouched partitions kept "
+                "their files"
+            )
+        else:
+            strat = "full copy-on-write overwrite"
+        lines.append(f"write strategy: {strat}")
+    return spark.createDataFrame(
+        [("\n".join(lines),)], "query_plan string"
+    )
+
+
 def _unmask_raw(masked: str, lits: list[str]) -> str:
     """Re-inline the ORIGINAL quoted literal bytes (no backslash
     doubling) — for fragments fed back through translate()/sql(),
@@ -664,9 +810,9 @@ def _write_back(
     result a second time."""
     from sparketl.operators.etl import _part_membership, overwrite_pruned
 
-    if not materialized:
-        final = _checkpointed(final)
     if h.part_col is None or touched_parts is None:
+        if not materialized:
+            final = _checkpointed(final)
         _write_full(spark, h, final)
     else:
         target = spark.read.parquet(h.path)
@@ -679,13 +825,20 @@ def _write_back(
         # statement touching the NULL partition would silently drop
         # that partition's surviving rows (round-12 review); the
         # values are driver-side already, and the filter keeps the
-        # checkpointed `final` the only scan in the rewrite plan (the
-        # overwrite_pruned materialization contract).
-        rewrite = final.where(
-            F.coalesce(
-                _part_membership(h.part_col, affected_vals), F.lit(False)
-            )
-        )
+        # checkpointed rewrite the only scan in the plan (the
+        # overwrite_pruned materialization contract).  The filter
+        # applies BEFORE the checkpoint (round 15, VERDICT r14 #6):
+        # the literal partition predicate prunes the materializing
+        # scan to the TOUCHED partitions, so a single-partition UPDATE
+        # on a 1,000-partition table checkpoints one partition's rows,
+        # not the whole table (measured 7.1s → flat; SCALING.md).
+        # bare membership, no coalesce(.., false): under WHERE a NULL
+        # predicate already drops the row (identical semantics), and
+        # the bare conjunct is what the partition pruner can read — a
+        # coalesce wrapper blanked PartitionFilters (round 15)
+        rewrite = final.where(_part_membership(h.part_col, affected_vals))
+        if not materialized:
+            rewrite = _checkpointed(rewrite)
         overwrite_pruned(
             spark, h.path, target, rewrite, affected_vals, h.part_col
         )
@@ -699,6 +852,32 @@ def _write_back(
 _INSERT_RE = re.compile(
     rf"^insert\s+into\s+({_QIDENT})\s*", re.IGNORECASE | re.DOTALL
 )
+
+
+def _match_scan(spark: SparkSession, name: str, pred: str | None):
+    """The positive-match scan UPDATE and DELETE share: bare WHERE —
+    semantically identical to ``(pred) IS TRUE`` for row selection
+    (Spark WHERE drops NULL-predicate rows) and, unlike that wrapper,
+    partition-PRUNABLE (round 15, VERDICT r14 #6; the pruning contract
+    is plan-asserted by
+    tests/test_dml.py::test_partitioned_statement_scans_prune)."""
+    where = f" where {pred}" if pred else ""
+    return _d.sql(spark, f"select * from {name}{where}")
+
+
+def _has_partition_dirs(path: str) -> bool:
+    """True when the table root holds at least one ``col=value``
+    partition directory — the non-empty state of a partitioned table
+    (its empty state is a schema-bearing root FILE, the TRUNCATE
+    contract).  One driver-side listdir; never reads data."""
+    root = path[len("file:") :] if path.startswith("file:") else path
+    try:
+        return any(
+            "=" in e and not e.startswith((".", "_"))
+            for e in os.listdir(root)
+        )
+    except OSError:
+        return False
 
 
 def _insert(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
@@ -771,12 +950,16 @@ def _insert(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
     w = out.write.mode("append")
     if h.part_col:
         w = w.partitionBy(h.part_col)
-        if not spark.table(name).head(1):
+        if not _has_partition_dirs(h.path):
             # the empty state of a partitioned table is a schema-bearing
             # ROOT file (the readable-empty contract from TRUNCATE /
             # whole-table DELETE); appending partition directories next
             # to it creates the mixed layout spark.read rejects —
-            # overwrite clears the root file first
+            # overwrite clears the root file first.  The probe is ONE
+            # driver-side listdir of the root — the old
+            # spark.table(name).head(1) built the full partition file
+            # index per INSERT, measured 2.4s at 1,000 partitions
+            # (round 15, VERDICT r14 #6) vs microseconds here
             w = out.write.mode("overwrite").partitionBy(h.part_col)
     w.parquet(h.path)
     _refresh(spark, name)
@@ -1069,6 +1252,25 @@ def _drop_schema(
                 "(Trino SCHEMA_NOT_EMPTY); DROP them first or use "
                 "DROP SCHEMA ... CASCADE"
             )
+    # atomicity (round 15): a FLAT view referencing a member table
+    # would refuse mid-cascade inside _drop, leaving the schema
+    # half-dropped — pre-check every member so the statement either
+    # refuses before touching anything or completes.  (QUALIFIED views
+    # in other schemas are documented-lazy dependents — they break at
+    # their next read, Trino-style, and do not block the drop.)
+    blocked = {
+        n: dep
+        for n in members
+        if (dep := [d for d in _view_dependents(spark, n)])
+    }
+    if blocked:
+        raise ValueError(
+            f"dml: cannot drop schema '{sch}' CASCADE — view(s) "
+            + "; ".join(
+                f"{', '.join(v)} reference {t}" for t, v in blocked.items()
+            )
+            + "; DROP those views first"
+        )
     for n in vmembers:
         _drop(spark, f"drop view {n}", [])
     for n in members:
@@ -1549,9 +1751,10 @@ def _delete(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
     pred = _unmask_raw(pred, lits)
     # Presto deletes rows where the predicate IS TRUE — a NULL
     # predicate keeps the row, hence the IS NOT TRUE survivor form
-    doomed = _d.sql(
-        spark, f"select * from {name} where ({pred}) is true"
-    )
+    # positive match via the shared prunable scan (_match_scan); the
+    # SURVIVOR side below must keep IS NOT TRUE — there a NULL
+    # predicate must KEEP the row.
+    doomed = _match_scan(spark, name, pred)
     n = doomed.count()
     if n == 0:
         # nothing matches: skip the copy-on-write entirely (the
@@ -1637,22 +1840,18 @@ def _update(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
                 f"case when ({_unmask_raw(pred, lits)}) is true then "
                 f"{rhs} else {c} end as {c}"
             )
-    where_true = (
-        f" where ({_unmask_raw(pred, lits)}) is true" if pred else ""
+    # count + touched ride the shared prunable match scan (the CASE
+    # WHEN in `sel` keeps IS TRUE, where NULL must fall to ELSE — it
+    # does either way, and a projection never prunes anything)
+    match = _match_scan(
+        spark, name, _unmask_raw(pred, lits) if pred else None
     )
-    n = _d.sql(
-        spark, f"select count(*) as n from {name}{where_true}"
-    ).collect()[0][0]
+    n = match.count()
     if n == 0:
         return _rows_frame(spark, 0)
     final = _d.sql(spark, f"select {', '.join(sel)} from {name}")
     touched = (
-        _d.sql(
-            spark,
-            f"select distinct {h.part_col} from {name}{where_true}",
-        )
-        if h.part_col
-        else None
+        match.select(h.part_col).distinct() if h.part_col else None
     )
     _write_back(spark, name, h, final, touched)
     return _rows_frame(spark, n)

