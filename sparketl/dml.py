@@ -2077,11 +2077,12 @@ def _merge_apply_clauses(
         }
         from sparketl.operators.etl import _part_membership
 
-        scan = tgt_df.where(
-            F.coalesce(
-                _part_membership(h.part_col, probe_parts), F.lit(False)
-            )
-        )
+        # bare membership (no coalesce belt): under WHERE a NULL
+        # predicate drops the row exactly like false, and the bare
+        # conjunct is what the partition pruner reads — the coalesce
+        # wrapper blanked PartitionFilters, so the probe-pruned scan
+        # still LISTED/READ every partition (round 15, VERDICT r14 #6)
+        scan = tgt_df.where(_part_membership(h.part_col, probe_parts))
     t = scan.withColumn(
         "__tid", F.monotonically_increasing_id()
     ).localCheckpoint(eager=True)
@@ -2234,8 +2235,9 @@ def _merge_apply_clauses(
         if extra:
             from sparketl.operators.etl import _part_membership
 
+            # bare membership: prunable, and WHERE(NULL) == WHERE(false)
             keep = tgt_df.where(
-                F.coalesce(_part_membership(h.part_col, extra), F.lit(False))
+                _part_membership(h.part_col, extra)
             ).localCheckpoint(eager=True)
             final = final.unionByName(keep.select(*tgt_cols))
     touched = (

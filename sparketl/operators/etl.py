@@ -95,12 +95,13 @@ def merge_apply(spark, path: str, feed, key_col: str, part_col: str) -> None:
     # membership by LITERAL predicate, not a semi-join: the join form
     # is null-BLIND, so a feed touching the NULL partition would drop
     # that partition's SURVIVORS from the rewrite (round-12 review)
+    # positive filter: bare membership — WHERE(NULL) == WHERE(false),
+    # and only the bare conjunct partition-prunes the scan (round 15).
+    # The NEGATED keep-filter in overwrite_pruned's static path MUST
+    # keep its coalesce: there ~NULL would drop NULL-partition
+    # survivors.
     rewrite = (
-        target.where(
-            F.coalesce(
-                _part_membership(part_col, affected_vals), F.lit(False)
-            )
-        )
+        target.where(_part_membership(part_col, affected_vals))
         .join(F.broadcast(keys), key_col, "left_anti")
         .unionByName(upserts.select(*target.columns))
         .localCheckpoint(eager=True)

@@ -1941,7 +1941,7 @@ def test_partitioned_statement_scans_prune(spark, wh):
 
     dialect.sql(
         spark,
-        "create table t_pr with (partitioned_by = array['g']) as "
+        "create table t_prg with (partitioned_by = array['g']) as "
         "select k, v, g from dml_fx where g is not null",
     )
 
@@ -1954,16 +1954,16 @@ def test_partitioned_statement_scans_prune(spark, wh):
         return m.group(1)
 
     # the UPDATE/DELETE positive-match scan prunes on the predicate
-    pf = part_filters(dml._match_scan(spark, "t_pr", "g = 'a' and k < 3"))
+    pf = part_filters(dml._match_scan(spark, "t_prg", "g = 'a' and k < 3"))
     assert "g" in pf and pf.strip() != "", pf
     # the _write_back rewrite shape prunes on the membership literal
     final = dialect.sql(
         spark,
         "select k, case when (g = 'a' and k < 3) is true then 0.0 "
-        "else v end as v, g from t_pr",
+        "else v end as v, g from t_prg",
     )
     pf = part_filters(final.where(_part_membership("g", {"a"})))
     assert "g" in pf and pf.strip() != "", pf
     # and a no-predicate match scan is simply the full scan
-    assert dml._match_scan(spark, "t_pr", None).count() == 4
-    dialect.sql(spark, "drop table t_pr")
+    assert dml._match_scan(spark, "t_prg", None).count() == 4
+    dialect.sql(spark, "drop table t_prg")

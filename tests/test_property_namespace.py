@@ -56,7 +56,7 @@ def ns_sequence(draw):
     schemas: dict[str, dict] = {}
     broken: set[str] = set()  # qualified views whose base is gone
     cur = "default"
-    seq_n = iter(range(100))
+    seq_n = iter(range(1, 100))  # 0 is the seeded ps1.t0
     out = []
 
     def live_tables():
@@ -292,11 +292,15 @@ def test_namespace_sequence_matches_duckdb(spark, tmp_path_factory, seq):
                     for r in con.sql(f"select * from {s}.{v}").fetchall()
                 )
                 assert gv == wv, (s, v, stmts)
-        # SHOW SCHEMAS agrees with the model
+        # SHOW SCHEMAS agrees with the model over this test's own
+        # namespace pool (other suite members legitimately hold their
+        # schemas live — e.g. the sql_schema_namespace face's result
+        # frame reads from its schemas, so it cannot drop them)
         got_schemas = {
             r[0] for r in dialect.sql(spark, "show schemas").collect()
         }
-        assert got_schemas == set(schemas) | {"default"}, stmts
+        assert got_schemas & set(_POOL) == set(schemas), stmts
+        assert "default" in got_schemas, stmts
     finally:
         con.close()
         dialect.sql(spark, "use default")
