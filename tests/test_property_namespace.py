@@ -90,7 +90,8 @@ def ns_sequence(draw):
             st.sampled_from(
                 ["create_schema", "drop_restrict", "drop_cascade", "use",
                  "ctas", "ctas", "insert", "update", "delete", "merge",
-                 "merge", "view", "view", "drop_view", "drop_table"]
+                 "merge", "view", "view", "drop_view", "drop_table",
+                 "alter_add", "alter_rename"]
             )
         )
         if kind == "create_schema":
@@ -221,6 +222,40 @@ def ns_sequence(draw):
             del schemas[s]["views"][v]
             broken.discard(qv)
             out.append((f"drop view {qv}", [f"drop view {qv}"], False))
+        elif kind == "alter_add":
+            # qualified ALTER ADD COLUMN, fresh name each time (the
+            # resurrect guard is flat-ALTER territory — property_ddl)
+            tabs = live_tables()
+            if not tabs:
+                continue
+            qt = draw(st.sampled_from(tabs))
+            c = f"c{next(seq_n)}"
+            typ = draw(st.sampled_from(["bigint", "varchar", "double"]))
+            stmt = f"alter table {qt} add column {c} {typ}"
+            out.append((stmt, [stmt], False))
+        elif kind == "alter_rename":
+            # qualified RENAME within the same schema: the engine
+            # spells the target qualified; DuckDB wants it BARE (the
+            # target stays in the table's schema) — refuse renaming a
+            # view BASE (the engine's dependent-view guard) by only
+            # renaming tables no view references
+            tabs = live_tables()
+            based = {base for s2, d in schemas.items() for base in d["views"].values()}
+            cand = [t for t in tabs if t not in based]
+            if not cand:
+                continue
+            qt = draw(st.sampled_from(cand))
+            s, t = qt.split(".")
+            new_t = f"t{next(seq_n)}"
+            schemas[s]["tables"].discard(t)
+            schemas[s]["tables"].add(new_t)
+            out.append(
+                (
+                    f"alter table {qt} rename to {s}.{new_t}",
+                    [f"alter table {qt} rename to {new_t}"],
+                    False,
+                )
+            )
         elif kind == "drop_table":
             tabs = live_tables()
             if not tabs:
