@@ -1175,11 +1175,31 @@ def approx_pctl_sketch_merge(spark, sf_dir):
     import math as _math
 
     li = table(spark, sf_dir, "lineitem")
+    # ONE (flag, value) counting aggregate feeds EVERY derivation below
+    # — the log-bucket histogram, the per-flag exact reference, and the
+    # global exact references (via a re-aggregation to value level).
+    # Optimization round 15 (guide §2.4): previously the histogram and
+    # each distributed_percentiles call re-derived from the raw scan,
+    # for 13 parquet scans / 24 exchanges in one plan; hanging all of
+    # them off this single aggregate lets AQE's exchange reuse compute
+    # the scan + partial agg + shuffle once (ReusedExchange in the
+    # final plan) — 13 scans -> 1 executed scan, measured 2.3-2.4 s ->
+    # ~1 s sequential at sf0.1 (plans/r15/approx_pctl_sketch_merge_*).
+    # NULL prices carry no percentile mass and no finite log-bucket, so
+    # filtering them here leaves every derived result unchanged.
+    cnt = (
+        li.where(
+            F.col("l_extendedprice").isNotNull()
+            & F.col("l_returnflag").isNotNull()
+        )
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.count("*").alias("cnt"))
+    )
     bucket = F.floor(
         F.log(F.col("l_extendedprice")) / _math.log(PCTL_GAMMA)
     ).cast("long")
-    hist = li.groupBy("l_returnflag", bucket.alias("b")).agg(
-        F.count("*").alias("c")
+    hist = cnt.groupBy("l_returnflag", bucket.alias("b")).agg(
+        F.sum("cnt").alias("c")
     )
     seg_sk = hist.groupBy("l_returnflag").agg(
         F.map_from_entries(
@@ -1187,13 +1207,13 @@ def approx_pctl_sketch_merge(spark, sf_dir):
         ).alias("sk")
     )
     # exact references via the DISTRIBUTED order-statistics plan
-    # (distributed_percentiles — the exact_percentile_median core):
+    # (percentiles_from_counts — the exact_percentile_median core):
     # Spark's builtin `percentile` merges every partial value map into
     # ONE buffer per group, which went superlinear on the scale
     # corpora; the x10 gate for THIS query measured the difference
     # directly (46.7s with the builtin references → 6.5s distributed)
-    seg_exact = distributed_percentiles(
-        li, "l_returnflag", "l_extendedprice", [("seg_p50_raw", 0.5)]
+    seg_exact = percentiles_from_counts(
+        cnt, "l_returnflag", "l_extendedprice", [("seg_p50_raw", 0.5)]
     ).select(
         "l_returnflag", F.round("seg_p50_raw", 6).alias("seg_p50_exact")
     )
@@ -1213,8 +1233,13 @@ def approx_pctl_sketch_merge(spark, sf_dir):
         F.expr(pctl_quantile_expr("msk", 0.9)).alias("p90_est"),
         F.expr(pctl_quantile_expr("msk", 0.99)).alias("p99_est"),
     )
-    g_exact = distributed_percentiles(
-        li.withColumn("__g", F.lit(1)),
+    # global references: the SAME cnt rows under a constant group key —
+    # no second corpus pass and no extra aggregation level (the rank
+    # machinery is correct with a value duplicated across rows: the
+    # per-row rank intervals of equal values are contiguous, so the
+    # covering row of any rank position carries the same value)
+    g_exact = percentiles_from_counts(
+        cnt.withColumn("__g", F.lit(1)),
         "__g",
         "l_extendedprice",
         [("p50_raw", 0.5), ("p90_raw", 0.9), ("p99_raw", 0.99)],
@@ -1310,12 +1335,45 @@ def distributed_percentiles(df, group_col, val_col, ps, buckets: int = 512):
     NULL percentiles (group-key restore join — round-8 review).
     Differential-tested against Spark's builtin ``percentile`` incl.
     the all-NULL-group case in tests/test_distributed_percentile.py."""
+    cnt = (
+        df.where(F.col(val_col).isNotNull())
+        .groupBy(group_col, val_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    # group-key restore (groups-count-sized, broadcastable): a group
+    # whose every value is NULL has no counted rows, but must surface
+    # with NULL percentiles like the builtin would emit it
+    keys = df.select(group_col).distinct()
+    return percentiles_from_counts(
+        cnt, group_col, val_col, ps, buckets=buckets, keys=keys
+    )
+
+
+def percentiles_from_counts(
+    cnt, group_col, val_col, ps, buckets: int = 512, keys=None
+):
+    """Exact percentile_cont from a pre-aggregated (group, value,
+    ``cnt``) frame — the distributed_percentiles machinery with the
+    per-(group, value) counting aggregate supplied by the caller.
+
+    Optimization-round-15 split (guide §2.4 — remove passes): every
+    derived statistic (bucket bounds, bucket subtotals, the final
+    rank-select) now hangs off the ONE ``cnt`` aggregate, so Spark's
+    exchange reuse (AQE ShuffleQueryStage dedup) computes the
+    scan + partial-agg + shuffle once and re-reads it per consumer —
+    `bounds` in particular no longer pays its own full pass over the
+    raw table (min/max over the distinct values are the same numbers).
+    A caller that already needs the (group, value) counts for other
+    derivations (approx_pctl_sketch_merge's log-bucket histogram)
+    shares the same shuffle for everything.  ``keys`` optionally
+    supplies the group-key universe for the all-NULL-group restore;
+    when None, the groups present in ``cnt`` are used (exactly the
+    groups with >= 1 non-NULL value — callers that inner-join the
+    result downstream lose nothing).
+    """
     from pyspark.sql import Window
 
-    df_all = df
-    df = df.where(F.col(val_col).isNotNull())
-    cnt = df.groupBy(group_col, val_col).agg(F.count("*").alias("cnt"))
-    bounds = df.groupBy(group_col).agg(
+    bounds = cnt.groupBy(group_col).agg(
         F.min(val_col).alias("vmin"), F.max(val_col).alias("vmax")
     )
     # bucket is monotone in value (top edge clamped into the last
@@ -1376,10 +1434,12 @@ def distributed_percentiles(df, group_col, val_col, ps, buckets: int = 512):
         frac = F.min(pos - F.floor(pos))
         aggs.append(F.round(vlo + frac * (vhi - vlo), 6).alias(name))
     pct = ranked.groupBy(group_col).agg(*aggs)
+    if keys is None:
+        return pct
     # group-key restore (groups-count-sized, broadcastable): a group
     # whose every value is NULL has no ranked rows, but must surface
     # with NULL percentiles like the builtin would emit it
-    return df_all.select(group_col).distinct().join(pct, group_col, "left")
+    return keys.join(pct, group_col, "left")
 
 
 @query(

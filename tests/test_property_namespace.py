@@ -58,6 +58,10 @@ def ns_sequence(draw):
     cur = "default"
     seq_n = iter(range(1, 100))  # 0 is the seeded ps1.t0
     out = []
+    # tables widened by ALTER ADD COLUMN: bare positional INSERT VALUES
+    # no longer matches their arity (both engines refuse it), so the
+    # insert arm must switch to an explicit (k, g, v) column list
+    widened = set()
 
     def live_tables():
         return sorted(
@@ -163,8 +167,9 @@ def ns_sequence(draw):
             if kind == "insert":
                 k = draw(st.integers(10, 99))
                 c = draw(st.sampled_from(["7.25", "8.5", "9.75"]))
+                cols = " (k, g, v)" if qt in widened else ""
                 stmt = (
-                    f"insert into {qt} values "
+                    f"insert into {qt}{cols} values "
                     f"({k}, 'i{k}', cast({c} as double))"
                 )
                 out.append((stmt, [stmt], False))
@@ -193,7 +198,11 @@ def ns_sequence(draw):
                 duck_stmts = [
                     f"update {qt} set v = cast({c} as double) where k = {K}",
                     (
-                        f"insert into {qt} select {K}, 'mg', "
+                        # column list matches the MERGE INSERT's: columns
+                        # added later by ALTER must default to NULL on
+                        # both engines (without it DuckDB binds the 3
+                        # values positionally and errors after ADD COLUMN)
+                        f"insert into {qt} (k, g, v) select {K}, 'mg', "
                         f"cast({c} as double) where not exists "
                         f"(select 1 from {qt} where k = {K})"
                     ),
@@ -232,6 +241,7 @@ def ns_sequence(draw):
             c = f"c{next(seq_n)}"
             typ = draw(st.sampled_from(["bigint", "varchar", "double"]))
             stmt = f"alter table {qt} add column {c} {typ}"
+            widened.add(qt)
             out.append((stmt, [stmt], False))
         elif kind == "alter_rename":
             # qualified RENAME within the same schema: the engine
@@ -249,6 +259,9 @@ def ns_sequence(draw):
             new_t = f"t{next(seq_n)}"
             schemas[s]["tables"].discard(t)
             schemas[s]["tables"].add(new_t)
+            if qt in widened:
+                widened.discard(qt)
+                widened.add(f"{s}.{new_t}")
             out.append(
                 (
                     f"alter table {qt} rename to {s}.{new_t}",
@@ -263,6 +276,7 @@ def ns_sequence(draw):
             qt = draw(st.sampled_from(tabs))
             s, t = qt.split(".")
             schemas[s]["tables"].discard(t)
+            widened.discard(qt)
             for s2, d in schemas.items():
                 for v, base in d["views"].items():
                     if base == qt:
