@@ -779,6 +779,22 @@ def _checkpointed(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _count_and_parts(
+    df: DataFrame, part_col: str | None
+) -> tuple[int, set | None]:
+    """Affected-row count plus (for partitioned targets) the touched
+    partition-value set, in ONE Spark job (r15 job consolidation —
+    guide §1.2: at statement granularity the sequential small driver
+    actions ARE the wall; the per-partition counts the write-back
+    needs anyway carry the total for free).  NULL partition values are
+    ordinary group keys here, so the NULL partition is never dropped
+    (the round-12 null-partition contract)."""
+    if part_col is None:
+        return df.count(), None
+    rows = df.groupBy(part_col).agg(F.count("*").alias("__n")).collect()
+    return sum(r["__n"] for r in rows), {r[0] for r in rows}
+
+
 def _write_full(spark: SparkSession, h: _Handle, final: DataFrame) -> None:
     """Static full-table overwrite for UNPARTITIONED targets (every
     partitioned write-back goes through overwrite_pruned — a
@@ -799,7 +815,7 @@ def _write_back(
     name: str,
     h: _Handle,
     final: DataFrame,
-    touched_parts: DataFrame | None,
+    touched_parts: DataFrame | set | None,
     materialized: bool = False,
 ) -> None:
     """Copy-on-write write-back: pruned to the touched partitions when
@@ -807,7 +823,11 @@ def _write_back(
     write-back), full static overwrite otherwise.  ``materialized``
     skips the checkpoint when ``final`` is already a pure projection
     of checkpoints (MERGE) — re-materializing would copy the whole
-    result a second time."""
+    result a second time.  ``touched_parts`` may be a pre-collected
+    SET of partition values (r15 job consolidation: the statement arms
+    fold the touched-partition derivation into the affected-row-count
+    job they already run, so the write-back does not pay a second
+    collect over the same frame)."""
     from sparketl.operators.etl import _part_membership, overwrite_pruned
 
     if h.part_col is None or touched_parts is None:
@@ -816,7 +836,11 @@ def _write_back(
         _write_full(spark, h, final)
     else:
         target = spark.read.parquet(h.path)
-        affected_vals = {r[0] for r in touched_parts.collect()}
+        affected_vals = (
+            set(touched_parts)
+            if isinstance(touched_parts, set)
+            else {r[0] for r in touched_parts.collect()}
+        )
         if not affected_vals:
             _refresh(spark, name)
             return
@@ -1755,7 +1779,10 @@ def _delete(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
     # SURVIVOR side below must keep IS NOT TRUE — there a NULL
     # predicate must KEEP the row.
     doomed = _match_scan(spark, name, pred)
-    n = doomed.count()
+    # one job yields the affected count AND the touched partition set
+    # (r15: previously the count ran here and _write_back re-collected
+    # the same scan's distinct partition values — two jobs per DELETE)
+    n, touched = _count_and_parts(doomed, h.part_col)
     if n == 0:
         # nothing matches: skip the copy-on-write entirely (the
         # partitioned path's empty-affected early-out, mirrored for
@@ -1763,9 +1790,6 @@ def _delete(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
         return _rows_frame(spark, 0)
     final = _d.sql(
         spark, f"select * from {name} where ({pred}) is not true"
-    )
-    touched = (
-        doomed.select(h.part_col).distinct() if h.part_col else None
     )
     _write_back(spark, name, h, final, touched)
     return _rows_frame(spark, n)
@@ -1846,13 +1870,11 @@ def _update(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
     match = _match_scan(
         spark, name, _unmask_raw(pred, lits) if pred else None
     )
-    n = match.count()
+    # one job for count + touched partitions (the DELETE consolidation)
+    n, touched = _count_and_parts(match, h.part_col)
     if n == 0:
         return _rows_frame(spark, 0)
     final = _d.sql(spark, f"select {', '.join(sel)} from {name}")
-    touched = (
-        match.select(h.part_col).distinct() if h.part_col else None
-    )
     _write_back(spark, name, h, final, touched)
     return _rows_frame(spark, n)
 
@@ -2118,21 +2140,59 @@ def _merge_apply_clauses(
     # review 2); it also breaks the self-merge lineage (USING the
     # target itself) before the overwrite.
     staged = joined.withColumn("__act", act).localCheckpoint(eager=True)
-    # Trino: "one MERGE target row matched more than one source row"
-    multi = (
-        staged.where(F.col("__sm").isNotNull())
-        .groupBy("__tid")
-        .count()
-        .where(F.col("count") > 1)
-        .limit(1)
-        .count()
+    delete_ids = {
+        i for i, c in enumerate(matched_clauses) if c["kind"] == "delete"
+    }
+    # ONE stats job over the staged checkpoint (r15 job consolidation):
+    # the multi-source-match guard, the deleted/updated row counts, and
+    # the touched target-side partition values previously ran as THREE
+    # separate driver-blocking actions (guard count, n_deleted count,
+    # and the write-back's touched-partition collect) — at statement
+    # granularity those sequential small jobs are most of the MERGE
+    # wall (measured sf0.1: the statement spent ~2.9 s across ~10
+    # blocking actions of ~0.25 s each).  A NULL touched partition
+    # value is carried by an explicit flag because collect_set drops
+    # NULLs (the round-12 null-partition contract).
+    is_del = (
+        F.col("__act").isin(*delete_ids) if delete_ids else F.lit(False)
     )
-    if multi:
+    is_upd = F.col("__act").isNotNull() & ~is_del
+    per_tid_aggs = [
+        F.count(F.when(F.col("__sm").isNotNull(), 1)).alias("__m"),
+        F.count(F.when(is_del, 1)).alias("__d"),
+        F.count(F.when(is_upd, 1)).alias("__u"),
+    ]
+    if h.part_col is not None:
+        per_tid_aggs.append(
+            F.first(F.expr(f"{talias}.{h.part_col}")).alias("__p")
+        )
+    top_aggs = [
+        F.max("__m").alias("__mx"),
+        F.sum("__d").alias("__nd"),
+        F.sum("__u").alias("__nu"),
+    ]
+    if h.part_col is not None:
+        hit = (F.col("__d") + F.col("__u")) > 0
+        top_aggs += [
+            F.collect_set(F.when(hit, F.col("__p"))).alias("__tp"),
+            F.max(
+                F.when(hit & F.col("__p").isNull(), 1).otherwise(0)
+            ).alias("__tpn"),
+        ]
+    stats = staged.groupBy("__tid").agg(*per_tid_aggs).agg(*top_aggs).collect()[0]
+    if (stats["__mx"] or 0) > 1:
         raise ValueError(
             "dml: MERGE failed — a target row matches more than one "
             "source row (Trino's one-source-row rule); deduplicate the "
             "source or tighten the ON condition"
         )
+    n_deleted = int(stats["__nd"] or 0)
+    n_updated = int(stats["__nu"] or 0)
+    touched_vals: set | None = None
+    if h.part_col is not None:
+        touched_vals = set(stats["__tp"] or [])
+        if stats["__tpn"]:
+            touched_vals.add(None)
     # surviving target rows with per-clause update CASEs applied
     proj = []
     for col in tgt_cols:
@@ -2146,9 +2206,6 @@ def _merge_apply_clauses(
                     F.col("__act") == i, F.expr(tx(rhs))
                 ).otherwise(e)
         proj.append(e.cast(tgt_df.schema[col].dataType).alias(col))
-    delete_ids = {
-        i for i, c in enumerate(matched_clauses) if c["kind"] == "delete"
-    }
     survivors = staged.where(
         F.col("__act").isNull()
         | ~F.col("__act").isin(*delete_ids)
@@ -2212,25 +2269,32 @@ def _merge_apply_clauses(
     final_tagged = (
         survivors.unionByName(inserts) if inserts is not None else survivors
     )
-    # affected-row count = rows a clause actually touched, plus deletes
-    n_deleted = (
-        staged.where(F.col("__act").isin(*delete_ids)).count()
-        if delete_ids
-        else 0
-    )
-    n_touched = final_tagged.where(F.col("__touched")).count()
     final = final_tagged.select(*tgt_cols)
+    # insert-side stats in ONE job (r15 consolidation): the per-
+    # partition counts give the inserted-row total AND the insert
+    # partition values the write-back and the probe-prune escape both
+    # need — previously a distinct-collect and a separate n_touched
+    # count.  groupBy keeps a NULL partition value as a group key.
+    n_inserted = 0
+    ins_parts: set = set()
+    if inserts is not None:
+        if h.part_col is not None:
+            rows = (
+                inserts.groupBy(h.part_col)
+                .agg(F.count("*").alias("__c"))
+                .collect()
+            )
+            n_inserted = sum(r["__c"] for r in rows)
+            ins_parts = {r[0] for r in rows}
+        else:
+            n_inserted = inserts.count()
     if probe_parts is not None and inserts is not None:
         # INSERT rows may land in partitions the probe pruned OUT
         # (their partition value comes from the INSERT expressions,
         # not the ON condition); those partitions will be rewritten —
         # their surviving rows must re-enter the rewrite frame or the
-        # partition overwrite would drop them.  Both collects stay
-        # partition-value-sized; `keep` is checkpointed so `final`
-        # remains a pure projection of materialized frames.
-        ins_parts = {
-            r[0] for r in inserts.select(h.part_col).distinct().collect()
-        }
+        # partition overwrite would drop them.  `keep` is checkpointed
+        # so `final` remains a pure projection of materialized frames.
         extra = ins_parts - probe_parts
         if extra:
             from sparketl.operators.etl import _part_membership
@@ -2240,22 +2304,10 @@ def _merge_apply_clauses(
                 _part_membership(h.part_col, extra)
             ).localCheckpoint(eager=True)
             final = final.unionByName(keep.select(*tgt_cols))
-    touched = (
-        final_tagged.where(F.col("__touched"))
-        .select(h.part_col)
-        .unionByName(
-            staged.where(
-                F.col("__act").isin(*delete_ids)
-                if delete_ids
-                else F.lit(False)
-            ).select(F.expr(f"{talias}.{h.part_col}").alias(h.part_col))
-        )
-        .distinct()
-        if h.part_col
-        else None
-    )
-    _write_back(spark, name, h, final, touched, materialized=True)
-    return _rows_frame(spark, n_touched + n_deleted)
+    if touched_vals is not None:
+        touched_vals |= ins_parts
+    _write_back(spark, name, h, final, touched_vals, materialized=True)
+    return _rows_frame(spark, n_updated + n_inserted + n_deleted)
 
 
 # ---------------------------------------------------------------------------
