@@ -64,28 +64,44 @@ def funnel_conversion(spark, sf_dir):
     aggregates), so the driver never sees per-user data.
     """
     ev = table(spark, sf_dir, "events")
+    # r15 (guide §2.4): each stage frame is consumed twice — by the
+    # next stage's join AND by its scalar count.  The join pushes
+    # isnotnull(user_id) into its copy and the count branch prunes the
+    # min(ts), leaving canonically-unequal subtrees that each execute
+    # a full scan+aggregate.  Naming the user_id filter once in the
+    # shared base and counting the min column itself (t_view is the
+    # min over non-null-able ts — count identical to count(*)) makes
+    # both copies bit-equal, so AQE's exchange reuse executes each
+    # stage aggregate ONCE: 5 executed scans -> 3 (one per stage).
     v = (
-        ev.where(F.col("event_type") == "view")
+        ev.where(
+            (F.col("event_type") == "view") & F.col("user_id").isNotNull()
+        )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
     )
     c = (
-        ev.where(F.col("event_type") == "click")
+        ev.where(
+            (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+        )
         .join(v, "user_id")
         .where(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
     )
     p = (
-        ev.where(F.col("event_type") == "purchase")
+        ev.where(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").isNotNull()
+        )
         .join(c, "user_id")
         .where(F.col("ts") > F.col("t_click"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
-    nv = v.agg(F.count("*").alias("n_view"))
-    nc = c.agg(F.count("*").alias("n_click_after_view"))
-    np_ = p.agg(F.count("*").alias("n_purchase_after_click"))
+    nv = v.agg(F.count("t_view").alias("n_view"))
+    nc = c.agg(F.count("t_click").alias("n_click_after_view"))
+    np_ = p.agg(F.count("t_purchase").alias("n_purchase_after_click"))
     return (
         nv.crossJoin(F.broadcast(nc))
         .crossJoin(F.broadcast(np_))
