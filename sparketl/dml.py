@@ -2163,6 +2163,12 @@ def _merge_apply_clauses(
         F.count(F.when(is_upd, 1)).alias("__u"),
     ]
     if h.part_col is not None:
+        # touched partitions from the PRE-update value only — correct
+        # solely because UPDATE SET on the partition column is refused
+        # above (ADVICE r15: were that guard ever relaxed, rows moving
+        # between partitions would be written back to their OLD
+        # partition and silently lost; extend this to collect both
+        # old and new values before relaxing it)
         per_tid_aggs.append(
             F.first(F.expr(f"{talias}.{h.part_col}")).alias("__p")
         )

@@ -28,25 +28,29 @@ from sparketl.tables import table
     oracle="""
         with v as (
             select user_id, min(ts) as t_view
-            from events where event_type = 'view' group by user_id
+            from events
+            where event_type = 'view' and user_id is not null
+            group by user_id
         ),
         c as (
             select e.user_id, min(e.ts) as t_click
             from events e join v on e.user_id = v.user_id
-            where e.event_type = 'click' and e.ts > v.t_view
+            where e.event_type = 'click' and e.user_id is not null
+              and e.ts > v.t_view
             group by e.user_id
         ),
         p as (
             select e.user_id, min(e.ts) as t_purchase
             from events e join c on e.user_id = c.user_id
-            where e.event_type = 'purchase' and e.ts > c.t_click
+            where e.event_type = 'purchase' and e.user_id is not null
+              and e.ts > c.t_click
             group by e.user_id
         )
-        select (select count(*) from v) as n_view,
-               (select count(*) from c) as n_click_after_view,
-               (select count(*) from p) as n_purchase_after_click,
-               round((select count(*) from p)
-                     / cast((select count(*) from v) as double), 6)
+        select (select count(t_view) from v) as n_view,
+               (select count(t_click) from c) as n_click_after_view,
+               (select count(t_purchase) from p) as n_purchase_after_click,
+               round((select count(t_purchase) from p)
+                     / cast((select count(t_view) from v) as double), 6)
                    as view_to_purchase_rate
     """,
 )
