@@ -59,6 +59,42 @@ def main() -> None:
         "spark.sql.codegen.wholeStage",
         os.environ.get("SPARK_GRAFT_BENCH_CODEGEN", "false"),
     )
+    # Codegen-scoped lane (r16, VERDICT r15 #6): the codegen-off
+    # crossover above is wrong for a handful of EXPRESSION-HEAVY
+    # queries whose per-row work dwarfs the one-off janino compile —
+    # measured warm A/B at sf0.1 (shuffle=8): agg_higher_moments
+    # 0.52s codegen-on vs 1.18s off (2.27x), agg_linear_regression
+    # 0.31 vs 0.47 (1.53x); everything else measured <= 1.36x, and the
+    # next candidate (llm_dedup_ngram_jaccard, 1.36x isolated) was
+    # TRIED in the lane and measured WORSE under suite concurrency
+    # (2.04 -> 3.46 min-of-pass), so the set stays at the two clear
+    # wins.  They run on a cloned session (shared SparkContext/cache,
+    # separate SQLConf) that keeps the engine's codegen-ON contract —
+    # per-query conf flipping on the SHARED session would race the
+    # concurrent pool.  This is a measurement-methodology fix,
+    # documented with old/new numbers in OPTIMIZATION_r16.md;
+    # SPARK_GRAFT_BENCH_CODEGEN_SCOPED=0 restores single-session
+    # behavior.
+    CODEGEN_ON = (
+        {
+            "agg_higher_moments",
+            "agg_linear_regression",
+        }
+        if os.environ.get("SPARK_GRAFT_BENCH_CODEGEN_SCOPED", "1") != "0"
+        else set()
+    )
+    if CODEGEN_ON:
+        from sparketl.session import configure_session
+
+        spark_cg = configure_session(spark.newSession())
+        spark_cg.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "8"),
+        )
+        load_tables(spark_cg, sf_dir)
+
+    def q_session(name: str):
+        return spark_cg if name in CODEGEN_ON else spark
 
     # warm the session + catalog + Python worker pool (not counted:
     # session/worker startup is a constant the 1000-executor deployment
@@ -74,7 +110,7 @@ def main() -> None:
     def run_one(name: str, clear_cache: bool = False) -> None:
         t0 = time.perf_counter()
         try:
-            registry.QUERIES[name](spark, sf_dir).collect()
+            registry.QUERIES[name](q_session(name), sf_dir).collect()
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
@@ -175,7 +211,7 @@ def main() -> None:
     ):
         def warm_one(name: str) -> None:
             try:
-                registry.QUERIES[name](spark, warm_dir).collect()
+                registry.QUERIES[name](q_session(name), warm_dir).collect()
             except Exception as e:  # noqa: BLE001
                 print(f"# warm error {name}: {e}", file=sys.stderr)
 

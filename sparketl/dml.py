@@ -302,6 +302,7 @@ def _refresh_views(spark: SparkSession, changed: str) -> None:
             vdf = _d.sql(spark, vq)
             with CATALOG_LOCK:
                 vdf.createOrReplaceTempView(vname)
+            _unpin_if_fixture(spark, vname)
             _d.update_schema_cache(spark, vname, vdf.schema)
         except Exception as e:  # noqa: BLE001 - classified below
             from pyspark.errors import AnalysisException
@@ -339,6 +340,19 @@ def _resolve(spark: SparkSession, name: str) -> _Handle:
     return h
 
 
+def _unpin_if_fixture(spark: SparkSession, *names: str) -> None:
+    """A DML statement that registers/drops/renames a FLAT table or
+    view whose name collides with a fixture view is the only way the
+    fixture pins tracked by sparketl.tables can go stale — tell the
+    loader so its same-sf fast path (r16 floor fix) re-pins next call."""
+    from sparketl.tables import TABLE_NAMES, invalidate_view_pins
+
+    for n in names:
+        if n and "." not in n and n.lower() in TABLE_NAMES:
+            invalidate_view_pins(spark)
+            return
+
+
 def _refresh(spark: SparkSession, name: str) -> None:
     h = _handles(spark)[name]
     if "." in name:
@@ -356,6 +370,7 @@ def _refresh(spark: SparkSession, name: str) -> None:
         df = df.select(*[f.name for f in h.schema.fields])
     with CATALOG_LOCK:
         df.createOrReplaceTempView(name)
+    _unpin_if_fixture(spark, name)
     # REPLACING a same-named view is invisible to the catalog cache
     # (no version counter) — push the fresh schema explicitly, as
     # documented at sql()
@@ -779,6 +794,42 @@ def _checkpointed(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _reads_path(df: DataFrame, path: str) -> bool:
+    """True when ``df``'s plan scans any file under ``path`` —
+    driver-side metadata via ``inputFiles()`` (the analyzed plan's
+    file-source scans), no Spark job.  Conservative: returns True when
+    the file set cannot be determined."""
+    p = path[len("file:") :] if path.startswith("file:") else path
+    p = os.path.abspath(p)
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 - unknown source => assume it reads
+        return True
+    for f in files:
+        fp = f[len("file:") :] if f.startswith("file:") else f
+        fp = os.path.abspath(fp)
+        if fp == p or fp.startswith(p + os.sep):
+            return True
+    return False
+
+
+def _parquet_rows(path: str) -> int:
+    """Exact row count of the parquet table at ``path`` from the file
+    FOOTERS (pyarrow metadata read) — driver-side, no Spark job.  Used
+    by the write-first CTAS route, where the count job over a
+    checkpoint used to be the only reason the result was materialized
+    twice."""
+    import pyarrow.parquet as pq
+
+    p = path[len("file:") :] if path.startswith("file:") else path
+    total = 0
+    for r, _, fs in os.walk(p):
+        for f in fs:
+            if f.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(r, f)).num_rows
+    return total
+
+
 def _count_and_parts(
     df: DataFrame, part_col: str | None
 ) -> tuple[int, set | None]:
@@ -1155,6 +1206,7 @@ def _create_view(
     new_df = _d.sql(spark, query)
     with CATALOG_LOCK:
         new_df.createOrReplaceTempView(name)
+    _unpin_if_fixture(spark, name)
     replacing = name in views
     views[name] = query
     _d.update_schema_cache(spark, name, new_df.schema)
@@ -1449,17 +1501,41 @@ def _create(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
         df = df.limit(0)
     path = _table_dir(spark, name)
     h = _Handle(path=path, part_col=part_col, schema=df.schema)
-    df = _checkpointed(df)
-    n = df.count()
-    if n == 0:
-        spark.createDataFrame([], df.schema).write.mode(
-            "overwrite"
-        ).parquet(path)
+    if _reads_path(df, path):
+        # a source plan scanning the target path cannot happen through
+        # the front door (TABLE_ALREADY_EXISTS above) but CAN through a
+        # register_table alias — keep the materialize-first route there
+        df = _checkpointed(df)
+        n = df.count()
+        if n == 0:
+            spark.createDataFrame([], df.schema).write.mode(
+                "overwrite"
+            ).parquet(path)
+        else:
+            w = df.write.mode("overwrite")
+            if part_col:
+                w = w.partitionBy(part_col)
+            w.parquet(path)
     else:
+        # write-first CTAS (optimization r16, guide §1.2): the target
+        # cannot pre-exist, so the old checkpoint → count → write
+        # pipeline (three driver-blocking actions, the whole result
+        # materialized TWICE) guarded nothing; evaluate the query ONCE
+        # straight into the table files and take the affected-row
+        # count from the written parquet footers (driver-side
+        # metadata, no job).  An all-rows-pruned / WITH NO DATA result
+        # is rewritten as the schema-bearing empty ROOT file — an
+        # empty partitionBy write leaves a bare directory no reader
+        # can schema-infer (the readable-empty-table contract).
         w = df.write.mode("overwrite")
         if part_col:
             w = w.partitionBy(part_col)
         w.parquet(path)
+        n = _parquet_rows(path)
+        if n == 0:
+            spark.createDataFrame([], df.schema).write.mode(
+                "overwrite"
+            ).parquet(path)
     _handles(spark)[name] = h
     _refresh(spark, name)
     return _rows_frame(spark, n)
@@ -1705,6 +1781,7 @@ def _drop(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
         views.pop(name)
         with CATALOG_LOCK:
             spark.catalog.dropTempView(name)
+        _unpin_if_fixture(spark, name)
         _d.clear_schema_cache(name)
         return _rows_frame(spark, 0)
     m = re.match(
@@ -1737,6 +1814,7 @@ def _drop(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
             spark.sql(f"drop table if exists {_qident_sql(name)}")
         else:
             spark.catalog.dropTempView(name)
+    _unpin_if_fixture(spark, name)
     _d.clear_schema_cache(name)
     jvm = spark._jvm  # noqa: SLF001 - Hadoop FS, same JVM as the writes
     p = jvm.org.apache.hadoop.fs.Path(h.path)
@@ -2408,6 +2486,7 @@ def _alter_view_rename(
     with CATALOG_LOCK:
         spark.catalog.dropTempView(name)
         df.createOrReplaceTempView(new)
+    _unpin_if_fixture(spark, name, new)
     _d.clear_schema_cache(name)
     _d.update_schema_cache(spark, new, df.schema)
     return _rows_frame(spark, 0)
@@ -2477,6 +2556,7 @@ def _alter(spark: SparkSession, masked: str, lits: list[str]) -> DataFrame:
                 spark.sql(f"drop table if exists {_qident_sql(name)}")
             else:
                 spark.catalog.dropTempView(name)
+        _unpin_if_fixture(spark, name)
         _d.clear_schema_cache(name)
         _refresh(spark, new)
         return _rows_frame(spark, 0)

@@ -566,15 +566,6 @@ def llm_dedup_ngram_dfcap(spark, sf_dir):
         "doc_id", "lang", F.expr(_SHINGLES_S).alias("sh")
     )
     e0 = d.select("doc_id", "lang", F.explode("sh").alias("s"))
-    # planning job 1: corpus size (for the cap) + doc-id domain (BOTH
-    # ends, for the packed pair key — a small max does not rule out
-    # negative ids) — scalar stats, the sanctioned collect
-    nd = d.agg(
-        F.count("*").alias("n_docs"),
-        F.max("doc_id").alias("max_id"),
-        F.min("doc_id").alias("min_id"),
-    ).collect()[0]
-    cap = max(2, -(-5 * int(nd.n_docs) // 100))  # ceil(0.05 * n_docs)
     small = _scan_bytes(sf_dir, "documents") < _JACCARD_STATS_MIN_BYTES
     # kept = the sub-cap shingle vocabulary.  It is vocabulary-sized
     # (not postings-sized), so BROADCAST it and the postings stream is
@@ -585,16 +576,50 @@ def llm_dedup_ngram_dfcap(spark, sf_dir):
     # skew-splits — the downstream pair-join bound is unchanged.
     dfreq = e0.groupBy("lang", "s").agg(F.count("*").alias("df"))
     if small:
-        cand = None  # fast path: skip planning job 2 + repartitions
+        # fast path: ONE scalar planning job (corpus size for the cap +
+        # doc-id domain for the packed pair key — BOTH ends, a small
+        # max does not rule out negative ids), no repartitions
+        nd = d.agg(
+            F.count("*").alias("n_docs"),
+            F.max("doc_id").alias("max_id"),
+            F.min("doc_id").alias("min_id"),
+        ).collect()[0]
+        cand = None
     else:
-        # planning job 2: exact capped candidate volume from df table
-        cand = float(
-            dfreq.where(F.col("df") <= cap)
-            .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("c"))
-            .collect()[0]
-            .c
-            or 0.0
+        # ONE planning action for BOTH stat sets (optimization round
+        # 16, guide §1.2): the corpus/doc-id stats ride in as a
+        # broadcast scalar and the capped candidate volume aggregates
+        # the df table against the in-plan cap — previously two
+        # SEQUENTIAL driver-blocking collects (d-stats, then the
+        # cand sum gated on the Python-computed cap).  The in-plan cap
+        # `(5*n_docs + 99) div 100` is integer arithmetic, exactly
+        # Python's ceil(0.05*n) = -(-5n//100) for n >= 0.  dfreq is
+        # additionally PINNED here: the planning job materializes the
+        # vocabulary-sized df table once, and the main query's `kept`
+        # broadcast build then reads the cache instead of re-running
+        # the full scan+explode+groupBy corpus pass (4 -> 3 corpus
+        # passes per execution; the cache is ~|vocabulary| rows).
+        dfreq = _pin(dfreq)
+        ndf = d.agg(
+            F.count("*").alias("n_docs"),
+            F.max("doc_id").alias("max_id"),
+            F.min("doc_id").alias("min_id"),
         )
+        nd = (
+            dfreq.crossJoin(F.broadcast(ndf))
+            .where(
+                F.col("df")
+                <= F.greatest(
+                    F.lit(2).cast("long"),
+                    F.expr("(5 * n_docs + 99) div 100"),
+                )
+            )
+            .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("c"))
+            .crossJoin(F.broadcast(ndf))
+            .collect()[0]
+        )
+        cand = float(nd.c or 0.0)
+    cap = max(2, -(-5 * int(nd.n_docs) // 100))  # ceil(0.05 * n_docs)
     kept = dfreq.where(F.col("df") <= cap).select("lang", "s")
     # e is consumed three times (the n_sh aggregate + both self-join
     # sides); without a cache the scan+explode+semi lineage recomputes

@@ -65,8 +65,14 @@ class Pipeline:
         temp views named after the step."""
 
         def fn(spark: SparkSession, ctx: dict[str, DataFrame]) -> DataFrame:
+            from sparketl.tables import TABLE_NAMES, invalidate_view_pins
+
             for k, df in ctx.items():
                 df.createOrReplaceTempView(k)
+                if k.lower() in TABLE_NAMES:
+                    # a step named like a fixture view repoints it —
+                    # tell the loader's same-sf fast path (r16)
+                    invalidate_view_pins(spark)
             return spark.sql(statement)
 
         self.steps.append(Step(name, fn))

@@ -40,6 +40,22 @@ TABLE_NAMES: tuple[str, ...] = (
 #: (session id, sf_dir) -> {table: DataFrame}
 _CATALOG_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
+#: session id -> sf_dir the fixture views currently point at.  The
+#: re-pin in load_tables exists only because ANOTHER sf_dir may have
+#: repointed the plain-named views; tracking the last pin lets the
+#: same-dir case (every call but the first in a bench/check run) skip
+#: ten createOrReplaceTempView round trips (~0.13 s of py4j per query
+#: — a third of the cheap-query floor, optimization round 16).
+_VIEW_PIN: dict[int, str] = {}
+
+
+def invalidate_view_pins(spark: SparkSession) -> None:
+    """Force the next load_tables to re-pin the fixture views.  Called
+    by the DML front door when a statement registers or drops a FLAT
+    table whose name collides with a fixture view — the only way the
+    views can change under load_tables' feet."""
+    _VIEW_PIN.pop(id(spark), None)
+
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Normalize ``events.ts`` to session-timezone TIMESTAMP regardless
@@ -76,9 +92,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         # of the scans themselves).
         from sparketl.session import CATALOG_LOCK
 
+        if _VIEW_PIN.get(id(spark)) == key[1]:
+            return cached  # views already point here — nothing to do
         with CATALOG_LOCK:
             for name, df in cached.items():
                 df.createOrReplaceTempView(name)
+            _VIEW_PIN[id(spark)] = key[1]
         return cached
 
     configure_session(spark)
@@ -106,6 +125,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         dialect.update_schema_cache(spark, name, df.schema)
 
     _CATALOG_CACHE[key] = dfs
+    _VIEW_PIN[id(spark)] = key[1]
     return dfs
 
 
